@@ -1,0 +1,357 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Geom
+import graft.operators.Raster
+import graft.sources.EsriAsciiGrid
+
+/** Reference-shaped query surface (SURVEY.md §2.1): every operator of
+  * species_range_etl.py re-expressed over the shared testdata tables, each
+  * paired with ANSI SQL the DuckDB oracle replays bit-for-bit.
+  *
+  * Determinism rules used throughout (oracle hash-compares values):
+  * - double sums -> DECIMAL casts (exact, associative);
+  * - surrogate keys -> row_number over an explicit total order;
+  * - double divisions/folds -> identical operand order in both engines.
+  */
+object QueriesCore {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- O-1/O-6: catalog scan + projection (species_range_etl.py:36-45) ----
+  def qCatalogProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_name").as("hyphenated_name"))
+
+  val oCatalogProject = "SELECT p_name AS hyphenated_name FROM part"
+
+  // ---- O-7: threshold predicate `prob >= t` (species_range_etl.py:101,123) ----
+  def qThresholdFilter(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .withColumn("prob", col("l_quantity") / 50)
+    Raster.thresholdFilter(cells, "prob", 0.5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("prob"))
+  }
+
+  val oThresholdFilter =
+    """SELECT l_orderkey, l_linenumber, l_quantity / 50 AS prob
+      |FROM lineitem WHERE l_quantity / 50 >= 0.5""".stripMargin
+
+  // ---- O-8: filename-metadata extraction (species_range_etl.py:188-198) ----
+  // Filenames are synthesized deterministically from `part`, then parsed by
+  // the engine's parser — both branches (`current` defaults vs full tokens).
+  def qMetaExtract(s: SparkSession, dir: String): DataFrame = {
+    val thresholdTok = (lit(25) + (col("p_partkey") % 3) * 25).cast("string")
+    val fname = when(col("p_partkey") % 2 === 0,
+      concat(thresholdTok, lit("_current.shp")))
+      .otherwise(concat(
+        thresholdTok, lit("_"),
+        lower(regexp_replace(col("p_brand"), "#", "")), lit("_rcp"),
+        (lit(45) + (col("p_partkey") % 3) * 20).cast("string"), lit("_y"),
+        (lit(2030) + (col("p_partkey") % 4) * 20).cast("string"), lit(".shp")))
+    val df = t(s, dir, "part").select(col("p_partkey"), fname.as("fname"))
+    val (threshold, source, scenario, year) = Raster.parseRasterFilename(col("fname"))
+    df.select(col("p_partkey"), col("fname"), threshold.as("threshold"),
+      source.as("source"), scenario.as("scenario"), year.as("year"))
+  }
+
+  val oMetaExtract =
+    """WITH f AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey % 2 = 0
+      |      THEN CAST(25 + (p_partkey % 3) * 25 AS VARCHAR) || '_current.shp'
+      |      ELSE CAST(25 + (p_partkey % 3) * 25 AS VARCHAR) || '_' ||
+      |           lower(replace(p_brand, '#', '')) || '_rcp' ||
+      |           CAST(45 + (p_partkey % 3) * 20 AS VARCHAR) || '_y' ||
+      |           CAST(2030 + (p_partkey % 4) * 20 AS VARCHAR) || '.shp'
+      |    END AS fname
+      |  FROM part),
+      |p AS (SELECT p_partkey, fname,
+      |        string_split(regexp_replace(fname, '\.[A-Za-z]+$', ''), '_') AS toks
+      |      FROM f)
+      |SELECT p_partkey, fname, toks[1] AS threshold,
+      |  CASE WHEN toks[2] = 'current' THEN 'vtech' ELSE toks[2] END AS source,
+      |  CASE WHEN toks[2] = 'current' THEN 'current' ELSE toks[3] END AS scenario,
+      |  CASE WHEN toks[2] = 'current' THEN '2020'
+      |       ELSE regexp_replace(toks[4], '^y', '') END AS year
+      |FROM p""".stripMargin
+
+  // ---- O-9/O-10/O-13: enrichment + rename + surrogate key
+  //      (species_range_etl.py:200-204,210,228) ----
+  def qEnrichLiterals(s: SparkSession, dir: String): DataFrame =
+    Raster.enrich(t(s, dir, "supplier"),
+      lits = Map("source" -> "vtech", "scenario" -> "current"),
+      renames = Map("s_name" -> "supplier_name"),
+      sidOrder = Seq(col("s_suppkey")))
+      .select("sid", "s_suppkey", "supplier_name", "s_nationkey", "s_acctbal",
+        "source", "scenario")
+
+  val oEnrichLiterals =
+    """SELECT row_number() OVER (ORDER BY s_suppkey) AS sid, s_suppkey,
+      |  s_name AS supplier_name, s_nationkey, s_acctbal,
+      |  'vtech' AS source, 'current' AS scenario
+      |FROM supplier""".stripMargin
+
+  // ---- O-15 relational half + O-11: dissolve keys + aggregates
+  //      (species_range_etl.py:205,227) ----
+  def qDissolveArea(s: SparkSession, dir: String): DataFrame =
+    Raster.dissolveRelational(
+      t(s, dir, "lineitem")
+        .withColumnRenamed("l_returnflag", "species")
+        .withColumnRenamed("l_linestatus", "scenario"),
+      keys = Seq("species", "scenario"),
+      aggs = Seq(
+        count(lit(1)).as("n_cells"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).as("sum_price"),
+        min(year(col("l_shipdate"))).as("min_year")))
+
+  val oDissolveArea =
+    """SELECT l_returnflag AS species, l_linestatus AS scenario,
+      |  count(*) AS n_cells,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+      |  min(year(l_shipdate)) AS min_year
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // ---- O-17/O-18: union-all + empty-input handling
+  //      (species_range_etl.py:208-223) ----
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    Raster.unionAll(Seq(
+      c.select(col("c_name").as("name"), lit("customer").as("src")),
+      t(s, dir, "supplier").select(col("s_name").as("name"), lit("supplier").as("src")),
+      // species with no data contribute zero rows (species_range_etl.py:183-185)
+      c.filter(col("c_custkey") < 0)
+        .select(col("c_name").as("name"), lit("ghost").as("src"))))
+  }
+
+  val oUnionAll =
+    """SELECT c_name AS name, 'customer' AS src FROM customer
+      |UNION ALL SELECT s_name, 'supplier' FROM supplier
+      |UNION ALL SELECT c_name, 'ghost' FROM customer WHERE c_custkey < 0""".stripMargin
+
+  // ---- O-19: incremental skip-if-exists as anti-join
+  //      (species_range_etl.py:54-57,64-69,118-120) ----
+  def qIncrementalAntijoin(s: SparkSession, dir: String): DataFrame =
+    Raster.incrementalAntiJoin(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+      keys = Seq("o_orderkey"))
+
+  val oIncrementalAntijoin =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin
+
+  // ---- O-7 ×3: all thresholds in one scan (species_range_etl.py:101) ----
+  def qThresholdCrossjoin(s: SparkSession, dir: String): DataFrame =
+    Raster.thresholdExplode(
+      t(s, dir, "lineitem").withColumn("prob", col("l_quantity") / 50),
+      "prob", Seq(0.25, 0.5, 0.75))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+
+  val oThresholdCrossjoin =
+    """SELECT t.threshold, count(*) AS n_cells,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |FROM lineitem, (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS threshold) t
+      |WHERE l_quantity / 50 >= t.threshold GROUP BY 1""".stripMargin
+
+  // ---- O-14: year cast (species_range_etl.py:226) ----
+  def qYearCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).cast("string").as("year_str"))
+
+  val oYearCast =
+    """SELECT o_orderkey, year(o_orderdate) AS order_year,
+      |  month(o_orderdate) AS order_month,
+      |  CAST(year(o_orderdate) AS VARCHAR) AS year_str
+      |FROM orders""".stripMargin
+
+  // ---- beyond-reference relational breadth: join + agg over the star
+  //      schema (broadcast dims — no shuffle for nation/region) ----
+  def qJoinEnrich(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(15,2)")).as("sum_total"))
+
+  val oJoinEnrich =
+    """SELECT r_name, count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(15,2))) AS sum_total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- window functions: rank + running total per customer ----
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).as("rn"),
+      sum(col("o_totalprice").cast("decimal(15,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running"))
+  }
+
+  val oWindowRank =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER w AS rn,
+      |  sum(CAST(o_totalprice AS DECIMAL(15,2)))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---- grouping sets: rollup ----
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+
+  val oRollup =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- top-k: global sort + limit ----
+  def qTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val oTopk =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---- distinct aggregates ----
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+
+  val oDistinctAgg =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ---- O-15/O-16/O-11 geometric half: full dissolve with JTS union.
+  // Oracle: union of disjoint-or-adjacent cell rectangles has area exactly
+  // |distinct cells| × cellsize² (cellsize 0.25 is binary-exact). ----
+  def qGeoDissolve(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("species"),
+      (col("l_orderkey") % 32).cast("int").as("r"),
+      (col("l_partkey") % 32).cast("int").as("c"),
+      (col("l_quantity") / 50).as("prob"))
+    Raster.dissolveGeo(
+      Raster.thresholdFilter(cells, "prob", 0.5).dropDuplicates("species", "r", "c"),
+      keys = Seq("species"), rowCol = "r", colCol = "c",
+      xll = 0.0, yll = 0.0, cellsize = 0.25, nrows = 32)
+      .select(col("species"), col("area"))
+  }
+
+  val oGeoDissolve =
+    """SELECT species, count(*) * CAST(0.0625 AS DOUBLE) AS area FROM (
+      |  SELECT DISTINCT l_returnflag AS species,
+      |    l_orderkey % 32 AS r, l_partkey % 32 AS c
+      |  FROM lineitem WHERE l_quantity / 50 >= 0.5)
+      |GROUP BY species""".stripMargin
+
+  // ---- scalar geometry: st_area on per-row rectangles ----
+  def qGeoCellArea(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Geom.stArea(Geom.stRect(lit(0.0), lit(0.0),
+          col("l_linenumber").cast("double") * 0.25, lit(0.25))).as("area"))
+
+  val oGeoCellArea =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_linenumber * CAST(0.0625 AS DOUBLE) AS area
+      |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin
+
+  // ---- geometry details (WKB path) — DuckDB cannot oracle geometry, so
+  // this is a rows-only entry; determinism is asserted in ScalaTest ----
+  def qGeoUnionWkb(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("species"),
+      (col("l_orderkey") % 32).cast("int").as("r"),
+      (col("l_partkey") % 32).cast("int").as("c"),
+      (col("l_quantity") / 50).as("prob"))
+    Raster.dissolveGeo(
+      Raster.thresholdFilter(cells, "prob", 0.75).dropDuplicates("species", "r", "c"),
+      keys = Seq("species"), rowCol = "r", colCol = "c",
+      xll = 0.0, yll = 0.0, cellsize = 0.25, nrows = 32)
+      .select(col("species"), col("area"),
+        Geom.stNumPoints(col("geometry")).as("n_points"),
+        Geom.stNumGeoms(col("geometry")).as("n_geoms"))
+  }
+
+  // ---- O-4: Esri ASCII grid source, verified against golden fixtures
+  // (FIXTURES.md A2) — the oracle is the expected cell VALUES ----
+  private val GridA =
+    """ncols        4
+      |nrows        3
+      |xllcorner    -80.0
+      |yllcorner    35.0
+      |cellsize     0.5
+      |NODATA_value -9999
+      |0.1 0.3 0.6 0.9
+      |0.0 0.5 0.75 -9999
+      |0.2 0.25 0.4 0.8
+      |""".stripMargin
+  private val GridB =
+    """ncols 2
+      |nrows 2
+      |xllcorner 10.0
+      |yllcorner 20.0
+      |cellsize 1.0
+      |NODATA_value -1
+      |1.0 -1
+      |0.5 0.25
+      |""".stripMargin
+
+  def fixtureGridDir(): String = {
+    val dir = java.nio.file.Paths.get("/root/repo/target/grid-fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("grid_a.asc"), GridA)
+    java.nio.file.Files.writeString(dir.resolve("grid_b.asc"), GridB)
+    dir.toString
+  }
+
+  def qRasterCells(s: SparkSession, dir: String): DataFrame = {
+    val gdir = fixtureGridDir()
+    EsriAsciiGrid.readCells(s, s"$gdir/*.asc")
+      .withColumn("gname", regexp_extract(col("path"), "([a-z_]+)\\.asc$", 1))
+      .select(col("gname"), col("row"), col("col"), col("lon"), col("lat"), col("prob"))
+  }
+
+  val oRasterCells =
+    """SELECT gname, CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+      |  CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat,
+      |  CAST(prob AS DOUBLE) AS prob
+      |FROM (VALUES
+      |  ('grid_a', 0, 0, -79.75, 36.25, 0.1), ('grid_a', 0, 1, -79.25, 36.25, 0.3),
+      |  ('grid_a', 0, 2, -78.75, 36.25, 0.6), ('grid_a', 0, 3, -78.25, 36.25, 0.9),
+      |  ('grid_a', 1, 0, -79.75, 35.75, 0.0), ('grid_a', 1, 1, -79.25, 35.75, 0.5),
+      |  ('grid_a', 1, 2, -78.75, 35.75, 0.75), ('grid_a', 1, 3, -78.25, 35.75, NULL),
+      |  ('grid_a', 2, 0, -79.75, 35.25, 0.2), ('grid_a', 2, 1, -79.25, 35.25, 0.25),
+      |  ('grid_a', 2, 2, -78.75, 35.25, 0.4), ('grid_a', 2, 3, -78.25, 35.25, 0.8),
+      |  ('grid_b', 0, 0, 10.5, 21.5, 1.0), ('grid_b', 0, 1, 11.5, 21.5, NULL),
+      |  ('grid_b', 1, 0, 10.5, 20.5, 0.5), ('grid_b', 1, 1, 11.5, 20.5, 0.25)
+      |) t(gname, row, col, lon, lat, prob)""".stripMargin
+}

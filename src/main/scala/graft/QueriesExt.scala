@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+
+/** North-star extension queries: dedup / similarity / text analysis /
+  * sessionization / multimodal over documents, embeddings, events.
+  * Candidate generation is always an equi-join on a band/bucket/block key —
+  * never an unbounded cartesian (the 100 TB constraint).
+  */
+object QueriesExt {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores nanosecond timestamps; Spark 4 reads them only as
+    * raw longs via this legacy conf (DuckDB truncates to micros on read —
+    * integer `DIV 1000` reconciles the two exactly).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  // shared DuckDB SQL fragments (same algebra as graft.functions.Portable)
+  private val H32 = "('0x' || substr(md5(%s), 1, 8))::BIGINT"
+  private def cosineSql(a: String, b: String, dim: Int = 64): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  // ---- exact dedup: hash-groupBy on content ----
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+
+  val oDedupExact =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- MinHash + LSH banding near-dup pairs (k=3 shingles, 8 hashes,
+  //      4 bands × 2 rows) ----
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"),
+      k = 3, numHashes = 8, bandSize = 2, minJaccard = 0.2)
+
+  val oDedupMinhash =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |minh AS (
+      |  SELECT doc_id, seed,
+      |    min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || shingle), 1, 8))::BIGINT) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    list_reduce(list_prepend(0::BIGINT, list_sort(list(minhash))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS band_key
+      |  FROM minh GROUP BY doc_id, seed // 2),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a_id, b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      len(list_distinct(sa.sh || sb.sh)) AS jaccard
+      |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
+      |WHERE jaccard >= 0.2""".stripMargin
+
+  // ---- SimHash near-dup pairs; hamming <= 3 makes the 4-byte-band
+  //      candidate join EXACT, so the oracle is brute-force all-pairs ----
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+
+  val oDedupSimhash =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+      |votes AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)::BIGINT AS simhash
+      |  FROM votes GROUP BY 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  // ---- exact char-3-gram Jaccard over a bounded sample ----
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardSample(t(s, dir, "documents"),
+      n = 3, sampleMod = 10, minJaccard = 0.5)
+
+  val oNgramJaccard =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS g
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |      len(list_distinct(a.g || b.g)) AS jaccard
+      |  FROM g a, g b WHERE a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
+  // ---- text statistics ----
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(t(s, dir, "documents"))
+
+  val oTextStats =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars2, string_split(text, ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_chars2 AS BIGINT) AS n_chars2,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(toks,
+      |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+      |  CAST(list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS DOUBLE)
+      |    / len(toks) AS mean_token_len
+      |FROM t""".stripMargin
+
+  // ---- quality score ----
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"))
+
+  val oQualityScore =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars2, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_chars2, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  len(list_filter(toks,
+      |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+      |  FROM t)
+      |SELECT doc_id,
+      |  (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+      |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+      |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) AS quality
+      |FROM s""".stripMargin
+
+  // ---- language-ID (marker-token heuristic) ----
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents"))
+
+  val oLangId =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS lang_true, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang_true,
+      |  CAST(len(list_filter(toks, x -> list_contains(['customer','hash','join'], x))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(toks, x -> list_contains(['hash','order','table'], x))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(toks, x -> list_contains(['slow','agg','merge'], x))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(toks, x -> list_contains(['scan','data','batch'], x))) AS BIGINT) AS s_fr,
+      |  CAST(len(list_filter(toks, x -> list_contains(['join','small','customer'], x))) AS BIGINT) AS s_zh
+      |  FROM t)
+      |SELECT doc_id, lang_true, s_de, s_en, s_es, s_fr, s_zh,
+      |  CASE
+      |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |    WHEN s_fr >= s_zh THEN 'fr'
+      |    ELSE 'zh' END AS lang_pred
+      |FROM s""".stripMargin
+
+  // ---- BPE-ish token count + rolling fingerprint ----
+  def qTokenFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFingerprint(t(s, dir, "documents"))
+
+  val oTokenFingerprint =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(text, ' '),
+      |      x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // ---- brute-force exact top-k cosine (small query set × full corpus) ----
+  def qSimilarTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(t(s, dir, "embeddings"), col("vec_id") < 5, k = 5)
+
+  val oSimilarTopk: String = {
+    val cos = cosineSql("qe", "embedding")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT q_id, vec_id, $cos AS cosine
+       |      FROM embeddings, q WHERE vec_id <> q_id)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  // ---- embedding near-dup pairs, blocked by label (equi-join) ----
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupByBlock(t(s, dir, "embeddings"), "label", minCosine = 0.3)
+
+  val oEmbedNearDup: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""SELECT block, a_id, b_id, cosine FROM (
+       |  SELECT a.label AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    $cos AS cosine
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cosine >= 0.3""".stripMargin
+  }
+
+  // ---- ANN via random-hyperplane LSH (rows-only: bucket pipeline is
+  //      asserted against bruteTopK recall in ScalaTest) ----
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshPairs(t(s, dir, "embeddings"), numPlanes = 8, dim = 64,
+      minCosine = 0.25)
+
+  // ---- sessionization over events (30-minute gap) ----
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessions.sessionize(
+      events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("ts_us")),
+      gapMicros = 1800000000L)
+
+  val oSessionize =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (
+      |  SELECT user_id, ts_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM f)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM g GROUP BY 1, 2""".stripMargin
+
+  // ---- daily event rollup (order-free aggregates only: count/min/max) ----
+  def qEventsDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("ts DIV 86400000000000").as("day_num"),
+        col("event_type"), col("value"))
+      .groupBy(col("day_num"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  val oEventsDaily =
+    """SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
+      |  count(*) AS n, min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- JSON extraction from event props ----
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      col("event_type"))
+
+  val oJsonExtract =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  event_type FROM events""".stripMargin
+
+  // ---- multimodal metadata (payload synthesized deterministically from
+  //      text; decode stage itself is stubbed per Multimodal.decodeStub) ----
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(
+      t(s, dir, "documents").select(col("doc_id"),
+        unhex(md5(col("text"))).as("payload")))
+
+  val oMultimodalMeta =
+    """SELECT doc_id,
+      |  CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT AS magic,
+      |  (['image','audio','video'])[CAST((('0x' || substr(md5(text), 1, 8))::BIGINT % 3 + 1) AS INT)] AS media_type
+      |FROM documents""".stripMargin
+}

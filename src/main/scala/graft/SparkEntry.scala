@@ -1,13 +1,109 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.operators.Raster
+
+/** Driver contract — see /root/repo/SURVEY.md §2.1/§7 + the builder prompt.
+  *
+  * `queries` is the engine's declared query surface: every reference
+  * operator (species_range_etl.py, via QueriesCore) plus the LLM-pipeline
+  * extensions (QueriesExt). `oracleSql` carries the DuckDB-equivalent SQL
+  * for each hash-checked entry; rows-only entries (geometry WKB, LSH ANN)
+  * are deliberately absent from it and covered by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's end-to-end product (species_range_etl.py
+    * EP-2+EP-3) — cells -> threshold ×3 -> dissolve (geometric union) ->
+    * area — on sf0.001. One scan, one broadcast cross join, one shuffle
+    * (the partial+final union aggregate).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cells = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      col("l_returnflag").as("species"),
+      (col("l_orderkey") % 32).cast("int").as("r"),
+      (col("l_partkey") % 32).cast("int").as("c"),
+      (col("l_quantity") / 50).as("prob"))
+    val thresholded = Raster.thresholdExplode(cells, "prob", Seq(0.25, 0.5, 0.75))
+      .dropDuplicates("species", "threshold", "r", "c")
+    Raster.dissolveGeo(thresholded, keys = Seq("species", "threshold"),
+      rowCol = "r", colCol = "c", xll = 0.0, yll = 0.0, cellsize = 0.25, nrows = 32)
+      .select(col("species"), col("threshold"), col("area"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference operators (QueriesCore)
+    "q_catalog_project"      -> (QueriesCore.qCatalogProject _),
+    "q_threshold_filter"     -> (QueriesCore.qThresholdFilter _),
+    "q_meta_extract"         -> (QueriesCore.qMetaExtract _),
+    "q_enrich_literals"      -> (QueriesCore.qEnrichLiterals _),
+    "q_dissolve_area"        -> (QueriesCore.qDissolveArea _),
+    "q_union_all"            -> (QueriesCore.qUnionAll _),
+    "q_incremental_antijoin" -> (QueriesCore.qIncrementalAntijoin _),
+    "q_threshold_crossjoin"  -> (QueriesCore.qThresholdCrossjoin _),
+    "q_year_cast"            -> (QueriesCore.qYearCast _),
+    "q_join_enrich"          -> (QueriesCore.qJoinEnrich _),
+    "q_window_rank"          -> (QueriesCore.qWindowRank _),
+    "q_rollup"               -> (QueriesCore.qRollup _),
+    "q_topk"                 -> (QueriesCore.qTopk _),
+    "q_distinct_agg"         -> (QueriesCore.qDistinctAgg _),
+    "q_geo_dissolve"         -> (QueriesCore.qGeoDissolve _),
+    "q_geo_cell_area"        -> (QueriesCore.qGeoCellArea _),
+    "q_geo_union_wkb"        -> (QueriesCore.qGeoUnionWkb _),
+    "q_raster_cells"         -> (QueriesCore.qRasterCells _),
+    // LLM-pipeline extensions (QueriesExt)
+    "q_dedup_exact"          -> (QueriesExt.qDedupExact _),
+    "q_dedup_minhash"        -> (QueriesExt.qDedupMinhash _),
+    "q_dedup_simhash"        -> (QueriesExt.qDedupSimhash _),
+    "q_ngram_jaccard"        -> (QueriesExt.qNgramJaccard _),
+    "q_text_stats"           -> (QueriesExt.qTextStats _),
+    "q_quality_score"        -> (QueriesExt.qQualityScore _),
+    "q_lang_id"              -> (QueriesExt.qLangId _),
+    "q_token_fingerprint"    -> (QueriesExt.qTokenFingerprint _),
+    "q_similar_topk"         -> (QueriesExt.qSimilarTopk _),
+    "q_embed_near_dup"       -> (QueriesExt.qEmbedNearDup _),
+    "q_ann_lsh"              -> (QueriesExt.qAnnLsh _),
+    "q_sessionize"           -> (QueriesExt.qSessionize _),
+    "q_events_daily"         -> (QueriesExt.qEventsDaily _),
+    "q_json_extract"         -> (QueriesExt.qJsonExtract _),
+    "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
+  )
+
+  /** DuckDB-equivalent SQL per hash-checked query (column names aligned). */
+  def oracleSql: Map[String, String] = Map(
+    "q_catalog_project"      -> QueriesCore.oCatalogProject,
+    "q_threshold_filter"     -> QueriesCore.oThresholdFilter,
+    "q_meta_extract"         -> QueriesCore.oMetaExtract,
+    "q_enrich_literals"      -> QueriesCore.oEnrichLiterals,
+    "q_dissolve_area"        -> QueriesCore.oDissolveArea,
+    "q_union_all"            -> QueriesCore.oUnionAll,
+    "q_incremental_antijoin" -> QueriesCore.oIncrementalAntijoin,
+    "q_threshold_crossjoin"  -> QueriesCore.oThresholdCrossjoin,
+    "q_year_cast"            -> QueriesCore.oYearCast,
+    "q_join_enrich"          -> QueriesCore.oJoinEnrich,
+    "q_window_rank"          -> QueriesCore.oWindowRank,
+    "q_rollup"               -> QueriesCore.oRollup,
+    "q_topk"                 -> QueriesCore.oTopk,
+    "q_distinct_agg"         -> QueriesCore.oDistinctAgg,
+    "q_geo_dissolve"         -> QueriesCore.oGeoDissolve,
+    "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
+    "q_raster_cells"         -> QueriesCore.oRasterCells,
+    "q_dedup_exact"          -> QueriesExt.oDedupExact,
+    "q_dedup_minhash"        -> QueriesExt.oDedupMinhash,
+    "q_dedup_simhash"        -> QueriesExt.oDedupSimhash,
+    "q_ngram_jaccard"        -> QueriesExt.oNgramJaccard,
+    "q_text_stats"           -> QueriesExt.oTextStats,
+    "q_quality_score"        -> QueriesExt.oQualityScore,
+    "q_lang_id"              -> QueriesExt.oLangId,
+    "q_token_fingerprint"    -> QueriesExt.oTokenFingerprint,
+    "q_similar_topk"         -> QueriesExt.oSimilarTopk,
+    "q_embed_near_dup"       -> QueriesExt.oEmbedNearDup,
+    "q_sessionize"           -> QueriesExt.oSessionize,
+    "q_events_daily"         -> QueriesExt.oEventsDaily,
+    "q_json_extract"         -> QueriesExt.oJsonExtract,
+    "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,
+  )
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic primitives.
+  *
+  * The correctness harness hash-compares Spark results against DuckDB
+  * running "equivalent ANSI SQL" on the same parquet inputs. Spark's
+  * native `hash`/`xxhash64` do not exist in other engines, so every
+  * hash-dependent operator (MinHash, SimHash, LSH, fingerprints) is built
+  * on md5 — bit-identical everywhere — truncated to a 32-bit integer.
+  *
+  * Scale note: md5-per-token is ~3× slower than xxhash64 but is a pure
+  * per-row scalar (codegen'd, no shuffle, no dictionary build), so it
+  * does not change any plan shape. Swapping `hash32` to `xxhash64` is a
+  * one-line change when cross-engine reproducibility is not required.
+  */
+object Portable {
+
+  /** First 8 hex digits of md5 as an unsigned 32-bit value in a LONG.
+    * DuckDB equivalent: `('0x' || substr(md5(s),1,8))::BIGINT`.
+    */
+  def hash32(c: Column): Column =
+    conv(substr(md5(c.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member i (for MinHash /
+    * SimHash bit planes). Seed is mixed into the input text, so each i
+    * yields an (approximately) independent uniform hash.
+    */
+  def hash32(c: Column, seed: Int): Column =
+    hash32(concat(lit(s"$seed#"), c.cast("string")))
+
+  /** Column-seed variant (seed supplied by a dimension table, e.g. the
+    * MinHash hash-family index).
+    */
+  def hash32(c: Column, seed: Column): Column =
+    hash32(concat(seed.cast("string"), lit("#"), c.cast("string")))
+
+  /** Whitespace tokenization shared by the text operators.
+    * DuckDB equivalent: `string_split(s, ' ')` (testdata text is
+    * single-space separated; the general path would regexp-split).
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word k-shingles as an array of strings (empty array when the doc has
+    * fewer than k tokens). DuckDB equivalent via
+    * `list_transform(range(1, len(toks)-k+2), i -> array_to_string(toks[i:i+k-1], ' '))`.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Left-fold polynomial combine of an array of longs:
+    * acc = (acc * 31 + x) mod p. Same fold order as DuckDB `list_reduce`.
+    */
+  def polyFold(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Dot product of two float arrays accumulated left-to-right in double —
+    * matches DuckDB `list_reduce(list_transform(...), (a,b) -> a+b)` on
+    * DOUBLE[] casts, element order identical.
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (double). */
+  def normDouble(a: Column): Column = sqrt(dotDouble(a, a))
+
+  /** Cosine similarity in double precision; null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dotDouble(a, b) / (normDouble(a) * normDouble(b))
+}

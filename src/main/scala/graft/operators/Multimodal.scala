@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * container): [[decodeStub]] derives deterministic fake features from the
+  * payload bytes. Everything around it — schema, batch iteration,
+  * partitioning — is real: swap `decodeStub` for a JNI/codec call and the
+  * plan shape is unchanged (narrow mapPartitions, no shuffle, batch-local
+  * amortization of decoder init, exactly the role a Python pipeline gives
+  * `mapInPandas`).
+  */
+object Multimodal {
+
+  /** Typed record for the per-partition decode path. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Int, magic: Long, feature: Double)
+
+  /** STUB decoder — deterministic fake in place of a real codec.
+    * Real implementation would decode `payload` (JPEG/WAV/MP4) here.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Double) = {
+    val magic = payload.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+    val feature = magic.toDouble / (1L << 32).toDouble // fake normalized feature
+    (magic, feature)
+  }
+
+  /** Column-algebra metadata extraction (no stub needed): byte length, magic
+    * int, fake type sniff. Pure codegen'd expressions — the oracle-checkable
+    * part of the multimodal path.
+    */
+  def mediaMeta(docs: DataFrame, payloadCol: String = "payload"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col(payloadCol)).cast("long").as("n_bytes"),
+      conv(substring(hex(col(payloadCol)), 1, 8), 16, 10).cast("long").as("magic"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (conv(substring(hex(col(payloadCol)), 1, 8), 16, 10).cast("long") % 3 + 1).cast("int"))
+        .as("media_type"))
+
+  /** Batch decode via typed mapPartitions: decoder init once per partition,
+    * rows streamed — the Scala analog of a Pandas-UDF `mapInPandas` stage.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      // real pipeline: initialize codec/session here, once per partition
+      it.map { r =>
+        val (magic, feature) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length, magic, feature)
+      }
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions beyond the reference; all per-row scalar algebra —
+  * no shuffles except the final aggregates — so they stream over 100 TB).
+  *
+  * Every op is built from codegen'd `org.apache.spark.sql.functions` (no
+  * Scala UDFs in the hot path) and is expressible in ANSI-ish SQL so the
+  * DuckDB oracle can verify it bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword list used by quality scoring / language-ID. Fixed, tiny —
+    * broadcast as a literal array (never a join).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** BPE-ish token pattern: letter runs, digit runs, or single punctuation.
+    * Same regex dialect subset (RE2-safe, no lookaround) in Spark and DuckDB.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Per-document surface statistics: token count, distinct tokens,
+    * character count, stopword count, mean token length. All integer math +
+    * one exact double division — deterministic across engines.
+    */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars2"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+      (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / size(toks).cast("double")).as("mean_token_len"))
+  }
+
+  /** Quality score in [0,1]: weighted mix of length-in-bounds, stopword
+    * ratio, and lexical diversity — the standard cheap pre-filter before
+    * expensive dedup/embedding stages. Exact double algebra (fixed op
+    * order), so oracle-checkable.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val s = textStats(docs, textCol)
+    s.select(
+      col("doc_id"),
+      (when(col("n_chars2").between(100, 450), lit(0.4)).otherwise(lit(0.0)) +
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")) * lit(0.3) +
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
+      ).as("quality"))
+  }
+
+  /** Language-ID by marker-token counting (n-gram-frequency heuristic,
+    * degenerate n=1): score each candidate language by marker hits, take
+    * the argmax with a fixed language-order tie-break. Markers are literal
+    * arrays — per-row scalar work only.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join"),
+    "en" -> Seq("hash", "order", "table"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "zh" -> Seq("join", "small", "customer"))
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t))).cast("long")
+    }
+    val withScores = docs.select(col("doc_id") +: col("lang").as("lang_true") +:
+      scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+    // argmax with first-wins tie-break in LangMarkers order
+    val pred = scores.map(_._1).foldRight(lit("und")) { (lang, rest) =>
+      when(isFirstMax(lang, scores.map(_._1)), lit(lang)).otherwise(rest)
+    }
+    withScores.withColumn("lang_pred", pred)
+  }
+
+  /** lang is the first (in declaration order) whose score equals the row max. */
+  private def isFirstMax(lang: String, langs: Seq[String]): Column = {
+    val mine = col(s"s_$lang")
+    val earlier = langs.takeWhile(_ != lang)
+    val notBeatenByEarlier = earlier.map(e => mine > col(s"s_$e")).foldLeft(lit(true))(_ && _)
+    val geqLater = langs.dropWhile(_ != lang).drop(1)
+      .map(l => mine >= col(s"s_$l")).foldLeft(lit(true))(_ && _)
+    notBeatenByEarlier && geqLater
+  }
+
+  /** Token counting with the BPE-ish regex + a rolling polynomial document
+    * fingerprint over portable 32-bit token hashes (order-sensitive — beats
+    * a bag-of-words hash for detecting reordered near-copies).
+    */
+  def tokenFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bpe = regexp_extract_all(col(textCol), lit(BpePattern), lit(0))
+    val toks = Portable.tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(bpe).cast("long").as("n_bpe_tokens"),
+      Portable.polyFold(transform(toks, t => Portable.hash32(t))).as("fingerprint"))
+  }
+}

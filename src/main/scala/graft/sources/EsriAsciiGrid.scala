@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Esri ASCII Grid raster source (reference: species_range_etl.py:59-92).
+  *
+  * The reference renames downloaded `.txt` grids to `.asc` and converts to
+  * GeoTIFF only because arcpy requires TIFF input (species_range_etl.py:78).
+  * Spark reads the ASCII text directly and flattens the dense grid into a
+  * relational cell table — one row per cell with computed cell-center
+  * lon/lat — so every downstream raster op (threshold, polygonize,
+  * dissolve) becomes a stock DataFrame operator.
+  *
+  * Scale design: one grid file = one task (wholetext read); the flatMap
+  * parser streams cells without materializing the full grid, NODATA and
+  * unparseable files are counted in accumulators rather than failing the
+  * job (reference tolerates corrupt inputs, species_range_etl.py:170-171).
+  */
+object EsriAsciiGrid {
+
+  /** Header of an Esri ASCII grid (.asc). xll/yll = lower-left corner. */
+  final case class GridHeader(
+      ncols: Int, nrows: Int,
+      xllcorner: Double, yllcorner: Double,
+      cellsize: Double, nodata: Option[Double])
+
+  /** One raster cell. `row` 0 = northernmost line (file order), matching
+    * the raster convention the reference inherits from GDAL. `prob` is
+    * None for NODATA cells (FIXTURES.md A2 requires NODATA -> null).
+    */
+  final case class RasterCell(
+      row: Int, col: Int, lon: Double, lat: Double, prob: Option[Double])
+
+  /** Parse header + grid body. Header keys are case-insensitive and may
+    * appear in any order; body is whitespace-separated floats, `nrows`
+    * lines of `ncols` values.
+    */
+  def parse(content: String): (GridHeader, Iterator[RasterCell]) = {
+    val lines = content.linesIterator.filter(_.trim.nonEmpty).buffered
+    var ncols, nrows = -1
+    var xll, yll, cellsize = Double.NaN
+    var nodata: Option[Double] = None
+    val headerKey = "^([A-Za-z_]+)\\s+(-?[0-9.eE+-]+)\\s*$".r
+    var reading = true
+    while (reading && lines.hasNext) {
+      lines.head.trim match {
+        case headerKey(k, v) =>
+          k.toLowerCase match {
+            case "ncols"        => ncols = v.toDouble.toInt; lines.next()
+            case "nrows"        => nrows = v.toDouble.toInt; lines.next()
+            case "xllcorner"    => xll = v.toDouble; lines.next()
+            case "yllcorner"    => yll = v.toDouble; lines.next()
+            case "cellsize"     => cellsize = v.toDouble; lines.next()
+            case "nodata_value" => nodata = Some(v.toDouble); lines.next()
+            case _              => reading = false // first body line
+          }
+        case _ => reading = false
+      }
+    }
+    require(ncols > 0 && nrows > 0 && !cellsize.isNaN && !xll.isNaN && !yll.isNaN,
+      s"invalid Esri ASCII grid header (ncols=$ncols nrows=$nrows cellsize=$cellsize)")
+    val header = GridHeader(ncols, nrows, xll, yll, cellsize, nodata)
+
+    val cells = lines.zipWithIndex.flatMap { case (line, r) =>
+      val vals = line.trim.split("\\s+")
+      vals.iterator.zipWithIndex.map { case (s, c) =>
+        val v = s.toDouble
+        val prob = if (nodata.contains(v)) None else Some(v)
+        // cell CENTERS; row 0 is the top (northernmost) line
+        val lon = xll + (c + 0.5) * cellsize
+        val lat = yll + (nrows - 1 - r + 0.5) * cellsize
+        RasterCell(r, c, lon, lat, prob)
+      }
+    }
+    (header, cells)
+  }
+
+  /** Read a directory/glob of `.asc`/`.txt` grids into a cell DataFrame:
+    * (path, row, col, lon, lat, prob). Corrupt files are skipped and
+    * counted (O-3/O-25 semantics: tolerate + account, never fail).
+    */
+  def readCells(spark: SparkSession, pathGlob: String,
+                corruptFiles: Option[LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", "true").text(pathGlob)
+      .select(input_file_name().as("path"), $"value")
+    raw.as[(String, String)].flatMap { case (path, content) =>
+      try {
+        val (_, cells) = parse(content)
+        cells.map(c => (path, c.row, c.col, c.lon, c.lat, c.prob))
+      } catch {
+        case _: Exception =>
+          corruptFiles.foreach(_.add(1))
+          Iterator.empty
+      }
+    }.toDF("path", "row", "col", "lon", "lat", "prob")
+  }
+}
