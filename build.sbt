@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one or more classes per query stage; across a
+  // 30+-query session the default 240m code cache fills, the JIT shuts off
+  // ("CodeCache is full"), and later queries run interpreted 10-50x slower.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -24,30 +24,64 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Distinct word-k-shingles as rows: (doc_id, shingle).
+    *
+    * posexplode + window-lead instead of a `transform(slice(...))` lambda:
+    * the HOF form re-evaluates `split(text)` per lambda element (O(tokens²)
+    * per doc — Catalyst inlines the project into the lambda body), while
+    * this shape tokenizes once per row and builds each shingle from lead()
+    * in one codegen'd window pass. One shuffle, by doc_id.
+    */
+  def shingleRows(docs: DataFrame, k: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(Portable.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until k).map(j =>
+          if (j == 0) col("tok") else lead(col("tok"), j).over(w)): _*).as("shingle"),
+        lead(col("tok"), k - 1).over(w).as("last_tok"))
+      .filter(col("last_tok").isNotNull)
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
+
   /** Per-doc MinHash signature: `numHashes` portable 32-bit min-hashes over
-    * word `k`-shingles. One row per (doc, hash index).
+    * word `k`-shingles, as WIDE columns (mh0..mhN-1) from a single groupBy.
+    *
+    * One aggregation, `numHashes` min columns — the hash-family fan-out is
+    * column-wise, not row-wise: no crossJoin row duplication, map-side
+    * partial mins, and the shuffle carries one `numHashes`-long row per doc
+    * per partition regardless of shingle count.
     */
   def minhashSignature(docs: DataFrame, k: Int, numHashes: Int,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val seeds = (0 until numHashes).toDF("seed")
-    docs
-      .select(col(idCol).as("doc_id"), explode(array_distinct(
-        Portable.wordShingles(col(textCol), k))).as("shingle"))
-      .crossJoin(broadcast(seeds))
-      .groupBy($"doc_id", $"seed")
-      .agg(min(Portable.hash32(col("shingle"), col("seed"))).as("minhash"))
+    val mins = (0 until numHashes).map { i =>
+      min(Portable.hash32(col("shingle"), i)).as(s"mh$i")
+    }
+    shingleRows(docs, k, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: fold each band's min-hashes into one key; docs sharing any
-    * (band, key) are candidates. bandsize = numHashes / numBands.
+  /** LSH banding over the wide signature: per band, sort its min-hashes and
+    * fold into one key (row-level column math), then explode the tiny
+    * (band, key) structs to rows. Docs sharing any (band, key) are
+    * candidates. bandSize = numHashes / numBands.
     */
-  def minhashBands(sig: DataFrame, bandSize: Int): DataFrame =
-    sig
-      .withColumn("band", col("seed").divide(bandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(Portable.polyFold(array_sort(collect_list(col("minhash")))).as("band_key"))
+  def minhashBands(sigWide: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    val nBands = numHashes / bandSize
+    val bandStructs = (0 until nBands).map { b =>
+      val members = (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))
+      struct(lit(b).as("band"),
+        Portable.polyFold(array_sort(array(members: _*))).as("band_key"))
+    }
+    sigWide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
 
   /** MinHash-LSH near-duplicate pairs: band equi-join -> distinct candidate
     * pairs -> exact Jaccard verification (shingle-set join, again an
@@ -57,46 +91,71 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int, numHashes: Int, bandSize: Int,
                    minJaccard: Double, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    // The bands/pairs intermediates are REUSED on both sides of self-joins
+    // (and again by the verify stage). Without materialization Catalyst
+    // recomputes the whole signature subtree once per reference — four
+    // concurrent window+agg pipelines fighting for execution memory. They
+    // are tiny (numBands rows per doc; candidate pairs only), so persist
+    // them: one computation, then cheap equi-joins.
     val sig = minhashSignature(docs, k, numHashes, idCol, textCol)
-    val bands = minhashBands(sig, bandSize)
+    val bands = minhashBands(sig, numHashes, bandSize).persist()
     val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
     val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id").distinct().persist()
     verifyJaccard(docs, candidates, k, idCol, textCol).filter(col("jaccard") >= minJaccard)
   }
 
-  /** Exact Jaccard over word-k-shingle sets for given candidate pairs. */
+  /** Exact Jaccard over word-k-shingle sets for given candidate pairs.
+    *
+    * Count-join formulation — |A∩B| from an equi-join on (doc, shingle),
+    * |A∪B| = |A|+|B|-|A∩B| — rather than materializing per-doc shingle
+    * arrays and intersecting per pair: no arrays cross the shuffle, every
+    * stage is codegen'd, and the intersect cost scales with candidate
+    * count, not corpus size. Same integers, so the same jaccard double.
+    */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, k: Int,
                     idCol: String, textCol: String): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(Portable.wordShingles(col(textCol), k)).as("sh"))
-    val a = sets.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-    val b = sets.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
-    pairs.join(a, "a_id").join(b, "b_id")
+    // referenced three times below (a-side, b-side, sizes) — materialize once
+    val ex = shingleRows(docs, k, idCol, textCol).persist()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(ex.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(ex.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
   /** 32-bit SimHash over whitespace tokens: per bit j, sum +1/-1 votes from
     * each token's hash bit j; bit set iff the vote is positive.
+    *
+    * One groupBy with 32 conditional-sum columns (partial+final agg with
+    * map-side combine) — NOT a ×32 bit-dimension explode: the shuffle
+    * carries one 32-column row per doc per partition, independent of token
+    * count. Semantically identical to the per-(doc,bit) formulation.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bits = (0 until 32).toDF("bit")
+    val votes = (0 until 32).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
     docs
       .select(col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("tok"))
       .withColumn("h", Portable.hash32(col("tok")))
-      .crossJoin(broadcast(bits))
-      .groupBy($"doc_id", $"bit")
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1L)
-        .otherwise(-1L)).as("vote"))
       .groupBy($"doc_id")
-      .agg(sum(when($"vote" > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id",
+        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3
@@ -133,7 +192,11 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         array_distinct(transform(sequence(lit(1), length(col(textCol)) - (n - 1)),
           i => col(textCol).substr(i, lit(n)))).as("g"))
-    val a = sets.select(col("doc_id").as("a_id"), col("g").as("g_a"))
+    // The broadcast-nested-loop pair join streams the left side; a single
+    // parquet split would serialize all |sample|²/2 array intersections on
+    // one task. Spread the streamed side across the executor cores.
+    val a = sets.repartition(16)
+      .select(col("doc_id").as("a_id"), col("g").as("g_a"))
     val b = sets.select(col("doc_id").as("b_id"), col("g").as("g_b"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Sessions}
+import graft.plans.DotFold
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / session operators on small synthetic frames. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "a b")                                          // too short for k=3
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val r = Dedup.exact(docs).orderBy("keep_id").collect()
+    val dup = r.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
+    assert(r.length === 4)        // 5 docs, one pair collapsed
+  }
+
+  test("shingleRows matches wordShingles set semantics") {
+    val viaRows = Dedup.shingleRows(docs, 3).as[(Long, String)].collect().toSet
+    val viaArr = docs.select(col("doc_id"),
+        explode(array_distinct(Portable.wordShingles(col("text"), 3))).as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(viaRows === viaArr)
+    assert(!viaRows.exists(_._1 == 5L)) // short doc -> no shingles
+  }
+
+  test("minhash LSH finds exact and near duplicates with jaccard") {
+    val pairs = Dedup.minhashPairs(docs, 3, 8, 2, 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // exact dup pair (1,4): jaccard 1.0, always found (identical signatures)
+    assert(pairs.get((1L, 4L)).contains(1.0))
+    // near-dup (1,2): 7 shingles each, 6 shared -> j = 6/8 = 0.75
+    pairs.get((1L, 2L)).foreach(j => assert(j === 0.75))
+    // doc 3 shares no shingles with anything -> never in the output
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash byte-banding achieves exact recall at hamming <= 3") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      hd = java.lang.Long.bitCount(ha ^ hb) if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    val banded = Dedup.simhashPairs(docs, 3).as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
+  test("simhash of identical docs is identical") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(4L))
+  }
+
+  test("DotFold matches the interpreted HOF fold bit-for-bit") {
+    DotFold.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)((Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextFloat())))
+    val df = vecs.toDF("a", "b")
+    val r = df.select(
+      DotFold.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    r.foreach(row => assert(row.getDouble(0) === row.getDouble(1)))
+  }
+
+  test("sessionize splits on gap and aggregates bounds") {
+    val events = Seq(
+      (10L, 1L, 1000000L), (10L, 2L, 2000000L),        // session 1: 2 events
+      (10L, 3L, 2000000000L),                           // session 2 (gap > 30s)
+      (20L, 4L, 5000000L)                               // other user
+    ).toDF("user_id", "event_id", "ts_us")
+    val s = Sessions.sessionize(events, gapMicros = 30000000L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s === Array((10L, 1L, 2L, 1000000L), (10L, 2L, 1L, 0L), (20L, 1L, 1L, 0L)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Raster
+import graft.sources.EsriAsciiGrid
+
+/** Filename-metadata parser (species_range_etl.py:188-198) and Esri ASCII
+  * grid source (species_range_etl.py:59-92) against FIXTURES.md golden cases.
+  */
+class RasterSpec extends SparkSpec {
+
+  // FIXTURES.md A3 — one case per parse branch
+  test("filename parse: current-defaults branch (etl.py:191-194)") {
+    assert(Raster.parseRasterFilenameScala("25_current.shp") ===
+      ("25", "vtech", "current", "2020"))
+  }
+  test("filename parse: full-token branch (etl.py:195-198)") {
+    assert(Raster.parseRasterFilenameScala("50_gfdl_rcp45_y2050.shp") ===
+      ("50", "gfdl", "rcp45", "2050"))
+    assert(Raster.parseRasterFilenameScala("75_hadley_rcp85_y2100.shp") ===
+      ("75", "hadley", "rcp85", "2100"))
+  }
+  test("filename parse: Column expression matches the Scala twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val names = Seq("25_current.shp", "50_gfdl_rcp45_y2050.shp", "75_hadley_rcp85_y2100.shp")
+    val (t, s, sc, y) = Raster.parseRasterFilename(col("fname"))
+    val rows = names.toDF("fname")
+      .select(t.as("t"), s.as("s"), sc.as("sc"), y.as("y"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq === names.map(Raster.parseRasterFilenameScala))
+  }
+
+  // FIXTURES.md A2 — golden grid
+  private val gridA =
+    """ncols        4
+      |nrows        3
+      |xllcorner    -80.0
+      |yllcorner    35.0
+      |cellsize     0.5
+      |NODATA_value -9999
+      |0.1 0.3 0.6 0.9
+      |0.0 0.5 0.75 -9999
+      |0.2 0.25 0.4 0.8
+      |""".stripMargin
+
+  test("esri grid: header, cell count, NODATA -> null") {
+    val (h, cells) = EsriAsciiGrid.parse(gridA)
+    assert(h === EsriAsciiGrid.GridHeader(4, 3, -80.0, 35.0, 0.5, Some(-9999.0)))
+    val cs = cells.toVector
+    assert(cs.size === 12)
+    assert(cs.count(_.prob.isEmpty) === 1)
+    val nodata = cs.find(_.prob.isEmpty).get
+    assert((nodata.row, nodata.col) === (1, 3))
+  }
+
+  test("esri grid: cell centers (row 0 = northernmost)") {
+    val (_, cells) = EsriAsciiGrid.parse(gridA)
+    val c00 = cells.toVector.find(c => c.row == 0 && c.col == 0).get
+    assert(c00.lon === -79.75 && c00.lat === 36.25)
+  }
+
+  test("esri grid: threshold >= 0.5 keeps boundary cells (etl.py:123)") {
+    val (_, cells) = EsriAsciiGrid.parse(gridA)
+    // golden expectation: 4 surviving cells (0.6, 0.9, 0.5, 0.75, 0.8 -> 5?)
+    val surv = cells.toVector.filter(_.prob.exists(_ >= 0.5))
+    // values >= 0.5: 0.6, 0.9, 0.5, 0.75, 0.8 — boundary 0.5 INCLUDED
+    assert(surv.map(_.prob.get).sorted === Vector(0.5, 0.6, 0.75, 0.8, 0.9))
+  }
+
+  test("esri grid: malformed header rejected") {
+    intercept[IllegalArgumentException] {
+      EsriAsciiGrid.parse("ncols 2\nnot a grid")
+    }
+  }
+}
