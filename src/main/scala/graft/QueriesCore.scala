@@ -248,6 +248,73 @@ object QueriesCore {
       |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---- semi-join (EXISTS — complement of the O-19 anti-join) ----
+  def qSemijoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+
+  val oSemijoin =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin
+
+  // ---- set operations: INTERSECT / EXCEPT (distinct semantics) ----
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersect(sup).withColumn("op", lit("both"))
+      .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+  }
+
+  val oSetOps =
+    """SELECT nk, 'both' AS op FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nk, 'customer_only' AS op FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin
+
+  // ---- scalar string-function breadth (identical dialect subset) ----
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      length(col("p_type")).cast("long").as("len_type"),
+      substring(col("p_name"), 2, 5).as("sub"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+      trim(col("p_name")).as("trimmed"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+
+  val oStringFuncs =
+    """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+      |  CAST(length(p_type) AS BIGINT) AS len_type,
+      |  substr(p_name, 2, 5) AS sub,
+      |  concat_ws('-', p_brand, p_type) AS joined,
+      |  trim(p_name) AS trimmed,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      |FROM part""".stripMargin
+
+  // ---- conditionals: case / coalesce / nullif / greatest / least ----
+  def qConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, lit("debt"))
+        .when(col("c_acctbal") < 5000, lit("low")).otherwise(lit("high")).as("bal_class"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+      greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+      least(col("c_nationkey"), lit(10)).as("capped_nk"))
+
+  val oConditional =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'debt'
+      |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+      |  greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS pos_bal,
+      |  least(c_nationkey, 10) AS capped_nk
+      |FROM customer""".stripMargin
+
   // ---- O-15/O-16/O-11 geometric half: full dissolve with JTS union.
   // Oracle: union of disjoint-or-adjacent cell rectangles has area exactly
   // |distinct cells| × cellsize² (cellsize 0.25 is binary-exact). ----

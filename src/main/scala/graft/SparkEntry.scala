@@ -50,6 +50,10 @@ object SparkEntry {
     "q_rollup"               -> (QueriesCore.qRollup _),
     "q_topk"                 -> (QueriesCore.qTopk _),
     "q_distinct_agg"         -> (QueriesCore.qDistinctAgg _),
+    "q_semijoin"             -> (QueriesCore.qSemijoin _),
+    "q_set_ops"              -> (QueriesCore.qSetOps _),
+    "q_string_funcs"         -> (QueriesCore.qStringFuncs _),
+    "q_conditional"          -> (QueriesCore.qConditional _),
     "q_geo_dissolve"         -> (QueriesCore.qGeoDissolve _),
     "q_geo_cell_area"        -> (QueriesCore.qGeoCellArea _),
     "q_geo_union_wkb"        -> (QueriesCore.qGeoUnionWkb _),
@@ -88,6 +92,10 @@ object SparkEntry {
     "q_rollup"               -> QueriesCore.oRollup,
     "q_topk"                 -> QueriesCore.oTopk,
     "q_distinct_agg"         -> QueriesCore.oDistinctAgg,
+    "q_semijoin"             -> QueriesCore.oSemijoin,
+    "q_set_ops"              -> QueriesCore.oSetOps,
+    "q_string_funcs"         -> QueriesCore.oStringFuncs,
+    "q_conditional"          -> QueriesCore.oConditional,
     "q_geo_dissolve"         -> QueriesCore.oGeoDissolve,
     "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
     "q_raster_cells"         -> QueriesCore.oRasterCells,

