@@ -407,6 +407,29 @@ object QueriesCore {
       .select(col("gname"), col("row"), col("col"), col("lon"), col("lat"), col("prob"))
   }
 
+  // ---- the WHOLE reference pipeline end-to-end on golden grids:
+  // .asc -> cells -> threshold ×3 -> dissolve -> enrich -> speciesdata.
+  // Areas are exact cell-count multiples (binary-friendly cellsizes), so
+  // the golden VALUES oracle checks the full chain including JTS union.
+  def qSpeciesdata(s: SparkSession, dir: String): DataFrame = {
+    val gdir = fixtureGridDir()
+    operators.SpeciesPipeline.speciesData(s, s"$gdir/*.asc")
+      .select(col("sid"), col("species"), col("species_id"), col("threshold"),
+        col("source"), col("scenario"), col("year"), col("area"))
+  }
+
+  val oSpeciesdata =
+    """SELECT CAST(sid AS INT) AS sid, species, CAST(species_id AS INT) AS species_id,
+      |  threshold, source, scenario, year, CAST(area AS DOUBLE) AS area
+      |FROM (VALUES
+      |  (1, 'grid_a', 1, '25', 'vtech', 'current', '2020', 2.0),
+      |  (2, 'grid_a', 1, '50', 'vtech', 'current', '2020', 1.25),
+      |  (3, 'grid_a', 1, '75', 'vtech', 'current', '2020', 0.75),
+      |  (4, 'grid_b', 2, '25', 'vtech', 'current', '2020', 3.0),
+      |  (5, 'grid_b', 2, '50', 'vtech', 'current', '2020', 2.0),
+      |  (6, 'grid_b', 2, '75', 'vtech', 'current', '2020', 1.0)
+      |) t(sid, species, species_id, threshold, source, scenario, year, area)""".stripMargin
+
   val oRasterCells =
     """SELECT gname, CAST(row AS INT) AS row, CAST(col AS INT) AS col,
       |  CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat,

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_geo_cell_area"        -> (QueriesCore.qGeoCellArea _),
     "q_geo_union_wkb"        -> (QueriesCore.qGeoUnionWkb _),
     "q_raster_cells"         -> (QueriesCore.qRasterCells _),
+    "q_speciesdata"          -> (QueriesCore.qSpeciesdata _),
     // LLM-pipeline extensions (QueriesExt)
     "q_dedup_exact"          -> (QueriesExt.qDedupExact _),
     "q_dedup_minhash"        -> (QueriesExt.qDedupMinhash _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_geo_dissolve"         -> QueriesCore.oGeoDissolve,
     "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
     "q_raster_cells"         -> QueriesCore.oRasterCells,
+    "q_speciesdata"          -> QueriesCore.oSpeciesdata,
     "q_dedup_exact"          -> QueriesExt.oDedupExact,
     "q_dedup_minhash"        -> QueriesExt.oDedupMinhash,
     "q_dedup_simhash"        -> QueriesExt.oDedupSimhash,

@@ -110,4 +110,10 @@ object Geom {
   /** st_rect(xmin, ymin, xmax, ymax). */
   val stRect = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
     rectWkb(xmin, ymin, xmax, ymax))
+  /** st_cell_rect_center(lon, lat, cellsize): cell rectangle from its
+    * center — used when grids of different resolutions mix in one frame
+    * (cellsize travels as a column from the source header).
+    */
+  val stCellRectCenter = udf((lon: Double, lat: Double, cs: Double) =>
+    rectWkb(lon - cs / 2, lat - cs / 2, lon + cs / 2, lat + cs / 2))
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Geom
+import graft.sources.EsriAsciiGrid
+
+/** The reference pipeline end-to-end (species_range_etl.py EP-2 + EP-3),
+  * composed from the engine's operators into ONE declarative plan:
+  *
+  *   .asc grids ──readCells──▶ cell table
+  *     ──threshold ×3 (broadcast dim, one scan)──▶ thresholded cells
+  *     ──cell-rect polygonize + union agg (dissolve)──▶ per-key geometry
+  *     ──area + enrichment + surrogate key──▶ `speciesdata`
+  *
+  * vs the reference's 5 materialized file formats (.txt/.asc/.tif/
+  * thresholded .tif/.shp — species_range_etl.py:59-135) and driver-side
+  * concat (:219-223): here nothing materializes between stages, the only
+  * wide exchanges are the dissolve shuffle and the final (oracle-required)
+  * global sid ordering.
+  *
+  * Output schema = FIXTURES.md A4 / species_range_etl.py:199-236:
+  * (sid, species, geometry WKB, species_id, threshold, source, scenario,
+  * year, area planar-deg²).
+  */
+object SpeciesPipeline {
+
+  /** Build `speciesdata` from a directory of `{species}.asc` grids.
+    *
+    * `current`-branch metadata defaults apply (species_range_etl.py:191-194):
+    * source=vtech, scenario=current, year=2020 — the full filename-token
+    * branch is exercised by Raster.parseRasterFilename when shapefile-style
+    * names are in play (q_meta_extract).
+    */
+  def speciesData(spark: SparkSession, gridGlob: String,
+                  thresholds: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val cells = EsriAsciiGrid.readCells(spark, gridGlob)
+      .withColumn("species", regexp_extract(col("path"), "([A-Za-z0-9_-]+)\\.[A-Za-z]+$", 1))
+    val thresholded = Raster
+      .thresholdExplode(cells, "prob", thresholds)
+      // reference encodes thresholds as "25"/"50"/"75" strings (etl.py:189-190)
+      .withColumn("threshold", (col("threshold") * 100).cast("int").cast("string"))
+    val dissolved = thresholded
+      .withColumn("cell_geom",
+        Geom.stCellRectCenter(col("lon"), col("lat"), col("cellsize")))
+      .groupBy(col("species"), col("threshold"))
+      .agg(Geom.stUnionAgg(col("cell_geom")).as("geometry"))
+      .withColumn("area", Geom.stArea(col("geometry")))   // planar deg², etl.py:227
+    dissolved
+      .withColumn("species_id",
+        dense_rank().over(Window.orderBy(col("species"))))  // arcpy Id analog (etl.py:210)
+      .withColumn("source", lit("vtech"))
+      .withColumn("scenario", lit("current"))
+      .withColumn("year", lit("2020"))
+      .withColumn("sid",
+        row_number().over(Window.orderBy(col("species"), col("threshold"))))
+      .select("sid", "species", "geometry", "species_id", "threshold",
+        "source", "scenario", "year", "area")
+  }
+}

@@ -78,8 +78,10 @@ object EsriAsciiGrid {
   }
 
   /** Read a directory/glob of `.asc`/`.txt` grids into a cell DataFrame:
-    * (path, row, col, lon, lat, prob). Corrupt files are skipped and
-    * counted (O-3/O-25 semantics: tolerate + account, never fail).
+    * (path, row, col, lon, lat, cellsize, prob) — cellsize carried per row
+    * so downstream polygonization works across grids with different
+    * resolutions. Corrupt files are skipped and counted (O-3/O-25
+    * semantics: tolerate + account, never fail).
     */
   def readCells(spark: SparkSession, pathGlob: String,
                 corruptFiles: Option[LongAccumulator] = None): DataFrame = {
@@ -88,13 +90,13 @@ object EsriAsciiGrid {
       .select(input_file_name().as("path"), $"value")
     raw.as[(String, String)].flatMap { case (path, content) =>
       try {
-        val (_, cells) = parse(content)
-        cells.map(c => (path, c.row, c.col, c.lon, c.lat, c.prob))
+        val (h, cells) = parse(content)
+        cells.map(c => (path, c.row, c.col, c.lon, c.lat, h.cellsize, c.prob))
       } catch {
         case _: Exception =>
           corruptFiles.foreach(_.add(1))
           Iterator.empty
       }
-    }.toDF("path", "row", "col", "lon", "lat", "prob")
+    }.toDF("path", "row", "col", "lon", "lat", "cellsize", "prob")
   }
 }
