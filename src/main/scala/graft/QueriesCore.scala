@@ -248,6 +248,25 @@ object QueriesCore {
       |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---- skew-salted aggregation: same result as the plain groupBy (the
+  // oracle IS the unsalted SQL), but the hot key's volume spreads over 16
+  // salt buckets in the partial phase ----
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+      t(s, dir, "lineitem"),
+      keys = Seq("l_returnflag"),
+      carriers = Seq(col("l_orderkey"), col("l_linenumber")),
+      saltBuckets = 16,
+      partials = Seq(
+        (count(lit(1)), "n", (c: org.apache.spark.sql.Column) => sum(c)),
+        (sum(col("l_quantity").cast("decimal(12,2)")), "sum_qty",
+          (c: org.apache.spark.sql.Column) => sum(c))))
+
+  val oSaltedAgg =
+    """SELECT l_returnflag, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // ---- semi-join (EXISTS — complement of the O-19 anti-join) ----
   def qSemijoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))

@@ -106,13 +106,13 @@ object QueriesExt {
   // ---- exact char-3-gram Jaccard over a bounded sample ----
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardSample(t(s, dir, "documents"),
-      n = 3, sampleMod = 10, minJaccard = 0.5)
+      n = 3, sampleMod = 20, minJaccard = 0.5)
 
   val oNgramJaccard =
     """WITH g AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS g
-      |  FROM documents WHERE doc_id % 10 = 0)
+      |  FROM documents WHERE doc_id % 20 = 0)
       |SELECT a_id, b_id, jaccard FROM (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
@@ -193,6 +193,21 @@ object QueriesExt {
       |      x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
+
+  // ---- tf-idf (log-free: tf * N / df keeps exact integer ratios) ----
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdf(t(s, dir, "documents"))
+
+  val oTfidf =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM
+      |  (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, tf.term, tf, df,
+      |  (CAST(tf AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(df AS DOUBLE) AS tfidf
+      |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n""".stripMargin
 
   // ---- brute-force exact top-k cosine (small query set × full corpus) ----
   def qSimilarTopk(s: SparkSession, dir: String): DataFrame =

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_rollup"               -> (QueriesCore.qRollup _),
     "q_topk"                 -> (QueriesCore.qTopk _),
     "q_distinct_agg"         -> (QueriesCore.qDistinctAgg _),
+    "q_salted_agg"           -> (QueriesCore.qSaltedAgg _),
     "q_semijoin"             -> (QueriesCore.qSemijoin _),
     "q_set_ops"              -> (QueriesCore.qSetOps _),
     "q_string_funcs"         -> (QueriesCore.qStringFuncs _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_quality_score"        -> (QueriesExt.qQualityScore _),
     "q_lang_id"              -> (QueriesExt.qLangId _),
     "q_token_fingerprint"    -> (QueriesExt.qTokenFingerprint _),
+    "q_tfidf"                -> (QueriesExt.qTfidf _),
     "q_similar_topk"         -> (QueriesExt.qSimilarTopk _),
     "q_embed_near_dup"       -> (QueriesExt.qEmbedNearDup _),
     "q_ann_lsh"              -> (QueriesExt.qAnnLsh _),
@@ -93,6 +95,7 @@ object SparkEntry {
     "q_rollup"               -> QueriesCore.oRollup,
     "q_topk"                 -> QueriesCore.oTopk,
     "q_distinct_agg"         -> QueriesCore.oDistinctAgg,
+    "q_salted_agg"           -> QueriesCore.oSaltedAgg,
     "q_semijoin"             -> QueriesCore.oSemijoin,
     "q_set_ops"              -> QueriesCore.oSetOps,
     "q_string_funcs"         -> QueriesCore.oStringFuncs,
@@ -109,6 +112,7 @@ object SparkEntry {
     "q_quality_score"        -> QueriesExt.oQualityScore,
     "q_lang_id"              -> QueriesExt.oLangId,
     "q_token_fingerprint"    -> QueriesExt.oTokenFingerprint,
+    "q_tfidf"                -> QueriesExt.oTfidf,
     "q_similar_topk"         -> QueriesExt.oSimilarTopk,
     "q_embed_near_dup"       -> QueriesExt.oEmbedNearDup,
     "q_sessionize"           -> QueriesExt.oSessionize,

@@ -117,4 +117,20 @@ object Raster {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** O-20 JDBC variant (species_range_etl.py:230-236): full-replace load,
+    * executor-side batched inserts (vs the reference's single connection at
+    * chunksize=5). Untestable offline — kept thin by design; geometry goes
+    * as WKB bytes (PostGIS: add a `ST_GeomFromWKB` view or writer option).
+    */
+  def writeSpeciesDataJdbc(df: DataFrame, url: String, table: String,
+                           batchSize: Int = 10000,
+                           options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .options(options)
+      .mode("overwrite")
+      .save()
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for the 100 TB path.
+  *
+  * A `groupBy(key)` over a key with a hot value (one species covering half
+  * the continent, one language covering half the corpus) funnels the hot
+  * key's entire volume through one reducer. Salting splits each key into
+  * `saltBuckets` sub-keys for the partial phase, then recombines — the hot
+  * key's work spreads across `saltBuckets` tasks and the final phase only
+  * sees `saltBuckets` pre-aggregated rows per key.
+  *
+  * The salt is derived deterministically from carrier columns (not rand()),
+  * so results are reproducible and oracle-checkable: the output is
+  * IDENTICAL to the unsalted aggregation, only the plan shape differs.
+  * (AQE's skewedJoin handles join skew at runtime; aggregation skew still
+  * benefits from explicit salting when partial aggregation alone can't
+  * reduce — e.g. distinct-heavy or object aggregates like the JTS union.)
+  */
+object Skew {
+
+  /** Two-phase salted aggregation for algebraic aggregates.
+    *
+    * @param carriers columns whose hash spreads the hot key (must be
+    *                 high-cardinality within the hot key)
+    * @param partials (inputCol -> (partialAgg, finalAgg)) — e.g.
+    *                 count: (count(c), sum(partial)); sum: (sum(c), sum(partial))
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], carriers: Seq[Column],
+                      saltBuckets: Int,
+                      partials: Seq[(Column, String, Column => Column)]): DataFrame = {
+    val salt = pmod(hash(carriers: _*), lit(saltBuckets)).as("_salt")
+    val phase1 = df
+      .withColumn("_salt", salt)
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partials.head._1.as(s"_p0"),
+        partials.tail.zipWithIndex.map { case ((c, _, _), i) => c.as(s"_p${i + 1}") }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head._3(col("_p0")).as(partials.head._2),
+        partials.tail.zipWithIndex.map { case ((_, name, fin), i) =>
+          fin(col(s"_p${i + 1}")).as(name)
+        }: _*)
+  }
+}

@@ -93,6 +93,27 @@ object TextAnalysis {
     notBeatenByEarlier && geqLater
   }
 
+  /** tf-idf per (doc, term) without transcendentals: score = tf * N / df —
+    * the idf is the raw inverse document frequency (no log), keeping every
+    * value an exact integer ratio so the oracle matches bit-for-bit.
+    * Shape: explode terms -> per-doc tf agg -> per-term df agg -> equi-join
+    * -> scalar score. Both aggregates are partial+final; the join key is
+    * the term (dictionary-sized, not corpus-sized).
+    */
+  def tfIdf(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(Portable.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * n.toDouble / col("df").cast("double"))
+          .as("tfidf"))
+  }
+
   /** Token counting with the BPE-ish regex + a rolling polynomial document
     * fingerprint over portable 32-bit token hashes (order-sensitive — beats
     * a bag-of-words hash for detecting reordered near-copies).
