@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and similarity operators on controlled inputs. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat and the hat", "en"),
+    (2L, "customer hash join customer", "de"),
+    (3L, "scan data batch scan data", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("textStats counts tokens, distincts, stopwords, mean length") {
+    val r = TextAnalysis.textStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // doc 1: "the cat and the hat" -> 5 tokens, 4 distinct, 3 stop (the,and,the)
+    assert(r(0) === ((1L, 19L, 5L, 4L, 3L, 15.0 / 5.0)))
+  }
+
+  test("langId picks the max-scoring language with declaration-order ties") {
+    val r = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(r(2L) === "de") // 'customer','hash','join' markers x4
+    assert(r(3L) === "fr") // 'scan','data','batch' markers x5
+    // doc 1 scores 0 everywhere -> first language in order wins (de)
+    assert(r(1L) === "de")
+  }
+
+  test("quality score composes bounds + ratios deterministically") {
+    val q = TextAnalysis.qualityScore(docs).orderBy("doc_id")
+      .as[(Long, Double)].collect()
+    // doc 1: 19 chars (out of [100,450] -> 0) + 3/5*0.3 + 4/5*0.3
+    assert(q(0)._2 === 0.0 + 3.0 / 5.0 * 0.3 + 4.0 / 5.0 * 0.3)
+  }
+
+  test("tfIdf: tf * N / df with exact ratios") {
+    val r = TextAnalysis.tfIdf(docs)
+      .filter($"term" === "the").as[(Long, String, Long, Long, Double)].collect()
+    // 'the' appears twice in doc 1 only; N=3 docs, df=1
+    assert(r.toSeq === Seq((1L, "the", 2L, 1L, 2.0 * 3.0 / 1.0)))
+  }
+
+  test("fingerprint is order-sensitive (reordered tokens differ)") {
+    val two = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fp = TextAnalysis.tokenFingerprint(two)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) !== fp(2L))
+  }
+
+  test("bruteTopK ranks by exact cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f), 0), (3L, Seq(0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(vecs, col("vec_id") === 0, k = 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top === Array((1L, 1), (2L, 2))) // identical vec first, near second
+  }
+
+  test("lshPairs candidates are a subset of blocked exact pairs") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val lsh = Similarity.lshPairs(vecs, numPlanes = 4, dim = 16, minCosine = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exactAll = Similarity.nearDupByBlock(
+        vecs.withColumn("label", lit(0)), "label", minCosine = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
+  }
+}
