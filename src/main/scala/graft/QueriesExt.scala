@@ -239,11 +239,41 @@ object QueriesExt {
        |WHERE cosine >= 0.3""".stripMargin
   }
 
-  // ---- ANN via random-hyperplane LSH (rows-only: bucket pipeline is
-  //      asserted against bruteTopK recall in ScalaTest) ----
+  // ---- ANN via random-hyperplane LSH — fully oracle-checked: the plane
+  //      signs derive from the portable hash, so DuckDB replays signature,
+  //      bucketing, candidate join, and cosine verify bit-for-bit ----
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshPairs(t(s, dir, "embeddings"), numPlanes = 8, dim = 64,
       minCosine = 0.25)
+
+  val oAnnLsh =
+    """WITH sv AS (
+      |  SELECT p, list(CASE WHEN ('0x'||substr(md5(CAST(p*97+d AS VARCHAR)),1,8))::BIGINT & 1 = 1
+      |                      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d) AS s
+      |  FROM (SELECT unnest(range(0,8)) AS p), (SELECT unnest(range(0,64)) AS d)
+      |  GROUP BY p),
+      |dots AS (
+      |  SELECT e.vec_id, sv.p,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * sv.s[i])),
+      |      (a,b) -> a + b) AS dp
+      |  FROM embeddings e, sv),
+      |buckets AS (
+      |  SELECT vec_id, sum(CASE WHEN dp >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)::BIGINT AS bucket
+      |  FROM dots GROUP BY 1),
+      |norms AS (
+      |  SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (a,b)->a+b)) AS nrm,
+      |    embedding
+      |  FROM embeddings)
+      |SELECT a_id, b_id, cosine FROM (
+      |  SELECT na.vec_id AS a_id, nb.vec_id AS b_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> na.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE)), (a,b)->a+b)
+      |      / (na.nrm * nb.nrm) AS cosine
+      |  FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+      |  JOIN norms na ON na.vec_id = ba.vec_id
+      |  JOIN norms nb ON nb.vec_id = bb.vec_id)
+      |WHERE cosine >= 0.25""".stripMargin
 
   // ---- sessionization over events (30-minute gap) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =

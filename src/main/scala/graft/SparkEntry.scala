@@ -115,6 +115,7 @@ object SparkEntry {
     "q_tfidf"                -> QueriesExt.oTfidf,
     "q_similar_topk"         -> QueriesExt.oSimilarTopk,
     "q_embed_near_dup"       -> QueriesExt.oEmbedNearDup,
+    "q_ann_lsh"              -> QueriesExt.oAnnLsh,
     "q_sessionize"           -> QueriesExt.oSessionize,
     "q_events_daily"         -> QueriesExt.oEventsDaily,
     "q_json_extract"         -> QueriesExt.oJsonExtract,
