@@ -167,9 +167,16 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = simhash(docs, idCol, textCol)
-    val bands = (0 until 4).toDF("byte_band")
-    val banded = sh.crossJoin(broadcast(bands))
-      .withColumn("byte_val", expr("shiftright(simhash, byte_band * 8) & 255"))
+    // 4 byte-bands per doc via explode of a literal struct array (row-level,
+    // no join) — each byte of the signature is one LSH band
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("byte_band"),
+        expr(s"shiftright(simhash, ${b * 8}) & 255").as("byte_val"))
+    }
+    val banded = sh
+      .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"simhash", $"bb.byte_band".as("byte_band"),
+        $"bb.byte_val".as("byte_val"))
     val l = banded.select($"byte_band", $"byte_val",
       $"doc_id".as("a_id"), $"simhash".as("sh_a"))
     val r = banded.select($"byte_band", $"byte_val",

@@ -56,4 +56,28 @@ object Multimodal {
       }
     }
   }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampler: every `stride`-th fixed-size chunk of the payload
+    * stands in for a decoded video frame. Real implementation: demux +
+    * keyframe extraction per batch. The plumbing (one row in, k frame rows
+    * out, narrow flatMap — no shuffle) is the part that matters at scale.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (chunk, i) => Frame(r.doc_id, i, chunk) }
+    }
+  }
+
+  /** STUB resize: truncate/pad the fake frame to `outBytes` (real impl:
+    * image scaling). Pure per-row scalar — stays in the narrow stage.
+    */
+  def resizeStub(frames: Dataset[Frame], outBytes: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    frames.map(f => f.copy(frame = java.util.Arrays.copyOf(f.frame, outBytes)))
+  }
 }

@@ -23,4 +23,15 @@ class MultimodalSpec extends SparkSpec {
     val p = Array[Byte](10, 20, 30, 40, 50)
     assert(Multimodal.decodeStub(p) === Multimodal.decodeStub(p))
   }
+
+  test("frameSample emits strided fixed-size chunks; resize pads/truncates") {
+    val media = Seq(MediaRow(7L, Array.tabulate[Byte](10)(_.toByte), "video")).toDS()
+    val frames = Multimodal.frameSample(media, frameBytes = 2, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4)) // 5 chunks, every 2nd
+    assert(frames(1).frame.toSeq === Seq[Byte](4, 5))
+    val resized = Multimodal.resizeStub(Multimodal.frameSample(media, 2, 2), 3)
+      .collect().sortBy(_.frame_idx)
+    assert(resized.forall(_.frame.length === 3))
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan invariants — the scale guarantees PLANS.md documents,
+  * asserted so a regression (an accidental cartesian, a lost broadcast, a
+  * widened scan) fails the build rather than surfacing at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("dedup pipelines contain no cartesian product") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_exact",
+      "q_embed_near_dup", "q_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("star joins broadcast the dimension tables") {
+    val p = plan("q_join_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("threshold filter scan is column-pruned") {
+    val p = plan("q_threshold_filter")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("incremental anti-join is a hash anti-join on pruned keys") {
+    val p = plan("q_incremental_antijoin")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dissolve runs as partial+final aggregation") {
+    val p = plan("q_geo_dissolve")
+    // two ObjectHashAggregate occurrences = partial + final union agg
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("sessionize plans a single exchange for both windows and the agg") {
+    val p = plan("q_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 user_id exchange, got $exchanges")
+  }
+}
