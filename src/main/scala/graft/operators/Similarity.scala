@@ -75,24 +75,20 @@ object Similarity {
     * vectors are literal arrays, so each plane dot is one codegen'd fold.
     */
   def lshBucket(vecs: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
-    DotFold.register(vecs.sparkSession)
-    val planes: Seq[Seq[Double]] = (0 until numPlanes).map { p =>
-      (0 until dim).map { d =>
-        val md5hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(String.valueOf(p * 97 + d).getBytes("UTF-8"))
-          .take(4).map("%02x".format(_)).mkString
-        if ((java.lang.Long.parseLong(md5hex, 16) & 1L) == 1L) 1.0 else -1.0
-      }
+    val planes: Array[Double] = Array.tabulate(numPlanes * dim) { i =>
+      val p = i / dim; val d = i % dim
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(p * 97 + d).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(md5hex, 16) & 1L) == 1L) 1.0 else -1.0
     }
-    val bucket = (0 until numPlanes).map { p =>
-      when(DotFold.dot(col("embedding"), typedlit(planes(p))) >= 0,
-        shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce(_ + _)
-    vecs.withColumn("bucket", bucket)
+    vecs.withColumn("bucket",
+      graft.plans.LshBucketExpr(vecs.sparkSession, col("embedding"), planes, numPlanes, dim))
   }
 
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
+    DotFold.register(vecs.sparkSession)
     val sig = lshBucket(vecs, numPlanes, dim)
       .withColumn("norm", sqrt(DotFold.dot(col("embedding"), col("embedding"))))
     val a = sig.select(col("bucket"), col("vec_id").as("a_id"),

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Random-hyperplane LSH bucket id as ONE native expression.
+  *
+  * bucket = Σ_p [ (Σ_d emb[d] * planes[p*dim+d]) >= 0 ] << p
+  *
+  * Equivalent to `numPlanes` DotFold-against-literal columns summed, but a
+  * single tight loop: the literal-array formulation generates ~8×64
+  * constant-folding expression nodes whose janino compilation alone costs
+  * seconds per session; this compiles to a dozen lines. Per-plane dot
+  * keeps the ascending-d left-fold order (0.0 init), matching the DuckDB
+  * oracle's `list_reduce(list_prepend(0.0, list_transform(...)))` exactly.
+  */
+case class LshBucketExpr(child: Expression, planes: Array[Double],
+                         numPlanes: Int, dim: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects array<float|double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val isF = elemIsFloat
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val v = if (arr.isNullAt(d)) 0.0
+        else if (isF) arr.getFloat(d).toDouble else arr.getDouble(d)
+        acc = acc + v * planes(p * dim + d)
+        d += 1
+      }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
+      val b = ctx.freshName("bucket"); val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long $b = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double $v = $a.isNullAt($d) ? 0.0 : (double) $a.$get($d);
+         |    $acc = $acc + $v * $planesRef[$p * $dim + $d];
+         |  }
+         |  if ($acc >= 0) $b |= (1L << $p);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bucket"
+}
+
+object LshBucketExpr {
+  /** Column wrapper via the session function registry (the registered
+    * builder closure captures the plane matrix; name keyed by shape so
+    * different configs coexist).
+    */
+  def apply(spark: SparkSession, emb: Column, planes: Array[Double],
+            numPlanes: Int, dim: Int): Column = {
+    val name = s"lsh_bucket_${numPlanes}_$dim"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, { exprs: Seq[Expression] => LshBucketExpr(exprs.head, planes, numPlanes, dim) },
+      "built-in")
+    org.apache.spark.sql.functions.call_function(name, emb)
+  }
+}
