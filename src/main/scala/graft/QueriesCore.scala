@@ -14,7 +14,11 @@ import graft.sources.EsriAsciiGrid
   * Determinism rules used throughout (oracle hash-compares values):
   * - double sums -> DECIMAL casts (exact, associative);
   * - surrogate keys -> row_number over an explicit total order;
-  * - double divisions/folds -> identical operand order in both engines.
+  * - double divisions/folds -> identical operand order in both engines;
+  * - output TYPES aligned with DuckDB's result types, not just values:
+  *   decimal sums cast to DECIMAL(38,2) (DuckDB widens every decimal sum
+  *   to precision 38), int-typed scalars (year/month/row_number/least)
+  *   cast to BIGINT — the driver's hash is type-sensitive.
   */
 object QueriesCore {
 
@@ -104,9 +108,9 @@ object QueriesCore {
       keys = Seq("species", "scenario"),
       aggs = Seq(
         count(lit(1)).as("n_cells"),
-        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(14,2)")).as("sum_price"),
-        min(year(col("l_shipdate"))).as("min_year")))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(38,2)").as("sum_price"),
+        min(year(col("l_shipdate"))).cast("long").as("min_year")))
 
   val oDissolveArea =
     """SELECT l_returnflag AS species, l_linestatus AS scenario,
@@ -152,7 +156,7 @@ object QueriesCore {
       "prob", Seq(0.25, 0.5, 0.75))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_cells"),
-        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"))
 
   val oThresholdCrossjoin =
     """SELECT t.threshold, count(*) AS n_cells,
@@ -164,8 +168,8 @@ object QueriesCore {
   def qYearCast(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey"),
-      year(col("o_orderdate")).as("order_year"),
-      month(col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
       year(col("o_orderdate")).cast("string").as("year_str"))
 
   val oYearCast =
@@ -183,7 +187,7 @@ object QueriesCore {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(15,2)")).as("sum_total"))
+        sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(38,2)").as("sum_total"))
 
   val oJoinEnrich =
     """SELECT r_name, count(*) AS n_orders,
@@ -200,9 +204,10 @@ object QueriesCore {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"),
-      row_number().over(w).as("rn"),
+      row_number().over(w).cast("long").as("rn"),
       sum(col("o_totalprice").cast("decimal(15,2)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,2)").as("running"))
   }
 
   val oWindowRank =
@@ -218,7 +223,7 @@ object QueriesCore {
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"))
 
   val oRollup =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -260,7 +265,7 @@ object QueriesCore {
       partials = Seq(
         (count(lit(1)), "n", (c: org.apache.spark.sql.Column) => sum(c)),
         (sum(col("l_quantity").cast("decimal(12,2)")), "sum_qty",
-          (c: org.apache.spark.sql.Column) => sum(c))))
+          (c: org.apache.spark.sql.Column) => sum(c).cast("decimal(38,2)"))))
 
   val oSaltedAgg =
     """SELECT l_returnflag, count(*) AS n,
@@ -323,7 +328,7 @@ object QueriesCore {
         .when(col("c_acctbal") < 5000, lit("low")).otherwise(lit("high")).as("bal_class"),
       coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
       greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
-      least(col("c_nationkey"), lit(10)).as("capped_nk"))
+      least(col("c_nationkey"), lit(10)).cast("long").as("capped_nk"))
 
   val oConditional =
     """SELECT c_custkey,
@@ -412,7 +417,10 @@ object QueriesCore {
       |""".stripMargin
 
   def fixtureGridDir(): String = {
-    val dir = java.nio.file.Paths.get("/root/repo/target/grid-fixtures")
+    // NOT under target/: sbt clean / recompiles can wipe target mid-run —
+    // r2's bench lost the fixtures between writing them and Spark's file
+    // listing, silently failing q_speciesdata
+    val dir = java.nio.file.Paths.get("/root/repo/.grid-fixtures")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("grid_a.asc"), GridA)
     java.nio.file.Files.writeString(dir.resolve("grid_b.asc"), GridB)

@@ -69,7 +69,10 @@ object Raster {
              sidOrder: Seq[Column]): DataFrame = {
     val withLits = lits.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
     val renamed = renames.foldLeft(withLits) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
-    renamed.withColumn("sid", row_number().over(Window.orderBy(sidOrder: _*)))
+    // BIGINT, matching row_number() in ANSI engines (and sane at 100 TB —
+    // an INT sid overflows past 2.1e9 rows)
+    renamed.withColumn("sid",
+      row_number().over(Window.orderBy(sidOrder: _*)).cast("long"))
   }
 
   /** O-15 (relational half) — dissolve without geometry: group by the

@@ -47,7 +47,7 @@ object Similarity {
           (col("q_norm") * col("norm"))).as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 

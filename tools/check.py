@@ -52,6 +52,17 @@ def main():
         if sorted(s_cols) != sorted(d_cols):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
             continue
+        # strict TYPE compare (duckdb-rendered), since the driver's hash is
+        # type-sensitive (r2: 5 value-equal queries failed on decimal
+        # precision / int width alone)
+        s_t = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE (SELECT * FROM '{spath}/*.parquet')").fetchall()}
+        d_t = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE ({oracle[name]})").fetchall()}
+        t_diff = {c: (s_t.get(c), d_t.get(c)) for c in s_t if s_t.get(c) != d_t.get(c)}
+        if t_diff:
+            results[name] = f"TYPE_MISMATCH {t_diff}"
+            continue
         s_n = normalize([tuple(r[i] for i in s_ix) for r in s_rows], len(s_cols))
         d_n = normalize([tuple(r[i] for i in d_ix) for r in d_rows], len(d_cols))
         if len(s_n) != len(d_n):
