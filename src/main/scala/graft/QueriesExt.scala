@@ -81,27 +81,29 @@ object QueriesExt {
       |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
       |WHERE jaccard >= 0.2""".stripMargin
 
-  // ---- SimHash near-dup pairs; hamming <= 3 makes the 4-byte-band
-  //      candidate join EXACT, so the oracle is brute-force all-pairs ----
+  // ---- SimHash near-dup pairs; hamming <= 3 makes the 4×16-bit-band
+  //      candidate join EXACT (3 flipped bits can't touch all 4 disjoint
+  //      bands), so the oracle is brute-force all-pairs. 64-bit signature:
+  //      16-bit band values keep bucket population ~N/65536 at scale.
+  //      DuckDB can't build the 64-bit value (1<<63 overflows UBIGINT
+  //      shift), so the oracle compares per-bit votes directly — same
+  //      hamming, no signature materialization. ----
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
 
   val oDedupSimhash =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
       |votes AS (
       |  SELECT doc_id, bit,
       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      |  FROM h, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY 1, 2),
-      |sh AS (
-      |  SELECT doc_id,
-      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)::BIGINT AS simhash
-      |  FROM votes GROUP BY 1)
+      |  FROM h, (SELECT unnest(range(0, 64)) AS bit) b GROUP BY 1, 2),
+      |sh AS (SELECT doc_id, bit, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS sbit FROM votes)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      |FROM sh a, sh b
-      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+      |  CAST(sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |FROM sh a JOIN sh b ON a.bit = b.bit AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin
 
   // ---- exact char-3-gram Jaccard over a bounded sample ----
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =

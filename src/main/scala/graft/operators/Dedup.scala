@@ -3,16 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
+import graft.plans.TextHash
 
 /** Deduplication operators — bucketed by construction.
   *
   * Every fuzzy variant follows the same scale-safe shape:
-  *   1. per-doc signature (narrow, codegen'd scalar algebra),
+  *   1. per-doc signature (narrow, codegen'd scalar algebra — the
+  *      graft.plans.TextHash expressions: one pass over the text, NO
+  *      shuffle/window; r2's posexplode+window+md5-agg formulation spent
+  *      ~40 s/side of the sf0.1 bench here),
   *   2. candidate generation via an EQUI-JOIN on a band/bucket key
   *      (shuffled hash join on the key — never an all-pairs cartesian),
   *   3. exact verification only on candidates.
   * At 100 TB the join key cardinality keeps bucket populations small, so the
   * verify stage is linear-ish in true-duplicate count, not quadratic in docs.
+  *
+  * Nothing here persists: signatures are cheap narrow projections (re-scan
+  * beats caching a corpus-sized intermediate at 100 TB), and the subtrees
+  * referenced twice (band self-join sides, candidate pairs in the verify)
+  * share their shuffle via Spark's ReuseExchange — no leaked cache blocks
+  * across a long-lived session.
   */
 object Dedup {
 
@@ -24,47 +34,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-k-shingles as rows: (doc_id, shingle).
-    *
-    * posexplode + window-lead instead of a `transform(slice(...))` lambda:
-    * the HOF form re-evaluates `split(text)` per lambda element (O(tokens²)
-    * per doc — Catalyst inlines the project into the lambda body), while
-    * this shape tokenizes once per row and builds each shingle from lead()
-    * in one codegen'd window pass. One shuffle, by doc_id.
+  /** Distinct word-k-shingles as rows: (doc_id, shingle) — one narrow
+    * codegen'd projection (WordShinglesExpr dedupes within the doc), then
+    * explode. No shuffle, no window: shingling is per-document scalar work.
     */
   def shingleRows(docs: DataFrame, k: Int,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(Portable.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until k).map(j =>
-          if (j == 0) col("tok") else lead(col("tok"), j).over(w)): _*).as("shingle"),
-        lead(col("tok"), k - 1).over(w).as("last_tok"))
-      .filter(col("last_tok").isNotNull)
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
-  }
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextHash.wordShingles(docs.sparkSession, col(textCol), k)).as("shingle"))
 
   /** Per-doc MinHash signature: `numHashes` portable 32-bit min-hashes over
-    * word `k`-shingles, as WIDE columns (mh0..mhN-1) from a single groupBy.
-    *
-    * One aggregation, `numHashes` min columns — the hash-family fan-out is
-    * column-wise, not row-wise: no crossJoin row duplication, map-side
-    * partial mins, and the shuffle carries one `numHashes`-long row per doc
-    * per partition regardless of shingle count.
+    * word `k`-shingles, as WIDE columns (mh0..mhN-1) — ONE narrow pass
+    * (MinHashSigExpr computes all seeds' mins in a single text traversal;
+    * docs with < k tokens have no shingles and drop out, as in the oracle).
     */
   def minhashSignature(docs: DataFrame, k: Int, numHashes: Int,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val mins = (0 until numHashes).map { i =>
-      min(Portable.hash32(col("shingle"), i)).as(s"mh$i")
-    }
-    shingleRows(docs, k, idCol, textCol)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-  }
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextHash.minhashSig(docs.sparkSession, col(textCol), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
 
   /** LSH banding over the wide signature: per band, sort its min-hashes and
     * fold into one key (row-level column math), then explode the tiny
@@ -91,19 +82,17 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int, numHashes: Int, bandSize: Int,
                    minJaccard: Double, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    // The bands/pairs intermediates are REUSED on both sides of self-joins
-    // (and again by the verify stage). Without materialization Catalyst
-    // recomputes the whole signature subtree once per reference — four
-    // concurrent window+agg pipelines fighting for execution memory. They
-    // are tiny (numBands rows per doc; candidate pairs only), so persist
-    // them: one computation, then cheap equi-joins.
+    // The signature is a narrow codegen'd projection, so recomputing it on
+    // each self-join side costs one extra text pass; the identical band
+    // shuffles below it are deduplicated by ReuseExchange. No persist —
+    // nothing to leak into a long-lived session.
     val sig = minhashSignature(docs, k, numHashes, idCol, textCol)
-    val bands = minhashBands(sig, numHashes, bandSize).persist()
+    val bands = minhashBands(sig, numHashes, bandSize)
     val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
     val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
     val candidates = l.join(r, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct().persist()
+      .select("a_id", "b_id").distinct()
     verifyJaccard(docs, candidates, k, idCol, textCol).filter(col("jaccard") >= minJaccard)
   }
 
@@ -117,8 +106,11 @@ object Dedup {
     */
   def verifyJaccard(docs: DataFrame, pairs: DataFrame, k: Int,
                     idCol: String, textCol: String): DataFrame = {
-    // referenced three times below (a-side, b-side, sizes) — materialize once
-    val ex = shingleRows(docs, k, idCol, textCol).persist()
+    // referenced three times below (a-side, b-side, sizes); each reference
+    // is a narrow re-scan (shingling is one codegen'd pass), and the two
+    // shuffles they feed are on different keys anyway — cheaper than
+    // leaking persisted blocks across a 40-query session
+    val ex = shingleRows(docs, k, idCol, textCol)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(ex.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
@@ -134,54 +126,44 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
-  /** 32-bit SimHash over whitespace tokens: per bit j, sum +1/-1 votes from
+  /** 64-bit SimHash over whitespace tokens: per bit j, sum +1/-1 votes from
     * each token's hash bit j; bit set iff the vote is positive.
     *
-    * One groupBy with 32 conditional-sum columns (partial+final agg with
-    * map-side combine) — NOT a ×32 bit-dimension explode: the shuffle
-    * carries one 32-column row per doc per partition, independent of token
-    * count. Semantically identical to the per-(doc,bit) formulation.
+    * One narrow codegen'd pass (SimHash64Expr) — no token explode, no
+    * per-bit vote aggregation, no shuffle at all for the signature.
+    * Semantically identical to the per-(doc,bit) relational formulation.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val votes = (0 until 32).map { j =>
-      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    docs
-      .select(col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("tok"))
-      .withColumn("h", Portable.hash32(col("tok")))
-      .groupBy($"doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select($"doc_id",
-        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextHash.simhash64(docs.sparkSession, col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3
-    * guarantees exact recall with 4 byte-bands: 4 differing bits cannot
-    * avoid all 4 bytes). Byte-band equi-join, then exact popcount verify.
+    * guarantees exact recall with 4 disjoint 16-bit bands: 3 differing bits
+    * cannot touch all 4 bands). Band equi-join, then exact popcount verify.
+    *
+    * 16-bit bands (not bytes): expected bucket population is N/65536 per
+    * band value, so candidate volume stays near-linear in true duplicates —
+    * 8-bit bands put ~N/256 docs in every bucket, which is quadratic
+    * blow-up on any real corpus.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(maxHamming < 4, s"4-band LSH guarantees recall only for hamming<4, got $maxHamming")
     val sh = simhash(docs, idCol, textCol)
-    // 4 byte-bands per doc via explode of a literal struct array (row-level,
-    // no join) — each byte of the signature is one LSH band
+    // 4 16-bit bands per doc via explode of a literal struct array
+    // (row-level, no join) — logical shift + mask, sign-safe
     val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("byte_band"),
-        expr(s"shiftright(simhash, ${b * 8}) & 255").as("byte_val"))
+      struct(lit(b).as("band"),
+        expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("band_val"))
     }
     val banded = sh
       .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bb"))
-      .select($"doc_id", $"simhash", $"bb.byte_band".as("byte_band"),
-        $"bb.byte_val".as("byte_val"))
-    val l = banded.select($"byte_band", $"byte_val",
-      $"doc_id".as("a_id"), $"simhash".as("sh_a"))
-    val r = banded.select($"byte_band", $"byte_val",
-      $"doc_id".as("b_id"), $"simhash".as("sh_b"))
-    l.join(r, Seq("byte_band", "byte_val"))
+      .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.band_val".as("band_val"))
+    val l = banded.select($"band", $"band_val", $"doc_id".as("a_id"), $"simhash".as("sh_a"))
+    val r = banded.select($"band", $"band_val", $"doc_id".as("b_id"), $"simhash".as("sh_b"))
+    l.join(r, Seq("band", "band_val"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id",
         bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long").as("hamming"))
@@ -195,10 +177,12 @@ object Dedup {
     */
   def ngramJaccardSample(docs: DataFrame, n: Int, sampleMod: Int, minJaccard: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // CharNgramsExpr: codegen'd, distinct by construction, and EMPTY for
+    // docs shorter than n chars (the r2 HOF formulation generated a
+    // descending sequence there and emitted bogus grams)
     val sets = docs.filter(col(idCol) % sampleMod === 0)
       .select(col(idCol).as("doc_id"),
-        array_distinct(transform(sequence(lit(1), length(col(textCol)) - (n - 1)),
-          i => col(textCol).substr(i, lit(n)))).as("g"))
+        TextHash.charNgrams(docs.sparkSession, col(textCol), n).as("g"))
     // The broadcast-nested-loop pair join streams the left side; a single
     // parquet split would serialize all |sample|²/2 array intersections on
     // one task. Spread the streamed side across the executor cores.
@@ -207,8 +191,7 @@ object Dedup {
     val b = sets.select(col("doc_id").as("b_id"), col("g").as("g_b"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jaccard"))
+        TextHash.arrayJaccard(docs.sparkSession, col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -45,7 +45,7 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
-  test("simhash byte-banding achieves exact recall at hamming <= 3") {
+  test("simhash 16-bit banding achieves exact recall at hamming <= 3") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val brute = (for {
       (a, ha) <- sh; (b, hb) <- sh if a < b

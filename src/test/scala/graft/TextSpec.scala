@@ -57,8 +57,8 @@ class TextSpec extends SparkSpec {
       (2L, Seq(0.9f, 0.1f, 0f), 0), (3L, Seq(0f, 1f, 0f), 0)
     ).toDF("vec_id", "embedding", "label")
     val top = Similarity.bruteTopK(vecs, col("vec_id") === 0, k = 2)
-      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
-    assert(top === Array((1L, 1), (2L, 2))) // identical vec first, near second
+      .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(top === Array((1L, 1L), (2L, 2L))) // identical vec first, near second
   }
 
   test("lshPairs candidates are a subset of blocked exact pairs") {
