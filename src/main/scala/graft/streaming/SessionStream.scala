@@ -40,33 +40,58 @@ object SessionStream {
         col("n_events"))
 
   /** Custom-state sessionization: one state record per user; a session is
-    * emitted when the gap is exceeded (or the group times out).
+    * emitted when the gap is exceeded within the stream, or when the
+    * watermark passes the session's end + gap (event-time timeout) — so the
+    * LAST session per idle user is eventually emitted and its state
+    * cleared, bounding state size to currently-active users.
+    *
+    * Event-time (not processing-time) timeout: deterministic under replay,
+    * consistent with the batch sessionizer's time axis, and no idle-batch
+    * livelock (processing-time timeouts keep scheduling no-data batches,
+    * which also makes `processAllAvailable` hang in tests).
     */
   def statefulSessions(events: Dataset[Event], gapMicros: Long): Dataset[ClosedSession] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val keyEnc = Encoders.scalaLong
+    val gapMs = gapMicros / 1000L
     events
+      .withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          for (e <- sorted) {
-            val us = e.ts.getTime * 1000L
-            cur match {
-              case Some(s) if us - s.end_us > gapMicros =>
-                closed += ClosedSession(userId, s.n, s.start_us, s.end_us)
-                cur = Some(SessionState(us, us, 1))
-              case Some(s) =>
-                cur = Some(s.copy(end_us = math.max(s.end_us, us), n = s.n + 1))
-              case None =>
-                cur = Some(SessionState(us, us, 1))
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: close and clear — state never grows
+            // unboundedly for one-shot users
+            val out = state.getOption.map(s =>
+              ClosedSession(userId, s.n, s.start_us, s.end_us))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            for (e <- sorted) {
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.end_us > gapMicros =>
+                  closed += ClosedSession(userId, s.n, s.start_us, s.end_us)
+                  cur = Some(SessionState(us, us, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(end_us = math.max(s.end_us, us), n = s.n + 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes end+gap (clamp: the engine
+              // rejects timeouts at/behind the current watermark)
+              val deadline = s.end_us / 1000L + gapMs
+              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

@@ -30,19 +30,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState emits closed sessions on gap") {
+  test("flatMapGroupsWithState emits closed sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val q = SessionStream.statefulSessions(input.toDS(), gapMicros = 30000000L)
       .writeStream.format("memory").queryName("sessions_s")
       .outputMode("append").start()
     try {
-      input.addData(Event(1L, 1L, ts(0)), Event(1L, 2L, ts(10)))
+      // times offset from epoch: rows at/behind the initial watermark (0)
+      // would be dropped as late
+      input.addData(Event(1L, 1L, ts(1000)), Event(1L, 2L, ts(1010)))
       q.processAllAvailable()
-      input.addData(Event(1L, 3L, ts(100))) // closes session A
+      input.addData(Event(1L, 3L, ts(1100))) // closes session A via the gap
       q.processAllAvailable()
-      val rows = spark.table("sessions_s").as[ClosedSession].collect()
-      assert(rows.toSeq === Seq(ClosedSession(1L, 2L, 0L, 10000000L)))
+      val gapClosed = spark.table("sessions_s").as[ClosedSession].collect()
+      assert(gapClosed.toSeq === Seq(ClosedSession(1L, 2L, 1000000000L, 1010000000L)))
+      // advance the watermark past user 1's (1100s session + 30s gap)
+      // deadline: watermark after this batch = 1200-30 = 1170s...
+      input.addData(Event(2L, 4L, ts(1200)))
+      q.processAllAvailable()
+      // ...so the NEXT batch fires user 1's event-time timeout and emits
+      // the idle session — the unbounded-state leak the r2 advisory flagged
+      input.addData(Event(2L, 5L, ts(1210)))
+      q.processAllAvailable()
+      val all = spark.table("sessions_s").as[ClosedSession].collect().toSet
+      assert(all.contains(ClosedSession(1L, 1L, 1100000000L, 1100000000L)))
     } finally q.stop()
   }
 }
