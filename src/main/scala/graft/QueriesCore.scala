@@ -230,6 +230,65 @@ object QueriesCore {
       |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // ---- grouping sets: full cube + grouping_id (bit order: first cube
+  //      column = MSB, identical in Spark and DuckDB GROUPING()) ----
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+
+  val oCube =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- pivot: wide conditional aggregation over a fixed value set ----
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")))
+      .select(col("l_returnflag"),
+        col("F").cast("decimal(38,2)").as("qty_f"),
+        col("O").cast("decimal(38,2)").as("qty_o"))
+
+  val oPivot =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_f,
+      |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_o
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ---- bucketed co-located join: both sides written bucketBy the join
+  //      key, so the SortMergeJoin needs NO exchange on either side — the
+  //      100 TB recipe for repeated fact-fact joins (shuffle paid once at
+  //      write time, amortized over every subsequent join) ----
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val bdir = "/root/repo/.bucketed"
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$bdir/orders").saveAsTable("graft_bucketed_orders")
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$bdir/lineitem").saveAsTable("graft_bucketed_lineitem")
+    s.table("graft_bucketed_orders")
+      .join(s.table("graft_bucketed_lineitem").hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"))
+  }
+
+  val oBucketedJoin =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ---- top-k: global sort + limit ----
   def qTopk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

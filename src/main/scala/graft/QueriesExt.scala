@@ -277,6 +277,40 @@ object QueriesExt {
       |  JOIN norms nb ON nb.vec_id = bb.vec_id)
       |WHERE cosine >= 0.25""".stripMargin
 
+  // ---- IVF-style ANN: deterministic coarse centroids (vec_id < 16),
+  //      cosine-argmax cell assignment, exact verify within cells only.
+  //      Fully oracle-checked: the assignment and both cosines replay in
+  //      DuckDB with the identical fold order. ----
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPairs(t(s, dir, "embeddings"), numCentroids = 16, minCosine = 0.25)
+
+  val oAnnIvf: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT n.vec_id, cid,
+       |    ${dot("n.embedding", "cemb")} / (n.nrm * cnrm) AS cscore
+       |  FROM n, c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT cell, a_id, b_id, cosine FROM (
+       |  SELECT aa.cell, na.vec_id AS a_id, nb.vec_id AS b_id,
+       |    ${dot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM assigned aa JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+       |  JOIN n na ON na.vec_id = aa.vec_id
+       |  JOIN n nb ON nb.vec_id = ab.vec_id)
+       |WHERE cosine >= 0.25""".stripMargin
+  }
+
   // ---- sessionization over events (30-minute gap) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessions.sessionize(

@@ -49,6 +49,9 @@ object SparkEntry {
     "q_window_rank"          -> (QueriesCore.qWindowRank _),
     "q_rollup"               -> (QueriesCore.qRollup _),
     "q_topk"                 -> (QueriesCore.qTopk _),
+    "q_cube"                 -> (QueriesCore.qCube _),
+    "q_pivot"                -> (QueriesCore.qPivot _),
+    "q_bucketed_join"        -> (QueriesCore.qBucketedJoin _),
     "q_distinct_agg"         -> (QueriesCore.qDistinctAgg _),
     "q_salted_agg"           -> (QueriesCore.qSaltedAgg _),
     "q_semijoin"             -> (QueriesCore.qSemijoin _),
@@ -73,6 +76,7 @@ object SparkEntry {
     "q_similar_topk"         -> (QueriesExt.qSimilarTopk _),
     "q_embed_near_dup"       -> (QueriesExt.qEmbedNearDup _),
     "q_ann_lsh"              -> (QueriesExt.qAnnLsh _),
+    "q_ann_ivf"              -> (QueriesExt.qAnnIvf _),
     "q_sessionize"           -> (QueriesExt.qSessionize _),
     "q_events_daily"         -> (QueriesExt.qEventsDaily _),
     "q_json_extract"         -> (QueriesExt.qJsonExtract _),
@@ -94,6 +98,9 @@ object SparkEntry {
     "q_window_rank"          -> QueriesCore.oWindowRank,
     "q_rollup"               -> QueriesCore.oRollup,
     "q_topk"                 -> QueriesCore.oTopk,
+    "q_cube"                 -> QueriesCore.oCube,
+    "q_pivot"                -> QueriesCore.oPivot,
+    "q_bucketed_join"        -> QueriesCore.oBucketedJoin,
     "q_distinct_agg"         -> QueriesCore.oDistinctAgg,
     "q_salted_agg"           -> QueriesCore.oSaltedAgg,
     "q_semijoin"             -> QueriesCore.oSemijoin,
@@ -116,6 +123,7 @@ object SparkEntry {
     "q_similar_topk"         -> QueriesExt.oSimilarTopk,
     "q_embed_near_dup"       -> QueriesExt.oEmbedNearDup,
     "q_ann_lsh"              -> QueriesExt.oAnnLsh,
+    "q_ann_ivf"              -> QueriesExt.oAnnIvf,
     "q_sessionize"           -> QueriesExt.oSessionize,
     "q_events_daily"         -> QueriesExt.oEventsDaily,
     "q_json_extract"         -> QueriesExt.oJsonExtract,

@@ -86,6 +86,43 @@ object Similarity {
       graft.plans.LshBucketExpr(vecs.sparkSession, col("embedding"), planes, numPlanes, dim))
   }
 
+  /** IVF-style near-neighbour pairs: a deterministic coarse quantizer (the
+    * first `numCentroids` vectors, norms precomputed) assigns every vector
+    * to its best cell by cosine; exact cosine runs only within a cell.
+    *
+    * Scale shape: centroids broadcast (K rows), assignment is a linear
+    * N×K scan + one shuffle by vec_id for the argmax window, the pair
+    * stage is an equi-join on `cell` — quadratic only in cell population
+    * (~N/K), never in the corpus. This is the index-build + within-cell
+    * mining half of IVF; query-time probing reuses the same `cell` column
+    * as the equi-join key.
+    */
+  def ivfPairs(vecs: DataFrame, numCentroids: Int, minCosine: Double): DataFrame = {
+    val n = withNorm(vecs)
+    val cents = n.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+        (DotFold.dot(col("embedding"), col("cemb")) /
+          (col("norm") * col("cnorm"))).as("cscore"))
+    // deterministic argmax: ties break to the lowest centroid id
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cid").as("cell"), col("vec_id"), col("embedding"), col("norm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cell"), col("a_id"), col("b_id"),
+        (DotFold.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

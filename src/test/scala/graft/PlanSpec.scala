@@ -42,6 +42,29 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("bucketed join needs no exchange on the join keys") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "expected a sort-merge join over buckets")
+    // the only exchange is the final groupBy(o_orderstatus); the join reads
+    // co-located buckets directly
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size === 1, s"expected 1 agg exchange, got ${exchanges.size}")
+    assert(!p.contains("hashpartitioning(o_orderkey"), "join side got re-shuffled")
+    assert(!p.contains("hashpartitioning(l_orderkey"), "join side got re-shuffled")
+  }
+
+  test("ivf pairs join is an equi-join on the cell id") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop joins are the 16-centroid broadcast, printed
+    // once per self-join side (the vec_id exchange above them is reused at
+    // runtime, so the assignment executes once); the pair join itself must
+    // be the cell equi-join, never corpus × corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "cell pair join missing an equi-join")
+  }
+
   test("sessionize plans a single exchange for both windows and the agg") {
     val p = plan("q_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
