@@ -82,6 +82,59 @@ object QueriesCore {
       |       ELSE regexp_replace(toks[4], '^y', '') END AS year
       |FROM p""".stripMargin
 
+  // ---- O-2: HTML link extraction (species_range_etl.py:142-154) —
+  //      deterministic HTML synthesized from `part`, then the engine's
+  //      block-explode + regexp parser pulls (scenario, zip_url) exactly
+  //      like the reference's BeautifulSoup selector ----
+  def qHtmlLinks(s: SparkSession, dir: String): DataFrame = {
+    val base = lower(regexp_replace(col("p_name"), " ", "-"))
+    def grp(scen: String) = concat(
+      lit("<div class=\"thumbnail-file-group\"><h4>" + scen +
+        "</h4><ul><li><a href=\"page.html\">page</a></li><li><a href=\""),
+      base, lit(s"_$scen.zip\">zip</a></li></ul></div>"))
+    val pages = t(s, dir, "part")
+      .select(col("p_partkey"), concat(grp("current"), grp("rcp45")).as("html"))
+    Raster.htmlLinks(pages, "p_partkey", "html")
+  }
+
+  val oHtmlLinks =
+    """WITH pages AS (
+      |  SELECT p_partkey,
+      |    '<div class="thumbnail-file-group"><h4>current</h4><ul><li><a href="page.html">page</a></li><li><a href="'
+      |      || lower(replace(p_name, ' ', '-')) || '_current.zip">zip</a></li></ul></div>'
+      |      || '<div class="thumbnail-file-group"><h4>rcp45</h4><ul><li><a href="page.html">page</a></li><li><a href="'
+      |      || lower(replace(p_name, ' ', '-')) || '_rcp45.zip">zip</a></li></ul></div>' AS html
+      |  FROM part),
+      |b AS (SELECT p_partkey,
+      |        unnest(regexp_extract_all(html, '<div class="thumbnail-file-group">(.*?)</div>', 1)) AS block
+      |      FROM pages)
+      |SELECT p_partkey, regexp_extract(block, '<h4>([^<]*)</h4>', 1) AS scenario,
+      |  regexp_extract_all(block, 'href="([^"]*)"', 1)[2] AS zip_url
+      |FROM b""".stripMargin
+
+  // ---- O-3: zip member prefix routing (species_range_etl.py:163-169) ----
+  def qZipRoute(s: SparkSession, dir: String): DataFrame = {
+    val species = lower(regexp_replace(col("p_name"), " ", "-"))
+    val member = when(col("p_partkey") % 3 === 0, concat(species, lit("_grid.txt")))
+      .when(col("p_partkey") % 3 === 1, lit("extra/readme.txt"))
+      .otherwise(concat(lit("grids/"), species, lit(".txt")))
+    t(s, dir, "part")
+      .select(col("p_partkey"), species.as("species"), member.as("member"))
+      .withColumn("dest", Raster.zipMemberRoute(col("member"), col("species")))
+  }
+
+  val oZipRoute =
+    """WITH m AS (
+      |  SELECT p_partkey, lower(replace(p_name, ' ', '-')) AS species,
+      |    CASE WHEN p_partkey % 3 = 0 THEN lower(replace(p_name, ' ', '-')) || '_grid.txt'
+      |         WHEN p_partkey % 3 = 1 THEN 'extra/readme.txt'
+      |         ELSE 'grids/' || lower(replace(p_name, ' ', '-')) || '.txt' END AS member
+      |  FROM part)
+      |SELECT p_partkey, species, member,
+      |  CASE WHEN starts_with(member, species) THEN 'ascii/' || member
+      |       ELSE 'ascii/' || species || '/' || member END AS dest
+      |FROM m""".stripMargin
+
   // ---- O-9/O-10/O-13: enrichment + rename + surrogate key
   //      (species_range_etl.py:200-204,210,228) ----
   def qEnrichLiterals(s: SparkSession, dir: String): DataFrame =

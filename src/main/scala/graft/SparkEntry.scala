@@ -39,6 +39,8 @@ object SparkEntry {
     "q_catalog_project"      -> (QueriesCore.qCatalogProject _),
     "q_threshold_filter"     -> (QueriesCore.qThresholdFilter _),
     "q_meta_extract"         -> (QueriesCore.qMetaExtract _),
+    "q_html_links"           -> (QueriesCore.qHtmlLinks _),
+    "q_zip_route"            -> (QueriesCore.qZipRoute _),
     "q_enrich_literals"      -> (QueriesCore.qEnrichLiterals _),
     "q_dissolve_area"        -> (QueriesCore.qDissolveArea _),
     "q_union_all"            -> (QueriesCore.qUnionAll _),
@@ -88,6 +90,8 @@ object SparkEntry {
     "q_catalog_project"      -> QueriesCore.oCatalogProject,
     "q_threshold_filter"     -> QueriesCore.oThresholdFilter,
     "q_meta_extract"         -> QueriesCore.oMetaExtract,
+    "q_html_links"           -> QueriesCore.oHtmlLinks,
+    "q_zip_route"            -> QueriesCore.oZipRoute,
     "q_enrich_literals"      -> QueriesCore.oEnrichLiterals,
     "q_dissolve_area"        -> QueriesCore.oDissolveArea,
     "q_union_all"            -> QueriesCore.oUnionAll,

@@ -32,6 +32,33 @@ object Raster {
     cells.crossJoin(broadcast(dim)).filter(col(probCol) >= col("threshold"))
   }
 
+  /** O-2 — HTML scrape, link extraction (species_range_etl.py:142-154):
+    * select the `.thumbnail-file-group` blocks, take the `<h4>` title as
+    * the scenario and the SECOND `<li><a href>` as the zip url. Relational
+    * form over staged HTML text: explode the group blocks, then per-block
+    * regexp extraction — no DOM library, same two fields the reference's
+    * BeautifulSoup selector yields.
+    */
+  def htmlLinks(pages: DataFrame, keyCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(col(keyCol),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("<div class=\"thumbnail-file-group\">(.*?)</div>"), lit(1))).as("block"))
+      .select(col(keyCol),
+        regexp_extract(col("block"), "<h4>([^<]*)</h4>", 1).as("scenario"),
+        element_at(regexp_extract_all(col("block"),
+          lit("href=\"([^\"]*)\""), lit(1)), 2).as("zip_url"))
+
+  /** O-3 — zip member routing by filename prefix
+    * (species_range_etl.py:163-169): a member whose path starts with the
+    * species name extracts to `ascii/`, anything else to
+    * `ascii/{species}/`. Pure column function; corrupt-zip tolerance is the
+    * accumulator path in EsriAsciiGrid.readCells.
+    */
+  def zipMemberRoute(member: Column, species: Column): Column =
+    when(member.startsWith(species), concat(lit("ascii/"), member))
+      .otherwise(concat(lit("ascii/"), species, lit("/"), member))
+
   /** O-8 — filename-metadata extraction (species_range_etl.py:188-198).
     *
     * `{threshold}_current.shp`          -> (threshold, "vtech", "current", "2020")

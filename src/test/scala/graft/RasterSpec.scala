@@ -72,4 +72,30 @@ class RasterSpec extends SparkSpec {
       EsriAsciiGrid.parse("ncols 2\nnot a grid")
     }
   }
+
+  test("zip member routing matches the prefix rule (etl.py:163-169)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val routed = Seq(
+      ("bald-cypress_grid.txt", "bald-cypress"), // starts with species -> ascii/
+      ("extras/readme.txt", "bald-cypress"))     // otherwise -> ascii/{species}/
+      .toDF("member", "species")
+      .select(Raster.zipMemberRoute(col("member"), col("species")).as("dest"))
+      .as[String].collect()
+    assert(routed === Array(
+      "ascii/bald-cypress_grid.txt",
+      "ascii/bald-cypress/extras/readme.txt"))
+  }
+
+  test("html link extraction takes h4 title + SECOND href (etl.py:142-154)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val html =
+      """<div class="thumbnail-file-group"><h4>rcp85</h4><ul>""" +
+        """<li><a href="page.html">page</a></li>""" +
+        """<li><a href="oak_rcp85.zip">zip</a></li></ul></div>"""
+    val r = Raster.htmlLinks(Seq((7L, html)).toDF("k", "html"), "k", "html")
+      .as[(Long, String, String)].collect()
+    assert(r === Array((7L, "rcp85", "oak_rcp85.zip")))
+  }
 }
