@@ -83,6 +83,7 @@ object SparkEntry {
     "q_events_daily"         -> (QueriesExt.qEventsDaily _),
     "q_json_extract"         -> (QueriesExt.qJsonExtract _),
     "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
+    "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
   )
 
   /** DuckDB-equivalent SQL per hash-checked query (column names aligned). */
@@ -132,5 +133,6 @@ object SparkEntry {
     "q_events_daily"         -> QueriesExt.oEventsDaily,
     "q_json_extract"         -> QueriesExt.oJsonExtract,
     "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,
+    "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
   )
 }

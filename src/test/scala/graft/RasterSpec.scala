@@ -73,6 +73,19 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("corrupt grids are skipped AND counted, good grids still parse (O-3/O-25)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(dir.toPath.resolve("good.asc"),
+      "ncols 1\nnrows 1\nxllcorner 0\nyllcorner 0\ncellsize 1.0\n0.5\n")
+    java.nio.file.Files.writeString(dir.toPath.resolve("bad.asc"),
+      "this is not an esri grid at all\n")
+    val acc = spark.sparkContext.longAccumulator("corrupt")
+    val cells = EsriAsciiGrid.readCells(spark, s"$dir/*.asc", Some(acc)).collect()
+    assert(cells.length === 1)          // the good grid's single cell
+    assert(acc.value === 1L)            // the bad grid counted, not fatal
+  }
+
   test("zip member routing matches the prefix rule (etl.py:163-169)") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
