@@ -353,6 +353,39 @@ object QueriesCore {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // ---- collect aggregates: deterministic via sort_array before join
+  //      (a bare collect_list is order-nondeterministic at scale) ----
+  def qCollectList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+
+  val oCollectList =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n
+      |FROM nation GROUP BY 1""".stripMargin
+
+  // ---- window navigation: lag / lead / day-delta per customer ----
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+        .cast("long").as("days_since_prev"))
+  }
+
+  val oWindowLag =
+    """SELECT o_orderkey, o_custkey,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   // ---- distinct aggregates ----
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").groupBy(col("l_returnflag"))

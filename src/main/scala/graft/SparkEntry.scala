@@ -55,6 +55,8 @@ object SparkEntry {
     "q_pivot"                -> (QueriesCore.qPivot _),
     "q_bucketed_join"        -> (QueriesCore.qBucketedJoin _),
     "q_distinct_agg"         -> (QueriesCore.qDistinctAgg _),
+    "q_collect_list"         -> (QueriesCore.qCollectList _),
+    "q_window_lag"           -> (QueriesCore.qWindowLag _),
     "q_salted_agg"           -> (QueriesCore.qSaltedAgg _),
     "q_semijoin"             -> (QueriesCore.qSemijoin _),
     "q_set_ops"              -> (QueriesCore.qSetOps _),
@@ -107,6 +109,8 @@ object SparkEntry {
     "q_pivot"                -> QueriesCore.oPivot,
     "q_bucketed_join"        -> QueriesCore.oBucketedJoin,
     "q_distinct_agg"         -> QueriesCore.oDistinctAgg,
+    "q_collect_list"         -> QueriesCore.oCollectList,
+    "q_window_lag"           -> QueriesCore.oWindowLag,
     "q_salted_agg"           -> QueriesCore.oSaltedAgg,
     "q_semijoin"             -> QueriesCore.oSemijoin,
     "q_set_ops"              -> QueriesCore.oSetOps,

@@ -27,6 +27,17 @@ object SessionStream {
   final case class ClosedSession(user_id: Long, n_events: Long,
                                  start_us: Long, end_us: Long)
 
+  /** Streaming exact dedup: drop duplicate (user_id, event_id) pairs
+    * arriving within the watermark — the continuous counterpart of the
+    * batch `Dedup.exact` hash-groupBy. State holds one entry per key and
+    * expires with the watermark, so memory is bounded by the duplicate
+    * window, not the stream's lifetime.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   /** Watermarked session-window counts (gap-based, declarative). */
   def windowedCounts(events: DataFrame, gap: String = "30 minutes",
                      watermark: String = "1 hour"): DataFrame =

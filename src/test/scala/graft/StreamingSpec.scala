@@ -30,6 +30,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionStream.dedupedEvents(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts(1000)), Event(1L, 1L, ts(1001)), // dup key, kept once
+        Event(1L, 2L, ts(1002)), Event(2L, 1L, ts(1003)))
+      q.processAllAvailable()
+      input.addData(Event(1L, 1L, ts(1004))) // still within watermark -> dropped
+      q.processAllAvailable()
+      val n = spark.table("dedup_s").count()
+      assert(n === 3) // (1,1), (1,2), (2,1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits closed sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
