@@ -292,11 +292,12 @@ object QueriesExt {
        |  SELECT vec_id, embedding,
        |    sqrt(${dot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
-       |c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM nz WHERE vec_id < 16),
        |scored AS (
-       |  SELECT n.vec_id, cid,
-       |    ${dot("n.embedding", "cemb")} / (n.nrm * cnrm) AS cscore
-       |  FROM n, c),
+       |  SELECT nz.vec_id, cid,
+       |    ${dot("nz.embedding", "cemb")} / (nz.nrm * cnrm) AS cscore
+       |  FROM nz, c),
        |assigned AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
@@ -306,8 +307,8 @@ object QueriesExt {
        |  SELECT aa.cell, na.vec_id AS a_id, nb.vec_id AS b_id,
        |    ${dot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
        |  FROM assigned aa JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
-       |  JOIN n na ON na.vec_id = aa.vec_id
-       |  JOIN n nb ON nb.vec_id = ab.vec_id)
+       |  JOIN nz na ON na.vec_id = aa.vec_id
+       |  JOIN nz nb ON nb.vec_id = ab.vec_id)
        |WHERE cosine >= 0.25""".stripMargin
   }
 

@@ -46,8 +46,10 @@ object Raster {
           lit("<div class=\"thumbnail-file-group\">(.*?)</div>"), lit(1))).as("block"))
       .select(col(keyCol),
         regexp_extract(col("block"), "<h4>([^<]*)</h4>", 1).as("scenario"),
-        element_at(regexp_extract_all(col("block"),
-          lit("href=\"([^\"]*)\""), lit(1)), 2).as("zip_url"))
+        // try_element_at: a malformed block with <2 hrefs yields null (like
+        // the oracle's list[2]) instead of an ANSI INVALID_ARRAY_INDEX error
+        try_element_at(regexp_extract_all(col("block"),
+          lit("href=\"([^\"]*)\""), lit(1)), lit(2)).as("zip_url"))
 
   /** O-3 — zip member routing by filename prefix
     * (species_range_etl.py:163-169): a member whose path starts with the

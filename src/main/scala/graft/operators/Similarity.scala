@@ -98,7 +98,10 @@ object Similarity {
     * as the equi-join key.
     */
   def ivfPairs(vecs: DataFrame, numCentroids: Int, minCosine: Double): DataFrame = {
-    val n = withNorm(vecs)
+    // zero vectors have no defined cosine (x/0 = NaN here, NULL in the
+    // oracle — and Spark's nan-safe compare would let NaN pass the
+    // threshold); exclude them from index and pairs on both sides
+    val n = withNorm(vecs).filter(col("norm") > 0)
     val cents = n.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("norm").as("cnorm"))

@@ -142,10 +142,13 @@ object TextHashUtil {
   /** Exact Jaccard of two string arrays already distinct per side:
     * |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the double division is
     * bit-identical to the oracle's CAST(len(list_intersect)…) form.
+    * Two empty sets → null (DuckDB computes 0/0 as NULL; Spark NaN would
+    * PASS a `>= threshold` filter under nan-safe compare and emit phantom
+    * pairs).
     */
-  def arrayJaccard(a: ArrayData, b: ArrayData): Double = {
+  def arrayJaccard(a: ArrayData, b: ArrayData): java.lang.Double = {
     val na = a.numElements(); val nb = b.numElements()
-    if (na == 0 && nb == 0) return Double.NaN // 0/0, matches DuckDB NULL-free guard upstream
+    if (na == 0 && nb == 0) return null
     val set = new java.util.HashSet[UTF8String](na * 2)
     var i = 0
     while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
@@ -158,13 +161,22 @@ object TextHashUtil {
   /** Distinct character n-grams (first-occurrence order); empty array for
     * docs shorter than n chars — matching DuckDB `range(1, len-1)` being
     * empty, NOT a descending Spark `sequence` emitting bogus grams (r2 bug).
+    * Slicing is by CODE POINT, not UTF-16 unit, so non-BMP characters are
+    * never split into lone surrogates (DuckDB substr counts code points).
     */
   def charNgrams(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    // code-point boundaries (cheap single pass; == char indices for ASCII)
+    val nCp = s.codePointCount(0, s.length)
+    if (nCp < n) return new GenericArrayData(Array.empty[Any])
+    val bounds = new Array[Int](nCp + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < nCp) { bounds(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+    bounds(nCp) = s.length
     val seen = new java.util.LinkedHashSet[String]
     var i = 0
-    while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+    while (i + n <= nCp) { seen.add(s.substring(bounds(i), bounds(i + n))); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator(); var m = 0
     while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
@@ -239,11 +251,18 @@ case class ArrayJaccardExpr(left: Expression, right: Expression)
       s"array_jaccard expects array<string> inputs, got ${l.catalogString}, ${r.catalogString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null when both sides are empty sets
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHashUtil.arrayJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.TextHashUtil.arrayJaccard($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $tmp = graft.plans.TextHashUtil.arrayJaccard($a, $b);
+         |${ev.isNull} = ($tmp == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayJaccardExpr =
     copy(left = newLeft, right = newRight)

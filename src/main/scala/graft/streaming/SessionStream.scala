@@ -61,13 +61,17 @@ object SessionStream {
     * livelock (processing-time timeouts keep scheduling no-data batches,
     * which also makes `processAllAvailable` hang in tests).
     */
-  def statefulSessions(events: Dataset[Event], gapMicros: Long): Dataset[ClosedSession] = {
+  def statefulSessions(events: Dataset[Event], gapMicros: Long,
+                       watermarkDelay: Option[String] = None): Dataset[ClosedSession] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val keyEnc = Encoders.scalaLong
     val gapMs = gapMicros / 1000L
+    // lateness tolerance is operationally independent of the gap semantics;
+    // default it to the gap but let deployments widen it for laggier feeds
+    val delay = watermarkDelay.getOrElse(s"$gapMs milliseconds")
     events
-      .withWatermark("ts", s"$gapMs milliseconds")
+      .withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
@@ -89,7 +93,10 @@ object SessionStream {
                   closed += ClosedSession(userId, s.n, s.start_us, s.end_us)
                   cur = Some(SessionState(us, us, 1))
                 case Some(s) =>
-                  cur = Some(s.copy(end_us = math.max(s.end_us, us), n = s.n + 1))
+                  // an in-watermark but out-of-order event may EXTEND the
+                  // session backwards — min the start, not just max the end
+                  cur = Some(SessionState(math.min(s.start_us, us),
+                    math.max(s.end_us, us), s.n + 1))
                 case None =>
                   cur = Some(SessionState(us, us, 1))
               }

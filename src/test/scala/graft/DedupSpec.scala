@@ -60,6 +60,22 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) === sh(4L))
   }
 
+  test("char n-grams: short docs yield no phantom pairs; surrogate pairs never split") {
+    import graft.plans.TextHashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    // two sampled docs shorter than n=3 chars: empty gram sets -> jaccard
+    // null (not NaN) -> filtered, not emitted
+    val short = Seq((0L, "ab"), (20L, "x")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardSample(short, n = 3, sampleMod = 20, minJaccard = 0.0)
+      .collect().isEmpty)
+    // non-BMP character (surrogate pair in UTF-16): grams slice by code
+    // point, so no gram contains a lone surrogate half
+    val grams = TextHashUtil.charNgrams(UTF8String.fromString("ab😀cd"), 3)
+    val strs = (0 until grams.numElements()).map(grams.getUTF8String(_).toString)
+    assert(strs === Seq("ab😀", "b😀c", "😀cd"))
+    assert(strs.forall(g => g.codePointCount(0, g.length) == 3))
+  }
+
   test("DotFold matches the interpreted HOF fold bit-for-bit") {
     DotFold.register(spark)
     val rnd = new scala.util.Random(7)

@@ -111,4 +111,18 @@ class RasterSpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     assert(r === Array((7L, "rcp85", "oak_rcp85.zip")))
   }
+
+  test("html link extraction tolerates blocks with a missing zip link (ANSI-safe)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // only ONE href: the reference's scraper would raise IndexError; the
+    // engine yields null instead of an ANSI INVALID_ARRAY_INDEX failure
+    val html = """<div class="thumbnail-file-group"><h4>rcp45</h4><ul>""" +
+      """<li><a href="page.html">page</a></li></ul></div>"""
+    val r = Raster.htmlLinks(Seq((1L, html)).toDF("k", "html"), "k", "html")
+      .select("scenario", "zip_url").collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "rcp45")
+    assert(r(0).isNullAt(1))
+  }
 }

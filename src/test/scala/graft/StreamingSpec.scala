@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful session absorbs an out-of-order in-watermark event into its start") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionStream.statefulSessions(input.toDS(), gapMicros = 30000000L)
+      .writeStream.format("memory").queryName("sessions_o")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, 1L, ts(1000)))
+      q.processAllAvailable()
+      // watermark is 970s: a 990s event is late-but-admissible and must
+      // EXTEND the session backwards, matching the batch sessionizer
+      input.addData(Event(1L, 2L, ts(990)))
+      q.processAllAvailable()
+      input.addData(Event(1L, 3L, ts(1100))) // gap-closes the session
+      q.processAllAvailable()
+      val rows = spark.table("sessions_o").as[ClosedSession].collect()
+      assert(rows.toSeq === Seq(ClosedSession(1L, 2L, 990000000L, 1000000000L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits closed sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
