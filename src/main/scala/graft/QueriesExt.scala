@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sessions, Similarity, Temporal, TextAnalysis}
 
 /** North-star extension queries: dedup / similarity / text analysis /
   * sessionization / multimodal over documents, embeddings, events.
@@ -335,6 +335,65 @@ object QueriesExt {
       |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
       |  max(ts_us) - min(ts_us) AS duration_us
       |FROM g GROUP BY 1, 2""".stripMargin
+
+  // ---- as-of join: each view event matched to the user's most recent
+  //      click at-or-before it — one union + window pass, never an
+  //      inequality BNLJ ----
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"))
+    Temporal.asofJoin(
+      e.filter(col("event_type") === "view").drop("event_type"),
+      e.filter(col("event_type") === "click").drop("event_type"),
+      keys = Seq("user_id"), tsCol = "ts_us", idCol = "event_id")
+  }
+
+  val oAsofJoin =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |u AS (
+      |  SELECT user_id, ts_us, event_id, 1 AS is_ref FROM e WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts_us, event_id, 0 AS is_ref FROM e WHERE event_type = 'view'),
+      |w AS (SELECT user_id, ts_us, event_id, is_ref,
+      |    last_value(CASE WHEN is_ref = 1 THEN event_id END IGNORE NULLS) OVER win AS matched_id,
+      |    last_value(CASE WHEN is_ref = 1 THEN ts_us END IGNORE NULLS) OVER win AS matched_ts
+      |  FROM u WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY ts_us, is_ref DESC, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, ts_us, event_id, matched_id, matched_ts
+      |FROM w WHERE is_ref = 0""".stripMargin
+
+  // ---- range join: events into per-user time windows, binned to an
+  //      equi-join on (user, hour-bin) + exact BETWEEN refine ----
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"))
+    val spans = e.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+    val intervals = spans
+      .select(col("user_id"), explode(array((0 to 3).map(lit): _*)).as("k"),
+        col("mn"), col("mx"))
+      .select(col("user_id"), col("k").cast("long").as("interval_id"),
+        (col("mn") + col("k") * expr("(mx - mn) DIV 4")).as("start_us"),
+        (col("mn") + col("k") * expr("(mx - mn) DIV 4") +
+          expr("(mx - mn) DIV 8")).as("end_us"))
+    Temporal.rangeJoinBinned(e, intervals, keys = Seq("user_id"),
+      tsCol = "ts_us", startCol = "start_us", endCol = "end_us",
+      binMicros = 3600000000L)
+      .groupBy(col("user_id"), col("interval_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val oRangeJoin =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      |s AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx FROM e GROUP BY 1),
+      |i AS (SELECT user_id, k AS interval_id,
+      |    mn + k * ((mx - mn) // 4) AS start_us,
+      |    mn + k * ((mx - mn) // 4) + (mx - mn) // 8 AS end_us
+      |  FROM s, (SELECT unnest(range(0, 4)) AS k)),
+      |j AS (SELECT e.user_id, i.interval_id FROM e JOIN i
+      |  ON e.user_id = i.user_id AND e.ts_us BETWEEN i.start_us AND i.end_us)
+      |SELECT user_id, interval_id, count(*) AS n_events FROM j GROUP BY 1, 2""".stripMargin
 
   // ---- daily event rollup (order-free aggregates only: count/min/max) ----
   def qEventsDaily(s: SparkSession, dir: String): DataFrame =

@@ -82,6 +82,8 @@ object SparkEntry {
     "q_ann_lsh"              -> (QueriesExt.qAnnLsh _),
     "q_ann_ivf"              -> (QueriesExt.qAnnIvf _),
     "q_sessionize"           -> (QueriesExt.qSessionize _),
+    "q_asof_join"            -> (QueriesExt.qAsofJoin _),
+    "q_range_join"           -> (QueriesExt.qRangeJoin _),
     "q_events_daily"         -> (QueriesExt.qEventsDaily _),
     "q_json_extract"         -> (QueriesExt.qJsonExtract _),
     "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
@@ -134,6 +136,8 @@ object SparkEntry {
     "q_ann_lsh"              -> QueriesExt.oAnnLsh,
     "q_ann_ivf"              -> QueriesExt.oAnnIvf,
     "q_sessionize"           -> QueriesExt.oSessionize,
+    "q_asof_join"            -> QueriesExt.oAsofJoin,
+    "q_range_join"           -> QueriesExt.oRangeJoin,
     "q_events_daily"         -> QueriesExt.oEventsDaily,
     "q_json_extract"         -> QueriesExt.oJsonExtract,
     "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,

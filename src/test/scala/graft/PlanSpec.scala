@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), "cell pair join missing an equi-join")
   }
 
+  test("temporal joins never plan a nested-loop or cartesian") {
+    for (q <- Seq("q_asof_join", "q_range_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("sessionize plans a single exchange for both windows and the agg") {
     val p = plan("q_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
