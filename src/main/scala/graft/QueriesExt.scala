@@ -161,7 +161,7 @@ object QueriesExt {
 
   // ---- language-ID (marker-token heuristic) ----
   def qLangId(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.langId(t(s, dir, "documents"))
+    TextAnalysis.langId(t(s, dir, "documents"), truthCol = Some("lang"))
 
   val oLangId =
     """WITH t AS (

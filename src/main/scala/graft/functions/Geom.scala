@@ -27,9 +27,11 @@ import scala.jdk.CollectionConverters._
   *   carries one compacted geometry per group per partition, not every cell;
   * - `stArea` / `stNumPoints` are scalar functions for the enrichment stage.
   *
-  * Determinism: cell rectangles snap to binary-exact coordinates when
-  * `cellsize` is a power of two, so union area is bit-exact regardless of
-  * merge order (the oracle checks area, not vertex order).
+  * Determinism: every rectangle corner is computed directly from the grid
+  * origin (`xll + k*cellsize`), so neighbouring cells share bit-identical
+  * edges for ANY origin/cellsize — no 1-ulp slivers in the union. Union
+  * AREA is additionally bit-exact vs the cell-count oracle when cellsize
+  * is binary-exact (the oracle checks area, not vertex order).
   */
 object Geom {
 
@@ -51,11 +53,14 @@ object Geom {
     * matching Esri ASCII file order (species_range_etl.py:59-92).
     */
   def cellRectWkb(row: Int, col: Int, xll: Double, yll: Double,
-                  cellsize: Double, nrows: Int): Array[Byte] = {
-    val xmin = xll + col * cellsize
-    val ymin = yll + (nrows - 1 - row) * cellsize
-    rectWkb(xmin, ymin, xmin + cellsize, ymin + cellsize)
-  }
+                  cellsize: Double, nrows: Int): Array[Byte] =
+    // every corner computed directly from the origin (xll + k*cellsize):
+    // neighbouring cells' shared edge is then the SAME double for ANY
+    // origin/cellsize — `xmin + cellsize` would round differently from
+    // `xll + (col+1)*cellsize` and leave 1-ulp slivers in the union
+    rectWkb(
+      xll + col * cellsize, yll + (nrows - 1 - row) * cellsize,
+      xll + (col + 1) * cellsize, yll + (nrows - row) * cellsize)
 
   def area(wkb: Array[Byte]): Double = readWkb(wkb).getArea
   def numPoints(wkb: Array[Byte]): Int = readWkb(wkb).getNumPoints
@@ -110,10 +115,15 @@ object Geom {
   /** st_rect(xmin, ymin, xmax, ymax). */
   val stRect = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
     rectWkb(xmin, ymin, xmax, ymax))
-  /** st_cell_rect_center(lon, lat, cellsize): cell rectangle from its
-    * center — used when grids of different resolutions mix in one frame
-    * (cellsize travels as a column from the source header).
+  /** st_cell_rect_from(row, col, xll, yll, cellsize, nrows): cell
+    * rectangle with the grid geometry supplied per ROW (columns from the
+    * source header) — for frames mixing grids of different
+    * origins/resolutions. Corner-from-origin math, same edge-coincidence
+    * guarantee as [[cellRectWkb]]. (A center-derived variant was removed:
+    * corners recovered from `center ± cellsize/2` round differently per
+    * cell and broke shared-edge bit-equality for non-binary origins.)
     */
-  val stCellRectCenter = udf((lon: Double, lat: Double, cs: Double) =>
-    rectWkb(lon - cs / 2, lat - cs / 2, lon + cs / 2, lat + cs / 2))
+  val stCellRectFrom = udf((r: Int, c: Int, xll: Double, yll: Double,
+                            cs: Double, nrows: Int) =>
+    cellRectWkb(r, c, xll, yll, cs, nrows))
 }

@@ -38,10 +38,11 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       length(col(payloadCol)).cast("long").as("n_bytes"),
-      conv(substring(hex(col(payloadCol)), 1, 8), 16, 10).cast("long").as("magic"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (conv(substring(hex(col(payloadCol)), 1, 8), 16, 10).cast("long") % 3 + 1).cast("int"))
-        .as("media_type"))
+      conv(substring(hex(col(payloadCol)), 1, 8), 16, 10).cast("long").as("magic"))
+      .select(col("doc_id"), col("n_bytes"), col("magic"),
+        // derived from the magic COLUMN so the two can't silently diverge
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("magic") % 3 + 1).cast("int")).as("media_type"))
 
   /** Batch decode via typed mapPartitions: decoder init once per partition,
     * rows streamed — the Scala analog of a Pandas-UDF `mapInPandas` stage.

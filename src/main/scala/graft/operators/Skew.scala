@@ -25,12 +25,14 @@ object Skew {
     *
     * @param carriers columns whose hash spreads the hot key (must be
     *                 high-cardinality within the hot key)
-    * @param partials (inputCol -> (partialAgg, finalAgg)) — e.g.
-    *                 count: (count(c), sum(partial)); sum: (sum(c), sum(partial))
+    * @param partials (partialAgg, outputName, finalAgg) triples — e.g.
+    *                 count: (count(lit(1)), "n", c => sum(c));
+    *                 sum:   (sum(x), "sum_x", c => sum(c))
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], carriers: Seq[Column],
                       saltBuckets: Int,
                       partials: Seq[(Column, String, Column => Column)]): DataFrame = {
+    require(partials.nonEmpty, "saltedAggregate needs at least one aggregate")
     val salt = pmod(hash(carriers: _*), lit(saltBuckets)).as("_salt")
     val phase1 = df
       .withColumn("_salt", salt)

@@ -42,8 +42,8 @@ object SpeciesPipeline {
       // reference encodes thresholds as "25"/"50"/"75" strings (etl.py:189-190)
       .withColumn("threshold", (col("threshold") * 100).cast("int").cast("string"))
     val dissolved = thresholded
-      .withColumn("cell_geom",
-        Geom.stCellRectCenter(col("lon"), col("lat"), col("cellsize")))
+      .withColumn("cell_geom", Geom.stCellRectFrom(col("row"), col("col"),
+        col("xll"), col("yll"), col("cellsize"), col("nrows")))
       .groupBy(col("species"), col("threshold"))
       .agg(Geom.stUnionAgg(col("cell_geom")).as("geometry"))
       .withColumn("area", Geom.stArea(col("geometry")))   // planar deg², etl.py:227

@@ -68,14 +68,20 @@ object TextAnalysis {
     "fr" -> Seq("scan", "data", "batch"),
     "zh" -> Seq("join", "small", "customer"))
 
-  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** @param truthCol optional ground-truth language column, carried through
+    *                  as `lang_true` for evaluation — the operator itself
+    *                  never needs it (language-ID runs on unlabeled text)
+    */
+  def langId(docs: DataFrame, textCol: String = "text",
+             truthCol: Option[String] = None): DataFrame = {
     val toks = Portable.tokens(col(textCol))
     val scores = LangMarkers.map { case (lang, markers) =>
       val arr = array(markers.map(lit): _*)
       lang -> size(filter(toks, t => array_contains(arr, t))).cast("long")
     }
-    val withScores = docs.select(col("doc_id") +: col("lang").as("lang_true") +:
-      scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+    val withScores = docs.select(col("doc_id") +:
+      (truthCol.map(c => col(c).as("lang_true")).toSeq ++
+        scores.map { case (l, c) => c.as(s"s_$l") }): _*)
     // argmax with first-wins tie-break in LangMarkers order
     val pred = scores.map(_._1).foldRight(lit("und")) { (lang, rest) =>
       when(isFirstMax(lang, scores.map(_._1)), lit(lang)).otherwise(rest)
@@ -107,10 +113,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    // N stays INSIDE the lazy plan as a broadcast 1-row cross join — an
+    // eager docs.count() here would launch a full corpus scan at
+    // operator-CONSTRUCTION time (before anything consumes the result)
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(df, "term")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        (col("tf").cast("double") * n.toDouble / col("df").cast("double"))
+        (col("tf").cast("double") * col("n_docs") / col("df").cast("double"))
           .as("tfidf"))
   }
 

@@ -34,8 +34,13 @@ object EsriAsciiGrid {
       row: Int, col: Int, lon: Double, lat: Double, prob: Option[Double])
 
   /** Parse header + grid body. Header keys are case-insensitive and may
-    * appear in any order; body is whitespace-separated floats, `nrows`
-    * lines of `ncols` values.
+    * appear in any order; the body is `nrows × ncols` whitespace-separated
+    * floats, and a raster row MAY wrap across physical lines (GDAL and
+    * other writers wrap wide grids). The body is parsed EAGERLY and its
+    * value count validated against the header, so malformed grids fail
+    * HERE — inside the caller's corrupt-file guard — rather than later on
+    * Spark's task iterator where the error would escape the guard and
+    * fail the job (O-3/O-25: tolerate + account, never fail).
     */
   def parse(content: String): (GridHeader, Iterator[RasterCell]) = {
     val lines = content.linesIterator.filter(_.trim.nonEmpty).buffered
@@ -63,24 +68,32 @@ object EsriAsciiGrid {
       s"invalid Esri ASCII grid header (ncols=$ncols nrows=$nrows cellsize=$cellsize)")
     val header = GridHeader(ncols, nrows, xll, yll, cellsize, nodata)
 
-    val cells = lines.zipWithIndex.flatMap { case (line, r) =>
-      val vals = line.trim.split("\\s+")
-      vals.iterator.zipWithIndex.map { case (s, c) =>
-        val v = s.toDouble
-        val prob = if (nodata.contains(v)) None else Some(v)
-        // cell CENTERS; row 0 is the top (northernmost) line
-        val lon = xll + (c + 0.5) * cellsize
-        val lat = yll + (nrows - 1 - r + 0.5) * cellsize
-        RasterCell(r, c, lon, lat, prob)
-      }
+    // flatten all body tokens (line boundaries carry no meaning once the
+    // header fixes the shape), parse eagerly, validate the count
+    val vals = lines.flatMap(_.trim.split("\\s+").iterator.filter(_.nonEmpty))
+      .map(_.toDouble).toArray
+    require(vals.length == nrows * ncols,
+      s"grid body has ${vals.length} values, header says ${nrows}x$ncols")
+    val cells = Iterator.tabulate(vals.length) { i =>
+      val r = i / ncols
+      val c = i % ncols
+      val v = vals(i)
+      val prob = if (nodata.contains(v)) None else Some(v)
+      // cell CENTERS; row 0 is the top (northernmost) line
+      val lon = xll + (c + 0.5) * cellsize
+      val lat = yll + (nrows - 1 - r + 0.5) * cellsize
+      RasterCell(r, c, lon, lat, prob)
     }
     (header, cells)
   }
 
   /** Read a directory/glob of `.asc`/`.txt` grids into a cell DataFrame:
-    * (path, row, col, lon, lat, cellsize, prob) — cellsize carried per row
-    * so downstream polygonization works across grids with different
-    * resolutions. Corrupt files are skipped and counted (O-3/O-25
+    * (path, row, col, lon, lat, cellsize, xll, yll, nrows, prob) — the
+    * header fields travel per row so downstream polygonization can compute
+    * cell CORNERS from the grid origin (bit-identical shared edges between
+    * neighbours for any origin) and works across grids with different
+    * resolutions. Corrupt files — bad header, unparseable values, value
+    * count not matching the header — are skipped and counted (O-3/O-25
     * semantics: tolerate + account, never fail).
     */
   def readCells(spark: SparkSession, pathGlob: String,
@@ -91,12 +104,13 @@ object EsriAsciiGrid {
     raw.as[(String, String)].flatMap { case (path, content) =>
       try {
         val (h, cells) = parse(content)
-        cells.map(c => (path, c.row, c.col, c.lon, c.lat, h.cellsize, c.prob))
+        cells.map(c => (path, c.row, c.col, c.lon, c.lat,
+          h.cellsize, h.xllcorner, h.yllcorner, h.nrows, c.prob))
       } catch {
         case _: Exception =>
           corruptFiles.foreach(_.add(1))
           Iterator.empty
       }
-    }.toDF("path", "row", "col", "lon", "lat", "cellsize", "prob")
+    }.toDF("path", "row", "col", "lon", "lat", "cellsize", "xll", "yll", "nrows", "prob")
   }
 }

@@ -18,9 +18,13 @@ object SpeciesCatalog {
     StructField("scientific_name", StringType),  // etl.py:42
     StructField("source", StringType)))          // etl.py:43
 
-  /** Full 4-column catalog (O-1). */
+  /** Full 4-column catalog (O-1). Quote processing disabled: a raw
+    * headerless TSV has no quoting convention, and the CSV reader's
+    * default '"' handling would swallow tabs after a field that happens
+    * to start with a double-quote.
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").schema(schema).csv(path)
+    spark.read.option("sep", "\t").option("quote", "").schema(schema).csv(path)
 
   /** The projection the reference actually uses (O-6,
     * species_range_etl.py:45): only the hyphenated name survives.

@@ -73,6 +73,31 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("esri grid: wrapped body lines parse to the header's shape") {
+    // one raster row of 4 values written across two physical lines —
+    // writers wrap wide grids; line boundaries carry no meaning
+    val (h, cells) = EsriAsciiGrid.parse(
+      "ncols 4\nnrows 1\nxllcorner 0\nyllcorner 0\ncellsize 1.0\n0.1 0.2\n0.3 0.4\n")
+    val v = cells.toVector
+    assert(h.ncols === 4)
+    assert(v.map(c => (c.row, c.col)) === Vector((0, 0), (0, 1), (0, 2), (0, 3)))
+    assert(v.map(_.prob.get) === Vector(0.1, 0.2, 0.3, 0.4))
+  }
+
+  test("esri grid: body value-count mismatch and bad tokens are rejected eagerly") {
+    // 3 values for a 2x2 header -> corrupt, caught at parse() time
+    intercept[IllegalArgumentException] {
+      EsriAsciiGrid.parse(
+        "ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1.0\n0.1 0.2\n0.3\n")
+    }
+    // unparseable body value -> corrupt at parse() time, NOT later on the
+    // task iterator where it would escape readCells' guard
+    intercept[NumberFormatException] {
+      EsriAsciiGrid.parse(
+        "ncols 2\nnrows 1\nxllcorner 0\nyllcorner 0\ncellsize 1.0\n0.1 oops\n")
+    }
+  }
+
   test("corrupt grids are skipped AND counted, good grids still parse (O-3/O-25)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toFile
     dir.deleteOnExit()
