@@ -342,6 +342,29 @@ object QueriesCore {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
 
+  // ---- SQL text interface: the same engine driven entirely from SQL —
+  //      temp view + a graft custom function (char_ngrams) inside the
+  //      predicate, planned by Catalyst like any built-in ----
+  def qSqlText(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    GraftFunctions.registerAll(s)
+    s.sql(
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM part_v
+        |WHERE size(char_ngrams(p_type, 8)) >= 15
+        |GROUP BY p_brand""".stripMargin)
+  }
+
+  val oSqlText =
+    """SELECT p_brand, count(*) AS n,
+      |  sum(CAST(p_retailprice AS DECIMAL(12,2))) AS sum_price
+      |FROM part
+      |WHERE len(list_distinct(list_transform(
+      |    range(1, length(p_type) - 6),
+      |    i -> substr(p_type, CAST(i AS INT), 8)))) >= 15
+      |GROUP BY p_brand""".stripMargin
+
   // ---- top-k: global sort + limit ----
   def qTopk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_bucketed_join"        -> (QueriesCore.qBucketedJoin _),
     "q_distinct_agg"         -> (QueriesCore.qDistinctAgg _),
     "q_collect_list"         -> (QueriesCore.qCollectList _),
+    "q_sql_text"             -> (QueriesCore.qSqlText _),
     "q_window_lag"           -> (QueriesCore.qWindowLag _),
     "q_salted_agg"           -> (QueriesCore.qSaltedAgg _),
     "q_semijoin"             -> (QueriesCore.qSemijoin _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_bucketed_join"        -> QueriesCore.oBucketedJoin,
     "q_distinct_agg"         -> QueriesCore.oDistinctAgg,
     "q_collect_list"         -> QueriesCore.oCollectList,
+    "q_sql_text"             -> QueriesCore.oSqlText,
     "q_window_lag"           -> QueriesCore.oWindowLag,
     "q_salted_agg"           -> QueriesCore.oSaltedAgg,
     "q_semijoin"             -> QueriesCore.oSemijoin,
