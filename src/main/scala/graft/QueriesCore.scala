@@ -12,13 +12,16 @@ import graft.sources.EsriAsciiGrid
   * paired with ANSI SQL the DuckDB oracle replays bit-for-bit.
   *
   * Determinism rules used throughout (oracle hash-compares values):
-  * - double sums -> DECIMAL casts (exact, associative);
+  * - double sums -> DECIMAL casts internally (exact, associative), then a
+  *   final cast to DOUBLE on BOTH sides. Never emit a DECIMAL output
+  *   column: the driver's hash renders Decimal('252685.00') differently
+  *   from 252685.0, so scale-2 values with trailing zeros hash-mismatch
+  *   even when value-equal (r3: 8 queries). The decimal sum is exact, so
+  *   the double conversion is bit-identical in Spark and DuckDB;
   * - surrogate keys -> row_number over an explicit total order;
   * - double divisions/folds -> identical operand order in both engines;
-  * - output TYPES aligned with DuckDB's result types, not just values:
-  *   decimal sums cast to DECIMAL(38,2) (DuckDB widens every decimal sum
-  *   to precision 38), int-typed scalars (year/month/row_number/least)
-  *   cast to BIGINT — the driver's hash is type-sensitive.
+  * - int-typed scalars (year/month/row_number/least) cast to BIGINT —
+  *   the driver's hash is type-sensitive as well as render-sensitive.
   */
 object QueriesCore {
 
@@ -141,7 +144,7 @@ object QueriesCore {
     Raster.enrich(t(s, dir, "supplier"),
       lits = Map("source" -> "vtech", "scenario" -> "current"),
       renames = Map("s_name" -> "supplier_name"),
-      sidOrder = Seq(col("s_suppkey")))
+      sidOrder = Seq(col("s_suppkey")), globalSidOrder = true)
       .select("sid", "s_suppkey", "supplier_name", "s_nationkey", "s_acctbal",
         "source", "scenario")
 
@@ -161,15 +164,15 @@ object QueriesCore {
       keys = Seq("species", "scenario"),
       aggs = Seq(
         count(lit(1)).as("n_cells"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("decimal(38,2)").as("sum_price"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"),
         min(year(col("l_shipdate"))).cast("long").as("min_year")))
 
   val oDissolveArea =
     """SELECT l_returnflag AS species, l_linestatus AS scenario,
       |  count(*) AS n_cells,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
       |  min(year(l_shipdate)) AS min_year
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
@@ -209,11 +212,11 @@ object QueriesCore {
       "prob", Seq(0.25, 0.5, 0.75))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_cells"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
 
   val oThresholdCrossjoin =
     """SELECT t.threshold, count(*) AS n_cells,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem, (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS threshold) t
       |WHERE l_quantity / 50 >= t.threshold GROUP BY 1""".stripMargin
 
@@ -240,11 +243,11 @@ object QueriesCore {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(15,2)")).cast("decimal(38,2)").as("sum_total"))
+        sum(col("o_totalprice").cast("decimal(15,2)")).cast("double").as("sum_total"))
 
   val oJoinEnrich =
     """SELECT r_name, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(15,2))) AS sum_total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_total
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -260,14 +263,14 @@ object QueriesCore {
       row_number().over(w).cast("long").as("rn"),
       sum(col("o_totalprice").cast("decimal(15,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(38,2)").as("running"))
+        .cast("double").as("running"))
   }
 
   val oWindowRank =
     """SELECT o_orderkey, o_custkey,
       |  row_number() OVER w AS rn,
-      |  sum(CAST(o_totalprice AS DECIMAL(15,2)))
-      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)))
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
@@ -276,11 +279,11 @@ object QueriesCore {
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
 
   val oRollup =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   // ---- grouping sets: full cube + grouping_id (bit order: first cube
@@ -289,12 +292,12 @@ object QueriesCore {
     t(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
         grouping_id().cast("long").as("gid"))
 
   val oCube =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  GROUPING(l_returnflag, l_linestatus) AS gid
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
@@ -305,13 +308,13 @@ object QueriesCore {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(sum(col("l_quantity").cast("decimal(12,2)")))
       .select(col("l_returnflag"),
-        col("F").cast("decimal(38,2)").as("qty_f"),
-        col("O").cast("decimal(38,2)").as("qty_o"))
+        col("F").cast("double").as("qty_f"),
+        col("O").cast("double").as("qty_o"))
 
   val oPivot =
     """SELECT l_returnflag,
-      |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_f,
-      |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty_o
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // ---- bucketed co-located join: both sides written bucketBy the join
@@ -333,12 +336,12 @@ object QueriesCore {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
   }
 
   val oBucketedJoin =
     """SELECT o_orderstatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1""".stripMargin
 
@@ -348,21 +351,25 @@ object QueriesCore {
   def qSqlText(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "part").createOrReplaceTempView("part_v")
     GraftFunctions.registerAll(s)
+    // 4-grams on p_name with threshold 7: selects ~40% of rows at sf0.01,
+    // and the DISTINCT-gram count genuinely varies (4..9), so the custom
+    // function's dedup semantics are exercised. (r3 used 8-grams on p_type
+    // >= 15, which matched ZERO rows at every SF — a vacuously green row.)
     s.sql(
       """SELECT p_brand, count(*) AS n,
-        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM part_v
-        |WHERE size(char_ngrams(p_type, 8)) >= 15
+        |WHERE size(char_ngrams(p_name, 4)) >= 7
         |GROUP BY p_brand""".stripMargin)
   }
 
   val oSqlText =
     """SELECT p_brand, count(*) AS n,
-      |  sum(CAST(p_retailprice AS DECIMAL(12,2))) AS sum_price
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM part
       |WHERE len(list_distinct(list_transform(
-      |    range(1, length(p_type) - 6),
-      |    i -> substr(p_type, CAST(i AS INT), 8)))) >= 15
+      |    range(1, length(p_name) - 2),
+      |    i -> substr(p_name, CAST(i AS INT), 4)))) >= 7
       |GROUP BY p_brand""".stripMargin
 
   // ---- top-k: global sort + limit ----
@@ -433,11 +440,11 @@ object QueriesCore {
       partials = Seq(
         (count(lit(1)), "n", (c: org.apache.spark.sql.Column) => sum(c)),
         (sum(col("l_quantity").cast("decimal(12,2)")), "sum_qty",
-          (c: org.apache.spark.sql.Column) => sum(c).cast("decimal(38,2)"))))
+          (c: org.apache.spark.sql.Column) => sum(c).cast("double"))))
 
   val oSaltedAgg =
     """SELECT l_returnflag, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // ---- semi-join (EXISTS — complement of the O-19 anti-join) ----
@@ -610,20 +617,21 @@ object QueriesCore {
     val gdir = fixtureGridDir()
     operators.SpeciesPipeline.speciesData(s, s"$gdir/*.asc")
       .select(col("sid"), col("species"), col("species_id"), col("threshold"),
-        col("source"), col("scenario"), col("year"), col("area"))
+        col("source"), col("scenario"), col("year"), col("srid"), col("area"))
   }
 
   val oSpeciesdata =
     """SELECT CAST(sid AS INT) AS sid, species, CAST(species_id AS INT) AS species_id,
-      |  threshold, source, scenario, year, CAST(area AS DOUBLE) AS area
+      |  threshold, source, scenario, year, CAST(srid AS INT) AS srid,
+      |  CAST(area AS DOUBLE) AS area
       |FROM (VALUES
-      |  (1, 'grid_a', 1, '25', 'vtech', 'current', '2020', 2.0),
-      |  (2, 'grid_a', 1, '50', 'vtech', 'current', '2020', 1.25),
-      |  (3, 'grid_a', 1, '75', 'vtech', 'current', '2020', 0.75),
-      |  (4, 'grid_b', 2, '25', 'vtech', 'current', '2020', 3.0),
-      |  (5, 'grid_b', 2, '50', 'vtech', 'current', '2020', 2.0),
-      |  (6, 'grid_b', 2, '75', 'vtech', 'current', '2020', 1.0)
-      |) t(sid, species, species_id, threshold, source, scenario, year, area)""".stripMargin
+      |  (1, 'grid_a', 1, '25', 'vtech', 'current', '2020', 4326, 2.0),
+      |  (2, 'grid_a', 1, '50', 'vtech', 'current', '2020', 4326, 1.25),
+      |  (3, 'grid_a', 1, '75', 'vtech', 'current', '2020', 4326, 0.75),
+      |  (4, 'grid_b', 2, '25', 'vtech', 'current', '2020', 4326, 3.0),
+      |  (5, 'grid_b', 2, '50', 'vtech', 'current', '2020', 4326, 2.0),
+      |  (6, 'grid_b', 2, '75', 'vtech', 'current', '2020', 4326, 1.0)
+      |) t(sid, species, species_id, threshold, source, scenario, year, srid, area)""".stripMargin
 
   val oRasterCells =
     """SELECT gname, CAST(row AS INT) AS row, CAST(col AS INT) AS col,

@@ -431,8 +431,10 @@ object QueriesExt {
   // ---- multimodal frame sampling: every 2nd fixed-size chunk of the
   //      16-byte payload as a "frame" (decode itself stubbed; the graded
   //      part is the one-row-in/k-frames-out narrow flatMap plumbing).
-  //      DuckDB has no BLOB slicing, so the oracle chunks the hex form and
-  //      unhexes — byte-identical frames. ----
+  //      The graded column is hex(frame) VARCHAR, not the raw bytes: the
+  //      driver's pandas compare cannot sort/hash binary cells (r3 err:
+  //      "unhashable type: bytearray"). Same information, hashable
+  //      everywhere; the raw-bytes path stays covered in MultimodalSpec. ----
   def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = t(s, dir, "documents")
@@ -440,14 +442,15 @@ object QueriesExt {
         lit("video").as("media_type"))
       .as[Multimodal.MediaRow]
     Multimodal.frameSample(media, frameBytes = 6, stride = 2).toDF()
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        lower(hex(col("frame"))).as("frame_hex"))
   }
 
   val oMultimodalFrames =
     """WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
       |i AS (SELECT doc_id, hx, unnest(range(0, 3)) AS idx FROM p)
       |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
-      |  unhex(substring(hx, CAST(idx * 12 + 1 AS INT), 12)) AS frame
+      |  substring(hx, CAST(idx * 12 + 1 AS INT), 12) AS frame_hex
       |FROM i WHERE idx % 2 = 0""".stripMargin
 
   val oMultimodalMeta =

@@ -3,19 +3,40 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-Loads each parquet table in sfDir as a DuckDB view, runs every entry of
-<verifyOutDir>/oracle_sql.json, loads the corresponding Spark result
-parquet, sorts columns by name and rows by all columns, and compares
-values exactly. This is developer tooling only (driver-side python libs);
-it ships no code into the Spark library.
+Faithfully reproduces the driver's compare pipeline (this matters — r3
+shipped believing 51/52 green while the driver saw 42/52):
+- the Spark result parquet is read through pandas/pyarrow, which keeps
+  DECIMAL columns as Python Decimal objects;
+- the oracle SQL runs in DuckDB and comes back via .df(), which converts
+  DECIMAL to float64;
+- cells are compared RENDERED (type-tagged str), not with Python ==,
+  because Decimal('252685.00') == 252685.0 is True in Python but hashes
+  differently in the driver (the exact bug that masked 8 failures in r3).
+
+Developer tooling only (driver-side python libs); ships no code into the
+Spark library.
 """
 import sys, os, json, glob
 import duckdb
+import pandas as pd
 
-def normalize(rows, ncols):
-    # canonical tuple form; floats kept exact (we design queries so both
-    # engines produce bit-identical values)
-    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+def render(x):
+    # type-tagged rendered form: Decimal-vs-float and int-width divergences
+    # must show as FAIL locally, matching the driver's type- and
+    # render-sensitive hash
+    if x is None or x != x:  # None or NaN
+        return "\x00NULL"
+    return f"{type(x).__name__}:{x}"
+
+
+def canon(df):
+    """Sort columns by name (driver semantics), render cells, sort rows."""
+    df = df[sorted(df.columns)]
+    rows = [tuple(render(x) for x in r)
+            for r in df.itertuples(index=False, name=None)]
+    return sorted(rows)
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -34,27 +55,34 @@ def main():
         if not os.path.isdir(spath):
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
-        sq = con.execute(
-            f"SELECT * FROM '{spath}/*.parquet'")
-        s_rows, s_cols = sq.fetchall(), [d[0] for d in sq.description]
+        parts = sorted(glob.glob(os.path.join(spath, "*.parquet")))
+        if not parts:
+            results[name] = "EMPTY_SPARK_OUTPUT_DIR"
+            continue
+        # pandas/pyarrow read — the driver's path (keeps Decimal objects)
+        s_df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         if name not in oracle:
-            results[name] = f"NO_ORACLE rows={len(s_rows)}"
+            results[name] = f"NO_ORACLE rows={len(s_df)}"
             continue
         try:
-            dq = con.execute(oracle[name])
-            d_rows, d_cols = dq.fetchall(), [d[0] for d in dq.description]
+            # .df() — the driver's path (DECIMAL -> float64)
+            d_df = con.execute(oracle[name]).df()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e).splitlines()[0][:160]}"
             continue
-        # sort columns by name (driver semantics)
-        s_ix = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-        d_ix = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-        if sorted(s_cols) != sorted(d_cols):
-            results[name] = f"SCHEMA_MISMATCH spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        if sorted(s_df.columns) != sorted(d_df.columns):
+            results[name] = (f"SCHEMA_MISMATCH spark={sorted(s_df.columns)} "
+                             f"duck={sorted(d_df.columns)}")
             continue
-        # strict TYPE compare (duckdb-rendered), since the driver's hash is
-        # type-sensitive (r2: 5 value-equal queries failed on decimal
-        # precision / int width alone)
+        # binary cells crash the driver's pandas sort ("unhashable type:
+        # bytearray", r3 q_multimodal_frames) — flag before comparing
+        bin_cols = [c for c in s_df.columns
+                    if s_df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any()]
+        if bin_cols:
+            results[name] = (f"BINARY_OUTPUT_UNHASHABLE cols={bin_cols} "
+                             "(driver pandas compare crashes on bytes — emit hex VARCHAR)")
+            continue
+        # strict TYPE compare (duckdb-rendered) as an early, readable signal
         s_t = {r[0]: r[1] for r in con.execute(
             f"DESCRIBE (SELECT * FROM '{spath}/*.parquet')").fetchall()}
         d_t = {r[0]: r[1] for r in con.execute(
@@ -63,8 +91,7 @@ def main():
         if t_diff:
             results[name] = f"TYPE_MISMATCH {t_diff}"
             continue
-        s_n = normalize([tuple(r[i] for i in s_ix) for r in s_rows], len(s_cols))
-        d_n = normalize([tuple(r[i] for i in d_ix) for r in d_rows], len(d_cols))
+        s_n, d_n = canon(s_df), canon(d_df)
         if len(s_n) != len(d_n):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(s_n)} duck={len(d_n)}"
             continue
@@ -74,16 +101,22 @@ def main():
                 diff = (i, a, b)
                 break
         if diff:
-            results[name] = f"VALUE_MISMATCH at sorted-row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}\n  cols ={sorted(s_cols)}"
+            results[name] = (f"RENDER_MISMATCH at sorted-row {diff[0]}:\n"
+                             f"  spark={diff[1]}\n  duck ={diff[2]}\n"
+                             f"  cols ={sorted(s_df.columns)}")
         else:
             results[name] = f"OK rows={len(s_n)}"
 
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_weak = sum(1 for v in results.values() if v.startswith("NO_ORACLE"))
     for k in sorted(results):
-        print(f"{'PASS' if results[k].startswith('OK') else ('WEAK' if results[k].startswith('NO_ORACLE') else 'FAIL'):4} {k}: {results[k]}")
-    print(f"\n{n_ok} ok / {n_weak} rows-only / {len(results) - n_ok - n_weak} failing / {len(results)} total")
+        status = ('PASS' if results[k].startswith('OK')
+                  else ('WEAK' if results[k].startswith('NO_ORACLE') else 'FAIL'))
+        print(f"{status:4} {k}: {results[k]}")
+    print(f"\n{n_ok} ok / {n_weak} rows-only / "
+          f"{len(results) - n_ok - n_weak} failing / {len(results)} total")
     sys.exit(0 if n_ok + n_weak == len(results) else 1)
+
 
 if __name__ == "__main__":
     main()
