@@ -185,8 +185,10 @@ object Dedup {
         TextHash.charNgrams(docs.sparkSession, col(textCol), n).as("g"))
     // The broadcast-nested-loop pair join streams the left side; a single
     // parquet split would serialize all |sample|²/2 array intersections on
-    // one task. Spread the streamed side across the executor cores.
-    val a = sets.repartition(16)
+    // one task. Spread the streamed side across the cluster's cores — a
+    // hardcoded constant caps the pair stage at that many tasks no matter
+    // how many executors exist.
+    val a = sets.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id").as("a_id"), col("g").as("g_a"))
     val b = sets.select(col("doc_id").as("b_id"), col("g").as("g_b"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))

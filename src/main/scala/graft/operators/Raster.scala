@@ -91,17 +91,29 @@ object Raster {
 
   /** O-9/O-10/O-13 — enrichment: literal metadata columns
     * (species_range_etl.py:200-204), rename (Id -> species_id, :210,224-225),
-    * deterministic surrogate key (`sid`, :228,236 — row_number over an
-    * explicit ordering, not monotonically_increasing_id, for oracle parity).
+    * surrogate key (`sid`, :228,236).
+    *
+    * Two sid modes:
+    * - default (`globalSidOrder = false`): `monotonically_increasing_id()` —
+    *   unique, BIGINT, computed per-partition with ZERO exchange, the only
+    *   formulation that survives 100 TB (ids are non-contiguous: the
+    *   partition id lives in the upper 31 bits);
+    * - oracle mode (`globalSidOrder = true`): `row_number()` over an explicit
+    *   total order — contiguous and deterministic, but funnels the whole
+    *   input through ONE task for the global sort, so it is strictly for
+    *   bounded oracle-comparability runs (q_enrich_literals), never the
+    *   default an operator imposes at scale.
     */
   def enrich(df: DataFrame, lits: Map[String, String], renames: Map[String, String],
-             sidOrder: Seq[Column]): DataFrame = {
+             sidOrder: Seq[Column], globalSidOrder: Boolean = false): DataFrame = {
     val withLits = lits.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
     val renamed = renames.foldLeft(withLits) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
-    // BIGINT, matching row_number() in ANSI engines (and sane at 100 TB —
-    // an INT sid overflows past 2.1e9 rows)
-    renamed.withColumn("sid",
-      row_number().over(Window.orderBy(sidOrder: _*)).cast("long"))
+    // BIGINT either way (an INT sid overflows past 2.1e9 rows)
+    if (globalSidOrder)
+      renamed.withColumn("sid",
+        row_number().over(Window.orderBy(sidOrder: _*)).cast("long"))
+    else
+      renamed.withColumn("sid", monotonically_increasing_id())
   }
 
   /** O-15 (relational half) — dissolve without geometry: group by the

@@ -91,7 +91,9 @@ object Similarity {
     * to its best cell by cosine; exact cosine runs only within a cell.
     *
     * Scale shape: centroids broadcast (K rows), assignment is a linear
-    * N×K scan + one shuffle by vec_id for the argmax window, the pair
+    * N×K scan folded by a max_by hash aggregate — partial aggregation
+    * collapses the K candidate rows per vector on the map side, so the
+    * one exchange carries ~N rows (not N×K) and nothing sorts. The pair
     * stage is an equi-join on `cell` — quadratic only in cell population
     * (~N/K), never in the corpus. This is the index-build + within-cell
     * mining half of IVF; query-time probing reuses the same `cell` column
@@ -109,11 +111,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
         (DotFold.dot(col("embedding"), col("cemb")) /
           (col("norm") * col("cnorm"))).as("cscore"))
-    // deterministic argmax: ties break to the lowest centroid id
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    // deterministic argmax via max_by over an orderable struct: ties on
+    // cscore break to the LOWEST centroid id (-cid maximized). A hash agg,
+    // not a window — no sort, and the partial phase folds per-vector
+    // candidates before the exchange.
     val assigned = scored
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("cid").as("cell"), col("vec_id"), col("embedding"), col("norm"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding"), col("norm")),
+        struct(col("cscore"), -col("cid"))).as("best"))
+      .select(col("best.cid").as("cell"), col("vec_id"),
+        col("best.embedding").as("embedding"), col("best.norm").as("norm"))
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),

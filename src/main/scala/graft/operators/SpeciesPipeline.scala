@@ -53,9 +53,12 @@ object SpeciesPipeline {
       .withColumn("source", lit("vtech"))
       .withColumn("scenario", lit("current"))
       .withColumn("year", lit("2020"))
+      // O-12: CRS as a queryable column, not just prose — the reference
+      // stamps EPSG:4326 on every layer (species_range_etl.py:131-135)
+      .withColumn("srid", lit(4326))
       .withColumn("sid",
         row_number().over(Window.orderBy(col("species"), col("threshold"))))
       .select("sid", "species", "geometry", "species_id", "threshold",
-        "source", "scenario", "year", "area")
+        "source", "scenario", "year", "srid", "area")
   }
 }

@@ -37,7 +37,9 @@ class PipelineSpec extends SparkSpec {
   test("speciesdata: full chain produces the A4 schema with exact areas") {
     val out = SpeciesPipeline.speciesData(spark, s"$gridDir/*.asc")
     assert(out.columns.toSeq === Seq("sid", "species", "geometry", "species_id",
-      "threshold", "source", "scenario", "year", "area"))
+      "threshold", "source", "scenario", "year", "srid", "area"))
+    // O-12: CRS queryable as a column (species_range_etl.py:131-135)
+    assert(out.select("srid").distinct().as[Int].collect().toSeq === Seq(4326))
     val rows = out.select("sid", "species", "threshold", "area")
       .as[(Int, String, String, Double)].collect().sortBy(_._1)
     assert(rows === Array(

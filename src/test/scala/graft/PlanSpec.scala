@@ -78,4 +78,22 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges === 1, s"expected 1 user_id exchange, got $exchanges")
   }
+
+  test("enrich default sid mode plans no global sort or single-partition funnel") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Raster.enrich(
+      spark.read.parquet(s"$dir/supplier.parquet"),
+      lits = Map("source" -> "vtech"), renames = Map.empty,
+      sidOrder = Seq(col("s_suppkey")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), "default sid funnels through one task")
+    assert(!p.contains("Window"), "default sid must not use a global window")
+    // ids still unique
+    assert(df.select("sid").distinct().count() === df.count())
+  }
+
+  test("ivf centroid assignment aggregates instead of sorting") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("Window"), "argmax should be a max_by hash agg, not a window sort")
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.functions.Geom
+import graft.sources.Shapefile
+
+/** O-5 golden tests: .shp main-file bytes built in-test per the public
+  * ESRI Shapefile Technical Description (July 1998) layout, parsed back
+  * to WKB and checked via JTS (area / component counts are invariant to
+  * vertex order, the right granularity for geometry equality).
+  */
+class ShapefileSpec extends SparkSpec {
+
+  // --- golden byte builders -------------------------------------------
+  private def shpBytes(records: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 100 + records.map(_.length + 8).sum
+    val bb = ByteBuffer.allocate(total)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994)          // file code
+    bb.putInt(24, total / 2)    // file length in 16-bit words
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000)         // version
+    bb.putInt(32, 5)            // header shape type (advisory)
+    var off = 100
+    records.zipWithIndex.foreach { case (r, i) =>
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(off, i + 1)           // record number (1-based)
+      bb.putInt(off + 4, r.length / 2) // content length in words
+      System.arraycopy(r, 0, bb.array(), off + 8, r.length)
+      off += 8 + r.length
+    }
+    bb.array()
+  }
+
+  private def polygonContent(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val numPoints = rings.map(_.length).sum
+    val bb = ByteBuffer.allocate(4 + 32 + 8 + 4 * rings.length + 16 * numPoints)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(5)
+    (0 until 4).foreach(_ => bb.putDouble(0.0)) // bbox (parser skips)
+    bb.putInt(rings.length)
+    bb.putInt(numPoints)
+    var s = 0
+    rings.foreach { r => bb.putInt(s); s += r.length }
+    rings.flatten.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+    bb.array()
+  }
+
+  private def pointContent(x: Double, y: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+    bb.array()
+  }
+
+  // CW = shell, CCW = hole (spec convention)
+  private val shellCW = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+  private val holeCCW = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+  private val shell2CW = Seq((10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0), (10.0, 0.0))
+
+  test("polygon with hole: shell CW, hole CCW, area = 16 - 1") {
+    val recs = Shapefile.parse("t", shpBytes(Seq(polygonContent(Seq(shellCW, holeCCW))))).toSeq
+    assert(recs.length === 1)
+    assert(recs.head.shape_type === 5)
+    assert(Geom.area(recs.head.geometry) === 15.0)
+    assert(Geom.numGeometries(recs.head.geometry) === 1)
+  }
+
+  test("two CW shells in one record become a MultiPolygon") {
+    val recs = Shapefile.parse("t", shpBytes(Seq(polygonContent(Seq(shellCW, shell2CW))))).toSeq
+    assert(recs.length === 1)
+    assert(Geom.numGeometries(recs.head.geometry) === 2)
+    assert(Geom.area(recs.head.geometry) === 16.0 + 4.0)
+  }
+
+  test("point record round-trips exactly") {
+    val recs = Shapefile.parse("t", shpBytes(Seq(pointContent(3.5, 4.25)))).toSeq
+    assert(recs.length === 1)
+    assert(recs.head.shape_type === 1)
+    val p = Geom.readWkb(recs.head.geometry).getCoordinate
+    assert(p.x === 3.5 && p.y === 4.25)
+  }
+
+  test("truncated tail keeps prior records and does not throw") {
+    val full = shpBytes(Seq(polygonContent(Seq(shellCW)), pointContent(1.0, 2.0)))
+    val truncated = java.util.Arrays.copyOf(full, full.length - 10)
+    val recs = Shapefile.parse("t", truncated).toSeq
+    assert(recs.length === 1) // polygon survives, broken point dropped
+    assert(Geom.area(recs.head.geometry) === 16.0)
+  }
+
+  test("non-shapefile bytes yield zero records") {
+    assert(Shapefile.parse("t", Array.fill[Byte](200)(7)).isEmpty)
+    assert(Shapefile.parse("t", Array.empty[Byte]).isEmpty)
+  }
+
+  test("readShapes: Spark binaryFile path end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp")
+    java.nio.file.Files.write(dir.resolve("golden.shp"),
+      shpBytes(Seq(polygonContent(Seq(shellCW, holeCCW)), pointContent(7.0, 8.0))))
+    val df = Shapefile.readShapes(spark, dir.toString + "/*.shp")
+    val rows = df.orderBy("record").collect()
+    assert(rows.length === 2)
+    assert(Geom.area(rows(0).getAs[Array[Byte]]("geometry")) === 15.0)
+    assert(rows(1).getAs[Int]("shape_type") === 1)
+  }
+}
