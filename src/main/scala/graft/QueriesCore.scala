@@ -602,6 +602,44 @@ object QueriesCore {
     dir.toString
   }
 
+  // ---- O-5 + O-22: shapefile sink -> scan round trip on golden
+  // geometries (species_range_etl.py:199,235). The fixture .shp is BUILT
+  // by the engine's own writer (ring-orientation normalization included),
+  // read back by the engine's parser, and hash-checked against golden
+  // VALUES — areas are exact (integer-coordinate rectangles), so the
+  // oracle grades the full serialize->parse->JTS chain. ----
+  def fixtureShpDir(): String = {
+    val dir = java.nio.file.Paths.get("/root/repo/.grid-fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def ring(pts: (Double, Double)*) =
+      pts.map { case (x, y) => new org.locationtech.jts.geom.Coordinate(x, y) }.toArray
+    val withHole = gf.createPolygon(
+      gf.createLinearRing(ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))),
+      Array(gf.createLinearRing(ring((1, 1), (1, 2), (2, 2), (2, 1), (1, 1)))))
+    val twoShells = gf.createMultiPolygon(Array(
+      gf.createPolygon(gf.createLinearRing(ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0)))),
+      gf.createPolygon(gf.createLinearRing(ring((10, 0), (12, 0), (12, 2), (10, 2), (10, 0))))))
+    val point = gf.createPoint(new org.locationtech.jts.geom.Coordinate(3.5, 4.25))
+    java.nio.file.Files.write(dir.resolve("golden_shapes.shp"),
+      graft.sources.Shapefile.buildShp(Seq(withHole, twoShells, point)))
+    dir.toString
+  }
+
+  def qShapefileScan(s: SparkSession, dir: String): DataFrame = {
+    val gdir = fixtureShpDir()
+    graft.sources.Shapefile.readShapes(s, s"$gdir/golden_shapes.shp")
+      .select(col("record"), col("shape_type"), col("n_points"),
+        Geom.stArea(col("geometry")).as("area"))
+  }
+
+  val oShapefileScan =
+    """SELECT CAST(record AS INT) AS record, CAST(shape_type AS INT) AS shape_type,
+      |  CAST(n_points AS INT) AS n_points, CAST(area AS DOUBLE) AS area
+      |FROM (VALUES
+      |  (1, 5, 10, 15.0), (2, 5, 10, 20.0), (3, 1, 1, 0.0)
+      |) t(record, shape_type, n_points, area)""".stripMargin
+
   def qRasterCells(s: SparkSession, dir: String): DataFrame = {
     val gdir = fixtureGridDir()
     EsriAsciiGrid.readCells(s, s"$gdir/*.asc")

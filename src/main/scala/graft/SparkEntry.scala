@@ -67,6 +67,7 @@ object SparkEntry {
     "q_geo_cell_area"        -> (QueriesCore.qGeoCellArea _),
     "q_geo_union_wkb"        -> (QueriesCore.qGeoUnionWkb _),
     "q_raster_cells"         -> (QueriesCore.qRasterCells _),
+    "q_shapefile_scan"       -> (QueriesCore.qShapefileScan _),
     "q_speciesdata"          -> (QueriesCore.qSpeciesdata _),
     // LLM-pipeline extensions (QueriesExt)
     "q_dedup_exact"          -> (QueriesExt.qDedupExact _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_geo_dissolve"         -> QueriesCore.oGeoDissolve,
     "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
     "q_raster_cells"         -> QueriesCore.oRasterCells,
+    "q_shapefile_scan"       -> QueriesCore.oShapefileScan,
     "q_speciesdata"          -> QueriesCore.oSpeciesdata,
     "q_dedup_exact"          -> QueriesExt.oDedupExact,
     "q_dedup_minhash"        -> QueriesExt.oDedupMinhash,

@@ -1,10 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import java.nio.{ByteBuffer, ByteOrder}
 import org.locationtech.jts.algorithm.Orientation
-import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.{Coordinate, Envelope, Geometry, GeometryFactory, LineString, MultiLineString, Point, Polygon}
 import graft.functions.Geom
 
 /** One row per .shp record; geometry re-encoded as WKB (the engine's
@@ -119,5 +119,108 @@ object Shapefile {
           }
         }
       case _ => None // 0 = null shape; unknown types tolerated, not fatal
+    }
+
+  // ------------------------------------------------------------------
+  // O-22 — shapefile sink (latent in the reference: the commented-out
+  // `all_data.to_file(...'all_species.shp')`, species_range_etl.py:235).
+  // Distributed like any Spark sink: each partition writes its own
+  // part-NNNNN.shp, which also keeps every file far under the format's
+  // 2 GB cap (the .shp length field is a 32-bit word count — a single
+  // gigantic file is impossible BY FORMAT, so per-partition part files
+  // are the only shape a 100 TB write can take).
+  // ------------------------------------------------------------------
+
+  /** Serialize one geometry as .shp record content (little-endian).
+    * Ring orientation is normalized to the spec on the way out:
+    * shells clockwise, holes counter-clockwise.
+    */
+  def recordContent(g: Geometry): Array[Byte] = g match {
+    case null =>
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(0).array()
+    case p: Point =>
+      val bb = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1).putDouble(p.getX).putDouble(p.getY)
+      bb.array()
+    case l if l.isInstanceOf[LineString] || l.isInstanceOf[MultiLineString] =>
+      val parts = (0 until l.getNumGeometries).map(l.getGeometryN(_).getCoordinates)
+      partsContent(3, parts)
+    case poly => // Polygon / MultiPolygon
+      partsContent(5, polygonRings(poly))
+  }
+
+  private def polygonRings(g: Geometry): Seq[Array[Coordinate]] =
+    (0 until g.getNumGeometries).map(g.getGeometryN(_).asInstanceOf[Polygon]).flatMap { p =>
+      val shell0 = p.getExteriorRing.getCoordinates
+      val shell = if (Orientation.isCCW(shell0)) shell0.reverse else shell0 // spec: shell CW
+      val holes = (0 until p.getNumInteriorRing).map { i =>
+        val h = p.getInteriorRingN(i).getCoordinates
+        if (Orientation.isCCW(h)) h else h.reverse // spec: hole CCW
+      }
+      shell +: holes
+    }
+
+  private def partsContent(shapeType: Int, parts: Seq[Array[Coordinate]]): Array[Byte] = {
+    val numPoints = parts.map(_.length).sum
+    val env = new Envelope()
+    parts.foreach(_.foreach(c => env.expandToInclude(c)))
+    val bb = ByteBuffer.allocate(44 + 4 * parts.length + 16 * numPoints)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(shapeType)
+    bb.putDouble(env.getMinX).putDouble(env.getMinY)
+      .putDouble(env.getMaxX).putDouble(env.getMaxY)
+    bb.putInt(parts.length).putInt(numPoints)
+    var s = 0
+    parts.foreach { p => bb.putInt(s); s += p.length }
+    parts.foreach(_.foreach(c => { bb.putDouble(c.x); bb.putDouble(c.y) }))
+    bb.array()
+  }
+
+  /** Assemble a complete .shp main file from geometries (header with
+    * file length + envelope, then numbered records).
+    */
+  def buildShp(geoms: Seq[Geometry]): Array[Byte] = {
+    val contents = geoms.map(recordContent)
+    val total = 100 + contents.map(_.length + 8).sum
+    val bb = ByteBuffer.allocate(total)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994)
+    bb.putInt(24, total / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000)
+    bb.putInt(32, geoms.find(_ != null).map {
+      case _: Point => 1
+      case g if g.isInstanceOf[LineString] || g.isInstanceOf[MultiLineString] => 3
+      case _ => 5
+    }.getOrElse(0))
+    val env = new Envelope()
+    geoms.filter(_ != null).foreach(g => env.expandToInclude(g.getEnvelopeInternal))
+    bb.putDouble(36, env.getMinX); bb.putDouble(44, env.getMinY)
+    bb.putDouble(52, env.getMaxX); bb.putDouble(60, env.getMaxY)
+    var off = 100
+    contents.zipWithIndex.foreach { case (c, i) =>
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(off, i + 1)
+      bb.putInt(off + 4, c.length / 2)
+      System.arraycopy(c, 0, bb.array(), off + 8, c.length)
+      off += 8 + c.length
+    }
+    bb.array()
+  }
+
+  /** Distributed sink: one .shp part file per non-empty partition,
+    * written through the Hadoop filesystem API (so the same code path
+    * works against HDFS/object stores on a real cluster).
+    */
+  def writeShapes(df: DataFrame, wkbCol: String, dir: String): Unit =
+    df.select(col(wkbCol)).foreachPartition { (it: Iterator[Row]) =>
+      val geoms = it.map(r => Option(r.getAs[Array[Byte]](0)).map(Geom.readWkb).orNull).toVector
+      if (geoms.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.shp")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path, true)
+        try out.write(buildShp(geoms)) finally out.close()
+      }
     }
 }

@@ -93,6 +93,26 @@ class ShapefileSpec extends SparkSpec {
     assert(Shapefile.parse("t", Array.empty[Byte]).isEmpty)
   }
 
+  test("writeShapes sink round-trips through readShapes, normalizing ring orientation") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    def ring(pts: (Double, Double)*) =
+      gf.createLinearRing(pts.map { case (x, y) => new Coordinate(x, y) }.toArray)
+    // shell CCW and hole CW — both the WRONG orientation for the spec, so
+    // the writer must flip them or the parser misclassifies shell/hole
+    val withHole = gf.createPolygon(
+      ring((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)),
+      Array(ring((1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0))))
+    val square = gf.createPolygon(ring((10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0), (10.0, 0.0)))
+    import spark.implicits._
+    val df = Seq(Geom.writeWkb(withHole), Geom.writeWkb(square)).toDF("geometry")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp-sink").toString + "/out"
+    Shapefile.writeShapes(df, "geometry", dir)
+    val back = Shapefile.readShapes(spark, dir + "/*.shp")
+      .collect().map(r => Geom.area(r.getAs[Array[Byte]]("geometry"))).sorted
+    assert(back.toSeq === Seq(4.0, 12.0)) // 2×2 square, and 4×4 shell minus 2×2 hole
+  }
+
   test("readShapes: Spark binaryFile path end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shp")
     java.nio.file.Files.write(dir.resolve("golden.shp"),
