@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Geom
-import graft.operators.Raster
+import graft.operators.{Contiguity, Raster}
 import graft.sources.EsriAsciiGrid
 
 /** Reference-shaped query surface (SURVEY.md §2.1): every operator of
@@ -601,6 +601,72 @@ object QueriesCore {
     java.nio.file.Files.writeString(dir.resolve("grid_b.asc"), GridB)
     dir.toString
   }
+
+  // ---- O-16 exact half: connected-component labeling of a sparse
+  // synthetic raster (arcpy RasterToPolygon region semantics,
+  // species_range_etl.py:127). ~480 regions per species at sf0.01 — the
+  // near-percolation sparse regime where contiguity labeling is
+  // non-trivial. Oracle: recursive-CTE reachability + min-label in
+  // DuckDB; engine: run-compression + large-star/small-star CC
+  // (operators/Contiguity.scala). Labels densified per species by the
+  // component's top-left cell id, identical on both sides. ----
+  def qConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_returnflag").as("species"),
+        (col("l_orderkey") % 64).cast("int").as("r"),
+        (col("l_partkey") % 64).cast("int").as("c"))
+      .distinct()
+    Contiguity.labelCells(cells, Seq("species"), "r", "c")
+      .withColumn("comp_id", dense_rank()
+        .over(Window.partitionBy(col("species")).orderBy(col("comp"))).cast("long"))
+      .select(col("species"), col("r"), col("c"), col("comp_id"))
+  }
+
+  val oConnectedComponents =
+    """WITH RECURSIVE
+      |cells AS (SELECT DISTINCT l_returnflag AS species, CAST(l_orderkey % 64 AS INT) AS r,
+      |            CAST(l_partkey % 64 AS INT) AS c
+      |          FROM lineitem WHERE l_quantity >= 49),
+      |nodes AS (SELECT species, r, c, r * 4294967296 + c AS id FROM cells),
+      |edges AS (
+      |  SELECT a.species, a.id AS u, b.id AS v FROM nodes a JOIN nodes b
+      |  ON a.species = b.species AND ((b.r = a.r AND b.c = a.c + 1) OR (b.r = a.r + 1 AND b.c = a.c))),
+      |sym AS (SELECT species, u, v FROM edges UNION SELECT species, v, u FROM edges),
+      |reach(species, id, rid) AS (
+      |  SELECT species, id, id FROM nodes
+      |  UNION
+      |  SELECT s.species, s.u, r.rid FROM sym s JOIN reach r ON r.species = s.species AND r.id = s.v),
+      |comp AS (SELECT species, id, min(rid) AS comp FROM reach GROUP BY 1, 2),
+      |dense AS (SELECT species, id, dense_rank() OVER (PARTITION BY species ORDER BY comp) AS comp_id FROM comp)
+      |SELECT n.species, n.r, n.c, CAST(d.comp_id AS BIGINT) AS comp_id
+      |FROM nodes n JOIN dense d ON n.species = d.species AND n.id = d.id""".stripMargin
+
+  // ---- the exact-contiguity flagship: per-REGION speciesdata rows
+  // (arcpy gridcode semantics) on the golden grids; region structure and
+  // areas are hand-derivable from the fixture probabilities. ----
+  def qSpeciesdataExact(s: SparkSession, dir: String): DataFrame = {
+    val gdir = fixtureGridDir()
+    operators.SpeciesPipeline.speciesDataExact(s, s"$gdir/*.asc")
+      .select(col("sid"), col("species"), col("species_id"), col("threshold"),
+        col("source"), col("scenario"), col("year"), col("srid"), col("area"))
+  }
+
+  val oSpeciesdataExact =
+    """SELECT CAST(sid AS INT) AS sid, species, CAST(species_id AS INT) AS species_id,
+      |  threshold, source, scenario, year, CAST(srid AS INT) AS srid,
+      |  CAST(area AS DOUBLE) AS area
+      |FROM (VALUES
+      |  (1, 'grid_a', 1, '25', 'vtech', 'current', '2020', 4326, 2.0),
+      |  (2, 'grid_a', 1, '50', 'vtech', 'current', '2020', 4326, 1.0),
+      |  (3, 'grid_a', 2, '50', 'vtech', 'current', '2020', 4326, 0.25),
+      |  (4, 'grid_a', 1, '75', 'vtech', 'current', '2020', 4326, 0.25),
+      |  (5, 'grid_a', 2, '75', 'vtech', 'current', '2020', 4326, 0.25),
+      |  (6, 'grid_a', 3, '75', 'vtech', 'current', '2020', 4326, 0.25),
+      |  (7, 'grid_b', 1, '25', 'vtech', 'current', '2020', 4326, 3.0),
+      |  (8, 'grid_b', 1, '50', 'vtech', 'current', '2020', 4326, 2.0),
+      |  (9, 'grid_b', 1, '75', 'vtech', 'current', '2020', 4326, 1.0)
+      |) t(sid, species, species_id, threshold, source, scenario, year, srid, area)""".stripMargin
 
   // ---- O-5 + O-22: shapefile sink -> scan round trip on golden
   // geometries (species_range_etl.py:199,235). The fixture .shp is BUILT

@@ -68,7 +68,9 @@ object SparkEntry {
     "q_geo_union_wkb"        -> (QueriesCore.qGeoUnionWkb _),
     "q_raster_cells"         -> (QueriesCore.qRasterCells _),
     "q_shapefile_scan"       -> (QueriesCore.qShapefileScan _),
+    "q_connected_components" -> (QueriesCore.qConnectedComponents _),
     "q_speciesdata"          -> (QueriesCore.qSpeciesdata _),
+    "q_speciesdata_exact"    -> (QueriesCore.qSpeciesdataExact _),
     // LLM-pipeline extensions (QueriesExt)
     "q_dedup_exact"          -> (QueriesExt.qDedupExact _),
     "q_dedup_minhash"        -> (QueriesExt.qDedupMinhash _),
@@ -125,7 +127,9 @@ object SparkEntry {
     "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
     "q_raster_cells"         -> QueriesCore.oRasterCells,
     "q_shapefile_scan"       -> QueriesCore.oShapefileScan,
+    "q_connected_components" -> QueriesCore.oConnectedComponents,
     "q_speciesdata"          -> QueriesCore.oSpeciesdata,
+    "q_speciesdata_exact"    -> QueriesCore.oSpeciesdataExact,
     "q_dedup_exact"          -> QueriesExt.oDedupExact,
     "q_dedup_minhash"        -> QueriesExt.oDedupMinhash,
     "q_dedup_simhash"        -> QueriesExt.oDedupSimhash,

@@ -61,4 +61,42 @@ object SpeciesPipeline {
       .select("sid", "species", "geometry", "species_id", "threshold",
         "source", "scenario", "year", "srid", "area")
   }
+
+  /** Exact-contiguity variant (r4): reproduces arcpy RasterToPolygon's
+    * REGION semantics (species_range_etl.py:127) — each 4-connected cell
+    * region becomes its own row with its own `species_id` (arcpy's
+    * per-file gridcode), instead of one dissolved row per
+    * (species, threshold). Region labeling is the distributed
+    * large-star/small-star pass in [[Contiguity]]; everything else is the
+    * same declarative dissolve, now keyed by (species, threshold, region).
+    */
+  def speciesDataExact(spark: SparkSession, gridGlob: String,
+                       thresholds: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val cells = EsriAsciiGrid.readCells(spark, gridGlob)
+      .withColumn("species", regexp_extract(col("path"), "([A-Za-z0-9_-]+)\\.[A-Za-z]+$", 1))
+    val thresholded = Raster
+      .thresholdExplode(cells, "prob", thresholds)
+      .withColumn("threshold", (col("threshold") * 100).cast("int").cast("string"))
+    val labeled = Contiguity.labelCells(thresholded, Seq("species", "threshold"), "row", "col")
+    val dissolved = thresholded
+      .join(labeled, Seq("species", "threshold", "row", "col"))
+      .withColumn("cell_geom", Geom.stCellRectFrom(col("row"), col("col"),
+        col("xll"), col("yll"), col("cellsize"), col("nrows")))
+      .groupBy(col("species"), col("threshold"), col("comp"))
+      .agg(Geom.stUnionAgg(col("cell_geom")).as("geometry"))
+      .withColumn("area", Geom.stArea(col("geometry")))
+    dissolved
+      // arcpy Id / gridcode: region number within each
+      // species×threshold output file (species_range_etl.py:210)
+      .withColumn("species_id", dense_rank().over(
+        Window.partitionBy(col("species"), col("threshold")).orderBy(col("comp"))))
+      .withColumn("source", lit("vtech"))
+      .withColumn("scenario", lit("current"))
+      .withColumn("year", lit("2020"))
+      .withColumn("srid", lit(4326))
+      .withColumn("sid", row_number().over(
+        Window.orderBy(col("species"), col("threshold"), col("species_id"))))
+      .select("sid", "species", "geometry", "species_id", "threshold",
+        "source", "scenario", "year", "srid", "area")
+  }
 }
