@@ -103,13 +103,17 @@ object Contiguity {
   def connectedComponents(edges: DataFrame, nodes: DataFrame, keys: Seq[String],
                           maxIter: Int = 50): DataFrame = {
     var e = edges.select(keys.map(col) :+ col("a") :+ col("b"): _*).localCheckpoint()
+    var eCount = e.count()
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
       val next = star(star(e, keys, large = true), keys, large = false).localCheckpoint()
-      // fixpoint: edge sets equal (both differences empty)
-      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // fixpoint: both sides are distinct sets, so equal counts + next ⊆ e
+      // ⟺ equal sets — one count plus at most one subset probe per round
+      val nCount = next.count()
+      stable = nCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nCount
       i += 1
     }
     require(stable, s"connectedComponents did not converge in $maxIter rounds")
