@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sessions, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sessions, Similarity, Temporal, TextAnalysis, TrainPrep}
 
 /** North-star extension queries: dedup / similarity / text analysis /
   * sessionization / multimodal over documents, embeddings, events.
@@ -420,6 +420,45 @@ object QueriesExt {
   val oJsonExtract =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
       |  event_type FROM events""".stripMargin
+
+  // ---- deterministic train/val/test split: content-addressed (md5 of
+  //      doc_id mod 100), so a document's split never changes as the
+  //      corpus grows — no RNG, no row-order dependence, no shuffle ----
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.deterministicSplit(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+
+  val oTrainSplit =
+    s"""SELECT doc_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${H32.format("CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |      FROM documents)""".stripMargin
+
+  // ---- GPT-style sequence packing (concat-and-chunk): shard by id hash
+  //      (the global concatenation order would be a single-partition
+  //      sort), then a per-shard window cumsum assigns each doc the bin
+  //      where its first token lands ----
+  def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.packSequences(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id",
+      tokenCount = size(graft.functions.Portable.tokens(col("text"))).cast("long"),
+      capacity = 512, shards = 4)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"), col("offset"))
+
+  val oSeqPack =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${H32.format("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens, tokens_before // 512 AS bin,
+       |  tokens_before % 512 AS offset
+       |FROM c""".stripMargin
 
   // ---- multimodal metadata (payload synthesized deterministically from
   //      text; decode stage itself is stubbed per Multimodal.decodeStub) ----

@@ -92,6 +92,8 @@ object SparkEntry {
     "q_json_extract"         -> (QueriesExt.qJsonExtract _),
     "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
     "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
+    "q_train_split"          -> (QueriesExt.qTrainSplit _),
+    "q_seq_pack"             -> (QueriesExt.qSeqPack _),
   )
 
   /** DuckDB-equivalent SQL per hash-checked query (column names aligned). */
@@ -150,5 +152,7 @@ object SparkEntry {
     "q_json_extract"         -> QueriesExt.oJsonExtract,
     "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,
     "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
+    "q_train_split"          -> QueriesExt.oTrainSplit,
+    "q_seq_pack"             -> QueriesExt.oSeqPack,
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Training-corpus preparation operators — the two assignment steps every
+  * LLM data pipeline runs after filtering/dedup: reproducible splitting
+  * and sequence packing.
+  *
+  * Both are DESIGNED deterministic: no RNG, no dependence on row order,
+  * partition count, or cluster size — re-running on a different cluster
+  * yields byte-identical assignments, which is what makes dataset
+  * versioning and incremental rebuilds possible at 100 TB.
+  */
+object TrainPrep {
+
+  /** Deterministic hash split: the portable md5 hash of the id column,
+    * mod 100, cut at cumulative percentages. A document's split NEVER
+    * changes as the corpus grows (content-addressed, not position-based)
+    * — the property that keeps eval sets stable across dataset versions.
+    * Pure per-row scalar: no shuffle, stays in whole-stage codegen.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Int)] = Seq(("train", 80), ("val", 10), ("test", 10))): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val bucket = Portable.hash32(col(idCol)) % 100
+    val cuts = splits.scanLeft(("", 0)) { case ((_, acc), (n, p)) => (n, acc + p) }.tail
+    val assign = cuts.tail.foldLeft(when(bucket < cuts.head._2, cuts.head._1)) {
+      case (c, (n, hi)) => c.when(bucket < hi, n)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** GPT-style sequence packing (concat-and-chunk): documents are laid
+    * out in a fixed deterministic order and cut into fixed-capacity token
+    * bins; each document is assigned the bin where its first token lands
+    * (`bin = tokens_before DIV capacity`), with `offset` its position in
+    * that bin.
+    *
+    * Scale shape: a GLOBAL concatenation order would be a single-partition
+    * sort, so the corpus is first sharded by a deterministic id hash and
+    * packed independently per shard — one hash exchange, then a
+    * per-shard window cumsum. Shards are the unit of parallelism for the
+    * downstream writer (one output stream per shard).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
+                    capacity: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs
+      .withColumn("shard", Portable.hash32(col(idCol)) % shards)
+      .withColumn("n_tokens", tokenCount)
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"tokens_before DIV $capacity"))
+      .withColumn("offset", col("tokens_before") % capacity)
+      .drop("tokens_before")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.TrainPrep
+import org.apache.spark.sql.functions._
+
+/** Invariants of the training-prep operators: determinism (the property
+  * that makes dataset versioning possible), capacity accounting, and
+  * stability of split membership under corpus growth.
+  */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, ("tok " * (i % 40 + 1)).trim)).toDF("doc_id", "text")
+
+  test("split is exhaustive, deterministic, and roughly proportional") {
+    val d = TrainPrep.deterministicSplit(docs(2000), "doc_id")
+    val counts = d.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000)
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~80%
+    // deterministic: recompute equals itself
+    val again = TrainPrep.deterministicSplit(docs(2000), "doc_id")
+    assert(d.exceptAll(again).isEmpty)
+  }
+
+  test("a document's split never changes when the corpus grows") {
+    val small = TrainPrep.deterministicSplit(docs(100), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val big = TrainPrep.deterministicSplit(docs(2000), "doc_id")
+      .filter($"doc_id" <= 100).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(small === big) // content-addressed, not position-based
+  }
+
+  test("packing: offset is in range and bins advance with the cumsum") {
+    val packed = TrainPrep.packSequences(docs(500), "doc_id",
+      size(split($"text", " ")).cast("long"), capacity = 64, shards = 4)
+    assert(packed.filter($"offset" < 0 || $"offset" >= 64).count() === 0)
+    // within a shard, ordering by doc_id, bins are non-decreasing and the
+    // bin of each doc equals (tokens before it) DIV capacity
+    val rows = packed.orderBy("shard", "doc_id")
+      .select("shard", "doc_id", "n_tokens", "bin", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).foreach { case (_, _, n, bin, off) =>
+        assert(bin === cum / 64)
+        assert(off === cum % 64)
+        cum += n
+      }
+    }
+  }
+
+  test("every document lands in exactly one shard/bin") {
+    val packed = TrainPrep.packSequences(docs(300), "doc_id",
+      size(split($"text", " ")).cast("long"), capacity = 128, shards = 2)
+    assert(packed.count() === 300)
+    assert(packed.select("doc_id").distinct().count() === 300)
+    assert(packed.select("shard").distinct().count() === 2)
+  }
+}
