@@ -460,6 +460,63 @@ object QueriesExt {
        |  tokens_before % 512 AS offset
        |FROM c""".stripMargin
 
+  // ---- the LLM-corpus pipeline END TO END: quality filter -> exact
+  //      dedup -> deterministic split -> sequence packing, composed from
+  //      the individual operators exactly as a user would chain them.
+  //      Duplicates are synthesized (every 5th doc re-id'd +10000) so the
+  //      dedup stage provably removes rows; the whole chain is one
+  //      declarative plan and the oracle replays it as a CTE chain. ----
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val quality = TextAnalysis.qualityScore(corpus)
+    val kept = corpus.join(
+      quality.filter(col("quality") >= 0.5).select("doc_id"), Seq("doc_id"))
+    val keepIds = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keepIds, Seq("doc_id"), "left_semi")
+    val train = TrainPrep.deterministicSplit(deduped, "doc_id")
+      .filter(col("split") === "train")
+    TrainPrep.packSequences(train, "doc_id",
+      tokenCount = size(Portable.tokens(col("text"))).cast("long"),
+      capacity = 512, shards = 4)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"), col("offset"))
+  }
+
+  val oCorpusPipeline =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |t AS (SELECT doc_id, text, length(text) AS n_chars2,
+       |        string_split(text, ' ') AS toks FROM corpus),
+       |st AS (SELECT doc_id, text, n_chars2, len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  len(list_filter(toks,
+       |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+       |  FROM t),
+       |kept AS (SELECT doc_id, text FROM st
+       |  WHERE (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+       |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+       |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) >= 0.5),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |ded AS (SELECT k.doc_id, k.text FROM kept k
+       |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+       |train AS (SELECT doc_id, text FROM ded
+       |  WHERE ${H32.format("CAST(doc_id AS VARCHAR)")} % 100 < 80),
+       |d AS (SELECT doc_id, ${H32.format("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM train),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens, tokens_before // 512 AS bin,
+       |  tokens_before % 512 AS offset
+       |FROM c""".stripMargin
+
   // ---- multimodal metadata (payload synthesized deterministically from
   //      text; decode stage itself is stubbed per Multimodal.decodeStub) ----
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =

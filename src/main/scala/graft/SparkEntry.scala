@@ -94,6 +94,7 @@ object SparkEntry {
     "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
     "q_train_split"          -> (QueriesExt.qTrainSplit _),
     "q_seq_pack"             -> (QueriesExt.qSeqPack _),
+    "q_corpus_pipeline"      -> (QueriesExt.qCorpusPipeline _),
   )
 
   /** DuckDB-equivalent SQL per hash-checked query (column names aligned). */
@@ -154,5 +155,6 @@ object SparkEntry {
     "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
     "q_train_split"          -> QueriesExt.oTrainSplit,
     "q_seq_pack"             -> QueriesExt.oSeqPack,
+    "q_corpus_pipeline"      -> QueriesExt.oCorpusPipeline,
   )
 }

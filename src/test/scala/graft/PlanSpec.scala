@@ -96,4 +96,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_ann_ivf")
     assert(!p.contains("Window"), "argmax should be a max_by hash agg, not a window sort")
   }
+
+  test("corpus pipeline composes without cartesians or global sorts") {
+    val p = plan("q_corpus_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"), "pipeline must not funnel through one task")
+  }
 }
