@@ -713,6 +713,50 @@ object QueriesCore {
       .select(col("gname"), col("row"), col("col"), col("lon"), col("lat"), col("prob"))
   }
 
+  // ---- O-3 complete: grids read DIRECTLY from a zip archive — member
+  // selection, prefix routing, and corrupt tolerance in-engine
+  // (species_range_etl.py:155-173); same golden cells as q_raster_cells,
+  // plus a non-grid member and a corrupt member that must be skipped ----
+  def fixtureZipDir(): String = {
+    val dir = java.nio.file.Paths.get("/root/repo/.grid-fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("grids_current.zip")))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    put("grids_a.asc", GridA)          // starts with species "grids" -> top-level route
+    put("sub/grid_b.asc", GridB)       // nested route ascii/grids/sub/grid_b.asc
+    put("readme.md", "not a grid")     // filtered by extension
+    put("broken.asc", "ncols nonsense\n1 2 3\n") // corrupt member: skipped, counted
+    zos.close()
+    dir.toString
+  }
+
+  def qZipGridCells(s: SparkSession, dir: String): DataFrame = {
+    val gdir = fixtureZipDir()
+    EsriAsciiGrid.readCellsFromZips(s, s"$gdir/grids_current.zip")
+      .withColumn("gname", regexp_extract(col("path"), "([a-z_]+)\\.asc$", 1))
+      .select(col("gname"), col("row"), col("col"), col("lon"), col("lat"), col("prob"))
+  }
+
+  val oZipGridCells =
+    """SELECT gname, CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+      |  CAST(lon AS DOUBLE) AS lon, CAST(lat AS DOUBLE) AS lat,
+      |  CAST(prob AS DOUBLE) AS prob
+      |FROM (VALUES
+      |  ('grids_a', 0, 0, -79.75, 36.25, 0.1), ('grids_a', 0, 1, -79.25, 36.25, 0.3),
+      |  ('grids_a', 0, 2, -78.75, 36.25, 0.6), ('grids_a', 0, 3, -78.25, 36.25, 0.9),
+      |  ('grids_a', 1, 0, -79.75, 35.75, 0.0), ('grids_a', 1, 1, -79.25, 35.75, 0.5),
+      |  ('grids_a', 1, 2, -78.75, 35.75, 0.75), ('grids_a', 1, 3, -78.25, 35.75, NULL),
+      |  ('grids_a', 2, 0, -79.75, 35.25, 0.2), ('grids_a', 2, 1, -79.25, 35.25, 0.25),
+      |  ('grids_a', 2, 2, -78.75, 35.25, 0.4), ('grids_a', 2, 3, -78.25, 35.25, 0.8),
+      |  ('grid_b', 0, 0, 10.5, 21.5, 1.0), ('grid_b', 0, 1, 11.5, 21.5, NULL),
+      |  ('grid_b', 1, 0, 10.5, 20.5, 0.5), ('grid_b', 1, 1, 11.5, 20.5, 0.25)
+      |) t(gname, row, col, lon, lat, prob)""".stripMargin
+
   // ---- the WHOLE reference pipeline end-to-end on golden grids:
   // .asc -> cells -> threshold ×3 -> dissolve -> enrich -> speciesdata.
   // Areas are exact cell-count multiples (binary-friendly cellsizes), so

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_geo_cell_area"        -> (QueriesCore.qGeoCellArea _),
     "q_geo_union_wkb"        -> (QueriesCore.qGeoUnionWkb _),
     "q_raster_cells"         -> (QueriesCore.qRasterCells _),
+    "q_zip_grid_cells"       -> (QueriesCore.qZipGridCells _),
     "q_shapefile_scan"       -> (QueriesCore.qShapefileScan _),
     "q_connected_components" -> (QueriesCore.qConnectedComponents _),
     "q_speciesdata"          -> (QueriesCore.qSpeciesdata _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_geo_dissolve"         -> QueriesCore.oGeoDissolve,
     "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
     "q_raster_cells"         -> QueriesCore.oRasterCells,
+    "q_zip_grid_cells"       -> QueriesCore.oZipGridCells,
     "q_shapefile_scan"       -> QueriesCore.oShapefileScan,
     "q_connected_components" -> QueriesCore.oConnectedComponents,
     "q_speciesdata"          -> QueriesCore.oSpeciesdata,

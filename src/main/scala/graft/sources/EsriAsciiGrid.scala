@@ -113,4 +113,57 @@ object EsriAsciiGrid {
       }
     }.toDF("path", "row", "col", "lon", "lat", "cellsize", "xll", "yll", "nrows", "prob")
   }
+
+  /** O-3 complete — read grids DIRECTLY from zip archives
+    * (species_range_etl.py:155-173): one task per archive via
+    * `binaryFile`, members selected by extension, member paths normalized
+    * by the same prefix-routing rule the reference applies on extraction
+    * (member starts with the species name ⇒ top level, else nested under
+    * the species — graft.operators.Raster.zipMemberRoute's Scala twin).
+    * The extract-to-disk step disappears: members stream straight into
+    * the grid parser. Corrupt ARCHIVES and corrupt MEMBERS are both
+    * skipped and counted (BadZipFile tolerance, species_range_etl.py:170-171).
+    *
+    * Output schema matches [[readCells]] with `path` =
+    * `archive.zip!normalized/member.asc`.
+    */
+  def readCellsFromZips(spark: SparkSession, zipGlob: String,
+                        corruptInputs: Option[LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val speciesOf = (zipPath: String) =>
+      zipPath.split('/').last.stripSuffix(".zip").split('_').head
+    spark.read.format("binaryFile").load(zipGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (zipPath, bytes) =>
+        val species = speciesOf(zipPath)
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (String, Int, Int, Double, Double, Double, Double, Double, Int, Option[Double])]
+        try {
+          val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+          var entry = zin.getNextEntry
+          while (entry != null) {
+            val name = entry.getName
+            if (!entry.isDirectory && (name.endsWith(".asc") || name.endsWith(".txt"))) {
+              // the reference's extraction routing (species_range_etl.py:163-169)
+              val routed = if (name.startsWith(species)) s"ascii/$name"
+                           else s"ascii/$species/$name"
+              try {
+                val content = new String(zin.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                val (h, cells) = parse(content)
+                cells.foreach(c => out += ((s"$zipPath!$routed", c.row, c.col, c.lon,
+                  c.lat, h.cellsize, h.xllcorner, h.yllcorner, h.nrows, c.prob)))
+              } catch {
+                case _: Exception => corruptInputs.foreach(_.add(1)) // bad member
+              }
+            }
+            entry = zin.getNextEntry
+          }
+        } catch {
+          case _: Exception => corruptInputs.foreach(_.add(1)) // bad archive
+        }
+        out.iterator
+      }.toDF("path", "row", "col", "lon", "lat", "cellsize", "xll", "yll", "nrows", "prob")
+  }
 }
