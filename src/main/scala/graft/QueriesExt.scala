@@ -460,6 +460,32 @@ object QueriesExt {
        |  tokens_before % 512 AS offset
        |FROM c""".stripMargin
 
+  // ---- stratified deterministic sampling: per-language keep rates for
+  //      corpus rebalancing, content-addressed (kept docs stay kept as
+  //      the corpus grows), no RNG, no shuffle ----
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.stratifiedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      strataCol = "lang", idCol = "doc_id",
+      rates = Map("en" -> 0.5, "de" -> 0.25))
+
+  val oStratifiedSample =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${H32.format("'7#' || CAST(doc_id AS VARCHAR)")} % 1000
+       |  < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 1000 END""".stripMargin
+
+  // ---- vocabulary build: top-K tokens by corpus frequency, rank ties
+  //      broken by token so the order is partitioning-independent; the
+  //      rank window runs over the dictionary-sized aggregate ----
+  def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(t(s, dir, "documents"), topK = 50)
+
+  val oVocab =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1)
+      |SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      |FROM c QUALIFY rank <= 50""".stripMargin
+
   // ---- the LLM-corpus pipeline END TO END: quality filter -> exact
   //      dedup -> deterministic split -> sequence packing, composed from
   //      the individual operators exactly as a user would chain them.

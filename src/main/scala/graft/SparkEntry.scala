@@ -96,6 +96,8 @@ object SparkEntry {
     "q_train_split"          -> (QueriesExt.qTrainSplit _),
     "q_seq_pack"             -> (QueriesExt.qSeqPack _),
     "q_corpus_pipeline"      -> (QueriesExt.qCorpusPipeline _),
+    "q_stratified_sample"    -> (QueriesExt.qStratifiedSample _),
+    "q_vocab"                -> (QueriesExt.qVocab _),
   )
 
   /** DuckDB-equivalent SQL per hash-checked query (column names aligned). */
@@ -158,5 +160,7 @@ object SparkEntry {
     "q_train_split"          -> QueriesExt.oTrainSplit,
     "q_seq_pack"             -> QueriesExt.oSeqPack,
     "q_corpus_pipeline"      -> QueriesExt.oCorpusPipeline,
+    "q_stratified_sample"    -> QueriesExt.oStratifiedSample,
+    "q_vocab"                -> QueriesExt.oVocab,
   )
 }

@@ -124,6 +124,24 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Vocabulary build: top-K tokens by corpus frequency with a
+    * deterministic total order (count desc, then token asc — rank ties
+    * must not depend on partitioning). Shape: explode -> partial+final
+    * count agg -> ONE top-K selection; at 100 TB the agg output is
+    * dictionary-sized (≤ distinct tokens), so the final rank window runs
+    * over the small aggregated side, never the corpus.
+    */
+  def vocabulary(docs: DataFrame, topK: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(Portable.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Token counting with the BPE-ish regex + a rolling polynomial document
     * fingerprint over portable 32-bit token hashes (order-sensitive — beats
     * a bag-of-words hash for detecting reordered near-copies).

@@ -33,6 +33,23 @@ object TrainPrep {
     df.withColumn("split", assign)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g.
+    * downsample an over-represented language), decided by the portable id
+    * hash mod 1000 against the stratum's rate — content-addressed like
+    * [[deterministicSplit]], so the sample is reproducible and a kept
+    * document stays kept when the corpus grows. Strata absent from
+    * `rates` default to `defaultRate`. Per-row scalar: no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
+    val bucket = Portable.hash32(col(idCol), seed = 7) % 1000
+    val cut = rates.foldLeft(lit((defaultRate * 1000).toInt)) { case (c, (k, r)) =>
+      when(col(strataCol) === k, lit((r * 1000).toInt)).otherwise(c)
+    }
+    df.filter(bucket < cut)
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are laid
     * out in a fixed deterministic order and cut into fixed-capacity token
     * bins; each document is assigned the bin where its first token lands

@@ -52,6 +52,19 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: rates honored per stratum, kept set stable under growth") {
+    val d = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = TrainPrep.stratifiedSample(d, "lang", "doc_id", Map("en" -> 0.25))
+    val counts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("fr") === 2000) // default rate 1.0 keeps everything
+    assert(counts("en") > 350 && counts("en") < 650) // ~25% of 2000
+    // content-addressed: the kept subset of a prefix equals the prefix of the kept set
+    val keptSmall = TrainPrep.stratifiedSample(
+      d.filter($"doc_id" <= 1000), "lang", "doc_id", Map("en" -> 0.25))
+    assert(keptSmall.exceptAll(kept.filter($"doc_id" <= 1000)).isEmpty)
+  }
+
   test("every document lands in exactly one shard/bin") {
     val packed = TrainPrep.packSequences(docs(300), "doc_id",
       size(split($"text", " ")).cast("long"), capacity = 128, shards = 2)
