@@ -78,9 +78,11 @@ object Contiguity {
     * wide row.
     */
   private def star(edges: DataFrame, gCols: Seq[String], large: Boolean): DataFrame = {
+    // no distinct on the symmetrized set: duplicates cannot change the
+    // min and at most double the join fan-out, which the output distinct
+    // absorbs — cheaper than a full extra shuffle of the edge set
     val sym = edges.select(gCols.map(col) :+ col("a") :+ col("b"): _*)
       .union(edges.select(gCols.map(col) :+ col("b").as("a") :+ col("a").as("b"): _*))
-      .distinct()
     val mins = sym.groupBy(gCols.map(col) :+ col("a"): _*)
       .agg(least(min(col("b")), first(col("a"))).as("m"))
     val joined = sym.join(mins, gCols :+ "a")
