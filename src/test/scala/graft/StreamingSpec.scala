@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming grid ingest updates per-(species, threshold) range areas") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, Int, Double, Double)]
+    val q = graft.streaming.GridStream.runningRangeArea(
+        input.toDF().toDF("species", "row", "col", "prob", "cellsize"),
+        thresholds = Seq(0.25, 0.75))
+      .writeStream.format("memory").queryName("grid_s")
+      .outputMode("complete").start()
+    try {
+      input.addData(("oakx", 0, 0, 0.9, 0.5), ("oakx", 0, 1, 0.3, 0.5))
+      q.processAllAvailable()
+      def areas() = spark.table("grid_s")
+        .select("species", "threshold", "n_cells", "area")
+        .as[(String, Double, Long, Double)].collect().toSet
+      assert(areas() === Set(("oakx", 0.25, 2L, 0.5), ("oakx", 0.75, 1L, 0.25)))
+      // a new grid batch arrives: counts and areas advance incrementally
+      input.addData(("oakx", 1, 0, 0.8, 0.5), ("pinex", 0, 0, 1.0, 1.0))
+      q.processAllAvailable()
+      assert(areas() === Set(
+        ("oakx", 0.25, 3L, 0.75), ("oakx", 0.75, 2L, 0.5),
+        ("pinex", 0.25, 1L, 1.0), ("pinex", 0.75, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits closed sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
