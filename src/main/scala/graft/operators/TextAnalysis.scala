@@ -127,9 +127,10 @@ object TextAnalysis {
   /** Vocabulary build: top-K tokens by corpus frequency with a
     * deterministic total order (count desc, then token asc — rank ties
     * must not depend on partitioning). Shape: explode -> partial+final
-    * count agg -> ONE top-K selection; at 100 TB the agg output is
-    * dictionary-sized (≤ distinct tokens), so the final rank window runs
-    * over the small aggregated side, never the corpus.
+    * count agg -> orderBy().limit(K), which Spark plans as
+    * TakeOrderedAndProject (per-partition top-K + merge of K-row heaps —
+    * NO global sort even over a web-scale dictionary of distinct
+    * tokens); the rank window then runs over just the K selected rows.
     */
   def vocabulary(docs: DataFrame, topK: Int, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -137,9 +138,9 @@ object TextAnalysis {
       .select(explode(Portable.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     counts
+      .orderBy(col("n").desc, col("token")).limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("token"))).cast("long"))
-      .filter(col("rank") <= topK)
   }
 
   /** Token counting with the BPE-ish regex + a rolling polynomial document
