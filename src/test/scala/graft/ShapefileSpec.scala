@@ -52,6 +52,19 @@ class ShapefileSpec extends SparkSpec {
     bb.array()
   }
 
+  private def polylineContent(parts: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val numPoints = parts.map(_.length).sum
+    val bb = ByteBuffer.allocate(4 + 32 + 8 + 4 * parts.length + 16 * numPoints)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(3)
+    (0 until 4).foreach(_ => bb.putDouble(0.0))
+    bb.putInt(parts.length); bb.putInt(numPoints)
+    var s = 0
+    parts.foreach { p => bb.putInt(s); s += p.length }
+    parts.flatten.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+    bb.array()
+  }
+
   // CW = shell, CCW = hole (spec convention)
   private val shellCW = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
   private val holeCCW = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
@@ -70,6 +83,17 @@ class ShapefileSpec extends SparkSpec {
     assert(recs.length === 1)
     assert(Geom.numGeometries(recs.head.geometry) === 2)
     assert(Geom.area(recs.head.geometry) === 16.0 + 4.0)
+  }
+
+  test("polyline record parses single and multi-part lines") {
+    val one = Shapefile.parse("t",
+      shpBytes(Seq(polylineContent(Seq(Seq((0.0, 0.0), (3.0, 4.0))))))).toSeq
+    assert(one.head.shape_type === 3)
+    assert(Geom.readWkb(one.head.geometry).getLength === 5.0)
+    val two = Shapefile.parse("t", shpBytes(Seq(polylineContent(Seq(
+      Seq((0.0, 0.0), (1.0, 0.0)), Seq((0.0, 2.0), (0.0, 5.0))))))).toSeq
+    assert(Geom.numGeometries(two.head.geometry) === 2)
+    assert(Geom.readWkb(two.head.geometry).getLength === 4.0)
   }
 
   test("point record round-trips exactly") {
