@@ -59,6 +59,25 @@ class ContiguitySpec extends SparkSpec {
     assert(lbl === Set(("a", 0L), ("b", 0L)))
   }
 
+  test("JTS union geometry count cross-validates star-contraction components") {
+    // two INDEPENDENT implementations of region semantics must agree:
+    // the JTS union of cell rectangles yields one (Multi)Polygon component
+    // per 4-connected region (corner-touching squares stay separate
+    // polygons in a valid union — diagonal adjacency splits both ways),
+    // and Contiguity labels the same regions by graph contraction.
+    val rnd = new scala.util.Random(42)
+    val randomCells = Seq.fill(90)((rnd.nextInt(12), rnd.nextInt(12))).distinct
+    val trickyCells = Seq((20, 20), (21, 21), (22, 20)) // diagonal chain: 3 regions
+    val cells = (randomCells ++ trickyCells).map { case (r, c) => ("g", r, c) }
+    val nCc = componentsOf(label(cells)).size
+    val geo = graft.operators.Raster.dissolveGeo(
+      cells.toDF("g", "r", "c"), keys = Seq("g"), rowCol = "r", colCol = "c",
+      xll = 0.0, yll = 0.0, cellsize = 0.5, nrows = 32)
+    val nGeoms = geo.select("geometry").collect()
+      .map(r => graft.functions.Geom.numGeometries(r.getAs[Array[Byte]](0))).sum
+    assert(nGeoms === nCc)
+  }
+
   test("two parallel bars joined by a bridge merge into one component") {
     val bars = (0 to 5).flatMap(c => Seq(("g", 0, c), ("g", 2, c)))
     val bridge = Seq(("g", 1, 3))
