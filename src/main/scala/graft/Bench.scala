@@ -1,6 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, struct, sum, to_json, xxhash64}
 object Bench {
+
+  /** Materialize EVERY output column, not just the row count: a bare
+    * `.count()` lets Catalyst prune unused projections — the JTS union in
+    * q_speciesdata and the cosine arithmetic in q_similar_topk are dead
+    * code under a count (grouping keys alone fix the row count), so the
+    * bench priced the shuffles but not the custom-expression work that is
+    * this engine's point. One pass returns (rows, hash-of-all-cells);
+    * map-typed columns (not hashable) go through to_json first.
+    */
+  def materialize(df: DataFrame): Long = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    val row = df.agg(count(lit(1)), sum(xxhash64(struct(cols: _*)))).collect()(0)
+    row.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,7 +41,7 @@ object Bench {
       // a failed query must be VISIBLE in the JSON (rows=-1 + errors entry),
       // never a normal-looking timing (r2: q_speciesdata failed silently)
       val (rows, err) =
-        try (fn(spark, sfDir).count(), None)
+        try (materialize(fn(spark, sfDir)), None)
         catch { case e: Throwable =>
           (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
         }
