@@ -1,25 +1,41 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, struct, sum, to_json, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, coalesce, col, count, lit, struct, to_json, xxhash64}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 object Bench {
+
+  /** xxhash64 rejects MapType wherever it appears in the type tree, not just
+    * at top level (DataType.existsRecursively is private[spark], hence this).
+    */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType      => true
+    case a: ArrayType    => containsMap(a.elementType)
+    case s: StructType   => s.fields.exists(f => containsMap(f.dataType))
+    case _               => false
+  }
 
   /** Materialize EVERY output column, not just the row count: a bare
     * `.count()` lets Catalyst prune unused projections — the JTS union in
     * q_speciesdata and the cosine arithmetic in q_similar_topk are dead
     * code under a count (grouping keys alone fix the row count), so the
     * bench priced the shuffles but not the custom-expression work that is
-    * this engine's point. One pass returns (rows, hash-of-all-cells);
-    * map-typed columns (not hashable) go through to_json first.
+    * this engine's point. One pass returns (rows, xor-of-row-hashes):
+    * bit_xor cannot overflow (sum(xxhash64) throws ARITHMETIC_OVERFLOW
+    * under Spark 4's default ANSI mode — xxhash64 is uniform over the full
+    * 64-bit range) and is row-order-insensitive, so the checksum is stable
+    * across partitionings. Columns containing a MapType ANYWHERE in their
+    * type tree (xxhash64 rejects maps even nested in structs/arrays) go
+    * through to_json first.
     */
-  def materialize(df: DataFrame): Long = {
+  def materialize(df: DataFrame): (Long, Long) = {
     val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
-        case _ => col(f.name)
-      }
+      if (containsMap(f.dataType)) to_json(col(f.name))
+      else col(f.name)
     }
-    val row = df.agg(count(lit(1)), sum(xxhash64(struct(cols: _*)))).collect()(0)
-    row.getLong(0)
+    val row = df
+      .agg(count(lit(1)), coalesce(bit_xor(xxhash64(struct(cols: _*))), lit(0L)))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,21 +56,23 @@ object Bench {
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE in the JSON (rows=-1 + errors entry),
       // never a normal-looking timing (r2: q_speciesdata failed silently)
-      val (rows, err) =
-        try (materialize(fn(spark, sfDir)), None)
+      val (rows, sum, err) =
+        try { val (r, h) = materialize(fn(spark, sfDir)); (r, h, None) }
         catch { case e: Throwable =>
-          (-1L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
+          (-1L, 0L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
         }
-      (name, (System.nanoTime() - t0) / 1e9, rows, err)
+      (name, (System.nanoTime() - t0) / 1e9, rows, sum, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rows = results.map { case (k, _, r, _) => s"\"" + k + "\":" + r }
+    val rows = results.map { case (k, _, r, _, _) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val sums = results.map { case (k, _, _, h, _) => s"\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"checksums":$sums,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
