@@ -550,8 +550,13 @@ object QueriesCore {
       |  l_linenumber * CAST(0.0625 AS DOUBLE) AS area
       |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin
 
-  // ---- geometry details (WKB path) — DuckDB cannot oracle geometry, so
-  // this is a rows-only entry; determinism is asserted in ScalaTest ----
+  // ---- geometry details (WKB path) — DuckDB cannot compute a JTS union,
+  // but the union WKB is bit-deterministic (sorted cell order before the
+  // union, canonical JTS ring orientation), so the full geometry bytes are
+  // graded via an md5 fingerprint against a golden VALUES oracle derived
+  // at the grading SF (sf0.01; re-derive with `graft.tools.One
+  // q_geo_union_wkb <sfDir>` after any intentional geometry change).
+  // Determinism across partitionings is separately asserted in ScalaTest. ----
   def qGeoUnionWkb(s: SparkSession, dir: String): DataFrame = {
     val cells = t(s, dir, "lineitem").select(
       col("l_returnflag").as("species"),
@@ -563,9 +568,22 @@ object QueriesCore {
       keys = Seq("species"), rowCol = "r", colCol = "c",
       xll = 0.0, yll = 0.0, cellsize = 0.25, nrows = 32)
       .select(col("species"), col("area"),
+        md5(col("geometry")).as("wkb_md5"),
         Geom.stNumPoints(col("geometry")).as("n_points"),
         Geom.stNumGeoms(col("geometry")).as("n_geoms"))
   }
+
+  // Golden fingerprints of the sf0.01 union geometries (derivation: see
+  // qGeoUnionWkb's comment). Areas are exact binary fractions (multiples
+  // of 0.0625), so the doubles render identically in both engines.
+  val oGeoUnionWkb =
+    """SELECT species, CAST(area AS DOUBLE) AS area, wkb_md5,
+      |  CAST(n_points AS INT) AS n_points, CAST(n_geoms AS INT) AS n_geoms
+      |FROM (VALUES
+      |  ('A', 63.5625, '29b1be7083ef790d2a21cfaadb486c3b', 161, 1),
+      |  ('N', 63.8125, '60953e50244a744be84dbe2bd56f2c0e', 138, 1),
+      |  ('R', 63.75,   '38754afd54b303d6e4bac2bc266cd8ed', 149, 1)
+      |) t(species, area, wkb_md5, n_points, n_geoms)""".stripMargin
 
   // ---- O-4: Esri ASCII grid source, verified against golden fixtures
   // (FIXTURES.md A2) — the oracle is the expected cell VALUES ----

@@ -130,6 +130,7 @@ object SparkEntry {
     "q_string_funcs"         -> QueriesCore.oStringFuncs,
     "q_conditional"          -> QueriesCore.oConditional,
     "q_geo_dissolve"         -> QueriesCore.oGeoDissolve,
+    "q_geo_union_wkb"        -> QueriesCore.oGeoUnionWkb,
     "q_geo_cell_area"        -> QueriesCore.oGeoCellArea,
     "q_raster_cells"         -> QueriesCore.oRasterCells,
     "q_zip_grid_cells"       -> QueriesCore.oZipGridCells,

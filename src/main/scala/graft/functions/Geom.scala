@@ -94,7 +94,18 @@ object Geom {
     def merge(x: Seq[Array[Byte]], y: Seq[Array[Byte]]): Seq[Array[Byte]] =
       compact(x ++ y)
     def finish(b: Seq[Array[Byte]]): Array[Byte] =
-      if (b.isEmpty) null else writeWkb(unionAll(b))
+      // normalize(): canonical ring orientation / start vertex / component
+      // order. Sorting inputs alone is NOT enough for bit-exact WKB — the
+      // buffer holds pre-compacted sub-unions whose grouping depends on the
+      // partitioning, and JTS's vertex ordering follows the merge order.
+      // The vertex SET is partition-independent (all corners sit on the
+      // bit-exact cell lattice), so canonical ordering ⇒ canonical bytes.
+      if (b.isEmpty) null
+      else {
+        val g = unionAll(b)
+        g.normalize()
+        writeWkb(g)
+      }
     def bufferEncoder: Encoder[Seq[Array[Byte]]] = ExpressionEncoder()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }

@@ -19,6 +19,22 @@ object One {
     val t1 = System.nanoTime()
     val n2 = fn(spark, dir).count()
     println(s"TWO $name rows=$n2 sec=${(System.nanoTime()-t1)/1e9}")
+    // GRAFT_SHOW=1: dump every row with exact value repr — used to derive
+    // golden VALUES oracles for queries DuckDB cannot compute itself.
+    if (sys.env.contains("GRAFT_SHOW")) {
+      val df = fn(spark, dir)
+      println("SCHEMA " + df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      df.collect().foreach { r =>
+        println("ROW " + (0 until r.length).map { i =>
+          r.get(i) match {
+            case null => "NULL"
+            case d: Double => d.toString
+            case s: String => "'" + s + "'"
+            case v => v.toString
+          }
+        }.mkString(", "))
+      }
+    }
     spark.stop()
   }
 }
