@@ -707,6 +707,18 @@ object QueriesCore {
     val point = gf.createPoint(new org.locationtech.jts.geom.Coordinate(3.5, 4.25))
     java.nio.file.Files.write(dir.resolve("golden_shapes.shp"),
       graft.sources.Shapefile.buildShp(Seq(withHole, twoShells, point)))
+    // .dbf attribute sidecar (engine's own dBase writer): the reference's
+    // Id column lives HERE, not in the .shp (species_range_etl.py:210
+    // renames gpd's `Id` to `species_id`) — plus a C field and an N-with-
+    // decimals field so all three dBase render paths round-trip.
+    java.nio.file.Files.write(dir.resolve("golden_shapes.dbf"),
+      graft.sources.Shapefile.buildDbf(
+        Seq(graft.sources.DbfField("Id", 'N', 18, 0),
+            graft.sources.DbfField("label", 'C', 12, 0),
+            graft.sources.DbfField("score", 'N', 18, 6)),
+        Seq(Seq("7", "holed", "0.250000"),
+            Seq("11", "two shells", "1.500000"),
+            Seq("13", "pt", "-2.125000"))))
     dir.toString
   }
 
@@ -723,6 +735,30 @@ object QueriesCore {
       |FROM (VALUES
       |  (1, 5, 10, 15.0), (2, 5, 10, 20.0), (3, 1, 1, 0.0)
       |) t(record, shape_type, n_points, area)""".stripMargin
+
+  // ---- O-5 complete: .dbf attribute table joined to .shp geometry by
+  // record index, with the reference's Id→species_id rename
+  // (species_range_etl.py:210,224-225) — grades the engine's dBase
+  // writer→reader round trip on all three field types (N, C, N-decimal). ----
+  def qShapefileAttrs(s: SparkSession, dir: String): DataFrame = {
+    val gdir = fixtureShpDir()
+    graft.sources.Shapefile.readTable(s, s"$gdir/golden_shapes.shp")
+      .select(col("record"),
+        element_at(col("attrs"), "Id").cast("long").as("species_id"),
+        element_at(col("attrs"), "label").as("label"),
+        element_at(col("attrs"), "score").cast("double").as("score"),
+        col("n_points"), Geom.stArea(col("geometry")).as("area"))
+  }
+
+  val oShapefileAttrs =
+    """SELECT CAST(record AS INT) AS record, CAST(species_id AS BIGINT) AS species_id,
+      |  label, CAST(score AS DOUBLE) AS score,
+      |  CAST(n_points AS INT) AS n_points, CAST(area AS DOUBLE) AS area
+      |FROM (VALUES
+      |  (1, 7,  'holed',      0.25,   10, 15.0),
+      |  (2, 11, 'two shells', 1.5,    10, 20.0),
+      |  (3, 13, 'pt',         -2.125, 1,  0.0)
+      |) t(record, species_id, label, score, n_points, area)""".stripMargin
 
   def qRasterCells(s: SparkSession, dir: String): DataFrame = {
     val gdir = fixtureGridDir()

