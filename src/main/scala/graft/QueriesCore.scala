@@ -665,13 +665,13 @@ object QueriesCore {
   // areas are hand-derivable from the fixture probabilities. ----
   def qSpeciesdataExact(s: SparkSession, dir: String): DataFrame = {
     val gdir = fixtureGridDir()
-    operators.SpeciesPipeline.speciesDataExact(s, s"$gdir/*.asc")
+    operators.SpeciesPipeline.speciesDataExact(s, s"$gdir/*.asc", globalSidOrder = true)
       .select(col("sid"), col("species"), col("species_id"), col("threshold"),
         col("source"), col("scenario"), col("year"), col("srid"), col("area"))
   }
 
   val oSpeciesdataExact =
-    """SELECT CAST(sid AS INT) AS sid, species, CAST(species_id AS INT) AS species_id,
+    """SELECT CAST(sid AS BIGINT) AS sid, species, CAST(species_id AS INT) AS species_id,
       |  threshold, source, scenario, year, CAST(srid AS INT) AS srid,
       |  CAST(area AS DOUBLE) AS area
       |FROM (VALUES
@@ -817,13 +817,13 @@ object QueriesCore {
   // the golden VALUES oracle checks the full chain including JTS union.
   def qSpeciesdata(s: SparkSession, dir: String): DataFrame = {
     val gdir = fixtureGridDir()
-    operators.SpeciesPipeline.speciesData(s, s"$gdir/*.asc")
+    operators.SpeciesPipeline.speciesData(s, s"$gdir/*.asc", globalSidOrder = true)
       .select(col("sid"), col("species"), col("species_id"), col("threshold"),
         col("source"), col("scenario"), col("year"), col("srid"), col("area"))
   }
 
   val oSpeciesdata =
-    """SELECT CAST(sid AS INT) AS sid, species, CAST(species_id AS INT) AS species_id,
+    """SELECT CAST(sid AS BIGINT) AS sid, species, CAST(species_id AS INT) AS species_id,
       |  threshold, source, scenario, year, CAST(srid AS INT) AS srid,
       |  CAST(area AS DOUBLE) AS area
       |FROM (VALUES

@@ -35,18 +35,20 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("speciesdata: full chain produces the A4 schema with exact areas") {
-    val out = SpeciesPipeline.speciesData(spark, s"$gridDir/*.asc")
+    // globalSidOrder: this test asserts CONTIGUOUS sids (oracle mode);
+    // the scale-default distributed-sid mode is covered by PlanSpec
+    val out = SpeciesPipeline.speciesData(spark, s"$gridDir/*.asc", globalSidOrder = true)
     assert(out.columns.toSeq === Seq("sid", "species", "geometry", "species_id",
       "threshold", "source", "scenario", "year", "srid", "area"))
     // O-12: CRS queryable as a column (species_range_etl.py:131-135)
     assert(out.select("srid").distinct().as[Int].collect().toSeq === Seq(4326))
     val rows = out.select("sid", "species", "threshold", "area")
-      .as[(Int, String, String, Double)].collect().sortBy(_._1)
+      .as[(Long, String, String, Double)].collect().sortBy(_._1)
     assert(rows === Array(
-      (1, "oakx", "25", 0.75),  // 3 cells >= 0.25, cell area 0.25
-      (2, "oakx", "50", 0.5),   // 0.9, 0.6
-      (3, "oakx", "75", 0.25),  // 0.9
-      (4, "pinex", "25", 1.0), (5, "pinex", "50", 1.0), (6, "pinex", "75", 1.0)))
+      (1L, "oakx", "25", 0.75),  // 3 cells >= 0.25, cell area 0.25
+      (2L, "oakx", "50", 0.5),   // 0.9, 0.6
+      (3L, "oakx", "75", 0.25),  // 0.9
+      (4L, "pinex", "25", 1.0), (5L, "pinex", "50", 1.0), (6L, "pinex", "75", 1.0)))
   }
 
   test("speciesdata: union geometry merges adjacent cells (oakx L-shape)") {

@@ -92,6 +92,26 @@ class PlanSpec extends SparkSpec {
     assert(df.select("sid").distinct().count() === df.count())
   }
 
+  test("speciesDataExact default sid mode has no single-partition funnel") {
+    val gdir = QueriesCore.fixtureGridDir()
+    val df = graft.operators.SpeciesPipeline.speciesDataExact(spark, s"$gdir/*.asc")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "default sid must not funnel the fact table through one task")
+    assert(df.select("sid").distinct().count() === df.count())
+  }
+
+  test("speciesData default mode funnels at most the distinct-species dim") {
+    val gdir = QueriesCore.fixtureGridDir()
+    val df = graft.operators.SpeciesPipeline.speciesData(spark, s"$gdir/*.asc")
+    val p = df.queryExecution.executedPlan.toString
+    // one SinglePartition exchange is allowed: the species_id rank over
+    // the DISTINCT species dim (bounded, broadcast back) — never the facts
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1)
+    assert(p.contains("BroadcastHashJoin"), "species_id dim must join back broadcast")
+    assert(df.select("sid").distinct().count() === df.count())
+  }
+
   test("ivf centroid assignment aggregates instead of sorting") {
     val p = plan("q_ann_ivf")
     assert(!p.contains("Window"), "argmax should be a max_by hash agg, not a window sort")
