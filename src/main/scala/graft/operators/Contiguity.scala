@@ -104,18 +104,30 @@ object Contiguity {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, keys: Seq[String],
                           maxIter: Int = 50): DataFrame = {
+    // fixpoint signature: row count + order-insensitive xor of row hashes,
+    // computed in ONE aggregation job over the freshly checkpointed set.
+    // Counts alone plateau spuriously mid-convergence, and each spurious
+    // plateau used to cost a full exceptAll probe job; with the checksum
+    // in the same job, the probe fires at most once per run — purely as
+    // the EXACTNESS confirmation on the true convergence candidate (both
+    // sides are distinct sets, so equal count + subset ⟺ equal sets; the
+    // checksum narrows candidates but never replaces the proof).
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     var e = edges.select(keys.map(col) :+ col("a") :+ col("b"): _*).localCheckpoint()
-    var eCount = e.count()
+    var (eCount, eSum) = sig(e)
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
       val next = star(star(e, keys, large = true), keys, large = false).localCheckpoint()
-      // fixpoint: both sides are distinct sets, so equal counts + next ⊆ e
-      // ⟺ equal sets — one count plus at most one subset probe per round
-      val nCount = next.count()
-      stable = nCount == eCount && next.exceptAll(e).isEmpty
+      val (nCount, nSum) = sig(next)
+      stable = nCount == eCount && nSum == eSum && next.exceptAll(e).isEmpty
       e = next
       eCount = nCount
+      eSum = nSum
       i += 1
     }
     require(stable, s"connectedComponents did not converge in $maxIter rounds")

@@ -130,19 +130,39 @@ object EsriAsciiGrid {
   def readCellsFromZips(spark: SparkSession, zipGlob: String,
                         corruptInputs: Option[LongAccumulator] = None): DataFrame = {
     import spark.implicits._
-    val speciesOf = (zipPath: String) =>
-      zipPath.split('/').last.stripSuffix(".zip").split('_').head
     spark.read.format("binaryFile").load(zipGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (zipPath, bytes) =>
-        val species = speciesOf(zipPath)
-        val out = scala.collection.mutable.ArrayBuffer.empty[
-          (String, Int, Int, Double, Double, Double, Double, Double, Int, Option[Double])]
-        try {
-          val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-          var entry = zin.getNextEntry
-          while (entry != null) {
+      .flatMap { case (zipPath, bytes) => zipCells(zipPath, bytes, corruptInputs) }
+      .toDF("path", "row", "col", "lon", "lat", "cellsize", "xll", "yll", "nrows", "prob")
+  }
+
+  private type CellRow =
+    (String, Int, Int, Double, Double, Double, Double, Double, Int, Option[Double])
+
+  /** LAZY walk of one archive's grid members: entries advance only as the
+    * consumer drains the previous member's cells, so task memory holds ONE
+    * parsed grid body at a time — an archive of many (or one huge) grids
+    * never accumulates whole-archive cells the way a builder would.
+    * Corrupt members are skipped+counted as they are REACHED; a corrupt
+    * archive structure stops the walk, counts once, and keeps the members
+    * already emitted (species_range_etl.py:170-171 tolerance).
+    */
+  private[graft] def zipCells(zipPath: String, bytes: Array[Byte],
+                                corruptInputs: Option[LongAccumulator]): Iterator[CellRow] = {
+    val species = zipPath.split('/').last.stripSuffix(".zip").split('_').head
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    val perMember = new Iterator[Iterator[CellRow]] {
+      private var pending: Iterator[CellRow] = null
+      private var done = false
+      private def advance(): Unit =
+        while (pending == null && !done) {
+          val entry =
+            try zin.getNextEntry
+            catch { case _: Exception => // bad archive structure
+              corruptInputs.foreach(_.add(1)); done = true; null }
+          if (entry == null) done = true
+          else {
             val name = entry.getName
             if (!entry.isDirectory && (name.endsWith(".asc") || name.endsWith(".txt"))) {
               // the reference's extraction routing (species_range_etl.py:163-169)
@@ -152,18 +172,21 @@ object EsriAsciiGrid {
                 val content = new String(zin.readAllBytes(),
                   java.nio.charset.StandardCharsets.UTF_8)
                 val (h, cells) = parse(content)
-                cells.foreach(c => out += ((s"$zipPath!$routed", c.row, c.col, c.lon,
-                  c.lat, h.cellsize, h.xllcorner, h.yllcorner, h.nrows, c.prob)))
+                pending = cells.map(c => (s"$zipPath!$routed", c.row, c.col, c.lon,
+                  c.lat, h.cellsize, h.xllcorner, h.yllcorner, h.nrows, c.prob))
               } catch {
                 case _: Exception => corruptInputs.foreach(_.add(1)) // bad member
               }
             }
-            entry = zin.getNextEntry
           }
-        } catch {
-          case _: Exception => corruptInputs.foreach(_.add(1)) // bad archive
         }
-        out.iterator
-      }.toDF("path", "row", "col", "lon", "lat", "cellsize", "xll", "yll", "nrows", "prob")
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): Iterator[CellRow] = {
+        advance()
+        if (pending == null) Iterator.empty.next()
+        else { val r = pending; pending = null; r }
+      }
+    }
+    perMember.flatten
   }
 }

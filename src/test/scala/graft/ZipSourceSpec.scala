@@ -56,4 +56,26 @@ class ZipSourceSpec extends SparkSpec {
     assert(acc.value === 1)     // the bad member; the junk "zip" yields no
                                 // entries (ZipInputStream streams past garbage)
   }
+
+  test("zip member walk is lazy: later members are not parsed until reached") {
+    val dir = Files.createTempDirectory("graft-zip-lazy")
+    val p = dir.resolve("oakx_current.zip")
+    makeZip(p, Seq(
+      "oakx_a.asc" -> GoodGrid,            // 2 cells
+      "oakx_bad.asc" -> "ncols junk\n1\n", // corrupt — parsed only when REACHED
+      "oakx_b.asc" -> GoodGrid))
+    val bytes = Files.readAllBytes(p)
+    // drain only the first member's first cell: with a lazy walk the
+    // corrupt second member is never parsed, so the counter stays 0 —
+    // the old whole-archive builder would have counted it eagerly
+    val acc1 = spark.sparkContext.longAccumulator("lazy1")
+    val it = EsriAsciiGrid.zipCells("x/oakx_current.zip", bytes, Some(acc1))
+    assert(it.next()._1 === "x/oakx_current.zip!ascii/oakx_a.asc")
+    assert(acc1.value === 0)
+    // exhausting the walk reaches the corrupt member exactly once and
+    // still yields both good grids' cells
+    val acc2 = spark.sparkContext.longAccumulator("lazy2")
+    val all = EsriAsciiGrid.zipCells("x/oakx_current.zip", bytes, Some(acc2)).toVector
+    assert(all.length === 4 && acc2.value === 1)
+  }
 }
