@@ -94,6 +94,7 @@ object SparkEntry {
     "q_json_extract"         -> (QueriesExt.qJsonExtract _),
     "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
     "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
+    "q_image_decode"         -> (QueriesExt.qImageDecode _),
     "q_train_split"          -> (QueriesExt.qTrainSplit _),
     "q_seq_pack"             -> (QueriesExt.qSeqPack _),
     "q_corpus_pipeline"      -> (QueriesExt.qCorpusPipeline _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_json_extract"         -> QueriesExt.oJsonExtract,
     "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,
     "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
+    "q_image_decode"         -> QueriesExt.oImageDecode,
     "q_train_split"          -> QueriesExt.oTrainSplit,
     "q_seq_pack"             -> QueriesExt.oSeqPack,
     "q_corpus_pipeline"      -> QueriesExt.oCorpusPipeline,

@@ -19,6 +19,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).n_bytes === 4)
   }
 
+  test("decodeImage: real javax.imageio pixels from a golden in-memory PNG") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, 0x081018) // rgb(8,16,24)
+    img.setRGB(2, 1, 0xffffff) // one white pixel
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((fmt, w, h, luma)) = Multimodal.decodeImage(bos.toByteArray)
+    assert(fmt === "png" && w === 3 && h === 2)
+    // 5 pixels of luma (8+16+24)/3=16 and one of 255: (5*48 + 765) / 18
+    assert(luma === (5 * 48 + 765).toDouble / 18.0)
+  }
+
+  test("decodeImage: undecodable payload yields None; sniffFormat reads magics") {
+    assert(Multimodal.decodeImage("not an image".getBytes) === None)
+    assert(Multimodal.decodeImage(Array.empty[Byte]) === None)
+    assert(Multimodal.sniffFormat(Array[Byte](0x89.toByte, 'P', 'N', 'G')) === "png")
+    assert(Multimodal.sniffFormat(Array[Byte](0xff.toByte, 0xd8.toByte, 1)) === "jpeg")
+    assert(Multimodal.sniffFormat("BM??".getBytes) === "bmp")
+    assert(Multimodal.sniffFormat("GIF89a".getBytes) === "gif")
+    assert(Multimodal.sniffFormat("??".getBytes) === "unknown")
+  }
+
+  test("decodeImageMeta: distributed decode keeps undecodables out, stats exact") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, png(2, 2, 0x000000), "image"),  // black: luma 0
+      MediaRow(2L, png(4, 3, 0xffffff), "image"),  // white: luma 255
+      MediaRow(3L, "garbage".getBytes, "image")    // dropped
+    ).toDS().repartition(2)
+    val out = Multimodal.decodeImageMeta(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq === Seq(1L, 2L))
+    assert(out(0).mean_luma === 0.0 && out(0).n_pixels === 4L)
+    assert(out(1).mean_luma === 255.0 && out(1).width === 4 && out(1).height === 3)
+  }
+
   test("decodeStub is deterministic") {
     val p = Array[Byte](10, 20, 30, 40, 50)
     assert(Multimodal.decodeStub(p) === Multimodal.decodeStub(p))
