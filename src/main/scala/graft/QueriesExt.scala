@@ -582,6 +582,47 @@ object QueriesExt {
       |  (['image','audio','video'])[CAST((('0x' || substr(md5(text), 1, 8))::BIGINT % 3 + 1) AS INT)] AS media_type
       |FROM documents""".stripMargin
 
+  // ---- train/eval decontamination: word-4-gram collision anti-join
+  //      (4, not 13, because the synthetic docs are ~50 tokens — measured
+  //      13/486 train docs contaminated at sf0.01, non-vacuous either way) ----
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainPrep.decontaminate(
+      docs.filter(col("doc_id") % 37 =!= 0),
+      docs.filter(col("doc_id") % 37 === 0), n = 4)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val oDecontaminate =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) + 1 - 4),
+      |        i -> array_to_string(t[i+1:i+4], ' '))) AS gs FROM toks),
+      |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 37 = 0),
+      |coll AS (SELECT DISTINCT tr.doc_id
+      |         FROM (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 37 != 0) tr
+      |         JOIN ev ON tr.g = ev.g)
+      |SELECT d.doc_id, d.lang FROM documents d
+      |WHERE d.doc_id % 37 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM coll)""".stripMargin
+
+  // ---- Gopher repetition filters: top-bigram fraction + duplicate-token
+  //      fraction with a keep verdict (thresholds flag 33/500 at sf0.01) ----
+  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"))
+
+  val oRepetitionFilter =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, t, list_transform(range(0, len(t) - 1),
+      |        i -> array_to_string(t[i+1:i+2], ' ')) AS gs FROM toks),
+      |m AS (SELECT doc_id,
+      |        CAST(list_max(list_transform(list_distinct(gs),
+      |          x -> len(list_filter(gs, y -> y = x)))) AS DOUBLE) / len(gs) AS top_bigram_frac,
+      |        1.0::DOUBLE - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac
+      |      FROM g)
+      |SELECT doc_id, top_bigram_frac, dup_token_frac,
+      |  CAST(CASE WHEN top_bigram_frac <= 0.08 AND dup_token_frac <= 0.5
+      |       THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM m""".stripMargin
+
   // ---- REAL image decode (no stub): javax.imageio pixels from golden
   //      PNG/BMP fixtures the engine writes itself — width/height/pixel
   //      count/mean luminance are exact (constant fills and binary-exact

@@ -95,6 +95,8 @@ object SparkEntry {
     "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
     "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
     "q_image_decode"         -> (QueriesExt.qImageDecode _),
+    "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
+    "q_repetition_filter"    -> (QueriesExt.qRepetitionFilter _),
     "q_train_split"          -> (QueriesExt.qTrainSplit _),
     "q_seq_pack"             -> (QueriesExt.qSeqPack _),
     "q_corpus_pipeline"      -> (QueriesExt.qCorpusPipeline _),
@@ -162,6 +164,8 @@ object SparkEntry {
     "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,
     "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
     "q_image_decode"         -> QueriesExt.oImageDecode,
+    "q_decontaminate"        -> QueriesExt.oDecontaminate,
+    "q_repetition_filter"    -> QueriesExt.oRepetitionFilter,
     "q_train_split"          -> QueriesExt.oTrainSplit,
     "q_seq_pack"             -> QueriesExt.oSeqPack,
     "q_corpus_pipeline"      -> QueriesExt.oCorpusPipeline,

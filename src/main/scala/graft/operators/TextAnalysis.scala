@@ -155,4 +155,34 @@ object TextAnalysis {
       size(bpe).cast("long").as("n_bpe_tokens"),
       Portable.polyFold(transform(toks, t => Portable.hash32(t))).as("fingerprint"))
   }
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): documents
+    * dominated by a repeated phrase or a small token set are boilerplate /
+    * spam, and n-gram-level repetition catches what exact dedup can't
+    * (the repetition is WITHIN one document). Two metrics per doc:
+    *
+    * - `top_bigram_frac` — occurrences of the most frequent word 2-gram
+    *   over total 2-grams (the "top n-gram fraction" rule);
+    * - `dup_token_frac` — 1 − distinct/total tokens (vocabulary collapse).
+    *
+    * Plus the `keep` verdict at the given thresholds. Pure per-row column
+    * algebra (quadratic only in the per-DOC distinct-bigram count): no
+    * shuffle, streams over 100 TB like the other quality filters.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      topBigramMax: Double = 0.08, dupTokenMax: Double = 0.5): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = TrainPrep.wordNgrams(col(textCol), 2)
+    val topCount = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    docs
+      .select(
+        col("doc_id"),
+        (topCount.cast("double") / size(grams)).as("top_bigram_frac"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("dup_token_frac"))
+      .withColumn("keep",
+        (col("top_bigram_frac") <= topBigramMax &&
+          col("dup_token_frac") <= dupTokenMax).cast("int"))
+  }
 }

@@ -74,4 +74,40 @@ object TrainPrep {
       .withColumn("offset", col("tokens_before") % capacity)
       .drop("tokens_before")
   }
+
+  /** Whitespace word n-grams as an array column (empty when the document
+    * has fewer than n tokens — `sequence` would otherwise count DOWN).
+    */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train/eval decontamination — the standard pre-training hygiene step:
+    * drop every training document that shares at least one word n-gram
+    * with the held-out evaluation set, so benchmark answers can't leak
+    * into the training corpus (the 13-gram collision rule of GPT-3-style
+    * pipelines; n is a parameter because the right value tracks tokenizer
+    * and document length).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs) —
+    * its distinct n-grams BROADCAST; the train side explodes to n-grams
+    * only inside a semi-join that never leaves the exchange-free
+    * broadcast path, then the surviving ids anti-join back against the
+    * original rows. No shuffle touches the corpus until the final
+    * anti-join on doc ids.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

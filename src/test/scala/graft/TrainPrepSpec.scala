@@ -72,4 +72,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(packed.select("doc_id").distinct().count() === 300)
     assert(packed.select("shard").distinct().count() === 2)
   }
+
+  test("wordNgrams: boundary counts, short docs empty") {
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), TrainPrep.wordNgrams(col("text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(d(0)._2 === Seq("a b c", "b c d"))
+    assert(d(1)._2 === Seq.empty) // 2 tokens < n=3: empty, not sequence-down
+  }
+
+  test("decontaminate drops exactly the train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),     // shares "quick brown fox" with eval
+      (2L, "entirely different words here"),
+      (3L, "brown fox quick")                // same words, no shared 3-gram
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a quick brown fox runs")).toDF("doc_id", "text")
+    val clean = TrainPrep.decontaminate(train, eval_, n = 3)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    // broadcast path: the corpus-side join must be a BroadcastHashJoin
+    val p = clean.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
