@@ -241,6 +241,30 @@ object QueriesExt {
        |WHERE cosine >= 0.3""".stripMargin
   }
 
+  // ---- near-dup CLUSTERS: the embed-near-dup pair graph's connected
+  //      components (star contraction, Contiguity reused) with one
+  //      representative per cluster — keep-one semantics over
+  //      non-transitive similarity; oracle = recursive-CTE reachability ----
+  def qNearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Dedup.pairClusters(
+      Similarity.nearDupByBlock(emb, "label", minCosine = 0.3), emb, "vec_id")
+  }
+
+  val oNearDupClusters: String =
+    s"""WITH RECURSIVE
+       |pairs AS ($oEmbedNearDup),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION SELECT b_id, a_id FROM pairs),
+       |reach(id, rid) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT s.u, r.rid FROM sym s JOIN reach r ON r.id = s.v),
+       |comp AS (SELECT id, min(rid) AS comp FROM reach GROUP BY 1)
+       |SELECT CAST(id AS BIGINT) AS vec_id, CAST(comp AS BIGINT) AS cluster_id,
+       |  CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS INT) AS is_rep
+       |FROM comp""".stripMargin
+
   // ---- ANN via random-hyperplane LSH — fully oracle-checked: the plane
   //      signs derive from the portable hash, so DuckDB replays signature,
   //      bucketing, candidate join, and cosine verify bit-for-bit ----

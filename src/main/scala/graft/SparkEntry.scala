@@ -96,6 +96,7 @@ object SparkEntry {
     "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
     "q_image_decode"         -> (QueriesExt.qImageDecode _),
     "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
+    "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
     "q_repetition_filter"    -> (QueriesExt.qRepetitionFilter _),
     "q_train_split"          -> (QueriesExt.qTrainSplit _),
     "q_seq_pack"             -> (QueriesExt.qSeqPack _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
     "q_image_decode"         -> QueriesExt.oImageDecode,
     "q_decontaminate"        -> QueriesExt.oDecontaminate,
+    "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,
     "q_repetition_filter"    -> QueriesExt.oRepetitionFilter,
     "q_train_split"          -> QueriesExt.oTrainSplit,
     "q_seq_pack"             -> QueriesExt.oSeqPack,

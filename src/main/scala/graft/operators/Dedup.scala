@@ -196,4 +196,26 @@ object Dedup {
         TextHash.arrayJaccard(docs.sparkSession, col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Near-duplicate CLUSTERS from a candidate-pair list — what a real
+    * dedup pipeline needs after pair generation: similarity is not
+    * transitive, but keep-one-per-group semantics are, so the pair graph's
+    * connected components define the duplicate groups (A~B, B~C ⇒ one
+    * cluster even when A!~C). Reuses [[Contiguity.connectedComponents]]
+    * verbatim — a pair graph and a cell-adjacency graph are the same
+    * problem, and the large-star/small-star contraction scales to
+    * billion-edge pair sets where chained self-joins would not.
+    *
+    * Output: (idCol, cluster_id = min member id, is_rep ∈ {0,1}) for every
+    * node in `nodes`, singletons included (their own representative) —
+    * downstream keeps `is_rep = 1` rows.
+    */
+  def pairClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                   aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val e = pairs.select(lit(1).as("k"), col(aCol).as("a"), col(bCol).as("b"))
+    val n = nodes.select(lit(1).as("k"), col(idCol).as("node"))
+    Contiguity.connectedComponents(e, n, Seq("k"))
+      .select(col("node").as(idCol), col("comp").as("cluster_id"),
+        (col("node") === col("comp")).cast("int").as("is_rep"))
+  }
 }

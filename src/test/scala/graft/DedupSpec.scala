@@ -101,4 +101,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(s === Array((10L, 1L, 2L, 1000000L), (10L, 2L, 1L, 0L), (20L, 1L, 1L, 0L)))
   }
+
+  test("pairClusters: transitive closure over non-transitive pairs, singletons kept") {
+    // A~B and B~C but no A~C pair: keep-one semantics still require one
+    // cluster; D is a singleton and its own representative
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val out = Dedup.pairClusters(pairs, nodes, "doc_id")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (10L, 10L, 1), (11L, 10L, 0), (99L, 99L, 1)))
+  }
 }
