@@ -567,6 +567,86 @@ object QueriesExt {
        |  tokens_before % 512 AS offset
        |FROM c""".stripMargin
 
+  // ---- the FULL modern corpus pipeline: quality -> repetition filter ->
+  //      train/eval decontamination -> exact dedup -> split -> pack, ONE
+  //      declarative plan. Cheap per-row filters run first (real pipeline
+  //      ordering: each stage shrinks the input of the next), the
+  //      broadcast decon join runs on the already-filtered corpus, and
+  //      only then does the dedup shuffle touch the survivors. ----
+  def qCorpusFull(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val kept = corpus.join(
+      TextAnalysis.qualityScore(corpus).filter(col("quality") >= 0.5).select("doc_id"),
+      Seq("doc_id"))
+    val clean = kept.join(
+      TextAnalysis.repetitionStats(kept).filter(col("keep") === 1).select("doc_id"),
+      Seq("doc_id"))
+    val decon = TrainPrep.decontaminate(
+      clean, base.filter(col("doc_id") % 37 === 0), n = 4)
+    val deduped = decon.join(
+      Dedup.exact(decon).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val train = TrainPrep.deterministicSplit(deduped, "doc_id")
+      .filter(col("split") === "train")
+    TrainPrep.packSequences(train, "doc_id",
+      tokenCount = size(Portable.tokens(col("text"))).cast("long"),
+      capacity = 512, shards = 4)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"), col("offset"))
+  }
+
+  val oCorpusFull: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |t AS (SELECT doc_id, text, length(text) AS n_chars2,
+       |        string_split(text, ' ') AS toks FROM corpus),
+       |st AS (SELECT doc_id, text, n_chars2, len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  len(list_filter(toks,
+       |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+       |  FROM t),
+       |kept AS (SELECT doc_id, text FROM st
+       |  WHERE (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+       |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+       |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) >= 0.5),
+       |rg AS (SELECT doc_id, text, string_split(text, ' ') AS rt,
+       |         list_transform(range(0, len(string_split(text, ' ')) - 1),
+       |           i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' ')) AS gs
+       |       FROM kept),
+       |clean AS (SELECT doc_id, text FROM rg
+       |  WHERE CAST(list_max(list_transform(list_distinct(gs),
+       |          x -> len(list_filter(gs, y -> y = x)))) AS DOUBLE) / len(gs) <= 0.08
+       |    AND 1.0::DOUBLE - CAST(len(list_distinct(rt)) AS DOUBLE) / len(rt) <= 0.5),
+       |evt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 37 = 0),
+       |evg AS (SELECT DISTINCT unnest(list_transform(range(0, len(t) + 1 - 4),
+       |          i -> array_to_string(t[i+1:i+4], ' '))) AS g FROM evt),
+       |trg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          range(0, len(string_split(text, ' ')) + 1 - 4),
+       |          i -> array_to_string((string_split(text, ' '))[i+1:i+4], ' ')))) AS g
+       |        FROM clean),
+       |coll AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg ON trg.g = evg.g),
+       |decon AS (SELECT doc_id, text FROM clean
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM coll)),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY md5(text)),
+       |ded AS (SELECT k.doc_id, k.text FROM decon k
+       |  WHERE EXISTS (SELECT 1 FROM keep WHERE keep.doc_id = k.doc_id)),
+       |train AS (SELECT doc_id, text FROM ded
+       |  WHERE ${H32.format("CAST(doc_id AS VARCHAR)")} % 100 < 80),
+       |d AS (SELECT doc_id, ${H32.format("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM train),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens, tokens_before // 512 AS bin,
+       |  tokens_before % 512 AS offset
+       |FROM c""".stripMargin
+
   // ---- multimodal metadata (payload synthesized deterministically from
   //      text; decode stage itself is stubbed per Multimodal.decodeStub) ----
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =

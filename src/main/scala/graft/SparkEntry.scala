@@ -97,6 +97,7 @@ object SparkEntry {
     "q_image_decode"         -> (QueriesExt.qImageDecode _),
     "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
+    "q_corpus_full"          -> (QueriesExt.qCorpusFull _),
     "q_repetition_filter"    -> (QueriesExt.qRepetitionFilter _),
     "q_train_split"          -> (QueriesExt.qTrainSplit _),
     "q_seq_pack"             -> (QueriesExt.qSeqPack _),
@@ -167,6 +168,7 @@ object SparkEntry {
     "q_image_decode"         -> QueriesExt.oImageDecode,
     "q_decontaminate"        -> QueriesExt.oDecontaminate,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,
+    "q_corpus_full"          -> QueriesExt.oCorpusFull,
     "q_repetition_filter"    -> QueriesExt.oRepetitionFilter,
     "q_train_split"          -> QueriesExt.oTrainSplit,
     "q_seq_pack"             -> QueriesExt.oSeqPack,

@@ -123,4 +123,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Exchange SinglePartition"), "pipeline must not funnel through one task")
   }
+
+  test("full corpus pipeline (quality/repetition/decon/dedup/split/pack) stays funnel-free") {
+    val p = plan("q_corpus_full")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"), "pipeline must not funnel through one task")
+    // the decontamination stage must hit the corpus via a broadcast join
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }
