@@ -37,6 +37,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("union WKB bytes are GROUPING-invariant (canonical form), not just area") {
+    // the r6 q_geo_union_wkb fingerprint oracle depends on this exactly:
+    // however the cells are split across partial buffers and merged, the
+    // finished WKB must be byte-identical (finish() normalizes)
+    check(Prop.forAll(cellGen, Gen.choose(1, 11), Gen.choose(0L, Long.MaxValue)) {
+      (cells, cut0, seed) =>
+      cells.nonEmpty ==> {
+        val wkbs = cells.map { case (r, c) => Geom.cellRectWkb(r, c, 0.0, 0.0, 0.25, 8) }
+        val agg = Geom.UnionAgg
+        def run(ws: Seq[Array[Byte]]): Seq[Array[Byte]] =
+          ws.foldLeft(agg.zero)(agg.reduce)
+        val oneShot = agg.finish(run(wkbs))
+        val cut = cut0 % wkbs.length
+        val (l, r) = new scala.util.Random(seed).shuffle(wkbs).splitAt(math.max(cut, 1))
+        val merged = agg.finish(agg.merge(run(l), run(r)))
+        java.util.Arrays.equals(oneShot, merged)
+      }
+    })
+  }
+
   test("union aggregate merge is associative/commutative at the area level") {
     check(Prop.forAll(cellGen, cellGen) { (as, bs) =>
       (as.nonEmpty && bs.nonEmpty) ==> {
