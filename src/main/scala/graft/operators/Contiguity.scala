@@ -117,12 +117,15 @@ object Contiguity {
         coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    var e = edges.select(keys.map(col) :+ col("a") :+ col("b"): _*).localCheckpoint()
+    // LAZY checkpoints: the per-round sig() aggregation is the action that
+    // materializes the round's blocks, so eager localCheckpoint's separate
+    // materialization job disappears — one job per round, not two
+    var e = edges.select(keys.map(col) :+ col("a") :+ col("b"): _*).localCheckpoint(false)
     var (eCount, eSum) = sig(e)
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
-      val next = star(star(e, keys, large = true), keys, large = false).localCheckpoint()
+      val next = star(star(e, keys, large = true), keys, large = false).localCheckpoint(false)
       val (nCount, nSum) = sig(next)
       stable = nCount == eCount && nSum == eSum && next.exceptAll(e).isEmpty
       e = next
