@@ -774,4 +774,73 @@ object QueriesExt {
       |  (3, 'png', 3, 2, 6, 85.0),
       |  (4, 'bmp', 2, 3, 6, 20.0)
       |) t(doc_id, format, width, height, n_pixels, mean_luma)""".stripMargin
+
+  // ---- REAL nearest-neighbor resize over the same image fixtures:
+  //      src = floor(dst * srcDim / dstDim) picks exact source pixels, so
+  //      every resized value is hand-derivable. The 4×1 checker resized
+  //      to 2×2 samples source columns {0,2} = both black — the one case
+  //      that distinguishes NN sampling from any averaging interpolation. ----
+  def qImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gdir = fixtureImageDir()
+    val media = s.read.format("binaryFile").load(s"$gdir/img_*.{png,bmp}")
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"), lit("image").as("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.resizeImages(media, outW = 2, outH = 2).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("mean_luma"), col("corner_rgb"))
+  }
+
+  val oImageResize =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(width AS INT) AS width,
+      |  CAST(height AS INT) AS height, CAST(mean_luma AS DOUBLE) AS mean_luma,
+      |  CAST(corner_rgb AS BIGINT) AS corner_rgb
+      |FROM (VALUES
+      |  (1, 2, 2, 16.0, 528408),
+      |  (2, 2, 2, 0.0, 0),
+      |  (3, 2, 2, 85.0, 16711680),
+      |  (4, 2, 2, 20.0, 60)
+      |) t(doc_id, width, height, mean_luma, corner_rgb)""".stripMargin
+
+  // ---- REAL WAV/PCM audio metadata: canonical RIFF header byte layout
+  //      parsed with no library; fixtures written by the engine's own
+  //      buildWavPcm. Durations chosen to be exact doubles
+  //      (4000/8000 s, 22050/44100 s, 441/11025 s); the garbage member
+  //      must be dropped, not fatal. ----
+  def fixtureAudioDir(): String = {
+    val dir = java.nio.file.Paths.get("/root/repo/.grid-fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("wav_1.wav"),
+      Multimodal.buildWavPcm(rate = 8000, channels = 1, bits = 16, nSamples = 4000))
+    java.nio.file.Files.write(dir.resolve("wav_2.wav"),
+      Multimodal.buildWavPcm(rate = 44100, channels = 2, bits = 16, nSamples = 22050))
+    java.nio.file.Files.write(dir.resolve("wav_3.wav"),
+      Multimodal.buildWavPcm(rate = 11025, channels = 1, bits = 8, nSamples = 441))
+    java.nio.file.Files.write(dir.resolve("wav_9.wav"),
+      "this is not a RIFF container at all, just text".getBytes("US-ASCII"))
+    dir.toString
+  }
+
+  def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gdir = fixtureAudioDir()
+    val media = s.read.format("binaryFile").load(s"$gdir/wav_*.wav")
+      .select(regexp_extract(col("path"), "wav_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"), lit("audio").as("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.audioMeta(media).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("n_samples"), col("duration_ms"))
+  }
+
+  val oAudioMeta =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sample_rate AS INT) AS sample_rate,
+      |  CAST(channels AS INT) AS channels, CAST(bits_per_sample AS INT) AS bits_per_sample,
+      |  CAST(n_samples AS BIGINT) AS n_samples, CAST(duration_ms AS DOUBLE) AS duration_ms
+      |FROM (VALUES
+      |  (1, 8000,  1, 16, 4000,  500.0),
+      |  (2, 44100, 2, 16, 22050, 500.0),
+      |  (3, 11025, 1, 8,  441,   40.0)
+      |) t(doc_id, sample_rate, channels, bits_per_sample, n_samples, duration_ms)""".stripMargin
 }

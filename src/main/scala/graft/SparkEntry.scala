@@ -95,6 +95,8 @@ object SparkEntry {
     "q_multimodal_meta"      -> (QueriesExt.qMultimodalMeta _),
     "q_multimodal_frames"    -> (QueriesExt.qMultimodalFrames _),
     "q_image_decode"         -> (QueriesExt.qImageDecode _),
+    "q_image_resize"         -> (QueriesExt.qImageResize _),
+    "q_audio_meta"           -> (QueriesExt.qAudioMeta _),
     "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
     "q_corpus_full"          -> (QueriesExt.qCorpusFull _),
@@ -166,6 +168,8 @@ object SparkEntry {
     "q_multimodal_meta"      -> QueriesExt.oMultimodalMeta,
     "q_multimodal_frames"    -> QueriesExt.oMultimodalFrames,
     "q_image_decode"         -> QueriesExt.oImageDecode,
+    "q_image_resize"         -> QueriesExt.oImageResize,
+    "q_audio_meta"           -> QueriesExt.oAudioMeta,
     "q_decontaminate"        -> QueriesExt.oDecontaminate,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,
     "q_corpus_full"          -> QueriesExt.oCorpusFull,

@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in batches.
   *
-  * IMAGE decode is REAL ([[decodeImage]] / [[decodeImageMeta]]):
-  * `javax.imageio` ships in the JVM, so PNG/BMP/GIF/JPEG payloads decode
-  * to actual pixels with no external library. Audio/video decode stays
-  * STUBBED (no codec libraries in this container): [[decodeStub]] derives
-  * deterministic fake features from the payload bytes. Either way the
-  * plumbing — schema, batch iteration, partitioning — is identical: a
-  * narrow mapPartitions with per-partition decoder init, no shuffle,
-  * exactly the role a Python pipeline gives `mapInPandas`.
+  * IMAGE decode and resize are REAL ([[decodeImage]] / [[decodeImageMeta]] /
+  * [[resizeImageNN]]): `javax.imageio` ships in the JVM, so PNG/BMP/GIF/
+  * JPEG payloads decode to actual pixels with no external library, and
+  * resize is an explicit nearest-neighbor sampling loop (deterministic
+  * across JVMs, unlike Graphics2D interpolation). AUDIO metadata is REAL
+  * for WAV/PCM ([[wavMeta]] — canonical RIFF byte layout, no library).
+  * Compressed-audio/VIDEO decode stays STUBBED (no codec libraries in
+  * this container): [[decodeStub]] derives deterministic fake features
+  * from the payload bytes. Either way the plumbing — schema, batch
+  * iteration, partitioning — is identical: a narrow mapPartitions with
+  * per-partition decoder init, no shuffle, exactly the role a Python
+  * pipeline gives `mapInPandas`.
   */
 object Multimodal {
 
@@ -118,6 +122,117 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL image resize — nearest-neighbor with an explicit sampling loop
+    * (`src = floor(dst * srcDim / dstDim)`), NOT Graphics2D interpolation,
+    * so the resized pixels are bit-deterministic across JVMs and
+    * partitionings. Returns the resized image's exact mean luminance plus
+    * its corner pixel (sanity-checkable against hand-derived values).
+    */
+  def resizeImageNN(payload: Array[Byte], outW: Int, outH: Int): Option[(Int, Int, Double, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || outW <= 0 || outH <= 0) None
+    else {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var corner = 0L
+      var y = 0
+      while (y < outH) {
+        val sy = y * sh / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * sw / outW
+          val rgb = img.getRGB(sx, sy) & 0xffffff
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          if (x == 0 && y == 0) corner = rgb
+          x += 1
+        }
+        y += 1
+      }
+      Some((outW, outH, sum.toDouble / (3.0 * outW * outH), corner))
+    }
+  }
+
+  final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+                               mean_luma: Double, corner_rgb: Long)
+
+  /** Batch NN resize — same narrow mapPartitions shape; undecodables drop. */
+  def resizeImages(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedMeta] = {
+    implicit val enc = Encoders.product[ResizedMeta]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        resizeImageNN(r.payload, outW, outH).map { case (w, h, luma, corner) =>
+          ResizedMeta(r.doc_id, w, h, luma, corner)
+        }
+      }
+    }
+  }
+
+  final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                           bits_per_sample: Int, n_samples: Long, duration_ms: Double)
+
+  /** REAL audio metadata — canonical RIFF/WAVE PCM header parse (public
+    * byte layout, no library needed): 'RIFF' @0, 'WAVE' @8, then chunks of
+    * (4-byte id, LE uint32 size); 'fmt ' carries channels LE@2, sample
+    * rate LE@4, bits-per-sample LE@14; 'data' size gives the sample count.
+    * Non-WAV / truncated payloads yield None.
+    */
+  def wavMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long, Double)] = {
+    if (payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate, channels, bits = -1
+    var dataLen = -1L
+    while (off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
+      val id = tag(off)
+      val size = bb.getInt(off + 4).toLong & 0xffffffffL
+      if (id == "fmt " && off + 24 <= payload.length) {
+        channels = bb.getShort(off + 8 + 2) & 0xffff
+        rate = bb.getInt(off + 8 + 4)
+        bits = bb.getShort(off + 8 + 14) & 0xffff
+      } else if (id == "data") dataLen = size
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) None
+    else {
+      val nSamples = dataLen / (channels * bits / 8)
+      Some((rate, channels, bits, nSamples, nSamples * 1000.0 / rate))
+    }
+  }
+
+  /** Writer complement of [[wavMeta]]: canonical 44-byte-header PCM WAV
+    * with deterministic payload bytes — used by fixtures and tests.
+    */
+  def buildWavPcm(rate: Int, channels: Int, bits: Int, nSamples: Long): Array[Byte] = {
+    val dataLen = (nSamples * channels * bits / 8).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort) // PCM
+    bb.putInt(rate); bb.putInt(rate * channels * bits / 8)
+    bb.putShort((channels * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < dataLen) { bb.put(((i * 31) & 0xff).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Batch WAV header decode — narrow, undecodables drop. */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[WavMeta] = {
+    implicit val enc = Encoders.product[WavMeta]
+    media.mapPartitions(_.flatMap { r =>
+      wavMeta(r.payload).map { case (rate, ch, bits, n, ms) =>
+        WavMeta(r.doc_id, rate, ch, bits, n, ms)
+      }
+    })
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

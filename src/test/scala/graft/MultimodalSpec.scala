@@ -62,6 +62,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).mean_luma === 255.0 && out(1).width === 4 && out(1).height === 3)
   }
 
+  test("resizeImageNN samples exact source pixels (no interpolation)") {
+    import java.awt.image.BufferedImage
+    // 4x1 black/white checker: NN to 2x2 must sample source columns {0,2}
+    // (both black) — any averaging interpolation would yield gray
+    val img = new BufferedImage(4, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 0, 0xffffff); img.setRGB(3, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.resizeImageNN(bos.toByteArray, 2, 2) === Some((2, 2, 0.0, 0L)))
+    // upscale: 1x1 red to 3x3 stays pure red everywhere
+    val one = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+    one.setRGB(0, 0, 0xff0000)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(one, "png", b2)
+    assert(Multimodal.resizeImageNN(b2.toByteArray, 3, 3) === Some((3, 3, 85.0, 0xff0000L)))
+    assert(Multimodal.resizeImageNN("junk".getBytes, 2, 2) === None)
+  }
+
+  test("wavMeta round-trips buildWavPcm and rejects non-RIFF payloads") {
+    val wav = Multimodal.buildWavPcm(rate = 16000, channels = 2, bits = 16, nSamples = 800)
+    assert(Multimodal.wavMeta(wav) === Some((16000, 2, 16, 800L, 50.0)))
+    assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes) === None)
+    assert(Multimodal.wavMeta(Array.empty[Byte]) === None)
+    // truncated mid-header
+    assert(Multimodal.wavMeta(java.util.Arrays.copyOf(wav, 20)) === None)
+  }
+
   test("decodeStub is deterministic") {
     val p = Array[Byte](10, 20, 30, 40, 50)
     assert(Multimodal.decodeStub(p) === Multimodal.decodeStub(p))
