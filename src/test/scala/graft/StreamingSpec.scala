@@ -119,4 +119,27 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains(ClosedSession(1L, 1L, 1100000000L, 1100000000L)))
     } finally q.stop()
   }
+
+  test("text-hygiene operators run UNCHANGED on a stream (pure column algebra)") {
+    // quality scoring + repetition filtering are per-row scalar algebra,
+    // so the exact same operators apply to a readStream DataFrame — the
+    // streaming ingest path of the corpus pipeline needs no twin code
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val filtered = graft.operators.TextAnalysis.repetitionStats(
+        graft.operators.TextAnalysis.qualityScore(
+          input.toDF().toDF("doc_id", "text")))
+      .select("doc_id", "quality", "keep")
+    val q = filtered.writeStream.format("memory").queryName("hygiene_s")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "spam spam spam spam spam spam"))
+      q.processAllAvailable()
+      val rows = spark.table("hygiene_s")
+        .select("doc_id", "keep").as[(Long, Int)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, 1), (2L, 0))) // prose keeps, spam drops
+    } finally q.stop()
+  }
 }
