@@ -101,12 +101,21 @@ object TrainPrep {
     * anti-join on doc ids.
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 13,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(wordNgrams(col(textCol), n)).as("g")).distinct()
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastEval: Boolean = true): DataFrame = {
+    // word n-grams come from the CODEGEN shingle expression (one pass per
+    // row, distinct by construction — exactly what a collision join
+    // needs), not an interpreted transform/slice/array_join HOF chain
+    def grams(df: DataFrame) = graft.plans.TextHash
+      .wordShingles(df.sparkSession, col(textCol), n)
+    val evalGrams = evalDocs.select(explode(grams(evalDocs)).as("g")).distinct()
+    // broadcastEval=false: when the "eval" side is NOT benchmark-sized
+    // (e.g. decontaminating against another corpus), fall back to a
+    // shuffled hash semi-join on the gram key
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
     val contaminated = train
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol), explode(grams(train)).as("g"))
+      .join(evalSide, Seq("g"), "left_semi")
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
