@@ -189,7 +189,8 @@ object Multimodal {
     var off = 12
     var rate, channels, bits = -1
     var dataLen = -1L
-    while (off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
+    var ok = true
+    while (ok && off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
       val id = tag(off)
       val size = bb.getInt(off + 4).toLong & 0xffffffffL
       if (id == "fmt " && off + 24 <= payload.length) {
@@ -197,7 +198,10 @@ object Multimodal {
         rate = bb.getInt(off + 8 + 4)
         bits = bb.getShort(off + 8 + 14) & 0xffff
       } else if (id == "data") dataLen = size
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // corrupt size (negative after truncation, or pointing past the
+      // payload) would move the cursor backwards — treat as terminator
+      if (size > Int.MaxValue - 9 || off + 8 + size > payload.length + 8) ok = false
+      else off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) None
     else {

@@ -480,7 +480,10 @@ object Shapefile {
             val dbfOut = fs.create(dbfPath, true)
             try dbfOut.write(buildDbf(fields, rendered)) finally dbfOut.close()
           }
-        } finally { spool.delete(); () }
+        } finally {
+          try spoolOut.close() catch { case _: Exception => } // no-op if already closed
+          spool.delete(); ()
+        }
       }
     }
   }
