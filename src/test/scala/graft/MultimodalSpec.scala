@@ -87,6 +87,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavMeta(Array.empty[Byte]) === None)
     // truncated mid-header
     assert(Multimodal.wavMeta(java.util.Arrays.copyOf(wav, 20)) === None)
+    // corrupt chunk size (0xFFFFFFFF) must terminate the walk, not loop:
+    // a negative int size used to move the cursor BACKWARDS forever
+    val evil = Multimodal.buildWavPcm(rate = 8000, channels = 1, bits = 16, nSamples = 4)
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0xffffffff) // fmt chunk size -> garbage
+    assert(Multimodal.wavMeta(evil) === None) // returns (doesn't hang), no meta
   }
 
   test("decodeStub is deterministic") {
