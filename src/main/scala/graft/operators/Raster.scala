@@ -164,8 +164,10 @@ object Raster {
 
   /** O-20 JDBC variant (species_range_etl.py:230-236): full-replace load,
     * executor-side batched inserts (vs the reference's single connection at
-    * chunksize=5). Untestable offline — kept thin by design; geometry goes
-    * as WKB bytes (PostGIS: add a `ST_GeomFromWKB` view or writer option).
+    * chunksize=5). Tested offline against
+    * embedded Derby (ships with Spark — RasterSpec round-trips write,
+    * read-back, and overwrite-replace); geometry goes as WKB bytes
+    * (PostGIS: add a `ST_GeomFromWKB` view or writer option).
     */
   def writeSpeciesDataJdbc(df: DataFrame, url: String, table: String,
                            batchSize: Int = 10000,

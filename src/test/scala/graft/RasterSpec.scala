@@ -150,4 +150,29 @@ class RasterSpec extends SparkSpec {
     assert(r(0).getString(0) === "rcp45")
     assert(r(0).isNullAt(1))
   }
+
+  test("O-20 JDBC sink round-trips through embedded Derby, overwrite replaces") {
+    import spark.implicits._
+    // Derby ships in /opt/spark/jars — the sink is testable offline after
+    // all: embedded URL, zero network (species_range_etl.py:230-236's
+    // to_postgis analog; WKB geometry travels as BLOB)
+    val db = java.nio.file.Files.createTempDirectory("graft-derby").toString + "/sdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val rows = Seq(
+      (1L, "oakx", "25", 0.75, Array[Byte](1, 2, 3)),
+      (2L, "pinex", "50", 1.0, Array[Byte](9, 8))
+    ).toDF("sid", "species", "threshold", "area", "geometry")
+    Raster.writeSpeciesDataJdbc(rows, url, "speciesdata")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "speciesdata").load()
+      .orderBy("sid").collect()
+    assert(back.length === 2)
+    assert(back(0).getAs[String]("species") === "oakx")
+    assert(back(0).getAs[Array[Byte]]("geometry").toSeq === Seq[Byte](1, 2, 3))
+    assert(back(1).getAs[Double]("area") === 1.0)
+    // overwrite: a second load REPLACES (full-replace semantics, etl.py:236)
+    Raster.writeSpeciesDataJdbc(rows.filter($"sid" === 1L), url, "speciesdata")
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "speciesdata").load().count() === 1)
+  }
 }
