@@ -99,8 +99,8 @@ object Contiguity {
 
   /** Component label per node: keys..., node, comp (= min node id in the
     * component). `nodes` supplies isolated nodes (their own component).
-    * Driver-side loop is CONTROL FLOW only (two small counts per round to
-    * detect the fixpoint); data never leaves the executors.
+    * Driver-side loop is CONTROL FLOW only (one count+checksum aggregate
+    * per round to detect the fixpoint); data never leaves the executors.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, keys: Seq[String],
                           maxIter: Int = 50): DataFrame = {
