@@ -179,6 +179,32 @@ object TextAnalysis {
     * variant carries the same signal at linear cost. No shuffle: streams
     * over 100 TB like the other quality filters.
     */
+  /** PII scrubbing (the C4-style redaction stage): replace emails, IPv4
+    * addresses, and phone-shaped numbers with typed placeholder tokens and
+    * count each category. Patterns are RE2-safe (no lookaround) so Spark's
+    * Java regex and the DuckDB oracle's RE2 agree byte-for-byte. Pure
+    * per-row scalar algebra — appends columns, chain-friendly, streams
+    * over 100 TB like the other hygiene filters.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       dupBigramMax: Double = 0.1, dupTokenMax: Double = 0.5): DataFrame = {
     val toks = split(col(textCol), " ")
