@@ -177,9 +177,11 @@ object Multimodal {
 
   /** REAL audio metadata — canonical RIFF/WAVE PCM header parse (public
     * byte layout, no library needed): 'RIFF' @0, 'WAVE' @8, then chunks of
-    * (4-byte id, LE uint32 size); 'fmt ' carries channels LE@2, sample
-    * rate LE@4, bits-per-sample LE@14; 'data' size gives the sample count.
-    * Non-WAV / truncated payloads yield None.
+    * (4-byte id, LE uint32 size); 'fmt ' carries the format tag LE@0 (must
+    * be 1 = integer PCM — compressed formats like ADPCM have sub-byte
+    * frames the sample-count arithmetic below would misprice), channels
+    * LE@2, sample rate LE@4, bits-per-sample LE@14; 'data' size gives the
+    * sample count. Non-WAV / non-PCM / truncated payloads yield None.
     */
   def wavMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long, Double)] = {
     if (payload.length < 44) return None
@@ -188,24 +190,36 @@ object Multimodal {
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
     var rate, channels, bits = -1
+    var fmtTag = -1
     var dataLen = -1L
     var ok = true
     while (ok && off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
       val id = tag(off)
       val size = bb.getInt(off + 4).toLong & 0xffffffffL
+      val fits = size <= Int.MaxValue - 9 && off + 8 + size <= payload.length + 8
       if (id == "fmt " && off + 24 <= payload.length) {
+        fmtTag = bb.getShort(off + 8) & 0xffff
         channels = bb.getShort(off + 8 + 2) & 0xffff
         rate = bb.getInt(off + 8 + 4)
         bits = bb.getShort(off + 8 + 14) & 0xffff
-      } else if (id == "data") dataLen = size
-      // corrupt size (negative after truncation, or pointing past the
-      // payload) would move the cursor backwards — treat as terminator
-      if (size > Int.MaxValue - 9 || off + 8 + size > payload.length + 8) ok = false
+      } else if (id == "data") {
+        // a declared data size pointing past the payload is a truncated
+        // file — the contract says those yield None, not a sample count
+        // derived from the bogus declared length
+        if (!fits) return None
+        dataLen = size
+      }
+      // corrupt size on any other chunk (negative after truncation, or
+      // pointing past the payload) would move the cursor backwards —
+      // treat as terminator
+      if (!fits) ok = false
       else off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) None
+    val frameBytes = channels.toLong * bits // still in bits here
+    if (fmtTag != 1 || rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0 ||
+        frameBytes % 8 != 0 || frameBytes / 8 == 0) None
     else {
-      val nSamples = dataLen / (channels * bits / 8)
+      val nSamples = dataLen / (frameBytes / 8)
       Some((rate, channels, bits, nSamples, nSamples * 1000.0 / rate))
     }
   }

@@ -93,6 +93,24 @@ class MultimodalSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(16, 0xffffffff) // fmt chunk size -> garbage
     assert(Multimodal.wavMeta(evil) === None) // returns (doesn't hang), no meta
+    // non-PCM format tag (2 = MS ADPCM): sub-byte frames would misprice
+    // the sample count — must be None, not an ArithmeticException
+    val adpcm = Multimodal.buildWavPcm(rate = 8000, channels = 1, bits = 16, nSamples = 4)
+    val ab = java.nio.ByteBuffer.wrap(adpcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ab.putShort(20, 2.toShort) // fmt audioFormat tag
+    ab.putShort(34, 4.toShort) // 4-bit samples: channels*bits/8 would be 0
+    assert(Multimodal.wavMeta(adpcm) === None)
+    // PCM but sub-byte frame size (mono 4-bit): divisor would be zero
+    val subByte = Multimodal.buildWavPcm(rate = 8000, channels = 1, bits = 16, nSamples = 4)
+    java.nio.ByteBuffer.wrap(subByte).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 4.toShort)
+    assert(Multimodal.wavMeta(subByte) === None)
+    // data chunk declaring a size past the payload = truncated file -> None,
+    // never a sample count derived from the bogus declared length
+    val trunc = Multimodal.buildWavPcm(rate = 8000, channels = 1, bits = 16, nSamples = 4)
+    java.nio.ByteBuffer.wrap(trunc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 4096) // declared data size >> actual 8-byte payload
+    assert(Multimodal.wavMeta(trunc) === None)
   }
 
   test("decodeStub is deterministic") {
