@@ -69,13 +69,17 @@ object Shapefile {
     */
   def readTable(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
+    // the session's hadoopConfiguration (not a bare new Configuration()) so
+    // spark.hadoop.* settings — object-store credentials, endpoints — reach
+    // the task-side .dbf sidecar open
+    val hconf = new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, b) =>
         val attrRows: Vector[Map[String, String]] = try {
           val dbfPath = new org.apache.hadoop.fs.Path(p.replaceAll("\\.shp$", ".dbf"))
-          val fs = dbfPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = dbfPath.getFileSystem(hconf.value)
           if (fs.exists(dbfPath)) {
             val len = fs.getFileStatus(dbfPath).getLen.toInt
             val buf = new Array[Byte](len)
@@ -266,6 +270,19 @@ object Shapefile {
     bb.array()
   }
 
+  /** Write the spec's 4-double bbox (Xmin,Ymin,Xmax,Ymax) at `off`. A null
+    * envelope — every geometry in the file was null — would read back from
+    * JTS as (0, 0, -1, -1), an inverted box external readers reject; the
+    * convention for "no extent" is all zeros.
+    */
+  private def putBbox(bb: ByteBuffer, off: Int, env: Envelope): Unit = {
+    val (x0, y0, x1, y1) =
+      if (env.isNull) (0.0, 0.0, 0.0, 0.0)
+      else (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+    bb.putDouble(off, x0); bb.putDouble(off + 8, y0)
+    bb.putDouble(off + 16, x1); bb.putDouble(off + 24, y1)
+  }
+
   /** Assemble a complete .shp main file from geometries (header with
     * file length + envelope, then numbered records).
     */
@@ -285,8 +302,7 @@ object Shapefile {
     }.getOrElse(0))
     val env = new Envelope()
     geoms.filter(_ != null).foreach(g => env.expandToInclude(g.getEnvelopeInternal))
-    bb.putDouble(36, env.getMinX); bb.putDouble(44, env.getMinY)
-    bb.putDouble(52, env.getMaxX); bb.putDouble(60, env.getMaxY)
+    putBbox(bb, 36, env)
     var off = 100
     contents.zipWithIndex.foreach { case (c, i) =>
       bb.order(ByteOrder.BIG_ENDIAN)
@@ -312,8 +328,7 @@ object Shapefile {
     bb.order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(28, 1000)
     bb.putInt(32, shapeType)
-    bb.putDouble(36, env.getMinX); bb.putDouble(44, env.getMinY)
-    bb.putDouble(52, env.getMaxX); bb.putDouble(60, env.getMaxY)
+    putBbox(bb, 36, env)
     bb.order(ByteOrder.BIG_ENDIAN)
     var off = 100
     contentLengths.zipWithIndex.foreach { case (len, i) =>
@@ -415,6 +430,8 @@ object Shapefile {
                   attrCols: Seq[String] = Nil): Unit = {
     val projected = df.select((wkbCol +: attrCols).map(col): _*)
     val attrTypes = projected.schema.fields.drop(1).map(f => (f.name, f.dataType)).toSeq
+    val hconf = new graft.util.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     projected.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -432,8 +449,14 @@ object Shapefile {
             val content = recordContent(g)
             if (g != null) {
               env.expandToInclude(g.getEnvelopeInternal)
-              if (shapeType == 0) shapeType = ByteBuffer.wrap(content)
-                .order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+              val t = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+              // the spec forbids mixing shape types in one file — writing it
+              // anyway produces a file external readers misparse, so fail
+              // loudly at the offending record instead
+              if (shapeType == 0) shapeType = t
+              else if (t != 0 && t != shapeType) throw new IllegalArgumentException(
+                s"shapefile forbids mixed shape types: record ${recNo + 1} is type $t " +
+                  s"but this file is type $shapeType; split by geometry type before writing")
             }
             recNo += 1
             val hdr = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
@@ -445,9 +468,8 @@ object Shapefile {
           spoolOut.close()
           val lens = lengths.result()
           val total = 100 + lens.map(_ + 8).sum
-          val conf = new org.apache.hadoop.conf.Configuration()
           val shpPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.shp")
-          val fs = shpPath.getFileSystem(conf)
+          val fs = shpPath.getFileSystem(hconf.value)
           val out = fs.create(shpPath, true)
           try {
             val head = ByteBuffer.allocate(100)
@@ -457,8 +479,7 @@ object Shapefile {
             head.order(ByteOrder.LITTLE_ENDIAN)
             head.putInt(28, 1000)
             head.putInt(32, shapeType)
-            head.putDouble(36, env.getMinX); head.putDouble(44, env.getMinY)
-            head.putDouble(52, env.getMaxX); head.putDouble(60, env.getMaxY)
+            putBbox(head, 36, env)
             out.write(head.array())
             val in = new java.io.BufferedInputStream(new java.io.FileInputStream(spool))
             try {

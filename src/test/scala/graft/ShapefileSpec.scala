@@ -207,6 +207,50 @@ class ShapefileSpec extends SparkSpec {
     assert(off1 === off0 + 8 + len0 && off1 < shp.length)
   }
 
+  test("writeShapes: all-null-geometry partition writes a zero bbox, not JTS's inverted null envelope") {
+    import spark.implicits._
+    val df = Seq(null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Byte]])
+      .toDF("geometry").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp-nulls").toString + "/out"
+    Shapefile.writeShapes(df, "geometry", dir)
+    val shp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "part-00000.shp"))
+    val le = ByteBuffer.wrap(shp).order(ByteOrder.LITTLE_ENDIAN)
+    // JTS's null Envelope reads back (minX=0, maxX=-1) — an inverted box;
+    // the header must carry all zeros instead
+    (36 to 60 by 8).foreach(off => assert(le.getDouble(off) === 0.0, s"bbox@$off"))
+    val back = Shapefile.readShapes(spark, dir + "/*.shp").orderBy("record").collect()
+    assert(back.length === 2 && back.forall(_.getAs[Array[Byte]]("geometry") == null))
+  }
+
+  test("writeShapes rejects mixed shape types in one partition (spec forbids them)") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    val point = gf.createPoint(new Coordinate(1.0, 2.0))
+    val square = gf.createPolygon(Array((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0))
+      .map { case (x, y) => new Coordinate(x, y) })
+    import spark.implicits._
+    val df = Seq(Geom.writeWkb(point), Geom.writeWkb(square)).toDF("geometry").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shp-mixed").toString + "/out"
+    val e = intercept[Exception] {
+      Shapefile.writeShapes(df, "geometry", dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("mixed shape types")))
+  }
+
+  test("SerializableHadoopConf carries session spark.hadoop.* settings across serialization") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.s3a.endpoint", "http://example.internal:9000")
+    val wrapped = new graft.util.SerializableHadoopConf(conf)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(wrapped); oos.close()
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[graft.util.SerializableHadoopConf]
+    assert(back.value.get("fs.s3a.endpoint") === "http://example.internal:9000")
+  }
+
   test("readTable without a .dbf sidecar yields empty attrs, not a failure") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shp-nodbf")
     java.nio.file.Files.write(dir.resolve("bare.shp"),
