@@ -709,6 +709,54 @@ object QueriesExt {
       |SELECT d.doc_id, d.lang FROM documents d
       |WHERE d.doc_id % 37 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM coll)""".stripMargin
 
+  // ---- bloom-pruned decontamination ----
+  // Same contract and SAME ORACLE as q_decontaminate: the bloom is a
+  // map-side prune whose false positives die in the exact verify join, so
+  // any output divergence from the exact path is a bug, and the shared
+  // oracle would catch it. fpp is set high on purpose so the FP path is
+  // actually exercised at this scale.
+  def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainPrep.decontaminateBloom(
+      docs.filter(col("doc_id") % 37 =!= 0),
+      docs.filter(col("doc_id") % 37 === 0), n = 4, fpp = 0.05)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  // ---- PII scrubbing (C4-style redaction) ----
+  // The synthetic corpus is digit-free — the raw patterns would never
+  // fire and the query would grade a no-op. So the query PLANTS
+  // deterministic PII-shaped suffixes (email/IP/phone derived from
+  // doc_id) with identical string algebra in both engines, then grades
+  // the scrub where every row has real matches to redact and count.
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" tel 555-123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      ).as("text"))
+    TextAnalysis.scrubPii(planted)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"), col("scrubbed"))
+  }
+
+  val oPiiScrub: String = {
+    val (e, i, p) = (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |    || ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+       |    '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
+       |FROM planted""".stripMargin
+  }
+
   // ---- Gopher repetition filters: duplicate-bigram fraction +
   //      duplicate-token fraction with a keep verdict (at sf0.01 the
   //      bigram rule alone flags 9/500; combined keep = 217/500) ----

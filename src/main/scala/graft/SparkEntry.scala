@@ -98,6 +98,8 @@ object SparkEntry {
     "q_image_resize"         -> (QueriesExt.qImageResize _),
     "q_audio_meta"           -> (QueriesExt.qAudioMeta _),
     "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
+    "q_decontaminate_bloom"  -> (QueriesExt.qDecontaminateBloom _),
+    "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
     "q_corpus_full"          -> (QueriesExt.qCorpusFull _),
     "q_repetition_filter"    -> (QueriesExt.qRepetitionFilter _),
@@ -171,6 +173,10 @@ object SparkEntry {
     "q_image_resize"         -> QueriesExt.oImageResize,
     "q_audio_meta"           -> QueriesExt.oAudioMeta,
     "q_decontaminate"        -> QueriesExt.oDecontaminate,
+    // the bloom path must produce bit-identical output to the exact path —
+    // sharing the oracle makes any divergence a graded failure
+    "q_decontaminate_bloom"  -> QueriesExt.oDecontaminate,
+    "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,
     "q_corpus_full"          -> QueriesExt.oCorpusFull,
     "q_repetition_filter"    -> QueriesExt.oRepetitionFilter,

@@ -119,4 +119,41 @@ object TrainPrep {
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-pruned decontamination — the same CONTRACT as [[decontaminate]]
+    * (bit-identical output), different scale path. When the eval side's
+    * distinct n-grams are too many to ship comfortably as an exact
+    * broadcast set (decontaminating against another corpus, or very long
+    * benchmark suites), a Bloom filter over the eval grams (Spark's public
+    * sketch via `DataFrameStatFunctions.bloomFilter`) broadcasts at a
+    * fraction of the exact set's size, and every train gram probes it
+    * MAP-SIDE — at fpp=0.01, ~99% of corpus grams die inside the scan
+    * stage before any join. False positives cannot reach the output: the
+    * survivors still pass through the exact semi-join, which now reads a
+    * bloom-pruned sliver of the corpus instead of every exploded gram.
+    *
+    * The probe is a Scala UDF by necessity, not oversight: the sketch is
+    * an opaque object (like the JTS union buffer), not expressible in
+    * relational algebra — and it sits AFTER the codegen'd shingle
+    * expression, so the hot n-gram loop stays in whole-stage codegen.
+    */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = graft.plans.TextHash
+      .wordShingles(df.sparkSession, col(textCol), n)
+    val evalGrams = evalDocs.select(explode(grams(evalDocs)).as("g")).distinct()
+    // two passes over the EVAL side (count, then build) — it is the small
+    // side by contract, and the sketch builder needs a capacity up front
+    val expected = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("g", expected, fpp)
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContain(g))
+    val contaminated = train
+      .select(col(idCol), explode(grams(train)).as("g"))
+      .filter(mightContain(col("g")))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi") // exact: kills bloom FPs
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -75,6 +75,24 @@ class TextSpec extends SparkSpec {
     assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
   }
 
+  test("scrubPii redacts emails, IPv4s and phones with per-category counts") {
+    val pii = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now or ping 192.168.0.1 and 10.0.0.255 tel 555-123-4567"),
+      (2L, "no pii here at all"),
+      (3L, "version 1.2.3.4.5 is not an ip boundary test")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(pii)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1 && out(1L).getLong(2) === 2 && out(1L).getLong(3) === 1)
+    assert(out(1L).getString(4) ===
+      "mail <EMAIL> now or ping <IP> and <IP> tel <PHONE>")
+    assert(out(2L).getLong(1) === 0 && out(2L).getString(4) === "no pii here at all")
+    // "1.2.3.4.5": the \b-delimited IPv4 pattern matches the leading
+    // "1.2.3.4" run (the boundary sits between '4' and '.'), leaving ".5"
+    assert(out(3L).getString(4) === "version <IP>.5 is not an ip boundary test")
+  }
+
   test("repetitionStats: repeated phrase and vocabulary collapse are caught") {
     import graft.operators.TextAnalysis
     val docs = Seq(

@@ -95,4 +95,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("decontaminateBloom matches the exact path bit-for-bit, even at an absurd fpp") {
+    val train = (1L to 60L).map { i =>
+      (i, if (i % 5 == 0) s"shared gram alpha beta tail$i" else s"doc $i unique words only here")
+    }.toDF("doc_id", "text")
+    val eval_ = Seq((1000L, "the shared gram alpha beta ending")).toDF("doc_id", "text")
+    val exact = TrainPrep.decontaminate(train, eval_, n = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // fpp=0.5: the bloom passes masses of false positives — the exact
+    // verify join must kill every one of them
+    val bloomed = TrainPrep.decontaminateBloom(train, eval_, n = 4, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloomed === exact)
+    assert(exact.nonEmpty && !exact.exists(_ % 5 == 0)) // the contaminated docs really dropped
+  }
 }
