@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Sessions, Similarity, Temporal, TextAnalysis, TrainPrep}
+import graft.functions.Portable
 
 /** North-star extension queries: dedup / similarity / text analysis /
   * sessionization / multimodal over documents, embeddings, events.
@@ -336,6 +337,74 @@ object QueriesExt {
        |  JOIN nz na ON na.vec_id = aa.vec_id
        |  JOIN nz nb ON nb.vec_id = ab.vec_id)
        |WHERE cosine >= 0.25""".stripMargin
+  }
+
+  // ---- int8 scalar quantization of embeddings ----
+  // graded on a deterministic integer fingerprint of the quantized array
+  // (order-sensitive polynomial fold) rather than the raw list column,
+  // which the rendered-cell compare can't diff reliably
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      .select(col("vec_id"), size(col("q")).cast("long").as("n_dims"),
+        col("mn"), col("mx"), Portable.polyFold(col("q")).as("fp"))
+
+  val oEmbedQuantize: String =
+    """WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |    CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, mn, mx,
+      |    CASE WHEN mx > mn THEN list_transform(embedding, x ->
+      |      CAST(floor((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT) - 128)
+      |    ELSE list_transform(embedding, x -> CAST(-128 AS BIGINT)) END AS q
+      |  FROM t)
+      |SELECT vec_id, CAST(len(q) AS BIGINT) AS n_dims, mn, mx,
+      |  list_reduce(list_prepend(0::BIGINT, q), (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM q""".stripMargin
+
+  // ---- k-means (Lloyd) cluster assignment ----
+  // two full Lloyd updates + final assignment, unrolled in the oracle as
+  // CTE stages; the fixed-point (2^40-grid) exact mean is replayed
+  // literally, so centroids — and therefore every assignment — must agree
+  // bit-for-bit across engines AND across partitionings
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(t(s, dir, "embeddings"), k = 8, iters = 2)
+
+  val oKmeans: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+    val S = "1099511627776.0"
+    def assignCte(cIn: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT n.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        (n.x2 + c.c2) - 2.0 * ${dot("n.emb", "c.cemb")}, c.cid) AS rn
+         |    FROM n2 n, $cIn c) WHERE rn = 1)"""
+    def updateCte(aIn: String, out: String) =
+      s"""${out}m AS (
+         |  SELECT a.cell AS cid, r.i AS i,
+         |    CAST(CAST(sum(CAST(floor(n.emb[r.i + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) / $S AS m
+         |  FROM $aIn a JOIN n2 n USING (vec_id), range(0, 64) r(i)
+         |  GROUP BY 1, 2),
+         |${out}l AS (SELECT cid, list(m ORDER BY i) AS cemb FROM ${out}m GROUP BY cid),
+         |$out AS (SELECT cid, cemb, ${dot("cemb", "cemb")} AS c2 FROM ${out}l)"""
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n2 AS (SELECT vec_id, emb, ${dot("emb", "emb")} AS x2 FROM v),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb, x2 AS c2
+       |       FROM n2 WHERE vec_id < 8),
+       |${assignCte("c0", "a0")},
+       |${updateCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${updateCte("a1", "c2x")},
+       |${assignCte("c2x", "a2")}
+       |SELECT vec_id, cell FROM a2""".stripMargin
   }
 
   // ---- sessionization over events (30-minute gap) ----

@@ -99,6 +99,8 @@ object SparkEntry {
     "q_audio_meta"           -> (QueriesExt.qAudioMeta _),
     "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
     "q_decontaminate_bloom"  -> (QueriesExt.qDecontaminateBloom _),
+    "q_embed_quantize"       -> (QueriesExt.qEmbedQuantize _),
+    "q_kmeans"               -> (QueriesExt.qKmeans _),
     "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
     "q_corpus_full"          -> (QueriesExt.qCorpusFull _),
@@ -176,6 +178,8 @@ object SparkEntry {
     // the bloom path must produce bit-identical output to the exact path —
     // sharing the oracle makes any divergence a graded failure
     "q_decontaminate_bloom"  -> QueriesExt.oDecontaminate,
+    "q_embed_quantize"       -> QueriesExt.oEmbedQuantize,
+    "q_kmeans"               -> QueriesExt.oKmeans,
     "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,
     "q_corpus_full"          -> QueriesExt.oCorpusFull,

@@ -134,6 +134,80 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Int8 scalar quantization — the standard 4× memory reduction before an
+    * ANN index ships to serving: per-vector affine map of each coordinate
+    * onto the [-128, 127] grid (`q = floor((x-mn)/((mx-mn)/255) + 0.5) - 128`),
+    * with the (mn, mx) pair kept for dequantization. Constant vectors
+    * (mx == mn) map to -128. floor(+0.5) instead of round() because the
+    * two engines' round() disagree on half-even vs half-away ties while
+    * floor is unambiguous IEEE math. Pure per-row scalar — no shuffle,
+    * streams over 100 TB like the text hygiene filters.
+    */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("mx", array_max(col("embedding")).cast("double"))
+      .withColumn("q", when(col("mx") > col("mn"),
+          transform(col("embedding"), x =>
+            floor((x.cast("double") - col("mn")) /
+                ((col("mx") - col("mn")) / lit(255.0)) + lit(0.5)).cast("long") - lit(128L)))
+        .otherwise(transform(col("embedding"), _ => lit(-128L))))
+
+  /** Lloyd's k-means over the embedding column as PURE DataFrame algebra —
+    * the clustering step of an IVF index build (replacing [[ivfPairs]]'s
+    * fixed coarse quantizer with trained centroids) and of corpus
+    * auto-curation (cluster-then-sample).
+    *
+    * Deterministic BY CONSTRUCTION, like everything in this engine:
+    * - init = the first k vectors by id (no RNG);
+    * - assignment = argmin of squared L2 distance via a `min_by` HASH
+    *   aggregate (ties break to the lowest centroid id) — per-row double
+    *   math only, no cross-row accumulation, so partitioning can't move it;
+    * - the centroid mean — the one place floating-point SUM ORDER could
+    *   leak partition layout into results — snaps each coordinate to a
+    *   2^40 fixed-point grid and sums LONGS (exact, associative,
+    *   commutative), then divides once in double. Re-running on any
+    *   cluster size yields bit-identical centroids.
+    *
+    * Scale shape per iteration: centroids broadcast (k rows); assignment
+    * is a linear N×k scan collapsed map-side by the min_by partial
+    * aggregate; the mean is a (cid, pos) hash aggregate — k×dim groups —
+    * with map-side partials. The corpus is never shuffled; per iteration
+    * the exchanges carry N assignment rows and k×dim partial sums.
+    * Empty clusters drop (standard Lloyd semantics).
+    */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    DotFold.register(vecs.sparkSession)
+    val S = 1099511627776.0 // 2^40: the fixed-point grid of the exact mean
+    val base = vecs
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("x2", DotFold.dot(col("emb"), col("emb")))
+    def assign(cents: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("emb"), col("cid"),
+          ((col("x2") + col("c2")) -
+            lit(2.0) * DotFold.dot(col("emb"), col("cemb"))).as("dist2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid").as("cell"), col("emb")),
+          struct(col("dist2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cell").as("cell"), col("best.emb").as("emb"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cell").as("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("x") * lit(S) + lit(0.5)).cast("long")).cast("double") /
+          count(lit(1)).cast("double") / lit(S)).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+        .withColumn("c2", DotFold.dot(col("cemb"), col("cemb")))
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"),
+        col("x2").as("c2"))
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    assign(cents).select(col("vec_id"), col("cell"))
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

@@ -75,6 +75,40 @@ class TextSpec extends SparkSpec {
     assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
   }
 
+  test("quantizeInt8: affine map onto [-128,127], constant vectors pin to -128") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f, 0.25f)),
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f)),   // constant: mx == mn
+      (3L, Array(-2.0f, 2.0f, 0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs)
+      .select("vec_id", "mn", "mx", "q")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getSeq[Long](3) === Seq(-128L, 127L, 0L, -64L))
+    assert(out(2L).getSeq[Long](3) === Seq(-128L, -128L, -128L, -128L))
+    assert(out(2L).getDouble(1) === 3.0 && out(2L).getDouble(2) === 3.0)
+    // endpoints always hit the grid edges exactly
+    assert(out(3L).getSeq[Long](3).head === -128L && out(3L).getSeq[Long](3)(1) === 127L)
+  }
+
+  test("kmeans converges to the obvious clusters and is partition-count invariant") {
+    // two tight blobs far apart, k=2: init = vec_id 0 (blob A) and 1 (blob B)
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (4L, Array(0.0f, 0.1f)),
+      (1L, Array(10.0f, 10.0f)), (3L, Array(10.1f, 10.0f)), (5L, Array(10.0f, 10.1f))
+    )
+    val assign = Similarity.kmeans(pts.toDF("vec_id", "embedding"), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign(0L) === 0 && assign(2L) === 0 && assign(4L) === 0)
+    assert(assign(1L) === 1 && assign(3L) === 1 && assign(5L) === 1)
+    // determinism across partitionings: the exact fixed-point mean makes
+    // the assignment independent of how rows are split
+    val repart = Similarity.kmeans(
+      pts.toDF("vec_id", "embedding").repartition(7), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(repart === assign)
+  }
+
   test("scrubPii redacts emails, IPv4s and phones with per-category counts") {
     val pii = Seq(
       (1L, "mail bob.smith+x@corp.example.org now or ping 192.168.0.1 and 10.0.0.255 tel 555-123-4567"),
