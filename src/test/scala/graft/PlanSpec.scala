@@ -132,4 +132,27 @@ class PlanSpec extends SparkSpec {
     // the decontamination stage must hit the corpus via a broadcast join
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("bloom decontamination prunes map-side and keeps the broadcast verify join") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"), "exact verify must stay a broadcast semi-join")
+    assert(!p.contains("CartesianProduct"))
+    // the corpus is never shuffled on a gram key: the only exchanges are
+    // for the contaminated-id distinct and the final anti-join
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("kmeans assignment is a hash aggregate, not a window sort") {
+    val p = plan("q_kmeans")
+    assert(!p.contains("Window"), "argmin must be min_by partial+final agg")
+    assert(!p.contains("CartesianProduct"), "centroids must broadcast")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("quantization and pii scrub are shuffle-free scans") {
+    for (q <- Seq("q_embed_quantize", "q_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q is per-row scalar work and must not shuffle")
+    }
+  }
 }
