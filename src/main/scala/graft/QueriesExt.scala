@@ -339,6 +339,39 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- token-budget domain mixing ----
+  // per-language token budgets chosen so the cut actually bites in every
+  // domain; the oracle replays the sharded cumsum as ONE window in the
+  // identical (shard, hash, id) admission order — exact long arithmetic
+  // makes the two formulations equal, not approximately equal
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainPrep.domainMix(docs, domainCol = "lang", idCol = "doc_id",
+      tokenCount = size(split(col("text"), " ")),
+      budgets = Map("en" -> 3000L, "de" -> 1500L), defaultBudget = 2000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("mix_shard"), col("mix_ord"), col("cum_tokens"))
+  }
+
+  val oDomainMix: String = {
+    val shard = H32.format("'13#' || CAST(doc_id AS VARCHAR)")
+    val ord = H32.format("'11#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    $shard % 64 AS mix_shard, $ord AS mix_ord
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens, mix_shard, mix_ord,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY mix_shard, mix_ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, mix_shard, mix_ord, cum_tokens FROM c
+       |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 3000
+       |  WHEN lang = 'de' THEN 1500 ELSE 2000 END""".stripMargin
+  }
+
   // ---- int8 scalar quantization of embeddings ----
   // graded on a deterministic integer fingerprint of the quantized array
   // (order-sensitive polynomial fold) rather than the raw list column,

@@ -100,6 +100,7 @@ object SparkEntry {
     "q_decontaminate"        -> (QueriesExt.qDecontaminate _),
     "q_decontaminate_bloom"  -> (QueriesExt.qDecontaminateBloom _),
     "q_embed_quantize"       -> (QueriesExt.qEmbedQuantize _),
+    "q_domain_mix"           -> (QueriesExt.qDomainMix _),
     "q_kmeans"               -> (QueriesExt.qKmeans _),
     "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
@@ -179,6 +180,7 @@ object SparkEntry {
     // sharing the oracle makes any divergence a graded failure
     "q_decontaminate_bloom"  -> QueriesExt.oDecontaminate,
     "q_embed_quantize"       -> QueriesExt.oEmbedQuantize,
+    "q_domain_mix"           -> QueriesExt.oDomainMix,
     "q_kmeans"               -> QueriesExt.oKmeans,
     "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,

@@ -75,6 +75,52 @@ object TrainPrep {
       .drop("tokens_before")
   }
 
+  /** Token-budget domain mixing — the mixture-weights step of pretraining
+    * data assembly: each domain (language, source, quality bin) gets a
+    * token BUDGET, and documents are admitted in a deterministic
+    * content-addressed pseudo-random order until their domain's running
+    * token total reaches the budget. Hash-ordered admission makes the mix
+    * a uniform sample of the domain AND reproducible: like
+    * [[deterministicSplit]], an admitted document stays admitted when
+    * unrelated documents are added (it can only be displaced by new
+    * documents hashing ahead of it within its own domain's budget).
+    *
+    * Scale shape: a per-domain cumulative sum is inherently sequential,
+    * and a naive `Window.partitionBy(domain)` funnels a whole domain —
+    * possibly most of a 100 TB corpus — through ONE task. So, exactly like
+    * [[packSequences]], the domain is sharded by id hash: a per-(domain,
+    * shard) window cumsum runs in parallel, per-shard token totals (a
+    * domains×shards-row table) get prefix offsets, and the final running
+    * total is local_cum + shard_offset — equal, by exact long arithmetic,
+    * to one global cumsum in the (shard, hash, id) admission order.
+    */
+  def domainMix(docs: DataFrame, domainCol: String, idCol: String,
+                tokenCount: Column, budgets: Map[String, Long],
+                defaultBudget: Long, shards: Int = 64): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (c, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(c)
+    }
+    val base = docs
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("mix_shard", Portable.hash32(col(idCol), seed = 13) % shards)
+      .withColumn("mix_ord", Portable.hash32(col(idCol), seed = 11))
+    val wLocal = Window.partitionBy(col(domainCol), col("mix_shard"))
+      .orderBy(col("mix_ord"), col(idCol))
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // shard totals + exclusive prefix: domains×shards rows — broadcast-sized
+    val wShard = Window.partitionBy(col(domainCol)).orderBy(col("mix_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(col(domainCol), col("mix_shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset", coalesce(sum(col("shard_tokens")).over(wShard), lit(0L)))
+      .select(col(domainCol), col("mix_shard"), col("shard_offset"))
+    local.join(broadcast(offsets), Seq(domainCol, "mix_shard"))
+      .withColumn("cum_tokens", col("local_cum") + col("shard_offset"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("local_cum")
+  }
+
   /** Whitespace word n-grams as an array column (empty when the document
     * has fewer than n tokens — `sequence` would otherwise count DOWN).
     */

@@ -96,6 +96,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("domainMix admits by budget in hash order, stable under growth and partitioning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = (1L to 80L).map(i => (i, if (i % 2 == 0) "a" else "b", "x " * 10))
+      .toDF("doc_id", "dom", "text")
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      TrainPrep.domainMix(df, "dom", "doc_id",
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " ")),
+        budgets = Map("a" -> 120L), defaultBudget = 200L, shards = 8)
+    val out = mix(docs).select("doc_id", "dom", "n_tokens", "cum_tokens").collect()
+    // every admitted doc's running total respects its domain budget
+    assert(out.forall(r => r.getLong(3) <= (if (r.getString(1) == "a") 120L else 200L)))
+    // tokens per doc = 11 ("x "*10 splits to 11) -> a admits 10 docs (110<=120),
+    // b admits 18 (198<=200) of the 40 in each domain
+    val byDom = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byDom === Map("a" -> 10, "b" -> 18))
+    // growth stability: adding docs to domain b NEVER changes domain a's mix
+    val grown = mix(docs.union(
+      (1000L to 1040L).map(i => (i, "b", "y " * 5)).toDF("doc_id", "dom", "text")))
+      .select("doc_id", "dom").collect()
+    assert(grown.filter(_.getString(1) == "a").map(_.getLong(0)).sorted.toSeq ===
+      out.filter(_.getString(1) == "a").map(_.getLong(0)).sorted.toSeq)
+    // partition invariance: the sharded cumsum equals itself on any layout
+    val repart = mix(docs.repartition(13)).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(repart === out.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("decontaminateBloom matches the exact path bit-for-bit, even at an absurd fpp") {
     val train = (1L to 60L).map { i =>
       (i, if (i % 5 == 0) s"shared gram alpha beta tail$i" else s"doc $i unique words only here")
