@@ -339,6 +339,41 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- repeated-span scrubbing (token-granular substring dedup) ----
+  // k=8: long enough that natural 8-gram collisions are rare in the
+  // synthetic corpus, short enough that its exact-duplicate documents
+  // scrub to empty — both paths exercised
+  def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), k = 8)
+
+  val oSubstringDedup: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(t) + 1 - 8)) AS gpos,
+      |    unnest(list_transform(range(0, len(t) + 1 - 8),
+      |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      |  FROM toks),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, g.gpos + u.i AS pos
+      |  FROM grams g JOIN dup USING (gram), range(0, 8) u(i)),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+      |  FROM toks),
+      |kept AS (
+      |  SELECT p.doc_id, p.pos, p.tok FROM pos p
+      |  ANTI JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(a.n_kept, 0) AS n_kept,
+      |  COALESCE(a.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ---- token-budget domain mixing ----
   // per-language token budgets chosen so the cut actually bites in every
   // domain; the oracle replays the sharded cumsum as ONE window in the

@@ -101,6 +101,7 @@ object SparkEntry {
     "q_decontaminate_bloom"  -> (QueriesExt.qDecontaminateBloom _),
     "q_embed_quantize"       -> (QueriesExt.qEmbedQuantize _),
     "q_domain_mix"           -> (QueriesExt.qDomainMix _),
+    "q_substring_dedup"      -> (QueriesExt.qSubstringDedup _),
     "q_kmeans"               -> (QueriesExt.qKmeans _),
     "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "q_decontaminate_bloom"  -> QueriesExt.oDecontaminate,
     "q_embed_quantize"       -> QueriesExt.oEmbedQuantize,
     "q_domain_mix"           -> QueriesExt.oDomainMix,
+    "q_substring_dedup"      -> QueriesExt.oSubstringDedup,
     "q_kmeans"               -> QueriesExt.oKmeans,
     "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,

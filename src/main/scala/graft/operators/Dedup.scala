@@ -213,6 +213,53 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Repeated-SPAN scrubbing — token-granular exact substring dedup in the
+    * spirit of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): any word k-gram occurring more than once
+    * ACROSS THE CORPUS (or twice within one document) marks its k token
+    * positions for removal, and documents are rebuilt from the surviving
+    * tokens. Unlike document-level dedup this kills boilerplate embedded
+    * in otherwise-unique pages (headers, license blocks, navigation), the
+    * dominant duplication mode in web corpora. This is the conservative
+    * drop-ALL-occurrences variant; exact-duplicate documents scrub to
+    * empty (run after [[dropExactDuplicates]] in a real pipeline).
+    *
+    * Scale shape: the gram table is |corpus tokens| rows shuffled once on
+    * the gram key — the honest, inherent cost of substring-level dedup
+    * (the suffix-array formulation pays an equivalent sort); duplicate
+    * detection is a hash agg with map-side partials, cover expansion and
+    * the rebuild are equi-joins on (id, pos). No cartesian anywhere. At
+    * 100 TB the gram join key would be a 64-bit content hash rather than
+    * the gram string (8 bytes/row shuffled instead of ~50); the string is
+    * kept here so the DuckDB oracle replays EXACT semantics with no
+    * collision caveat.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    val grams = base.select(col(idCol), posexplode(
+        when(size(col("t")) >= k,
+          transform(sequence(lit(0), size(col("t")) - k),
+            i => array_join(slice(col("t"), i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))).as(Seq("gpos", "gram")))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("gram")
+    val cov = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = toks.join(cov, Seq(idCol, "pos"), "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Near-duplicate CLUSTERS from a candidate-pair list — what a real
     * dedup pipeline needs after pair generation: similarity is not
     * transitive, but keep-one-per-group semantics are, so the pair graph's

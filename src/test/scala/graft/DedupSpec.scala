@@ -102,6 +102,31 @@ class DedupSpec extends SparkSpec {
     assert(s === Array((10L, 1L, 2L, 1000000L), (10L, 2L, 1L, 0L), (20L, 1L, 1L, 0L)))
   }
 
+  test("repeatedSpans scrubs cross-document and within-document k-gram repeats") {
+    val docs = Seq(
+      // docs 1 and 2 share the 3-gram "common header line" at different
+      // positions; everything else is unique and survives
+      (1L, "common header line alpha beta gamma delta"),
+      (2L, "intro words common header line epsilon zeta"),
+      // doc 3 repeats a 3-gram WITHIN itself -> both occurrences scrubbed
+      (3L, "p q r p q r tail"),
+      // doc 4 shares nothing
+      (4L, "totally unique content here"),
+      // doc 5 is shorter than k
+      (5L, "ab cd")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((7L, 4L, "alpha beta gamma delta")))
+    assert(out(2L) === ((7L, 4L, "intro words epsilon zeta")))
+    // "p q r p q r" repeats "p q r" (positions 0-2 and 3-5) and ALSO the
+    // grams "q r p" / "r p q" appear once each - only the repeated gram's
+    // cover is scrubbed, leaving "tail"
+    assert(out(3L) === ((7L, 1L, "tail")))
+    assert(out(4L) === ((4L, 4L, "totally unique content here")))
+    assert(out(5L) === ((2L, 2L, "ab cd")))
+  }
+
   test("pairClusters: transitive closure over non-transitive pairs, singletons kept") {
     // A~B and B~C but no A~C pair: keep-one semantics still require one
     // cluster; D is a singleton and its own representative
