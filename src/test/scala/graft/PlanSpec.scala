@@ -155,4 +155,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q is per-row scalar work and must not shuffle")
     }
   }
+
+  test("domain mix shards the cumsum — no whole-domain funnel, offsets broadcast") {
+    val p = plan("q_domain_mix")
+    assert(!p.contains("Exchange SinglePartition"), "a domain must never collapse to one task")
+    assert(p.contains("BroadcastHashJoin"), "the domains-by-shards offsets table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("substring dedup is equi-joins and hash aggs only") {
+    val p = plan("q_substring_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
 }
