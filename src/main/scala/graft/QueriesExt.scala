@@ -339,6 +339,22 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- inverted index (term -> df + capped posting list) ----
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), maxPostings = 20)
+
+  val oInvertedIndex: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents),
+      |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+      |r AS (SELECT term, doc_id,
+      |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |      FROM t),
+      |p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |      FROM r WHERE rn <= 20 GROUP BY term)
+      |SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)""".stripMargin
+
   // ---- repeated-span scrubbing (token-granular substring dedup) ----
   // k=8: long enough that natural 8-gram collisions are rare in the
   // synthetic corpus, short enough that its exact-duplicate documents

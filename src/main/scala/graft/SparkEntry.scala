@@ -102,6 +102,7 @@ object SparkEntry {
     "q_embed_quantize"       -> (QueriesExt.qEmbedQuantize _),
     "q_domain_mix"           -> (QueriesExt.qDomainMix _),
     "q_substring_dedup"      -> (QueriesExt.qSubstringDedup _),
+    "q_inverted_index"       -> (QueriesExt.qInvertedIndex _),
     "q_kmeans"               -> (QueriesExt.qKmeans _),
     "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "q_embed_quantize"       -> QueriesExt.oEmbedQuantize,
     "q_domain_mix"           -> QueriesExt.oDomainMix,
     "q_substring_dedup"      -> QueriesExt.oSubstringDedup,
+    "q_inverted_index"       -> QueriesExt.oInvertedIndex,
     "q_kmeans"               -> QueriesExt.oKmeans,
     "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,

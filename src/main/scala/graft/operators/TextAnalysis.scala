@@ -205,6 +205,35 @@ object TextAnalysis {
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
 
+  /** Inverted index build (term → document-frequency + posting list) —
+    * the retrieval side of corpus curation: dedup-by-search, contamination
+    * lookups, and RAG source indexing all start here.
+    *
+    * Scale shape: the posting list is CAPPED BEFORE any collect — a
+    * row_number window partitioned by term keeps the first `maxPostings`
+    * doc ids per term (term partitions are the unit of parallelism, so a
+    * stopword's million-document posting never materializes in one
+    * aggregation buffer), while document frequency comes from a separate
+    * partial+final count over the same term-keyed exchange. Postings are
+    * emitted as a comma-joined string of sorted ids: deterministic, and
+    * exactly replayable by the oracle's ordered string_agg.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("term"))
+    val dfCounts = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = terms
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings"))
+    dfCounts.join(top, Seq("term"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       dupBigramMax: Double = 0.1, dupTokenMax: Double = 0.5): DataFrame = {
     val toks = split(col(textCol), " ")

@@ -75,6 +75,21 @@ class TextSpec extends SparkSpec {
     assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
   }
 
+  test("invertedIndex: df counts all docs, postings cap at maxPostings in id order") {
+    val corpus = Seq(
+      (5L, "apple banana"),
+      (1L, "apple cherry apple"),   // within-doc repeat counts once
+      (3L, "apple banana cherry"),
+      (2L, "date")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(corpus, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("apple") === ((3L, "1,3")))   // df=3 but postings capped at 2, lowest ids
+    assert(out("banana") === ((2L, "3,5")))
+    assert(out("cherry") === ((2L, "1,3")))
+    assert(out("date") === ((1L, "2")))
+  }
+
   test("quantizeInt8: affine map onto [-128,127], constant vectors pin to -128") {
     val vecs = Seq(
       (1L, Array(0.0f, 1.0f, 0.5f, 0.25f)),
