@@ -169,4 +169,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Exchange SinglePartition"))
   }
+
+  test("inverted index never funnels and caps postings before the collect") {
+    val p = plan("q_inverted_index")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
