@@ -204,7 +204,10 @@ object Similarity {
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"),
         col("x2").as("c2"))
-    for (_ <- 1 to iters) cents = update(assign(cents))
+    // checkpoint the k-row centroid table each round (same pattern as
+    // Contiguity's star loop): without it the plan embeds the FULL prior
+    // lineage in every assign, growing super-linearly with iters
+    for (_ <- 1 to iters) cents = update(assign(cents)).localCheckpoint()
     assign(cents).select(col("vec_id"), col("cell"))
   }
 
