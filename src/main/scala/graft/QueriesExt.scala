@@ -339,6 +339,27 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- collocation lift (log-free PMI over adjacent pairs) ----
+  def qCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L)
+
+  val oCollocations: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY tok),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(0, len(t) - 1),
+      |    i -> {'a': t[i+1], 'b': t[i+2]})) AS p
+      |  FROM toks),
+      |pcnt AS (
+      |  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+      |  CAST(n_ab * nn AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS lift
+      |FROM pcnt JOIN ucnt ua ON pcnt.a = ua.tok
+      |JOIN ucnt ub ON pcnt.b = ub.tok, tot""".stripMargin
+
   // ---- inverted index (term -> df + capped posting list) ----
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(t(s, dir, "documents"), maxPostings = 20)

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_domain_mix"           -> (QueriesExt.qDomainMix _),
     "q_substring_dedup"      -> (QueriesExt.qSubstringDedup _),
     "q_inverted_index"       -> (QueriesExt.qInvertedIndex _),
+    "q_collocations"         -> (QueriesExt.qCollocations _),
     "q_kmeans"               -> (QueriesExt.qKmeans _),
     "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_domain_mix"           -> QueriesExt.oDomainMix,
     "q_substring_dedup"      -> QueriesExt.oSubstringDedup,
     "q_inverted_index"       -> QueriesExt.oInvertedIndex,
+    "q_collocations"         -> QueriesExt.oCollocations,
     "q_kmeans"               -> QueriesExt.oKmeans,
     "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,

@@ -75,6 +75,21 @@ class TextSpec extends SparkSpec {
     assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
   }
 
+  test("collocations: lift = n_ab*N / (n_a*n_b) on adjacent pairs, threshold applied") {
+    val corpus = Seq(
+      (1L, "new york new york visit"),
+      (2L, "york new has low lift")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(corpus, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // tokens: N=10; "new"=3, "york"=3; both (new,york) and (york,new)
+    // occur twice (once across the two docs for the latter)
+    assert(out.keySet === Set(("new", "york"), ("york", "new")))
+    val r = out(("new", "york"))
+    assert(r.getLong(2) === 2L && r.getLong(3) === 3L && r.getLong(4) === 3L)
+    assert(r.getDouble(5) === 2.0 * 10 / (3 * 3))
+  }
+
   test("invertedIndex: df counts all docs, postings cap at maxPostings in id order") {
     val corpus = Seq(
       (5L, "apple banana"),
