@@ -339,6 +339,32 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- corpus version diff ----
+  // two versions derived deterministically from the one documents table:
+  // v1 drops ids %7==0, v2 drops %5==0 and rewrites text of %11==0 —
+  // all four statuses occur
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    TrainPrep.corpusDiff(v1, v2)
+  }
+
+  val oCorpusDiff: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 7 != 0),
+      |v2 AS (SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+      |       FROM documents WHERE doc_id % 5 != 0)
+      |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, old_hash, new_hash,
+      |  CASE WHEN old_hash IS NULL THEN 'added'
+      |       WHEN new_hash IS NULL THEN 'removed'
+      |       WHEN old_hash <> new_hash THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)""".stripMargin
+
   // ---- collocation lift (log-free PMI over adjacent pairs) ----
   def qCollocations(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L)

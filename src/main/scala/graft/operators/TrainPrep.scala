@@ -121,6 +121,28 @@ object TrainPrep {
       .drop("local_cum")
   }
 
+  /** Corpus version diff — the dataset-versioning primitive: given two
+    * versions of a corpus, classify every document id as added / removed /
+    * changed / unchanged by comparing content hashes. With the
+    * content-addressed split and sampling above, this is what makes
+    * incremental rebuilds auditable: the diff IS the changelog, and
+    * downstream stages need only reprocess `added ∪ changed`.
+    *
+    * Scale shape: one id-keyed full outer shuffle join of two narrow
+    * (id, md5) projections — the text columns are never shuffled.
+    */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val o = oldV.select(col(idCol), md5(col(textCol)).as("old_hash"))
+    val n = newV.select(col(idCol), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+  }
+
   /** Whitespace word n-grams as an array column (empty when the document
     * has fewer than n tokens — `sequence` would otherwise count DOWN).
     */

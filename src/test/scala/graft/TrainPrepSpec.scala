@@ -96,6 +96,14 @@ class TrainPrepSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by content hash") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new")).toDF("doc_id", "text")
+    val out = TrainPrep.corpusDiff(v1, v2)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("domainMix admits by budget in hash order, stable under growth and partitioning") {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = (1L to 80L).map(i => (i, if (i % 2 == 0) "a" else "b", "x " * 10))
