@@ -339,6 +339,32 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- vocab-id tokenization (encode step before packing) ----
+  def qTokenizeIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.encodeTokens(docs, TextAnalysis.vocabulary(docs, topK = 50))
+  }
+
+  val oTokenizeIds: String =
+    """WITH v AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+      |  FROM (SELECT token, count(*) AS n FROM
+      |        (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |        GROUP BY 1)
+      |  QUALIFY rank <= 50),
+      |t AS (SELECT doc_id, unnest(range(0, len(t0))) AS pos, unnest(t0) AS token
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents)),
+      |j AS (SELECT t.doc_id, t.pos, COALESCE(v.rank, 0) AS tid,
+      |        CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM t LEFT JOIN v USING (token)),
+      |ids AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(sum(oov) AS BIGINT) AS n_oov,
+      |         list(tid ORDER BY pos) AS ids
+      |        FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_oov,
+      |  list_reduce(list_prepend(0::BIGINT, ids), (a, b) -> (a * 31 + b) % 1000000007) AS ids_fp
+      |FROM ids""".stripMargin
+
   // ---- corpus version diff ----
   // two versions derived deterministically from the one documents table:
   // v1 drops ids %7==0, v2 drops %5==0 and rewrites text of %11==0 —

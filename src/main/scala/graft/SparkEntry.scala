@@ -105,6 +105,7 @@ object SparkEntry {
     "q_inverted_index"       -> (QueriesExt.qInvertedIndex _),
     "q_collocations"         -> (QueriesExt.qCollocations _),
     "q_corpus_diff"          -> (QueriesExt.qCorpusDiff _),
+    "q_tokenize_ids"         -> (QueriesExt.qTokenizeIds _),
     "q_kmeans"               -> (QueriesExt.qKmeans _),
     "q_pii_scrub"            -> (QueriesExt.qPiiScrub _),
     "q_near_dup_clusters"    -> (QueriesExt.qNearDupClusters _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_inverted_index"       -> QueriesExt.oInvertedIndex,
     "q_collocations"         -> QueriesExt.oCollocations,
     "q_corpus_diff"          -> QueriesExt.oCorpusDiff,
+    "q_tokenize_ids"         -> QueriesExt.oTokenizeIds,
     "q_kmeans"               -> QueriesExt.oKmeans,
     "q_pii_scrub"            -> QueriesExt.oPiiScrub,
     "q_near_dup_clusters"    -> QueriesExt.oNearDupClusters,

@@ -205,6 +205,34 @@ object TextAnalysis {
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
 
+  /** Vocab-id encoding — the tokenize-to-ids step between
+    * [[vocabulary]] and sequence packing: every token maps to its vocab
+    * rank (0 = OOV/unk), preserving document order, with OOV accounting.
+    * The id sequence is graded as an order-sensitive polynomial
+    * fingerprint (the array itself is training-shard payload, not a
+    * comparable cell).
+    *
+    * Scale shape: the vocabulary is dictionary-sized → BROADCAST; the
+    * corpus explodes to (id, pos, token), maps through the broadcast
+    * join, and reassembles per document with one id-keyed aggregation.
+    * The only corpus shuffle is that final groupBy — same key as every
+    * downstream per-document stage.
+    */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    toks
+      .join(broadcast(vocab.select(col("token"), col("rank"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("rank"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_oov"),
+        Portable.polyFold(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid"))).as("ids_fp"))
+  }
+
   /** Inverted index build (term → document-frequency + posting list) —
     * the retrieval side of corpus curation: dedup-by-search, contamination
     * lookups, and RAG source indexing all start here.

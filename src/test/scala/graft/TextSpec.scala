@@ -75,6 +75,19 @@ class TextSpec extends SparkSpec {
     assert(lsh.subsetOf(exactAll)) // LSH never invents pairs
   }
 
+  test("encodeTokens maps to vocab ranks in document order, OOV -> 0 and counted") {
+    val corpus = Seq((1L, "b a b zz a"), (2L, "a a")).toDF("doc_id", "text")
+    // counts: a=4, b=2, zz=1; top-2 vocab: a->1, b->2; zz is OOV
+    val vocab = TextAnalysis.vocabulary(corpus, topK = 2)
+    assert(vocab.select("token", "rank").as[(String, Long)].collect().toMap
+      === Map("a" -> 1L, "b" -> 2L))
+    val out = TextAnalysis.encodeTokens(corpus, vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(ids: Seq[Long]) = ids.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L)
+    assert(out(1L) === ((5L, 1L, fp(Seq(2L, 1L, 2L, 0L, 1L))))) // b a b <oov> a
+    assert(out(2L) === ((2L, 0L, fp(Seq(1L, 1L)))))
+  }
+
   test("collocations: lift = n_ab*N / (n_a*n_b) on adjacent pairs, threshold applied") {
     val corpus = Seq(
       (1L, "new york new york visit"),
