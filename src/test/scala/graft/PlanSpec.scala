@@ -175,4 +175,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("tokenize/collocations/corpus-diff stay equi-join + hash-agg shaped") {
+    for (q <- Seq("q_tokenize_ids", "q_collocations", "q_corpus_diff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // the vocab side of tokenization must reach the corpus via broadcast
+    assert(plan("q_tokenize_ids").contains("BroadcastHashJoin"))
+  }
 }
