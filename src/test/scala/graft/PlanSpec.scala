@@ -180,7 +180,12 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_tokenize_ids", "q_collocations", "q_corpus_diff")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      // collocations carries ONE sanctioned nested-loop join: the 1-row
+      // corpus-total broadcast (same pattern as tf-idf's N). Everything
+      // else stays strictly equi-join.
+      val bnljBudget = if (q == "q_collocations") 1 else 0
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= bnljBudget,
+        s"$q has an unsanctioned nested-loop join")
     }
     // the vocab side of tokenization must reach the corpus via broadcast
     assert(plan("q_tokenize_ids").contains("BroadcastHashJoin"))
