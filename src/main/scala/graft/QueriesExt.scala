@@ -529,17 +529,22 @@ object QueriesExt {
   def qKmeans(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeans(t(s, dir, "embeddings"), k = 8, iters = 2)
 
-  val oKmeans: String = {
-    def dot(x: String, y: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
-        s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+  private def dotSql(x: String, y: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+      s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+
+  /** Shared CTE prefix unrolling two Lloyd iterations + the final
+    * assignment (`a2` = (vec_id, cell); `n2` = (vec_id, emb, x2)) — used
+    * by both the k-means oracle and the SemDeDup oracle built on top.
+    */
+  private val kmeansCtes: String = {
     val S = "1099511627776.0"
     def assignCte(cIn: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT n.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        (n.x2 + c.c2) - 2.0 * ${dot("n.emb", "c.cemb")}, c.cid) AS rn
+         |        (n.x2 + c.c2) - 2.0 * ${dotSql("n.emb", "c.cemb")}, c.cid) AS rn
          |    FROM n2 n, $cIn c) WHERE rn = 1)"""
     def updateCte(aIn: String, out: String) =
       s"""${out}m AS (
@@ -549,19 +554,197 @@ object QueriesExt {
          |  FROM $aIn a JOIN n2 n USING (vec_id), range(0, 64) r(i)
          |  GROUP BY 1, 2),
          |${out}l AS (SELECT cid, list(m ORDER BY i) AS cemb FROM ${out}m GROUP BY cid),
-         |$out AS (SELECT cid, cemb, ${dot("cemb", "cemb")} AS c2 FROM ${out}l)"""
+         |$out AS (SELECT cid, cemb, ${dotSql("cemb", "cemb")} AS c2 FROM ${out}l)"""
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
-       |n2 AS (SELECT vec_id, emb, ${dot("emb", "emb")} AS x2 FROM v),
+       |n2 AS (SELECT vec_id, emb, ${dotSql("emb", "emb")} AS x2 FROM v),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, emb AS cemb, x2 AS c2
        |       FROM n2 WHERE vec_id < 8),
        |${assignCte("c0", "a0")},
        |${updateCte("a0", "c1")},
        |${assignCte("c1", "a1")},
        |${updateCte("a1", "c2x")},
-       |${assignCte("c2x", "a2")}
-       |SELECT vec_id, cell FROM a2""".stripMargin
+       |${assignCte("c2x", "a2")}""".stripMargin
+  }
+
+  val oKmeans: String = kmeansCtes + "\nSELECT vec_id, cell FROM a2"
+
+  // ---- SemDeDup: k-means clusters + within-cluster cosine pruning ----
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings"), k = 8, iters = 2,
+      minCosine = 0.3)
+
+  val oSemdedup: String =
+    s"""$kmeansCtes,
+       |nn AS (
+       |  SELECT a.vec_id, a.cell, n.emb, n.x2 FROM a2 a
+       |  JOIN n2 n USING (vec_id) WHERE sqrt(n.x2) > 0),
+       |dropd AS (
+       |  SELECT DISTINCT y.vec_id FROM nn x JOIN nn y
+       |  ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${dotSql("x.emb", "y.emb")} / (sqrt(x.x2) * sqrt(y.x2)) >= 0.3),
+       |alln AS (SELECT vec_id, cell FROM a2)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+       |FROM alln a LEFT JOIN dropd d USING (vec_id)""".stripMargin
+
+  // ---- BM25 scoring (log-free odds-ratio idf; k1=1.5, b=0.75 exact) ----
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"),
+      queryTerms = Seq("hash", "join", "scan"), topK = 50)
+
+  val oBm25: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |stats AS (SELECT n_docs,
+      |  CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st),
+      |qt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |f AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM qt WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+      |dfc AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM qt WHERE term IN ('hash', 'join', 'scan') GROUP BY 1),
+      |c AS (
+      |  SELECT f.doc_id, f.term,
+      |    ((CAST(s.n_docs - dfc.df AS DOUBLE) + 0.5::DOUBLE)
+      |      / (CAST(dfc.df AS DOUBLE) + 0.5::DOUBLE))
+      |    * (CAST(f.tf AS DOUBLE) * 2.5::DOUBLE
+      |      / (CAST(f.tf AS DOUBLE) + 1.5::DOUBLE
+      |        * (0.25::DOUBLE + 0.75::DOUBLE * CAST(d.dl AS DOUBLE) / s.avgdl))) AS contrib
+      |  FROM f JOIN dfc USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s),
+      |sc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(contrib ORDER BY term)),
+      |      (a, x) -> a + x) AS score
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_matched, score, rank FROM (
+      |  SELECT doc_id, n_matched, score,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM sc)
+      |WHERE rank <= 50""".stripMargin
+
+  // ---- per-domain quality gate (top-1/4 of each language by score) ----
+  def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.qualityGate(
+      TextAnalysis.qualityScore(t(s, dir, "documents")),
+      domainCol = "lang", scoreCol = "quality", idCol = "doc_id",
+      keepNum = 1, keepDen = 4)
+      .select(col("doc_id"), col("lang"), col("quality"))
+
+  val oQualityGate: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, length(text) AS n_chars2,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, n_chars2, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  len(list_filter(toks,
+      |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+      |  FROM t),
+      |q AS (SELECT doc_id, lang,
+      |  (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+      |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+      |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) AS quality
+      |  FROM s),
+      |r AS (SELECT doc_id, lang, quality,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY quality DESC, doc_id) AS BIGINT) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM q)
+      |SELECT doc_id, lang, quality FROM r WHERE rn <= (n * 1 + 3) // 4""".stripMargin
+
+  // ---- content-defined chunking + chunk-level dedup stats ----
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunks(t(s, dir, "documents"), mask = 16)
+
+  val oCdcChunks: String = {
+    val h = H32.format("tok")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+       |  FROM tk),
+       |b AS (SELECT doc_id, pos, tok,
+       |  CASE WHEN $h % 16 = 0 THEN 1 ELSE 0 END AS bd FROM tok),
+       |c AS (SELECT doc_id, pos, tok,
+       |  CAST(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk
+       |  FROM b),
+       |ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_toks,
+       |  string_agg(tok, ' ' ORDER BY pos) AS ctext
+       |  FROM c GROUP BY 1, 2)
+       |SELECT md5(ctext) AS chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(n_toks) AS n_toks
+       |FROM ch GROUP BY 1""".stripMargin
+  }
+
+  // ---- length-bucketed batch assembly (padding-waste accounting) ----
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.lengthBuckets(t(s, dir, "documents"), idCol = "doc_id",
+      tokenCount = size(split(col("text"), " ")),
+      bucketWidth = 16, maxBucket = 7, batchSize = 8)
+      .select(col("bucket"), col("lb_shard"), col("batch"),
+        col("n_docs"), col("max_len"), col("sum_len"), col("padding"))
+
+  val oLengthBuckets: String = {
+    val shard = H32.format("'17#' || CAST(doc_id AS VARCHAR)")
+    val ord = H32.format("'19#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT doc_id, n_tokens,
+       |  least(n_tokens // 16, 7) AS bucket,
+       |  $shard % 16 AS lb_shard, $ord AS lb_ord FROM t),
+       |r AS (SELECT *,
+       |  CAST(row_number() OVER (PARTITION BY bucket, lb_shard
+       |    ORDER BY lb_ord, doc_id) AS BIGINT) - 1 AS seq FROM b)
+       |SELECT bucket, lb_shard, seq // 8 AS batch,
+       |  CAST(count(*) AS BIGINT) AS n_docs, max(n_tokens) AS max_len,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       |  CAST(count(*) AS BIGINT) * max(n_tokens)
+       |    - CAST(sum(n_tokens) AS BIGINT) AS padding
+       |FROM r GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  // ---- PageRank over the order↔supplier bipartite graph (both edge
+  //      directions, so no dangling mass; d = 7/8 exact, 2^40 fixed-point
+  //      contribution sums; oracle unrolls both iterations) ----
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.pageRank(
+      li.union(li.select(col("dst").as("src"), col("src").as("dst"))), iters = 2)
+  }
+
+  val oPagerank: String = {
+    val S = "1099511627776.0::DOUBLE"
+    def iterCtes(rIn: String, i: String) =
+      s"""i$i AS (
+         |  SELECT e.dst AS dst,
+         |    CAST(CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
+         |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S AS in_sum
+         |  FROM e JOIN $rIn r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    0.125::DOUBLE / CAST(nn.n_nodes AS DOUBLE)
+         |      + 0.875::DOUBLE * COALESCE(i.in_sum, 0.0::DOUBLE) AS rank
+         |  FROM nd n CROSS JOIN nn LEFT JOIN i$i i ON n.node = i.dst)"""
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),
+       |r0 AS (SELECT node, 1.0::DOUBLE / CAST(n_nodes AS DOUBLE) AS rank
+       |       FROM nd, nn),
+       |${iterCtes("r0", "1")},
+       |${iterCtes("r1", "2")}
+       |SELECT node, rank FROM r2""".stripMargin
   }
 
   // ---- sessionization over events (30-minute gap) ----

@@ -116,6 +116,12 @@ object SparkEntry {
     "q_corpus_pipeline"      -> (QueriesExt.qCorpusPipeline _),
     "q_stratified_sample"    -> (QueriesExt.qStratifiedSample _),
     "q_vocab"                -> (QueriesExt.qVocab _),
+    "q_semdedup"             -> (QueriesExt.qSemdedup _),
+    "q_bm25"                 -> (QueriesExt.qBm25 _),
+    "q_quality_gate"         -> (QueriesExt.qQualityGate _),
+    "q_cdc_chunks"           -> (QueriesExt.qCdcChunks _),
+    "q_length_buckets"       -> (QueriesExt.qLengthBuckets _),
+    "q_pagerank"             -> (QueriesExt.qPagerank _),
   )
 
   /** DuckDB-equivalent SQL per hash-checked query (column names aligned). */
@@ -201,5 +207,11 @@ object SparkEntry {
     "q_corpus_pipeline"      -> QueriesExt.oCorpusPipeline,
     "q_stratified_sample"    -> QueriesExt.oStratifiedSample,
     "q_vocab"                -> QueriesExt.oVocab,
+    "q_semdedup"             -> QueriesExt.oSemdedup,
+    "q_bm25"                 -> QueriesExt.oBm25,
+    "q_quality_gate"         -> QueriesExt.oQualityGate,
+    "q_cdc_chunks"           -> QueriesExt.oCdcChunks,
+    "q_length_buckets"       -> QueriesExt.oLengthBuckets,
+    "q_pagerank"             -> QueriesExt.oPagerank,
   )
 }

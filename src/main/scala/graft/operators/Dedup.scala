@@ -260,6 +260,45 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Content-defined chunking + chunk-level dedup stats — the
+    * boilerplate/shared-fragment detector between document-level dedup
+    * (misses partial overlap) and [[repeatedSpans]] (exact k-gram cover):
+    * documents split into variable-length chunks at CONTENT-DEFINED
+    * boundaries (a token whose portable hash is ≡ 0 mod `mask` opens a
+    * new chunk — the token-granular analog of Rabin-fingerprint CDC used
+    * by storage dedup), so a shared passage yields the same chunks
+    * regardless of where it sits in each document. The output is one row
+    * per distinct chunk with its occurrence count and distinct-document
+    * count: `n_occ > 1` chunks are the shared boilerplate.
+    *
+    * Scale shape: chunk assignment is a running count of boundary flags —
+    * a window PARTITIONED BY document (never global); chunk assembly is a
+    * (doc, chunk) hash agg; the final stats agg keys on the chunk hash.
+    * Expected chunk length = `mask` tokens, so the chunk table is
+    * ~1/mask of the token table.
+    */
+  def cdcChunks(docs: DataFrame, mask: Int = 16, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(Portable.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = toks
+      .withColumn("bd",
+        when(Portable.hash32(col("tok")) % mask === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("bd")).over(w))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("ctext"))
+    chunks
+      .groupBy(md5(col("ctext")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_toks")).as("n_toks"))
+  }
+
   /** Near-duplicate CLUSTERS from a candidate-pair list — what a real
     * dedup pipeline needs after pair generation: similarity is not
     * transitive, but keep-one-per-group semantics are, so the pair graph's

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics — the crawl-side quality signals of a web-scale
+  * training-data pipeline (Common-Crawl-style curation ranks hosts by
+  * centrality before content filters ever run).
+  */
+object Graph {
+
+  /** PageRank as pure DataFrame algebra, deterministic BY CONSTRUCTION
+    * like [[Similarity.kmeans]]:
+    * - damping d = 7/8 (0.875 and 0.125 are EXACT binary fractions, so
+    *   the damping arithmetic introduces no cross-engine rounding
+    *   ambiguity — the classical 0.85 is not representable);
+    * - per-edge contributions `rank/outdeg` are doubles, but the one
+    *   place float SUM ORDER could leak partition layout into results —
+    *   the per-destination accumulation — snaps each contribution to a
+    *   2^40 fixed-point grid and sums LONGS (exact, associative,
+    *   commutative), then rescales once.
+    *
+    * Scale shape per iteration: one node-keyed equi-join (rank × outdeg),
+    * one src-keyed equi-join (edges × contributions — co-partitionable
+    * with the edge table's layout), one dst-keyed hash agg with map-side
+    * partials, and a node-keyed left join. No window, no collect; the
+    * rank table is node-sized, checkpointed per round so the plan stays
+    * flat (the Contiguity/kmeans iteration pattern).
+    *
+    * Input `edges`: (src, dst) rows; self-deduplicated. Every node
+    * reachable only as a destination still receives the teleport term
+    * (left join + coalesce 0). Dangling mass is NOT redistributed —
+    * callers whose graphs have sinks should add reverse edges or accept
+    * the standard mass-leak variant.
+    */
+  /** @param checkpoint disable ONLY to inspect the full-lineage plan in
+    *                    tests — production iteration must truncate lineage
+    *                    (the rank table is referenced twice per round, so
+    *                    an uncheckpointed plan doubles per iteration)
+    */
+  def pageRank(edges: DataFrame, iters: Int, checkpoint: Boolean = true): DataFrame = {
+    val S = 1099511627776.0 // 2^40: the fixed-point grid of the exact sum
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"),
+        (lit(1.0) / col("n_nodes").cast("double")).as("rank"),
+        col("n_nodes"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(outdeg, col("node") === col("src"))
+        .select(col("node").as("c_src"),
+          (col("rank") / col("outdeg").cast("double")).as("contrib"))
+      val incoming = e.join(contrib, col("src") === col("c_src"))
+        .groupBy(col("dst"))
+        .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
+          .as("in_sum"))
+      ranks = ranks.select(col("node"), col("n_nodes"))
+        .join(incoming, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.125) / col("n_nodes").cast("double") +
+            lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
+          col("n_nodes"))
+      if (checkpoint) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

@@ -176,7 +176,7 @@ object Similarity {
     * the exchanges carry N assignment rows and k×dim partial sums.
     * Empty clusters drop (standard Lloyd semantics).
     */
-  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[operators] def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     DotFold.register(vecs.sparkSession)
     val S = 1099511627776.0 // 2^40: the fixed-point grid of the exact mean
     val base = vecs
@@ -208,7 +208,46 @@ object Similarity {
     // Contiguity's star loop): without it the plan embeds the FULL prior
     // lineage in every assign, growing super-linearly with iters
     for (_ <- 1 to iters) cents = update(assign(cents)).localCheckpoint()
-    assign(cents).select(col("vec_id"), col("cell"))
+    assign(cents)
+  }
+
+  def kmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssign(vecs, k, iters).select(col("vec_id"), col("cell"))
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
+    * embedding space, then prune near-identical vectors WITHIN each
+    * cluster — document-level near-dup detection that catches paraphrases
+    * exact/MinHash dedup cannot see, without an all-pairs scan. Keep-one
+    * semantics: in every near-dup pair the higher id drops, so the lowest
+    * id of a duplicate neighborhood survives.
+    *
+    * Scale shape: the clustering is [[kmeans]] (broadcast centroids,
+    * min_by hash aggs); the pair stage is an EQUI-JOIN on the cluster id —
+    * quadratic only in cluster population, exactly like [[ivfPairs]]. The
+    * cluster count is the knob that bounds pair work as the corpus grows.
+    * Zero-norm vectors have no cosine to anything — they skip the pair
+    * stage and are always kept.
+    *
+    * Output: one row per vector — (vec_id, cell, is_kept ∈ {0,1}).
+    */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, minCosine: Double): DataFrame = {
+    val assigned = kmeansAssign(vecs, k, iters)
+    val n = assigned
+      .withColumn("norm", sqrt(DotFold.dot(col("emb"), col("emb"))))
+      .filter(col("norm") > 0)
+    val a = n.select(col("cell"), col("vec_id").as("a_id"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = n.select(col("cell"), col("vec_id").as("b_id"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    val dropped = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter((DotFold.dot(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b"))) >= minCosine)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup").isNull.cast("int").as("is_kept"))
   }
 
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */

@@ -295,6 +295,71 @@ object TextAnalysis {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** BM25 relevance scoring — the ranking function on top of
+    * [[invertedIndex]]: score every document against a fixed query-term
+    * set and keep the top K. Used in corpus curation for dedup-by-search
+    * and for mining documents similar to a seed set.
+    *
+    * LOG-FREE like [[tfIdf]] and [[collocations]]: the classical
+    * `ln((N-df+0.5)/(df+0.5))` idf is graded as the RAW odds ratio
+    * (monotone in the log form, so rankings are identical), and the free
+    * parameters are k1=1.5, b=0.75 — both exact binary fractions — so
+    * every arithmetic step is IEEE add/sub/mul/div with a fixed operand
+    * order and the oracle matches bit-for-bit. Per-document summation folds the
+    * (term, contribution) list in term order — partition layout cannot
+    * perturb the float sum.
+    *
+    * Scale shape: terms filter to the query set BEFORE any aggregation
+    * (the tf/df aggs run over query-matching postings only, not the
+    * corpus dictionary); document length and the 1-row corpus stats are
+    * the only full-corpus aggregates, and avgdl broadcasts. Final top-K
+    * is orderBy().limit() → TakeOrderedAndProject (per-partition heaps,
+    * no global sort).
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = 1.5; val b = 0.75 // exact binary fractions — see scaladoc
+    val qArr = array(queryTerms.map(lit): _*)
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(Portable.tokens(col(textCol))).cast("long").as("dl"))
+    // 1-row corpus stats: N and avgdl (exact long sum, one double division)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val qterms = docs.select(col(idCol).as("doc_id"),
+        explode(Portable.tokens(col(textCol))).as("term"))
+      .filter(array_contains(qArr, col("term")))
+    val tf = qterms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = qterms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfc), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("contrib", col("idf") * col("tfn"))
+    val scored = contrib
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        // fold contributions in term order: float sum order is fixed, so
+        // the score is partition-independent and oracle-replayable
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("contrib")))),
+            s => s.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       dupBigramMax: Double = 0.1, dupTokenMax: Double = 0.5): DataFrame = {
     val toks = split(col(textCol), " ")

@@ -121,6 +121,85 @@ object TrainPrep {
       .drop("local_cum")
   }
 
+  /** Per-domain quality gate — keep the top `keepNum/keepDen` fraction of
+    * each domain by a score column (the dynamic-threshold variant of
+    * quality filtering: a fixed global cutoff over- or under-prunes
+    * domains with different score distributions). The keep fraction is a
+    * RATIONAL so the per-domain target count is exact integer math:
+    * `target = ceil(n * keepNum / keepDen)`.
+    *
+    * Semantics = "global rank within domain by (score desc, id asc) <=
+    * target", but the implementation never runs a per-domain global sort
+    * (one domain can be most of a 100 TB corpus): a HISTOGRAM of distinct
+    * (domain, score) values — score-granularity-sized, not corpus-sized —
+    * takes a cumulative count in score-descending order to find each
+    * domain's cutoff score and how many boundary slots remain; rows above
+    * the cutoff all pass, and only the cutoff-score TIE GROUP is ranked
+    * (a window partitioned by (domain, score), so each tie group sorts in
+    * parallel). Equal, row for row, to the rank formulation the oracle
+    * runs.
+    */
+  def qualityGate(scored: DataFrame, domainCol: String, scoreCol: String,
+                  idCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum)
+    val hist = scored.groupBy(col(domainCol), col(scoreCol))
+      .agg(count(lit(1)).as("nq"))
+    val wCum = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(domainCol))
+    val cuts = hist
+      .withColumn("cum", sum(col("nq")).over(wCum))
+      .withColumn("n", sum(col("nq")).over(wAll))
+      .withColumn("target", expr(s"(n * $keepNum + ${keepDen - 1}) div $keepDen"))
+      .withColumn("above", col("cum") - col("nq"))
+      .filter(col("above") < col("target") && col("target") <= col("cum"))
+      .select(col(domainCol), col(scoreCol).as("cut_score"),
+        (col("target") - col("above")).as("slots"))
+    val wTie = Window.partitionBy(col(domainCol), col(scoreCol))
+      .orderBy(col(idCol))
+    scored
+      .join(broadcast(cuts), Seq(domainCol))
+      .withColumn("tie_rn", row_number().over(wTie))
+      .filter(col(scoreCol) > col("cut_score") ||
+        (col(scoreCol) === col("cut_score") && col("tie_rn") <= col("slots")))
+      .drop("cut_score", "slots", "tie_rn")
+  }
+
+  /** Length-bucketed batch assembly — the padding-efficiency step of
+    * fine-tuning / eval data prep: grouping similar-length documents into
+    * fixed-size batches bounds the padding waste of batch-max-length
+    * padding (a corpus batched at random wastes ~half its compute on pad
+    * tokens). Documents land in a token-length bucket, take a
+    * deterministic content-addressed order within it, and are cut into
+    * batches of `batchSize`; the output is per-batch packing stats
+    * (`padding = n_docs * max_len − sum_len`, the exact pad-token count).
+    *
+    * Scale shape: like [[packSequences]], the within-bucket order is
+    * sharded by id hash — windows partition by (bucket, shard), so no
+    * bucket funnels through one task; every batch stays inside one
+    * (bucket, shard) pair by construction.
+    */
+  def lengthBuckets(docs: DataFrame, idCol: String, tokenCount: Column,
+                    bucketWidth: Int, maxBucket: Int, batchSize: Int,
+                    shards: Int = 16): DataFrame = {
+    val base = docs
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("bucket", least(expr(s"n_tokens div $bucketWidth"), lit(maxBucket)))
+      .withColumn("lb_shard", Portable.hash32(col(idCol), seed = 17) % shards)
+      .withColumn("lb_ord", Portable.hash32(col(idCol), seed = 19))
+    val w = Window.partitionBy(col("bucket"), col("lb_shard"))
+      .orderBy(col("lb_ord"), col(idCol))
+    base
+      .withColumn("seq", row_number().over(w).cast("long") - 1)
+      .withColumn("batch", expr(s"seq div $batchSize"))
+      .groupBy(col("bucket"), col("lb_shard"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .withColumn("padding", col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   /** Corpus version diff — the dataset-versioning primitive: given two
     * versions of a corpus, classify every document id as added / removed /
     * changed / unchanged by comparing content hashes. With the

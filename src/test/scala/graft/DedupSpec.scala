@@ -127,6 +127,25 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((2L, 2L, "ab cd")))
   }
 
+  test("cdc chunks: shared passage yields the same chunk at different offsets") {
+    // the identical 12-token passage sits at offset 0 in doc 1 and offset 3
+    // in doc 2 — document-level dedup sees two distinct docs, but CDC
+    // boundaries are content-defined, so the interior chunks align
+    val passage = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),
+      (2L, s"pre1 pre2 pre3 $passage"),
+      (3L, "unrelated text entirely here")
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, mask = 4)
+    // at least one chunk (a fully interior one) must be seen by both docs
+    assert(chunks.filter($"n_docs" >= 2).count() >= 1,
+      "the shared passage must produce at least one cross-document chunk")
+    // chunk token counts conserve the corpus token count
+    val totalToks = chunks.agg(sum($"n_occ" * $"n_toks")).as[Long].head()
+    assert(totalToks === docs.select(size(split($"text", " "))).as[Int].collect().sum)
+  }
+
   test("pairClusters: transitive closure over non-transitive pairs, singletons kept") {
     // A~B and B~C but no A~C pair: keep-one semantics still require one
     // cluster; D is a singleton and its own representative

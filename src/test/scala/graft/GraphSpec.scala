@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants: probability-mass conservation (the graph has no
+  * dangling nodes when callers add reverse edges), centrality ordering on
+  * a known topology, and bit-determinism across partitionings (the 2^40
+  * fixed-point contribution sums).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star graph, both directions: center 0 <-> leaves 1..8
+  private def star = {
+    val fwd = (1L to 8L).map(i => (0L, i))
+    (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("rank mass is conserved and the hub outranks every leaf") {
+    val ranks = Graph.pageRank(star, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // no dangling nodes -> total mass stays 1 (up to the 2^40 grid snap)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    val leaves = (1L to 8L).map(ranks)
+    assert(leaves.forall(_ < ranks(0L)), "the center must dominate")
+    assert(leaves.distinct.size === 1, "symmetric leaves must tie exactly")
+  }
+
+  test("ranks are bit-identical across partitionings") {
+    val a = Graph.pageRank(star, iters = 3).as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(star.repartition(7), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(a === b) // exact == on doubles: fixed-point sums, not float order
+  }
+
+  test("uniform cycle stays uniform") {
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val ranks = Graph.pageRank(cycle, iters = 4).as[(Long, Double)].collect()
+    assert(ranks.map(_._2).distinct.length === 1,
+      "a regular cycle is already the stationary distribution")
+  }
+}

@@ -190,4 +190,60 @@ class PlanSpec extends SparkSpec {
     // the vocab side of tokenization must reach the corpus via broadcast
     assert(plan("q_tokenize_ids").contains("BroadcastHashJoin"))
   }
+
+  test("semdedup pair stage is an equi-join on the cluster id") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), "pairs must never go all-pairs")
+    assert(!p.contains("Exchange SinglePartition"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "cell pair join missing an equi-join")
+  }
+
+  test("bm25 takes top-k with heaps, never a global sort") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be per-partition heaps")
+    assert(!p.contains("CartesianProduct"))
+    // one sanctioned nested-loop join: the 1-row (N, avgdl) stats broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    // query-term df table is dictionary-sized — must broadcast
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("quality gate broadcasts cutoffs and ranks only tie groups") {
+    val p = plan("q_quality_gate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "no per-domain global sort may reach the physical plan")
+    assert(p.contains("BroadcastHashJoin"), "the per-domain cutoff table must broadcast")
+  }
+
+  test("cdc chunking windows per document and never funnels") {
+    val p = plan("q_cdc_chunks")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("length buckets shard their windows") {
+    val p = plan("q_length_buckets")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "batch assembly must never sort one bucket on one task")
+  }
+
+  test("pagerank iterations are equi-joins + hash aggs (full lineage)") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+    val p = graft.operators.Graph.pageRank(edges, iters = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // SinglePartition exchanges exist ONLY for the 1-row n_nodes total
+    // (inherently single-partition, bounded); the per-destination
+    // contribution sums must be hash-partitioned aggs + equi-joins
+    assert(p.contains("Exchange hashpartitioning"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "contribution routing must be an equi-join")
+  }
 }

@@ -187,4 +187,45 @@ class TextSpec extends SparkSpec {
     // doc 3: a single repeated token -> both metrics extreme
     assert(out(2)._2 === 1.0 - 1.0 / 5.0 && out(2)._3 === 1.0 - 1.0 / 6.0 && out(2)._4 === 0)
   }
+
+  test("bm25: rarer query terms dominate, ranks are dense from 1, topK caps") {
+    // 'rare' appears in 1 of 4 docs, 'common' in all 4; equal tf and dl
+    // mean the rare-term doc must outrank every common-only doc
+    val docs = Seq(
+      (1L, "common alpha beta gamma"),
+      (2L, "common delta epsilon zeta"),
+      (3L, "rare alpha beta gamma"),
+      (4L, "common eta theta iota")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("rare", "common"), topK = 3)
+      .select("doc_id", "n_matched", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(out.length === 3)
+    assert(out.map(_._4).toSeq === Seq(1L, 2L, 3L))
+    assert(out.head._1 === 3L, "the rare-term doc must rank first")
+    // scores for the identical common-only docs tie; doc_id breaks the tie
+    assert(out(1)._1 === 1L && out(2)._1 === 2L)
+    assert(out(1)._3 === out(2)._3)
+  }
+
+  test("semdedup drops the higher id of a near-identical pair within a cluster") {
+    // blob A holds an exact duplicate pair (0, 2); blob B's pair sits at
+    // cosine ~0.996 — inside the cluster but outside the dedup threshold
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)),
+      (1L, Array(-1.0f, -1.0f)), (3L, Array(-1.0f, -1.2f))
+    )
+    val out = Similarity.semDedup(pts.toDF("vec_id", "embedding"),
+      k = 2, iters = 2, minCosine = 0.9999)
+      .select("vec_id", "is_kept").as[(Long, Int)].collect().toMap
+    assert(out(0L) === 1 && out(2L) === 0, "exact duplicate: lowest id survives")
+    assert(out(4L) === 1, "orthogonal vector in the same cluster is kept")
+    assert(out(1L) === 1 && out(3L) === 1,
+      "0.9999-cosine threshold must not catch the 0.996-cosine pair")
+    // determinism under partitioning (fixed-point kmeans + equi-join pairs)
+    val repart = Similarity.semDedup(pts.toDF("vec_id", "embedding").repartition(5),
+      k = 2, iters = 2, minCosine = 0.9999)
+      .select("vec_id", "is_kept").as[(Long, Int)].collect().toMap
+    assert(repart === out)
+  }
 }

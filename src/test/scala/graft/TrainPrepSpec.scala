@@ -144,4 +144,50 @@ class TrainPrepSpec extends SparkSpec {
     assert(bloomed === exact)
     assert(exact.nonEmpty && !exact.exists(_ % 5 == 0)) // the contaminated docs really dropped
   }
+
+  test("qualityGate equals the per-domain rank formulation, ties broken by id") {
+    import org.apache.spark.sql.expressions.Window
+    // two domains with deliberate score ties straddling the cut boundary
+    val scored = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.8),
+      (5L, "a", 0.7), (6L, "a", 0.6), (7L, "a", 0.5), (8L, "a", 0.4),
+      (10L, "b", 0.3), (11L, "b", 0.3), (12L, "b", 0.2)
+    ).toDF("doc_id", "lang", "quality")
+    val kept = TrainPrep.qualityGate(scored, "lang", "quality", "doc_id",
+      keepNum = 1, keepDen = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference: global rank within domain
+    val w = Window.partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+    val expected = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .filter($"rn" <= ($"n" * 1 + 1) / 2) // ceil(n/2) via integer math
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === expected)
+    // domain a: ceil(8/2)=4 -> 0.9 + the three 0.8s (tie group exactly fills)
+    assert(kept.filter(_ < 10) === Seq(1L, 2L, 3L, 4L))
+    // domain b: ceil(3/2)=2 -> both 0.3s; the tie break keeps lower ids
+    assert(kept.filter(_ >= 10) === Seq(10L, 11L))
+  }
+
+  test("lengthBuckets: batches respect size, padding is exact, layout is partition-invariant") {
+    val d = docs(300)
+    val out = TrainPrep.lengthBuckets(d, "doc_id",
+      size(split($"text", " ")), bucketWidth = 8, maxBucket = 4, batchSize = 8)
+    val rows = out.select("bucket", "lb_shard", "batch", "n_docs", "max_len", "sum_len", "padding")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum === 300, "every document lands in exactly one batch")
+    assert(rows.forall(_._4 <= 8), "no batch exceeds batchSize")
+    assert(rows.forall(r => r._7 === r._4 * r._5 - r._6), "padding accounting is exact")
+    // only the LAST batch of a (bucket, shard) run may be partial
+    val partials = rows.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.count(_._4 < 8) }
+    assert(partials.forall(_ <= 1))
+    val again = TrainPrep.lengthBuckets(d.repartition(13), "doc_id",
+      size(split($"text", " ")), bucketWidth = 8, maxBucket = 4, batchSize = 8)
+      .select("bucket", "lb_shard", "batch", "n_docs", "max_len", "sum_len", "padding")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2, r._3)).toSeq ===
+      rows.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
 }
