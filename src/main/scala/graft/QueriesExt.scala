@@ -747,6 +747,43 @@ object QueriesExt {
        |SELECT node, rank FROM r2""".stripMargin
   }
 
+  // ---- BPE merge training (3 rounds over the word dictionary) ----
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.bpeMerges(t(s, dir, "documents"), rounds = 3)
+
+  val oBpeMerges: String = {
+    def roundCtes(tIn: String, i: Int) =
+      s"""p$i AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS total FROM (
+         |    SELECT cnt, unnest(list_transform(range(0, len(t) - 1),
+         |      j -> {'a': t[j+1], 'b': t[j+2]})) AS p
+         |    FROM $tIn)
+         |  WHERE p.a <> p.b GROUP BY 1, 2),
+         |r$i AS (SELECT a, b FROM p$i ORDER BY total DESC, a, b LIMIT 1),
+         |t$i AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN r.a IS NULL THEN t ELSE
+         |    list_transform(
+         |      list_filter(range(0, len(t)),
+         |        j -> NOT (j >= 1 AND t[j+1] = r.b AND t[j] = r.a)),
+         |      j -> CASE WHEN j <= len(t) - 2 AND t[j+1] = r.a AND t[j+2] = r.b
+         |           THEN r.a || r.b ELSE t[j+1] END) END AS t
+         |  FROM $tIn LEFT JOIN r$i r ON TRUE)"""
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |t0 AS (SELECT word, cnt,
+       |  list_transform(range(1, length(word) + 1),
+       |    i -> substring(word, i, 1)) AS t FROM w0),
+       |${roundCtes("t0", 1)},
+       |${roundCtes("t1", 2)},
+       |${roundCtes("t2", 3)}
+       |SELECT word, cnt, CAST(len(t) AS BIGINT) AS n_pieces,
+       |  array_to_string(t, ' ') AS segmented
+       |FROM t3""".stripMargin
+  }
+
   // ---- sessionization over events (30-minute gap) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessions.sessionize(

@@ -228,4 +228,25 @@ class TextSpec extends SparkSpec {
       .select("vec_id", "is_kept").as[(Long, Int)].collect().toMap
     assert(repart === out)
   }
+
+  test("bpe merges are greedy, ranked by weighted count, and stop gracefully") {
+    import graft.operators.Bpe
+    // (a,b) dominates round 1 (3 weighted sites); (c,d) wins round 2; by
+    // round 3 only the excluded self-pair (ab,ab) remains -> no-op round
+    val docs = Seq((1L, "abab ab cd")).toDF("doc_id", "text")
+    val out = Bpe.bpeMerges(docs, rounds = 3)
+      .select("word", "cnt", "n_pieces", "segmented")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("abab") === ("abab", 1L, 2L, "ab ab"))
+    assert(out("ab") === ("ab", 1L, 1L, "ab"))
+    assert(out("cd") === ("cd", 1L, 1L, "cd"))
+    // greedy left-to-right with a != b: no overlapping sites, single pass
+    val tricky = Seq((1L, "aab aab bab")).toDF("doc_id", "text")
+    val t2 = Bpe.bpeMerges(tricky, rounds = 1)
+      .select("word", "segmented").as[(String, String)].collect().toMap
+    // round-1 pairs: (a,a) excluded; (a,b) has weight 3 vs (b,a) weight 1
+    assert(t2("aab") === "a ab")
+    assert(t2("bab") === "b ab")
+  }
 }
