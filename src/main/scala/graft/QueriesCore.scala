@@ -505,6 +505,27 @@ object QueriesCore {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---- skew-salted join: identical result to the plain join+agg (the
+  // oracle IS the unsalted SQL); the salt spreads a hot supplier's
+  // lineitems over 16 tasks, the supplier dim replicates ×16 ----
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+      t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty")),
+      t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+      key = "s_suppkey",
+      carriers = Seq(col("l_orderkey"), col("l_linenumber")),
+      saltBuckets = 16)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+
+  val oSaltedJoin =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin
+
   // ---- semi-join (EXISTS — complement of the O-19 anti-join) ----
   def qSemijoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))

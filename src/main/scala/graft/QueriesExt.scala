@@ -784,6 +784,56 @@ object QueriesExt {
        |FROM t3""".stripMargin
   }
 
+  // ---- changelog apply (upsert/merge — inverse of q_corpus_diff):
+  //      deterministic synthetic changes derived from the corpus itself,
+  //      branches made id-disjoint (an id divisible by 77 would otherwise
+  //      carry two ops, violating the CDC unique-id contract) ----
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val updates = docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), lit("u").as("op"),
+        concat(lit("v2 "), col("text")).as("text"))
+    val deletes = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit("d").as("op"), lit("").as("text"))
+    val inserts = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), lit("i").as("op"),
+        concat(lit("new "), col("text")).as("text"))
+    TrainPrep.applyDiff(docs, updates.unionByName(deletes).unionByName(inserts))
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  val oUpsert: String =
+    """WITH ch AS (
+      |  SELECT doc_id, 'u' AS op, 'v2 ' || text AS text FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 'd', '' FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'i', 'new ' || text FROM documents
+      |  WHERE doc_id % 13 = 0),
+      |j AS (
+      |  SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id, s.text AS old_t,
+      |         c.op, c.text AS new_t
+      |  FROM documents s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id)
+      |SELECT doc_id, md5(COALESCE(new_t, old_t)) AS content_hash
+      |FROM j WHERE COALESCE(op, '') <> 'd'""".stripMargin
+
+  // ---- degree histogram of the order↔supplier link graph ----
+  def qGraphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.degreeHistogram(
+      li.union(li.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  val oGraphDegrees: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |d AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+      |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1""".stripMargin
+
   // ---- sessionization over events (30-minute gap) ----
   def qSessionize(s: SparkSession, dir: String): DataFrame =
     Sessions.sessionize(

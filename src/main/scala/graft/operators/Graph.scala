@@ -73,4 +73,14 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Degree histogram — the first diagnostic anyone runs on a link graph
+    * (hub detection, power-law sanity check, skew sizing for the
+    * PageRank/CC shuffles above). Two chained hash aggs: per-node degree,
+    * then nodes per degree. Both partial+final; nothing sorts.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 }

@@ -46,4 +46,24 @@ object Skew {
           fin(col(s"_p${i + 1}")).as(name)
         }: _*)
   }
+
+  /** Skew-salted equi-join: the big (skewed) side takes a deterministic
+    * salt in [0, saltBuckets); the small side replicates once per salt
+    * value, so `(key, salt)` stays an equi-join and a hot key's rows
+    * spread over `saltBuckets` tasks instead of one. Output is IDENTICAL
+    * to the plain join — only the plan shape changes.
+    *
+    * When to reach for this instead of AQE's runtime skew-join split:
+    * shuffled-HASH joins (AQE splits only sort-merge), aggregate-after-
+    * join pipelines where the salt can carry into the partial agg, and
+    * engines/configs where AQE is off. Replication cost = |small| ×
+    * saltBuckets rows — the small side must actually be small.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 carriers: Seq[Column], saltBuckets: Int): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(hash(carriers: _*), lit(saltBuckets)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

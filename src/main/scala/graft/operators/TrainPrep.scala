@@ -222,6 +222,26 @@ object TrainPrep {
           .otherwise("unchanged"))
   }
 
+  /** Inverse of [[corpusDiff]] — APPLY a changelog to a snapshot and
+    * produce the next corpus version: `op ∈ {i, u, d}` rows insert,
+    * update, or delete by id (the lakehouse upsert/merge primitive that
+    * makes incremental corpus rebuilds cheap: reprocess the changelog,
+    * not the corpus).
+    *
+    * Scale shape: ONE id-keyed full-outer shuffle join; both sides carry
+    * the payload column (inherent — the payload is what changes), but
+    * nothing else is shuffled and no window or sort appears. Change ids
+    * must be unique per changelog (standard CDC contract).
+    */
+  def applyDiff(snapshot: DataFrame, changes: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = snapshot.select(col(idCol), col(textCol).as("_old"))
+    val c = changes.select(col(idCol), col("op"), col(textCol).as("_new"))
+    s.join(c, Seq(idCol), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "d")
+      .select(col(idCol), coalesce(col("_new"), col("_old")).as(textCol))
+  }
+
   /** Whitespace word n-grams as an array column (empty when the document
     * has fewer than n tokens — `sequence` would otherwise count DOWN).
     */

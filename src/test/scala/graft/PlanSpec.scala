@@ -231,6 +231,27 @@ class PlanSpec extends SparkSpec {
       "batch assembly must never sort one bucket on one task")
   }
 
+  test("salted join stays an equi-join with the dim broadcast") {
+    val p = plan("q_salted_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "replicated dim must broadcast")
+  }
+
+  test("changelog apply is one full-outer equi-join, no funnel") {
+    val p = plan("q_upsert")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("degree histogram is two chained hash aggs") {
+    val p = plan("q_graph_degrees")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("pagerank iterations are equi-joins + hash aggs (full lineage)") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

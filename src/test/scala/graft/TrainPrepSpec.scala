@@ -145,6 +145,16 @@ class TrainPrepSpec extends SparkSpec {
     assert(exact.nonEmpty && !exact.exists(_ % 5 == 0)) // the contaminated docs really dropped
   }
 
+  test("applyDiff: inserts land, updates replace, deletes drop, rest untouched") {
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, "u", "two-v2"), (3L, "d", ""), (9L, "i", "nine")
+    ).toDF("doc_id", "op", "text")
+    val out = TrainPrep.applyDiff(snap, changes)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "one"), (2L, "two-v2"), (9L, "nine")))
+  }
+
   test("qualityGate equals the per-domain rank formulation, ties broken by id") {
     import org.apache.spark.sql.expressions.Window
     // two domains with deliberate score ties straddling the cut boundary
