@@ -398,19 +398,33 @@ object QueriesCore {
 
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "lineitem")
+    // counts + min/max: ONE narrow agg, no distincts (a multi-
+    // countDistinct in the same agg plans an Expand that replicates
+    // every row once per column — 6× the scan width; measured 10 s at
+    // sf0.1 vs ~2 s for this split formulation)
     val aggs = ProfileCols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
       min(col(c)).cast("string").as(s"${c}__mn"),
       max(col(c)).cast("string").as(s"${c}__mx"))
     }
     val stackArgs = ProfileCols
-      .map(c => s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`")
+      .map(c => s"'$c', `${c}__nn`, `${c}__mn`, `${c}__mx`")
       .mkString(", ")
-    df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val basic = df.agg(count(lit(1)).as("__n"), aggs: _*)
       .select(col("__n").as("n_rows"),
         expr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
-          "(col_name, n_non_null, n_distinct, min_val, max_val)"))
+          "(col_name, n_non_null, min_val, max_val)"))
+    // distincts: unpivot to narrow (col_name, value) rows — the string
+    // cast is injective for the profiled long/string columns, so the
+    // distinct count is the native one; one hash-partitioned exchange,
+    // no Expand over full-width rows
+    val distArgs = ProfileCols
+      .map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val dist = df
+      .select(expr(s"stack(${ProfileCols.size}, $distArgs) AS (col_name, v)"))
+      .groupBy(col("col_name"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    basic.join(broadcast(dist), Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_non_null"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Time every DuckDB oracle query at a given SF — the same-scale,
+same-action baseline the engine's bench is compared against.
+
+Usage: python3 tools/time_oracle.py <sfDir> <oracle_sql.json> [exclude ...]
+
+Developer tooling only (driver-side python libs); ships no code into the
+Spark library. Materializes each oracle result fully (fetchall), mirroring
+the engine bench's materialize-every-column action.
+"""
+import sys, os, glob, json, time
+import duckdb
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    exclude = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # oracle_sql.json produced by the most recent graft.Verify run
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+    times = {}
+    for name in sorted(oracle):
+        if name in exclude:
+            continue
+        t0 = time.time()
+        try:
+            con.execute(oracle[name]).fetchall()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            times[name] = f"ERR {type(e).__name__}"
+    ok = {k: v for k, v in times.items() if isinstance(v, float)}
+    print(json.dumps({"total": round(sum(ok.values()), 1), "n": len(ok),
+                      "queries": times}))
+
+
+if __name__ == "__main__":
+    main()
