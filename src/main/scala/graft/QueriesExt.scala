@@ -784,6 +784,35 @@ object QueriesExt {
        |FROM t3""".stripMargin
   }
 
+  // ---- bigram LM quality score (self-trained, log-free) ----
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(t(s, dir, "documents"))
+
+  val oLmScore: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, unnest(range(0, len(t) - 1)) AS pos,
+      |    unnest(list_transform(range(0, len(t) - 1),
+      |      i -> {'a': t[i+1], 'b': t[i+2]})) AS p
+      |  FROM toks),
+      |ucnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+      |bcnt AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+      |         FROM pairs GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT pr.doc_id, pr.pos,
+      |    CAST(b.n_ab AS DOUBLE) / CAST(u.n AS DOUBLE) AS p
+      |  FROM pairs pr JOIN bcnt b ON pr.p.a = b.a AND pr.p.b = b.b
+      |  JOIN ucnt u ON pr.p.a = u.tok),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(p ORDER BY pos)),
+      |      (a, x) -> a + x) AS s
+      |  FROM sc GROUP BY 1)
+      |SELECT t.doc_id, COALESCE(a.n_pairs, 0) AS n_pairs,
+      |  COALESCE(a.s / CAST(a.n_pairs AS DOUBLE), 0.0::DOUBLE) AS lm_score
+      |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ---- changelog apply (upsert/merge — inverse of q_corpus_diff):
   //      deterministic synthetic changes derived from the corpus itself,
   //      branches made id-disjoint (an id divisible by 77 would otherwise

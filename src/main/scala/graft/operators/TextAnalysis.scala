@@ -360,6 +360,49 @@ object TextAnalysis {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Bigram language-model quality score — the statistical-LM filter tier
+    * between the surface heuristics ([[qualityScore]]) and embedding
+    * models: documents whose adjacent-token transitions are corpus-typical
+    * score high; gibberish and shuffled text score low. Self-trained on
+    * the corpus in the same plan (two count aggs), LOG-FREE like
+    * everything here: the per-pair statistic is the raw normalized
+    * adjacency likelihood `n_ab / n_a` (exact long counts, one double
+    * division), and the per-document mean folds pairs in POSITION order
+    * so float summation never sees partition layout. True perplexity is a
+    * monotone transform callers can apply downstream.
+    *
+    * Scale shape: unigram/bigram count tables are dictionary-sized;
+    * pairs join them on token keys, and the per-document mean is one
+    * doc-keyed hash agg. Documents with < 2 tokens surface with
+    * n_pairs = 0, score 0.
+    */
+  def lmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), Portable.tokens(col(textCol)).as("t"))
+    val pairs = toks
+      .select(col("doc_id"), posexplode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), col("p.a").as("a"), col("p.b").as("b"))
+    val ucnt = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val bcnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val scored = pairs
+      .join(bcnt, Seq("a", "b"))
+      .join(ucnt.select(col("tok").as("a"), col("n")), Seq("a"))
+      .select(col("doc_id"), col("pos"),
+        (col("n_ab").cast("double") / col("n").cast("double")).as("p"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        aggregate(transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+          s => s.getField("p")), lit(0.0), (a, x) => a + x).as("s"))
+    toks.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s") / col("n_pairs").cast("double"), lit(0.0)).as("lm_score"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       dupBigramMax: Double = 0.1, dupTokenMax: Double = 0.5): DataFrame = {
     val toks = split(col(textCol), " ")
