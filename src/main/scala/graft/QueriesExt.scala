@@ -961,6 +961,44 @@ object QueriesExt {
       |  count(*) AS n, min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- ordered conversion funnel over events (view -> click -> purchase) ----
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Sessions.funnel(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us")),
+      steps = Seq("view", "click", "purchase"))
+
+  val oFunnel: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+      |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+      |  CAST(CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  // ---- cohort retention (first-active-day cohorts × day offset) ----
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    Sessions.retention(
+      events(s, dir).select(col("user_id"),
+        expr("ts DIV 86400000000000").as("day")))
+
+  val oRetention: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+      |SELECT cohort, day - cohort AS day_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   // ---- JSON extraction from event props ----
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(

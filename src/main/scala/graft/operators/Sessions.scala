@@ -38,4 +38,53 @@ object Sessions {
         max(col("ts_us")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** Ordered funnel: for each user, the earliest time of step 1, then the
+    * earliest step-2 event STRICTLY AFTER it, and so on — the
+    * conversion-path query of event analytics. `stage` = how many steps
+    * the user completed (sequential, so it equals the count of non-null
+    * step times).
+    *
+    * Scale shape: one min-agg plus one user-keyed equi-join per step,
+    * all on the same user_id key (the exchanges line up and AQE reuses
+    * the partitioning). No windows — per-step minima are hash aggs with
+    * map-side partials.
+    *
+    * events must carry: user_id, ts_us, event_type.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    var acc = events.select(col("user_id")).distinct()
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cname = s"t${i + 1}"
+      val candidates =
+        if (i == 0) events.filter(col("event_type") === step)
+        else {
+          val prev = s"t$i"
+          events.filter(col("event_type") === step)
+            .join(acc.select(col("user_id"), col(prev))
+              .filter(col(prev).isNotNull), "user_id")
+            .filter(col("ts_us") > col(prev))
+        }
+      val mins = candidates.groupBy(col("user_id")).agg(min(col("ts_us")).as(cname))
+      acc = acc.join(mins, Seq("user_id"), "left")
+    }
+    acc.withColumn("stage",
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
+  /** Cohort retention: users belong to the cohort of their first active
+    * day; the output counts distinct active users per (cohort,
+    * day_offset) — the table every retention curve is drawn from.
+    * Two user-keyed hash aggs and one user-keyed equi-join.
+    *
+    * events must carry: user_id, day (long day number).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    events.join(first, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

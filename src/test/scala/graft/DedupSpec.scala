@@ -102,6 +102,33 @@ class DedupSpec extends SparkSpec {
     assert(s === Array((10L, 1L, 2L, 1000000L), (10L, 2L, 1L, 0L), (20L, 1L, 1L, 0L)))
   }
 
+  test("funnel: steps must occur in order, stage counts completed prefix") {
+    val ev = Seq(
+      // user 1: full ordered path
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: click BEFORE first view -> stuck at stage 1
+      (2L, "click", 50L), (2L, "view", 100L),
+      // user 3: purchase without click -> stage 1 only
+      (3L, "view", 10L), (3L, "purchase", 20L),
+      // user 4: no funnel events at all
+      (4L, "error", 5L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val out = Sessions.funnel(ev, Seq("view", "click", "purchase"))
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("retention: cohorts anchor to the first active day") {
+    val ev = Seq(
+      (1L, 10L), (1L, 10L), (1L, 12L),  // cohort 10, offsets 0 and 2
+      (2L, 10L), (2L, 11L),             // cohort 10, offsets 0 and 1
+      (3L, 11L)                         // cohort 11, offset 0
+    ).toDF("user_id", "day")
+    val out = Sessions.retention(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((10L, 0L, 2L), (10L, 1L, 1L), (10L, 2L, 1L), (11L, 0L, 1L)))
+  }
+
   test("repeatedSpans scrubs cross-document and within-document k-gram repeats") {
     val docs = Seq(
       // docs 1 and 2 share the 3-gram "common header line" at different

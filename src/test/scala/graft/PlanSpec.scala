@@ -252,6 +252,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("funnel and retention are user-keyed joins + hash aggs, no windows") {
+    for (q <- Seq("q_funnel", "q_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q should need no window")
+      assert(!p.contains("Exchange SinglePartition"))
+    }
+  }
+
   test("pagerank iterations are equi-joins + hash aggs (full lineage)") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
