@@ -339,6 +339,26 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- ANN recall: LSH candidates measured against brute ground truth ----
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecall(t(s, dir, "embeddings"), col("vec_id") < 5, k = 5,
+      numPlanes = 8, dim = 64, minCosine = 0.25)
+
+  val oAnnRecall: String =
+    s"""WITH brute AS (SELECT q_id, vec_id FROM ($oSimilarTopk) bt),
+       |lshp AS (SELECT a_id, b_id FROM ($oAnnLsh) lt),
+       |sym AS (SELECT a_id AS q_id, b_id AS vec_id FROM lshp
+       |        UNION ALL SELECT b_id, a_id FROM lshp),
+       |hits AS (
+       |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM brute b SEMI JOIN sym s ON b.q_id = s.q_id AND b.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
+       |       FROM brute GROUP BY 1)
+       |SELECT tr.q_id, tr.n_truth, COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+       |FROM tr LEFT JOIN hits h USING (q_id)""".stripMargin
+
   // ---- vocab-id tokenization (encode step before packing) ----
   def qTokenizeIds(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

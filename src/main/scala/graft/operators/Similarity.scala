@@ -250,6 +250,32 @@ object Similarity {
         col("dup").isNull.cast("int").as("is_kept"))
   }
 
+  /** Recall of the LSH ANN path against brute-force ground truth — the
+    * index-quality measurement every ANN deployment runs before trusting
+    * candidates at scale: per query vector, what fraction of its true
+    * top-k neighbours does the bucketed candidate set recover?
+    *
+    * Scale shape: ground truth runs only over the (small) query set; the
+    * candidate set is symmetrized by a union of two projections and the
+    * hit count is a semi-join on (q_id, vec_id) — equi-joins throughout,
+    * recall = one exact long division per query.
+    */
+  def annRecall(vecs: DataFrame, queryPred: Column, k: Int,
+                numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
+    val truth = bruteTopK(vecs, queryPred, k).select(col("q_id"), col("vec_id"))
+    val ann = lshPairs(vecs, numPlanes, dim, minCosine)
+    val sym = ann.select(col("a_id").as("q_id"), col("b_id").as("vec_id"))
+      .unionByName(ann.select(col("b_id").as("q_id"), col("a_id").as("vec_id")))
+    val hits = truth.join(sym, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"))
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

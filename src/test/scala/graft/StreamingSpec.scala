@@ -171,4 +171,29 @@ class StreamingSpec extends SparkSpec {
       assert(r.length === 1 && r(0).getSeq[Long](1) === Seq(-128L, 127L))
     } finally q2.stop()
   }
+
+  test("streaming funnel advances stages in order and drops state on completion") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{FEvent, StageAdvance}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FEvent]
+    val q = FunnelStream.statefulFunnel(input.toDS(),
+        steps = Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_s")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        FEvent(1L, "view", ts(10)), FEvent(1L, "click", ts(20)),
+        FEvent(2L, "click", ts(5)), FEvent(2L, "view", ts(6)))
+      q.processAllAvailable()
+      // user 1 reached stage 2; user 2's click preceded its view -> stage 1
+      def stages() = spark.table("funnel_s").as[StageAdvance].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.stage).max).toMap
+      assert(stages() === Map(1L -> 2, 2L -> 1))
+      // completion in a later batch: user 1 purchases; user 2 clicks
+      input.addData(FEvent(1L, "purchase", ts(30)), FEvent(2L, "click", ts(7)))
+      q.processAllAvailable()
+      assert(stages() === Map(1L -> 3, 2L -> 2))
+    } finally q.stop()
+  }
 }
