@@ -455,6 +455,40 @@ object QueriesCore {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---- constraint checks: declarative data-quality rules evaluated in
+  //      one conditional-sum pass (plus a distinct-count branch for the
+  //      uniqueness rule) — the validation gate a pipeline runs on every
+  //      ingest; output is (rule, n_violations) ----
+  def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "lineitem")
+    val scalarRules = df.agg(
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("r_qty_range"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("r_orderkey_null"),
+        sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("r_discount_range"))
+      .select(expr("stack(3, 'qty_range', r_qty_range, " +
+        "'orderkey_null', r_orderkey_null, " +
+        "'discount_range', r_discount_range) AS (rule, n_violations)"))
+    val unique = df.agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n_violations"))
+      .select(lit("line_key_unique").as("rule"), col("n_violations"))
+    scalarRules.unionByName(unique)
+  }
+
+  val oConstraints: String =
+    """SELECT 'qty_range' AS rule, CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem
+      |UNION ALL
+      |SELECT 'orderkey_null', CAST(sum(CASE WHEN l_orderkey IS NULL
+      |  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_range', CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+      |  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT 'line_key_unique', CAST(count(*) AS BIGINT)
+      |  - (SELECT CAST(count(*) AS BIGINT) FROM
+      |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+      |FROM lineitem""".stripMargin
+
   // ---- collect aggregates: deterministic via sort_array before join
   //      (a bare collect_list is order-nondeterministic at scale) ----
   def qCollectList(s: SparkSession, dir: String): DataFrame =

@@ -804,6 +804,19 @@ object QueriesExt {
        |FROM t3""".stripMargin
   }
 
+  // ---- canonical text normalization (cleaning stage) ----
+  def qNormalize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeText(t(s, dir, "documents"))
+      .select(col("doc_id"), col("norm_text"), col("delta_chars"))
+
+  val oNormalize: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  CAST(length(text) - length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS delta_chars
+      |FROM documents""".stripMargin
+
   // ---- bigram LM quality score (self-trained, log-free) ----
   def qLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(t(s, dir, "documents"))

@@ -360,6 +360,21 @@ object TextAnalysis {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Canonical text normalization — the cleaning stage upstream of every
+    * hash-keyed operator here (exact dedup, shingles, fingerprints are
+    * only as good as their canonical form): lowercase, punctuation → space,
+    * whitespace collapse, trim. Pure per-row scalar regex (RE2-safe
+    * patterns, replace-all on both engines), chain-friendly like the
+    * other hygiene filters — appends `norm_text` + `delta_chars`.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " ")))
+      .withColumn("delta_chars",
+        (length(col(textCol)) - length(col("norm_text"))).cast("long"))
+
   /** Bigram language-model quality score — the statistical-LM filter tier
     * between the surface heuristics ([[qualityScore]]) and embedding
     * models: documents whose adjacent-token transitions are corpus-typical

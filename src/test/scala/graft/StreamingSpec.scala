@@ -128,7 +128,8 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)]
     val filtered = graft.operators.TextAnalysis.repetitionStats(
         graft.operators.TextAnalysis.qualityScore(
-          input.toDF().toDF("doc_id", "text")))
+          graft.operators.TextAnalysis.normalizeText(
+            input.toDF().toDF("doc_id", "text"))))
       .select("doc_id", "quality", "keep")
     val q = filtered.writeStream.format("memory").queryName("hygiene_s")
       .outputMode("append").start()
