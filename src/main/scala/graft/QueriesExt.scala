@@ -804,6 +804,32 @@ object QueriesExt {
        |FROM t3""".stripMargin
   }
 
+  // ---- quality-weighted deterministic sampling ----
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.weightedSample(
+      TextAnalysis.qualityScore(t(s, dir, "documents")),
+      weightCol = "quality", idCol = "doc_id")
+      .select(col("doc_id"), col("quality"))
+
+  val oWeightedSample: String = {
+    val h = H32.format("'23#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars2, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars2, len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  len(list_filter(toks,
+       |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+       |  FROM t),
+       |q AS (SELECT doc_id,
+       |  (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+       |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+       |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) AS quality
+       |  FROM s)
+       |SELECT doc_id, quality FROM q
+       |WHERE CAST($h AS DOUBLE) < quality * 4294967296.0::DOUBLE""".stripMargin
+  }
+
   // ---- canonical text normalization (cleaning stage) ----
   def qNormalize(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.normalizeText(t(s, dir, "documents"))

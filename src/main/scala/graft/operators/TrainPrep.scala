@@ -121,6 +121,18 @@ object TrainPrep {
       .drop("local_cum")
   }
 
+  /** Weighted deterministic sampling — keep each row with probability
+    * equal to a per-row weight column (e.g. a quality score in [0,1]):
+    * the importance-sampling step that biases a corpus toward high-value
+    * documents WITHOUT a hard cutoff. Content-addressed like
+    * [[stratifiedSample]] (hash-uniform in [0,1) compared to the
+    * weight), so the kept set is reproducible and stable as the corpus
+    * grows. Pure per-row scalar — no shuffle.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String): DataFrame =
+    df.filter(Portable.hash32(col(idCol), seed = 23).cast("double") <
+      col(weightCol) * lit(4294967296.0))
+
   /** Per-domain quality gate — keep the top `keepNum/keepDen` fraction of
     * each domain by a score column (the dynamic-threshold variant of
     * quality filtering: a fixed global cutoff over- or under-prunes
