@@ -339,6 +339,51 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
+  // ---- sparse tf-vector cosine pairs (rare-term candidates, exact
+  //      long numerators — the embedding-free similarity path).
+  //      The synthetic corpus has a ~31-token vocabulary (every term's
+  //      df ≈ N), so rare terms are PLANTED deterministically (same
+  //      precedent as q_pii_scrub's digit-free corpus): docs with
+  //      id % 25 == 0 gain a marker token keyed by id % 100, giving
+  //      four small rare-term posting groups at every SF ----
+  def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" marker"), (col("doc_id") % 100).cast("string")))
+          .otherwise(col("text")))
+    Similarity.sparseCosinePairs(docs, maxDf = 50, minCosine = 0.6)
+  }
+
+  val oSparseCosine: String =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 25 = 0
+      |    THEN text || ' marker' || CAST(doc_id % 100 AS VARCHAR)
+      |    ELSE text END AS text
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id AS doc, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM d)
+      |  GROUP BY 1, 2),
+      |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |norms AS (SELECT doc, sqrt(CAST(CAST(sum(tf * tf) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM tf GROUP BY 1),
+      |rare AS (SELECT tf.term, tf.doc FROM tf JOIN dfc USING (term) WHERE df <= 50),
+      |cand AS (
+      |  SELECT DISTINCT a.doc AS d1, b.doc AS d2
+      |  FROM rare a JOIN rare b ON a.term = b.term AND a.doc < b.doc),
+      |num AS (
+      |  SELECT c.d1, c.d2, CAST(sum(t1.tf * t2.tf) AS BIGINT) AS num
+      |  FROM cand c
+      |  JOIN tf t1 ON t1.doc = c.d1
+      |  JOIN tf t2 ON t2.doc = c.d2 AND t2.term = t1.term
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  CAST(num AS DOUBLE) / (n1.nrm * n2.nrm) AS cosine
+      |FROM num JOIN norms n1 ON n1.doc = d1 JOIN norms n2 ON n2.doc = d2
+      |WHERE CAST(num AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.6""".stripMargin
+
   // ---- ANN recall: LSH candidates measured against brute ground truth ----
   def qAnnRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.annRecall(t(s, dir, "embeddings"), col("vec_id") < 5, k = 5,

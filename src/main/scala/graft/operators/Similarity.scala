@@ -250,6 +250,53 @@ object Similarity {
         col("dup").isNull.cast("int").as("is_kept"))
   }
 
+  /** Sparse document cosine over TERM-FREQUENCY vectors — the similarity
+    * path that needs no embeddings: documents are sparse vectors in term
+    * space, candidate pairs come from co-occurrence on RARE terms
+    * (df <= maxDf — the prefix-filtering trick: ubiquitous terms
+    * generate quadratic candidates and contribute least to
+    * discrimination), and the exact cosine over ALL shared terms runs
+    * only on candidates.
+    *
+    * Bit-deterministic by construction: numerators are exact LONG sums
+    * of tf products, norms are exact long sums under one sqrt, the
+    * division is the only float op — no float accumulation anywhere, so
+    * no partition-order sensitivity and the oracle replays bit-for-bit.
+    *
+    * Scale shape: everything is term- or doc-keyed equi-joins and hash
+    * aggs; the candidate join is bounded by rare-term posting sizes
+    * (≤ maxDf² pairs per term), never corpus².
+    */
+  def sparseCosinePairs(docs: DataFrame, maxDf: Long, minCosine: Double,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val norms = tf.groupBy(col("doc"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    val rare = tf.join(dfc.filter(col("df") <= maxDf), "term")
+    val cand = rare.select(col("term"), col("doc").as("d1"))
+      .join(rare.select(col("term"), col("doc").as("d2")), "term")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    // expand candidates by d1's vector, then match d2's entries on
+    // (d2, term): cost is |cand| × doc length — NOT the full term
+    // self-join (a stopword posting would make that quadratic)
+    val num = cand
+      .join(tf.select(col("doc").as("d1"), col("term"), col("tf").as("tf1")), "d1")
+      .join(tf.select(col("doc").as("d2"), col("term"), col("tf").as("tf2")),
+        Seq("d2", "term"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("tf1") * col("tf2")).as("num"))
+    num
+      .join(norms.select(col("doc").as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col("doc").as("d2"), col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("num").cast("double") / (col("n1") * col("n2"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Recall of the LSH ANN path against brute-force ground truth — the
     * index-quality measurement every ANN deployment runs before trusting
     * candidates at scale: per query vector, what fraction of its true

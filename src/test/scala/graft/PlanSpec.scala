@@ -252,6 +252,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("sparse cosine candidates come from equi-joins, never all-pairs") {
+    val p = plan("q_sparse_cosine")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("funnel and retention are user-keyed joins + hash aggs, no windows") {
     for (q <- Seq("q_funnel", "q_retention")) {
       val p = plan(q)
