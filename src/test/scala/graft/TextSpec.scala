@@ -249,4 +249,22 @@ class TextSpec extends SparkSpec {
     assert(t2("aab") === "a ab")
     assert(t2("bab") === "b ab")
   }
+
+  test("bpe segmentation always reassembles to the original word") {
+    import graft.operators.Bpe
+    // pseudo-random corpus over a 4-letter alphabet: merges fire heavily,
+    // and whatever they do, concatenating the pieces must reproduce the
+    // word exactly (no token eaten, none duplicated, order kept)
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      .distinct
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Bpe.bpeMerges(docs, rounds = 4)
+      .select("word", "segmented").as[(String, String)].collect()
+    assert(out.map(_._1).toSet === words.toSet)
+    out.foreach { case (w, seg) =>
+      assert(seg.replace(" ", "") === w, s"pieces of '$w' reassembled to '$seg'")
+    }
+  }
 }

@@ -180,6 +180,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept.filter(_ >= 10) === Seq(10L, 11L))
   }
 
+  test("qualityGate keeps exactly ceil(n*p) per domain on tie-heavy scores") {
+    // deterministic pseudo-random scores drawn from a COARSE grid so tie
+    // groups straddle cut boundaries in most domains
+    val rnd = new scala.util.Random(7)
+    val rows = for (d <- 'a' to 'e'; i <- 1 to (20 + rnd.nextInt(30)))
+      yield (d.toString + i, d.toString, (rnd.nextInt(5) * 0.25))
+    val scored = rows.toDF("doc_id", "lang", "quality")
+    val kept = TrainPrep.qualityGate(scored, "lang", "quality", "doc_id", 1, 4)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val expected = rows.groupBy(_._2).map { case (d, rs) =>
+      d -> ((rs.size + 3) / 4).toLong
+    }
+    assert(kept === expected)
+  }
+
   test("lengthBuckets: batches respect size, padding is exact, layout is partition-invariant") {
     val d = docs(300)
     val out = TrainPrep.lengthBuckets(d, "doc_id",
