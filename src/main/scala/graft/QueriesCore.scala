@@ -489,6 +489,39 @@ object QueriesCore {
       |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
       |FROM lineitem""".stripMargin
 
+  // ---- IQR-fence outlier counts per group (Tukey fences; 1.5 is an
+  //      exact binary fraction, quartile interpolation matches
+  //      quantile_cont bit-for-bit — see q_group_median). Fences are a
+  //      groups-sized table broadcast back over the fact scan. ----
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fences = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select(col("l_returnflag"), col("lo"), col("hi"))
+    li.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+  }
+
+  val oOutliers: String =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1),
+      |b AS (SELECT l_returnflag, q1 - 1.5 * (q3 - q1) AS lo,
+      |             q3 + 1.5 * (q3 - q1) AS hi FROM f)
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY 1""".stripMargin
+
   // ---- collect aggregates: deterministic via sort_array before join
   //      (a bare collect_list is order-nondeterministic at scale) ----
   def qCollectList(s: SparkSession, dir: String): DataFrame =
