@@ -82,6 +82,54 @@ object QueriesExt {
       |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
       |WHERE jaccard >= 0.2""".stripMargin
 
+  // ---- MinHash estimator error vs exact Jaccard on LSH candidates ----
+  def qMinhashError(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashError(t(s, dir, "documents"),
+      k = 3, numHashes = 8, bandSize = 2)
+
+  val oMinhashError: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |minh AS (
+      |  SELECT doc_id, seed,
+      |    min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || shingle), 1, 8))::BIGINT) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    list_reduce(list_prepend(0::BIGINT, list_sort(list(minhash))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS band_key
+      |  FROM minh GROUP BY doc_id, seed // 2),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |agree AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM cand c JOIN minh ma ON ma.doc_id = c.a_id
+      |  JOIN minh mb ON mb.doc_id = c.b_id AND mb.seed = ma.seed
+      |  GROUP BY 1, 2),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |ex AS (
+      |  SELECT a_id, b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      len(list_distinct(sa.sh || sb.sh)) AS jaccard
+      |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
+      |SELECT a.a_id, a.b_id, a.n_agree,
+      |  CAST(a.n_agree AS DOUBLE) / 8.0 AS est_jaccard, e.jaccard,
+      |  abs(CAST(a.n_agree AS DOUBLE) / 8.0 - e.jaccard) AS abs_err
+      |FROM agree a JOIN ex e USING (a_id, b_id)""".stripMargin
+
   // ---- SimHash near-dup pairs; hamming <= 3 makes the 4×16-bit-band
   //      candidate join EXACT (3 flipped bits can't touch all 4 disjoint
   //      bands), so the oracle is brute-force all-pairs. 64-bit signature:

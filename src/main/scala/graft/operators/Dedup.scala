@@ -96,6 +96,41 @@ object Dedup {
     verifyJaccard(docs, candidates, k, idCol, textCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Estimator-quality measurement for the MinHash path — the sketch
+    * analog of [[Similarity.annRecall]]: for every LSH candidate pair,
+    * the signature-agreement estimate of Jaccard (the statistic MinHash
+    * IS) next to the exact shingle-set Jaccard, with the absolute error.
+    * This is how a pipeline picks numHashes: the observed error
+    * distribution against ground truth at a sample scale.
+    *
+    * Deterministic: agreement counts are integer, the estimate divides
+    * by a power-of-two hash count (exact), and the exact Jaccard is the
+    * same count-join double the dedup path grades.
+    */
+  def minhashError(docs: DataFrame, k: Int, numHashes: Int, bandSize: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = minhashSignature(docs, k, numHashes, idCol, textCol)
+    val bands = minhashBands(sig, numHashes, bandSize)
+    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
+    val candidates = l.join(r, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sigA = sig.select(col("doc_id").as("a_id") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sig.select(col("doc_id").as("b_id") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val est = candidates.join(sigA, "a_id").join(sigB, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (0 until numHashes)
+          .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_agree"))
+      .withColumn("est_jaccard", col("n_agree").cast("double") / numHashes)
+    est.join(verifyJaccard(docs, candidates, k, idCol, textCol), Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("n_agree"), col("est_jaccard"),
+        col("jaccard"), abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
   /** Exact Jaccard over word-k-shingle sets for given candidate pairs.
     *
     * Count-join formulation — |A∩B| from an equi-join on (doc, shingle),
