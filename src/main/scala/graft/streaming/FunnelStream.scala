@@ -38,7 +38,9 @@ object FunnelStream {
           else {
             var st = state.getOption.getOrElse(FunnelState(0, Seq.empty))
             val out = Seq.newBuilder[StageAdvance]
-            for (e <- batch.toSeq.sortBy(_.ts.getTime)
+            // secondary key: equal-timestamp events must process in a
+            // deterministic order or replays could diverge
+            for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
                  if st.stage < steps.length && e.event_type == steps(st.stage)) {
               st = FunnelState(st.stage + 1, st.times :+ e.ts.getTime)
               out += StageAdvance(userId, st.stage, e.ts.getTime)
