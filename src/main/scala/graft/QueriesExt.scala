@@ -1515,17 +1515,32 @@ object QueriesExt {
     dir.toString
   }
 
-  def qImageDecode(s: SparkSession, dir: String): DataFrame = {
+  private def fixtureMedia(s: SparkSession): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import s.implicits._
     val gdir = fixtureImageDir()
-    val media = s.read.format("binaryFile").load(s"$gdir/img_*.{png,bmp}")
+    s.read.format("binaryFile").load(s"$gdir/img_*.{png,bmp}")
       .select(regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("long").as("doc_id"),
         col("content").as("payload"), lit("image").as("media_type"))
       .as[Multimodal.MediaRow]
-    Multimodal.decodeImageMeta(media).toDF()
+  }
+
+  def qImageDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageMeta(fixtureMedia(s)).toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         col("n_pixels"), col("mean_luma"))
-  }
+
+  // ---- perceptual aHash near-dup pairs over the image fixtures: the
+  //      three structure-free uniform fills collide at hash 0 (the
+  //      documented aHash property — it keys on structure), the 4×1
+  //      checker stands apart; golden VALUES derived by hand from the
+  //      8×8 NN grid and confirmed via GRAFT_SHOW at two partitionings ----
+  def qImageAhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDups(fixtureMedia(s), maxHamming = 3)
+
+  val oImageAhash: String =
+    """SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+      |  CAST(hamming AS BIGINT) AS hamming
+      |FROM (VALUES (1, 3, 0), (1, 4, 0), (3, 4, 0)) t(a_id, b_id, hamming)""".stripMargin
 
   val oImageDecode =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id, format, CAST(width AS INT) AS width,

@@ -172,6 +172,86 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) — the image-dedup signature: NN
+    * downsample to 8×8 integer grays (sum of channels, 0..765 — no float
+    * division anywhere), bit (y*8+x) set iff `64 * gray > sum(grays)`
+    * (exact integer compare instead of a float mean). Structure-free
+    * (uniform) images all hash to 0 — the documented aHash property:
+    * it keys on STRUCTURE, so pair it with mean_luma for flat images.
+    */
+  def aHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val gray = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * sh / 8
+        var x = 0
+        while (x < 8) {
+          val sx = x * sw / 8
+          val rgb = img.getRGB(sx, sy)
+          val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          gray(y * 8 + x) = g
+          total += g
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (gray(i) * 64L > total) h |= (1L << i)
+        i += 1
+      }
+      Some(h)
+    }
+  }
+
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(r => aHash(r.payload).map(ImageHash(r.doc_id, _)))
+    }
+  }
+
+  /** Image near-duplicate pairs via banded aHash — the SimHash recipe
+    * applied to pixels: the 64-bit hash splits into 4×16-bit bands, pairs
+    * sharing any band are candidates (EXACT recall at hamming <= 3 — four
+    * disjoint bands can't all differ), and `bit_count(xor)` verifies.
+    * Candidate generation is an equi-join on (band, key) — never
+    * image × image.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to hamming 3")
+    val h = imageHashes(media).toDF()
+    val bands = h.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val l = bands.select(col("band"), col("key"),
+      col("doc_id").as("a_id"), col("ahash").as("ha"))
+    val r = bands.select(col("band"), col("key"),
+      col("doc_id").as("b_id"), col("ahash").as("hb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
                            bits_per_sample: Int, n_samples: Long, duration_ms: Double)
 

@@ -62,6 +62,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).mean_luma === 255.0 && out(1).width === 4 && out(1).height === 3)
   }
 
+  test("aHash: uniform images hash 0, the vertical checker hits 0xCC rows, near-dups pair") {
+    import java.awt.image.BufferedImage
+    def png(build: BufferedImage => Unit, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      build(img)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val uniform = png(i => for (y <- 0 until 2; x <- 0 until 2) i.setRGB(x, y, 0x808080), 2, 2)
+    // 4 columns b/w/b/w -> NN 8x8 sets bits at x in {2,3,6,7} of every row
+    val checker = png(i => { i.setRGB(1, 0, 0xffffff); i.setRGB(3, 0, 0xffffff) }, 4, 1)
+    assert(Multimodal.aHash(uniform).get === 0L)
+    assert(Multimodal.aHash(checker).get === 0xCCCCCCCCCCCCCCCCL)
+    assert(Multimodal.aHash(checker) === Multimodal.aHash(checker)) // deterministic
+    assert(Multimodal.aHash("junk".getBytes).isEmpty)
+    // near-dup join: two uniforms collide (hamming 0), the checker stands off
+    val media = Seq(
+      MediaRow(1L, uniform, "image"), MediaRow(2L, checker, "image"),
+      MediaRow(3L, png(i => for (y <- 0 until 3; x <- 0 until 3)
+        i.setRGB(x, y, 0x112233), 3, 3), "image")
+    ).toDS().repartition(3)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L, 0L)))
+  }
+
   test("resizeImageNN samples exact source pixels (no interpolation)") {
     import java.awt.image.BufferedImage
     // 4x1 black/white checker: NN to 2x2 must sample source columns {0,2}
