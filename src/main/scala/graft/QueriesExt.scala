@@ -897,6 +897,52 @@ object QueriesExt {
        |FROM t3""".stripMargin
   }
 
+  // ---- quality deciles per domain (ntile over a deterministic total
+  //      order — the bucketing behind "train on the top-N deciles") ----
+  def qQualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+  }
+
+  val oQualityDeciles: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, length(text) AS n_chars2,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, n_chars2, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  len(list_filter(toks,
+      |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+      |  FROM t),
+      |q AS (SELECT doc_id, lang,
+      |  (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+      |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+      |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) AS quality
+      |  FROM s),
+      |d AS (SELECT lang, quality,
+      |  CAST(ntile(10) OVER (PARTITION BY lang
+      |    ORDER BY quality DESC, doc_id) AS BIGINT) AS decile FROM q)
+      |SELECT lang, decile, CAST(count(*) AS BIGINT) AS n,
+      |  min(quality) AS min_q, max(quality) AS max_q
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  // ---- language-ID confusion matrix (the classifier's eval metric) ----
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents"), truthCol = Some("lang"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  val oLangConfusion: String =
+    s"""WITH pred AS ($oLangId)
+       |SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
   // ---- quality-weighted deterministic sampling ----
   def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     TrainPrep.weightedSample(
