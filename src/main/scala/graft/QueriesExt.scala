@@ -82,6 +82,67 @@ object QueriesExt {
       |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
       |WHERE jaccard >= 0.2""".stripMargin
 
+  // ---- incremental dedup: a new slice (ids +20000, one third exact
+  //      copies, one third near-dups with one extra token, one third
+  //      genuinely fresh) deduplicated AGAINST the existing corpus —
+  //      candidates restricted to (old, new), never corpus² ----
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val neu = base.select((col("doc_id") + 20000).as("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" zz")))
+        .otherwise(concat(lit("uniq"), col("doc_id").cast("string"),
+          lit(" fresh content entirely new"))).as("text"))
+    Dedup.dedupIncrement(base.unionByName(neu), col("doc_id") >= 20000,
+      k = 3, numHashes = 8, bandSize = 2, minJaccard = 0.5)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  val oIncrementalDedup: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |neu AS (SELECT doc_id + 20000 AS doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text
+      |       WHEN doc_id % 3 = 1 THEN text || ' zz'
+      |       ELSE 'uniq' || CAST(doc_id AS VARCHAR) || ' fresh content entirely new'
+      |  END AS text FROM base),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM neu),
+      |ex AS (SELECT n.doc_id, n.text FROM neu n
+      |  WHERE NOT EXISTS (SELECT 1 FROM base o WHERE md5(o.text) = md5(n.text))),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |minh AS (
+      |  SELECT doc_id, seed,
+      |    min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || shingle), 1, 8))::BIGINT) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    list_reduce(list_prepend(0::BIGINT, list_sort(list(minhash))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS band_key
+      |  FROM minh GROUP BY doc_id, seed // 2),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_key = r.band_key
+      |    AND l.doc_id < 20000 AND r.doc_id >= 20000),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+      |near AS (SELECT DISTINCT b_id FROM (
+      |  SELECT b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      len(list_distinct(sa.sh || sb.sh)) AS j
+      |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
+      |  WHERE j >= 0.5)
+      |SELECT e.doc_id, md5(e.text) AS content_hash FROM ex e
+      |WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.b_id = e.doc_id)""".stripMargin
+
   // ---- MinHash estimator error vs exact Jaccard on LSH candidates ----
   def qMinhashError(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashError(t(s, dir, "documents"),

@@ -96,6 +96,46 @@ object Dedup {
     verifyJaccard(docs, candidates, k, idCol, textCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental dedup — deduplicate NEW documents against an EXISTING
+    * corpus without re-pairing the old corpus against itself: the
+    * append-only rebuild path ([[TrainPrep.corpusDiff]]'s `added` set is
+    * exactly this operator's input). Two tiers, same recipes as the full
+    * dedup but with candidate generation restricted to (old, new):
+    *   1. exact — anti-join on the content hash of the old corpus;
+    *   2. near-dup — MinHash banding where the band equi-join takes the
+    *      OLD side left and the NEW side right, so candidate volume is
+    *      |new| × collision rate, never |corpus|².
+    * Output: the new documents that survive both tiers (their old-corpus
+    * duplicates removed), ready to append.
+    *
+    * @param isNew predicate built ONLY from `col(idCol)` separating the
+    *              new slice from the old corpus (it is re-applied to the
+    *              band table, which carries just the id; id spaces must
+    *              be disjoint)
+    */
+  def dedupIncrement(corpus: DataFrame, isNew: Column, k: Int, numHashes: Int,
+                     bandSize: Int, minJaccard: Double,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val old = corpus.filter(!isNew)
+    val neu = corpus.filter(isNew)
+    val exactSurvivors = neu
+      .withColumn("_ch", md5(col(textCol)))
+      .join(old.select(md5(col(textCol)).as("_ch")).distinct(), Seq("_ch"), "left_anti")
+      .drop("_ch")
+    val bands = minhashBands(minhashSignature(corpus, k, numHashes, idCol, textCol),
+      numHashes, bandSize)
+    val candidates = bands.filter(!isNew)
+      .select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+      .join(bands.filter(isNew)
+        .select(col("band"), col("band_key"), col("doc_id").as("b_id")),
+        Seq("band", "band_key"))
+      .select("a_id", "b_id").distinct()
+    val nearDupNew = verifyJaccard(corpus, candidates, k, idCol, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("b_id").as(idCol)).distinct()
+    exactSurvivors.join(nearDupNew, Seq(idCol), "left_anti")
+  }
+
   /** Estimator-quality measurement for the MinHash path — the sketch
     * analog of [[Similarity.annRecall]]: for every LSH candidate pair,
     * the signature-agreement estimate of Jaccard (the statistic MinHash

@@ -173,6 +173,26 @@ class DedupSpec extends SparkSpec {
     assert(totalToks === docs.select(size(split($"text", " "))).as[Int].collect().sum)
   }
 
+  test("dedupIncrement drops exact and near old-dups, keeps fresh and new-new dups") {
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    )
+    val neu = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta"),        // exact dup of 1
+      (102L, "alpha beta gamma delta epsilon zeta eta"),    // near dup of 1
+      (103L, "totally different words appear here now"),    // fresh
+      (104L, "totally different words appear here now")     // dup of 103 — NEW-new: kept
+    )
+    val corpus = (old ++ neu).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrement(corpus, col("doc_id") >= 100L,
+        k = 3, numHashes = 8, bandSize = 2, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 101 exact-dropped; 102 near-dropped; 103/104 survive (incremental
+    // dedup is old-vs-new only — new-vs-new is the next full pass's job)
+    assert(out === Seq(103L, 104L))
+  }
+
   test("pairClusters: transitive closure over non-transitive pairs, singletons kept") {
     // A~B and B~C but no A~C pair: keep-one semantics still require one
     // cluster; D is a singleton and its own representative
