@@ -1728,4 +1728,28 @@ object QueriesExt {
       |  (2, 44100, 2, 16, 22050, 500.0),
       |  (3, 11025, 1, 8,  441,   40.0)
       |) t(doc_id, sample_rate, channels, bits_per_sample, n_samples, duration_ms)""".stripMargin
+
+  // ---- audio byte-energy fingerprint over the same WAV fixtures (the
+  //      deterministic (i*31)&0xff payload makes the 64-frame energy
+  //      profile exactly derivable; goldens via GRAFT_SHOW at two
+  //      partitionings) ----
+  def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gdir = fixtureAudioDir()
+    val media = s.read.format("binaryFile").load(s"$gdir/wav_*.wav")
+      .select(regexp_extract(col("path"), "wav_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"), lit("audio").as("media_type"))
+      .as[Multimodal.MediaRow]
+    Multimodal.audioFingerprints(media).toDF()
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
+  val oAudioFingerprint: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(fingerprint AS BIGINT) AS fingerprint
+      |FROM (VALUES
+      |  (1, 2178682807729120195),
+      |  (2, -2238024098120950628),
+      |  (3, -2049673414918479474)
+      |) t(doc_id, fingerprint)""".stripMargin
 }

@@ -304,6 +304,54 @@ object Multimodal {
     }
   }
 
+  /** Audio fingerprint — the WAV analog of [[aHash]] for audio dedup: the
+    * PCM payload splits into 64 equal byte frames, frame energy = exact
+    * integer sum of |byte − 128| (byte-level, bit-depth-agnostic — the
+    * dedup use case keys on payload similarity, not acoustics), and bit i
+    * is set iff `64 * energy_i > total` — the same exact-integer
+    * threshold as the image hash, so no float appears anywhere.
+    * Non-PCM / truncated payloads yield None ([[wavMeta]] is the gate).
+    */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    if (wavMeta(payload).isEmpty) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    var off = 12
+    var dataOff = -1
+    var dataLen = -1
+    while (dataOff < 0 && off + 8 <= payload.length) {
+      val size = (bb.getInt(off + 4).toLong & 0xffffffffL).toInt
+      if (tag(off) == "data") { dataOff = off + 8; dataLen = size }
+      else off += 8 + size + (size & 1)
+    }
+    if (dataOff < 0 || dataLen <= 0) None // unreachable given wavMeta, kept defensive
+    else {
+      val energy = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < 64) {
+        var p = dataOff + (i.toLong * dataLen / 64).toInt
+        val end = dataOff + ((i + 1).toLong * dataLen / 64).toInt
+        var e = 0L
+        while (p < end) { e += math.abs((payload(p) & 0xff) - 128); p += 1 }
+        energy(i) = e
+        total += e
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) { if (energy(i) * 64L > total) h |= (1L << i); i += 1 }
+      Some(h)
+    }
+  }
+
+  final case class AudioPrint(doc_id: Long, fingerprint: Long)
+
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioPrint] = {
+    implicit val enc = Encoders.product[AudioPrint]
+    media.flatMap(r => audioFingerprint(r.payload).map(AudioPrint(r.doc_id, _)))
+  }
+
   /** Writer complement of [[wavMeta]]: canonical 44-byte-header PCM WAV
     * with deterministic payload bytes — used by fixtures and tests.
     */

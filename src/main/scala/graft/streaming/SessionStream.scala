@@ -38,6 +38,22 @@ object SessionStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  /** Streaming incremental exact dedup against a STATIC corpus — the
+    * continuous counterpart of `Dedup.dedupIncrement`'s exact tier: new
+    * documents arrive on a stream and only those whose content hash is
+    * absent from the existing corpus pass through. A stream-static
+    * LEFT ANTI join: Spark broadcasts/rescans the static side per
+    * micro-batch, no state store involved, so memory is bounded by the
+    * static hash projection (one md5 column, not the corpus text).
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         textCol: String = "text"): DataFrame =
+    newDocs
+      .withColumn("_ch", md5(col(textCol)))
+      .join(corpus.select(md5(col(textCol)).as("_ch")).distinct(),
+        Seq("_ch"), "left_anti")
+      .drop("_ch")
+
   /** Watermarked session-window counts (gap-based, declarative). */
   def windowedCounts(events: DataFrame, gap: String = "30 minutes",
                      watermark: String = "1 hour"): DataFrame =

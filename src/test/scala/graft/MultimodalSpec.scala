@@ -107,6 +107,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeImageNN("junk".getBytes, 2, 2) === None)
   }
 
+  test("audioFingerprint: deterministic, silence hashes 0, non-WAV rejected") {
+    val wav = Multimodal.buildWavPcm(8000, 1, 8, 2000)
+    assert(Multimodal.audioFingerprint(wav).isDefined)
+    assert(Multimodal.audioFingerprint(wav) === Multimodal.audioFingerprint(wav.clone()))
+    // constant-128 PCM (silence for unsigned 8-bit): every frame energy 0,
+    // 64*0 > 0 is false -> all bits clear
+    val silent = wav.clone()
+    java.util.Arrays.fill(silent, 44, silent.length, 128.toByte)
+    assert(Multimodal.audioFingerprint(silent).get === 0L)
+    assert(Multimodal.audioFingerprint("nope".getBytes).isEmpty)
+  }
+
   test("wavMeta round-trips buildWavPcm and rejects non-RIFF payloads") {
     val wav = Multimodal.buildWavPcm(rate = 16000, channels = 2, bits = 16, nSamples = 800)
     assert(Multimodal.wavMeta(wav) === Some((16000, 2, 16, 800L, 50.0)))

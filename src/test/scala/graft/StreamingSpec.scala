@@ -173,6 +173,28 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-static anti-join dedups a document stream against a corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "existing doc one"), (2L, "existing doc two"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = SessionStream.dedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("incdedup_s")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (101L, "existing doc one"),   // dup of corpus -> dropped
+        (102L, "brand new document")) // passes
+      q.processAllAvailable()
+      input.addData((103L, "existing doc two"), (104L, "another new one"))
+      q.processAllAvailable()
+      val kept = spark.table("incdedup_s")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept === Seq(102L, 104L))
+    } finally q.stop()
+  }
+
   test("streaming funnel advances stages in order and drops state on completion") {
     import graft.streaming.FunnelStream
     import graft.streaming.FunnelStream.{FEvent, StageAdvance}
