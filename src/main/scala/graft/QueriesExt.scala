@@ -1258,6 +1258,50 @@ object QueriesExt {
       |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
       |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  // ---- 7-day moving average of daily event counts (RANGE-frame window:
+  //      missing days are genuinely absent from the frame in BOTH
+  //      engines — the sum divides by present days, not 7) ----
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .select(expr("ts DIV 86400000000000").as("day_num"), col("event_type"))
+      .groupBy(col("day_num"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("n_days7", count(col("n")).over(w))
+      .withColumn("ma7", col("sum7").cast("double") / col("n_days7").cast("double"))
+  }
+
+  val oMovingAvg: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_num, event_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day_num, event_type, n,
+      |  CAST(sum(n) OVER w AS BIGINT) AS sum7,
+      |  CAST(count(n) OVER w AS BIGINT) AS n_days7,
+      |  CAST(CAST(sum(n) OVER w AS BIGINT) AS DOUBLE)
+      |    / CAST(count(n) OVER w AS DOUBLE) AS ma7
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---- keyword-in-context snippets around every 'hash' occurrence ----
+  def qKwic(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.kwic(t(s, dir, "documents"), term = "hash", window = 2)
+
+  val oKwic: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |hits AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+      |  FROM tk)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  array_to_string(t[greatest(pos - 2, 0) + 1 : least(pos + 2, len(t) - 1) + 1], ' ') AS snippet
+      |FROM hits WHERE tok = 'hash'""".stripMargin
+
   // ---- JSON extraction from event props ----
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(

@@ -360,6 +360,26 @@ object TextAnalysis {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** Keyword-in-context (KWIC) — snippet windows around every occurrence
+    * of a term: the retrieval-display / concordance primitive (and the
+    * span-extraction step of targeted decontamination audits). Pure
+    * array algebra per row after a posexplode filter; the token array is
+    * carried alongside so the slice needs no self-join back.
+    */
+  def kwic(docs: DataFrame, term: String, window: Int,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      Portable.tokens(col(textCol)).as("t"))
+    base
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .filter(col("tok") === term)
+      .withColumn("from1", greatest(col("pos") - window, lit(0)) + 1)
+      .withColumn("until1", least(col("pos") + window, size(col("t")) - 1) + 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("t"), col("from1"),
+          col("until1") - col("from1") + 1), " ").as("snippet"))
+  }
+
   /** Canonical text normalization — the cleaning stage upstream of every
     * hash-keyed operator here (exact dedup, shingles, fingerprints are
     * only as good as their canonical form): lowercase, punctuation → space,
