@@ -143,6 +143,118 @@ object QueriesExt {
       |SELECT e.doc_id, md5(e.text) AS content_hash FROM ex e
       |WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.b_id = e.doc_id)""".stripMargin
 
+  // ---- n-gram novelty: fraction of a doc's word 3-grams that occur
+  //      NOWHERE else in the corpus — the diversity/novelty signal dual
+  //      to repeated-span coverage ----
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(graft.plans.TextHash.wordShingles(s, col("text"), 3)).as("g"))
+    val counts = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    grams.join(counts, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  val oNovelty: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 1),
+      |    i -> array_to_string(t[i:i+2], ' ')))) AS g
+      |  FROM tk WHERE len(t) >= 3),
+      |c AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+      |      FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN ndocs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM g JOIN c USING (g) GROUP BY doc_id""".stripMargin
+
+  // ---- split-leakage QA: word-4-gram collisions BETWEEN the train and
+  //      val/test splits of the deterministic splitter — the audit that
+  //      catches eval contamination introduced by near-duplicate docs
+  //      straddling a content-addressed split ----
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = TrainPrep.deterministicSplit(t(s, dir, "documents"), "doc_id")
+    def grams(df: DataFrame) = df.select(col("doc_id"), col("split"),
+      explode(graft.plans.TextHash.wordShingles(s, col("text"), 4)).as("g"))
+    val train = grams(split.filter(col("split") === "train"))
+      .select(col("g")).distinct()
+    grams(split.filter(col("split") =!= "train"))
+      .join(train, Seq("g"), "left_semi")
+      .select(col("split"), col("doc_id")).distinct()
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_leaky_docs"))
+  }
+
+  val oSplitLeakage: String = {
+    val h = H32.format("CAST(doc_id AS VARCHAR)")
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, split, unnest(list_distinct(list_transform(
+       |    range(1, len(string_split(text, ' ')) - 2),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS g
+       |  FROM sp WHERE len(string_split(text, ' ')) >= 4),
+       |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+       |leaky AS (
+       |  SELECT DISTINCT split, doc_id FROM g
+       |  WHERE split <> 'train' AND EXISTS (SELECT 1 FROM tr WHERE tr.g = g.g))
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_leaky_docs
+       |FROM leaky GROUP BY 1""".stripMargin
+  }
+
+  // ---- asymmetric containment: |A∩B| / |A| over shingle sets for LSH
+  //      candidates — catches SUBSET duplication (one doc quoted inside
+  //      another) that symmetric Jaccard under-scores ----
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"),
+      k = 3, numHashes = 8, bandSize = 2, minContainment = 0.8)
+
+  val oContainment: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |minh AS (
+      |  SELECT doc_id, seed,
+      |    min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || shingle), 1, 8))::BIGINT) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    list_reduce(list_prepend(0::BIGINT, list_sort(list(minhash))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS band_key
+      |  FROM minh GROUP BY doc_id, seed // 2),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT a_id, b_id, n_inter, sz_a, sz_b, c_a, c_b FROM (
+      |  SELECT a_id, b_id,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(sa.sh) AS BIGINT) AS sz_a, CAST(len(sb.sh) AS BIGINT) AS sz_b,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS c_a,
+      |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS c_b
+      |  FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id)
+      |WHERE c_a >= 0.8 OR c_b >= 0.8""".stripMargin
+
   // ---- MinHash estimator error vs exact Jaccard on LSH candidates ----
   def qMinhashError(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashError(t(s, dir, "documents"),

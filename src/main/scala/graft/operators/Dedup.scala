@@ -96,6 +96,37 @@ object Dedup {
     verifyJaccard(docs, candidates, k, idCol, textCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric containment pairs — `|A∩B| / |A|` (and `/ |B|`) over
+    * shingle sets for LSH candidates: detects SUBSET duplication (one
+    * document quoted or embedded inside another), which symmetric
+    * Jaccard under-scores when the containing document is much larger.
+    * Same count-join shape as [[verifyJaccard]] — no arrays cross the
+    * shuffle, divisions are the only floats.
+    */
+  def containmentPairs(docs: DataFrame, k: Int, numHashes: Int, bandSize: Int,
+                       minContainment: Double, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val bands = minhashBands(minhashSignature(docs, k, numHashes, idCol, textCol),
+      numHashes, bandSize)
+    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
+    val candidates = l.join(r, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+    val sh = shingleRows(docs, k, idCol, textCol)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+      .withColumn("c_a", col("n_inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("c_b", col("n_inter").cast("double") / col("sz_b").cast("double"))
+      .filter(col("c_a") >= minContainment || col("c_b") >= minContainment)
+      .select("a_id", "b_id", "n_inter", "sz_a", "sz_b", "c_a", "c_b")
+  }
+
   /** Incremental dedup — deduplicate NEW documents against an EXISTING
     * corpus without re-pairing the old corpus against itself: the
     * append-only rebuild path ([[TrainPrep.corpusDiff]]'s `added` set is
