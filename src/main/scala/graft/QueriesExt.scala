@@ -212,12 +212,13 @@ object QueriesExt {
        |FROM leaky GROUP BY 1""".stripMargin
   }
 
-  // ---- asymmetric containment: |A∩B| / |A| over shingle sets for LSH
-  //      candidates — catches SUBSET duplication (one doc quoted inside
-  //      another) that symmetric Jaccard under-scores ----
+  // ---- asymmetric containment: |A∩B| / |A| over shingle sets with
+  //      rare-shingle candidate generation (LSH bands track symmetric
+  //      jaccard and would miss exactly the low-jaccard subset pairs
+  //      this op exists to find) ----
   def qContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(t(s, dir, "documents"),
-      k = 3, numHashes = 8, bandSize = 2, minContainment = 0.8)
+      k = 3, maxDf = 10, minContainment = 0.8)
 
   val oContainment: String =
     """WITH toks AS (
@@ -227,20 +228,14 @@ object QueriesExt {
       |    range(1, len(tk) - 1),
       |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
       |  FROM toks WHERE len(tk) >= 3),
-      |minh AS (
-      |  SELECT doc_id, seed,
-      |    min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || shingle), 1, 8))::BIGINT) AS minhash
-      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
-      |  GROUP BY 1, 2),
-      |bands AS (
-      |  SELECT doc_id, seed // 2 AS band,
-      |    list_reduce(list_prepend(0::BIGINT, list_sort(list(minhash))),
-      |      (a, b) -> (a * 31 + b) % 1000000007) AS band_key
-      |  FROM minh GROUP BY doc_id, seed // 2),
+      |dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+      |        FROM sh GROUP BY 1),
+      |rare AS (SELECT s.doc_id, s.shingle FROM sh s
+      |         JOIN dfc USING (shingle) WHERE df <= 10),
       |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM bands l JOIN bands r
-      |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM rare a JOIN rare b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
       |sets AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, len(string_split(text, ' ')) - 1),

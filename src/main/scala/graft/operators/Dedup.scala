@@ -97,22 +97,29 @@ object Dedup {
   }
 
   /** Asymmetric containment pairs — `|A∩B| / |A|` (and `/ |B|`) over
-    * shingle sets for LSH candidates: detects SUBSET duplication (one
-    * document quoted or embedded inside another), which symmetric
-    * Jaccard under-scores when the containing document is much larger.
-    * Same count-join shape as [[verifyJaccard]] — no arrays cross the
+    * shingle sets: detects SUBSET duplication (one document quoted or
+    * embedded inside another), which symmetric Jaccard under-scores when
+    * the containing document is much larger.
+    *
+    * Candidate generation is RARE-SHINGLE co-occurrence (df <= maxDf),
+    * NOT minhash banding: LSH band collision probability tracks
+    * symmetric Jaccard, so a small doc fully contained in a big one —
+    * jaccard |A|/|B|, arbitrarily low — would rarely band-collide,
+    * which is exactly the pair this operator exists to find. A contained
+    * doc shares ALL its shingles with its container, so any one of its
+    * rare shingles triggers the candidate. Verification is the same
+    * count-join shape as [[verifyJaccard]] — no arrays cross the
     * shuffle, divisions are the only floats.
     */
-  def containmentPairs(docs: DataFrame, k: Int, numHashes: Int, bandSize: Int,
+  def containmentPairs(docs: DataFrame, k: Int, maxDf: Long,
                        minContainment: Double, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val bands = minhashBands(minhashSignature(docs, k, numHashes, idCol, textCol),
-      numHashes, bandSize)
-    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
-    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
-    val candidates = l.join(r, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
     val sh = shingleRows(docs, k, idCol, textCol)
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfc.filter(col("df") <= maxDf), "shingle")
+    val candidates = rare.select(col("shingle"), col("doc_id").as("a_id"))
+      .join(rare.select(col("shingle"), col("doc_id").as("b_id")), "shingle")
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")

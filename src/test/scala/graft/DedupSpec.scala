@@ -193,6 +193,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq(103L, 104L))
   }
 
+  test("containment flags a quoted subset that symmetric jaccard would miss") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"intro words first then $small and much more trailing content here"
+    val corpus = Seq((1L, small), (2L, big),
+      (3L, "unrelated text with different words")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, k = 3, maxDf = 10,
+        minContainment = 0.9)
+      .select("a_id", "b_id", "c_a", "c_b")
+      .as[(Long, Long, Double, Double)].collect()
+    // every 3-shingle of the small doc appears in the big doc: c_a = 1.0,
+    // while jaccard would be only |small| / |big|
+    assert(out.length === 1)
+    val (a, b, ca, cb) = out.head
+    assert(a === 1L && b === 2L && ca === 1.0 && cb < 0.5)
+  }
+
   test("pairClusters: transitive closure over non-transitive pairs, singletons kept") {
     // A~B and B~C but no A~C pair: keep-one semantics still require one
     // cluster; D is a singleton and its own representative

@@ -268,6 +268,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("novelty, split leakage and containment stay equi-join shaped") {
+    for (q <- Seq("q_novelty", "q_split_leakage", "q_containment",
+      "q_incremental_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      assert(!p.contains("Exchange SinglePartition"), s"$q funnels")
+    }
+  }
+
   test("pagerank iterations are equi-joins + hash aggs (full lineage)") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
