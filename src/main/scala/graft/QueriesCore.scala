@@ -489,6 +489,46 @@ object QueriesCore {
       |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
       |FROM lineitem""".stripMargin
 
+  // ---- delimited-text round trip (the O-1 TSV source's sink
+  //      complement): quotes, embedded commas and nulls survive a
+  //      write -> read cycle through Spark's CSV codec; graded against
+  //      golden VALUES like the shapefile round trip ----
+  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = "/root/repo/.grid-fixtures/csv_rt"
+    Seq(
+      (1L, "plain", "x"),
+      (2L, "has,comma", null.asInstanceOf[String]),
+      (3L, "has \"quote\" inside", "y"),
+      (4L, "trailing space ", "z")
+    ).toDF("id", "val", "opt")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      // BOTH sides of the codec default to whitespace-trimming — the
+      // writer would silently eat the trailing space before the reader
+      // ever saw it
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .csv(out)
+    s.read
+      .option("header", "true")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .schema(StructType(Seq(
+        StructField("id", LongType), StructField("val", StringType),
+        StructField("opt", StringType))))
+      .csv(out)
+  }
+
+  val oCsvRoundtrip: String =
+    """SELECT CAST(id AS BIGINT) AS id, val, opt FROM (VALUES
+      |  (1, 'plain', 'x'),
+      |  (2, 'has,comma', NULL),
+      |  (3, 'has "quote" inside', 'y'),
+      |  (4, 'trailing space ', 'z')
+      |) t(id, val, opt)""".stripMargin
+
   // ---- IQR-fence outlier counts per group (Tukey fences; 1.5 is an
   //      exact binary fraction, quartile interpolation matches
   //      quantile_cont bit-for-bit — see q_group_median). Fences are a
