@@ -489,6 +489,25 @@ object QueriesCore {
       |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
       |FROM lineitem""".stripMargin
 
+  // ---- explicit GROUPING SETS (the general form rollup/cube are sugar
+  //      for): a hand-picked lattice — (flag, status), (flag), and the
+  //      grand total, skipping the (status) slice a cube would pay for ----
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |""".stripMargin)
+  }
+
+  val oGroupingSets: String =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
   // ---- delimited-text round trip (the O-1 TSV source's sink
   //      complement): quotes, embedded commas and nulls survive a
   //      write -> read cycle through Spark's CSV codec; graded against
