@@ -100,5 +100,11 @@ object Bench {
     // visible even if the detail line scrolls out of the capture window
     val errField = if (errList.isEmpty) "" else s""","errors":$errs"""
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errField,"sf":$sf}""")
+    // r7 regression-by-growth: the per-query dict above is now ~2,300 chars
+    // at 113 queries, so the line's own head ("value", the graded total)
+    // falls outside the driver's last-2000-char capture window. The LAST
+    // line must therefore be short and self-contained: total + error COUNT
+    // only (full error text stays on the two lines above).
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},"nerr":${errList.size},"sf":$sf}""")
   }
 }

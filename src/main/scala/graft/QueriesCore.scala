@@ -515,7 +515,13 @@ object QueriesCore {
   def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types._
-    val out = "/root/repo/.grid-fixtures/csv_rt"
+    // per-session temp scratch, NOT a repo path: a graded query writing
+    // into the checkout broke read-only mounts and concurrent
+    // verify/bench runs (r7 advice). applicationId isolates sessions;
+    // overwrite-mode keeps re-runs within a session idempotent.
+    val out = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_csv_rt_${s.sparkContext.applicationId}").getAbsolutePath
     Seq(
       (1L, "plain", "x"),
       (2L, "has,comma", null.asInstanceOf[String]),

@@ -560,13 +560,16 @@ object QueriesExt {
   //      The synthetic corpus has a ~31-token vocabulary (every term's
   //      df ≈ N), so rare terms are PLANTED deterministically (same
   //      precedent as q_pii_scrub's digit-free corpus): docs with
-  //      id % 25 == 0 gain a marker token keyed by id % 100, giving
-  //      four small rare-term posting groups at every SF ----
+  //      id % 25 == 0 gain a marker token keyed by id / 1000, so each
+  //      marker's df is a CONSTANT ~40 (1000-id stripe × 1/25 density)
+  //      and the marker COUNT grows with N — r7's id % 100 key gave
+  //      df = N/100, which outgrew maxDf past 5000 docs and silently
+  //      emptied the rare set at larger SFs ----
   def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("text",
         when(col("doc_id") % 25 === 0,
-          concat(col("text"), lit(" marker"), (col("doc_id") % 100).cast("string")))
+          concat(col("text"), lit(" marker"), floor(col("doc_id") / 1000).cast("string")))
           .otherwise(col("text")))
     Similarity.sparseCosinePairs(docs, maxDf = 50, minCosine = 0.6)
   }
@@ -574,7 +577,7 @@ object QueriesExt {
   val oSparseCosine: String =
     """WITH d AS (
       |  SELECT doc_id, CASE WHEN doc_id % 25 = 0
-      |    THEN text || ' marker' || CAST(doc_id % 100 AS VARCHAR)
+      |    THEN text || ' marker' || CAST(CAST(floor(doc_id / 1000.0) AS BIGINT) AS VARCHAR)
       |    ELSE text END AS text
       |  FROM documents),
       |tf AS (

@@ -64,7 +64,7 @@ object Bpe {
         .withColumn("t", when(col("ra").isNull, col("t"))
           .otherwise(mergePair(col("t"), col("ra"), col("rb"))))
         .drop("ra", "rb")
-        .localCheckpoint()
+      dict = graft.util.Checkpoints.truncate(dict)
     }
     dict.select(col("word"), col("cnt"),
       size(col("t")).cast("long").as("n_pieces"),

@@ -120,12 +120,14 @@ object Contiguity {
     // LAZY checkpoints: the per-round sig() aggregation is the action that
     // materializes the round's blocks, so eager localCheckpoint's separate
     // materialization job disappears — one job per round, not two
-    var e = edges.select(keys.map(col) :+ col("a") :+ col("b"): _*).localCheckpoint(false)
+    var e = graft.util.Checkpoints.truncate(
+      edges.select(keys.map(col) :+ col("a") :+ col("b"): _*), eager = false)
     var (eCount, eSum) = sig(e)
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
-      val next = star(star(e, keys, large = true), keys, large = false).localCheckpoint(false)
+      val next = graft.util.Checkpoints.truncate(
+        star(star(e, keys, large = true), keys, large = false), eager = false)
       val (nCount, nSum) = sig(next)
       stable = nCount == eCount && nSum == eSum && next.exceptAll(e).isEmpty
       e = next

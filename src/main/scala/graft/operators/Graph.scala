@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,11 +46,11 @@ object Graph {
     // algorithms; recomputing the distinct per round cost ~40% of the
     // sf0.1 bench time for this operator)
     val e0 = edges.select(col("src"), col("dst")).distinct()
-    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val e = if (checkpoint) Checkpoints.truncate(e0) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val outdeg0 = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val outdeg = if (checkpoint) outdeg0.localCheckpoint() else outdeg0
+    val outdeg = if (checkpoint) Checkpoints.truncate(outdeg0) else outdeg0
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(nTotal))
       .select(col("node"),
@@ -69,7 +70,7 @@ object Graph {
           (lit(0.125) / col("n_nodes").cast("double") +
             lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
           col("n_nodes"))
-      if (checkpoint) ranks = ranks.localCheckpoint()
+      if (checkpoint) ranks = Checkpoints.truncate(ranks)
     }
     ranks.select(col("node"), col("rank"))
   }

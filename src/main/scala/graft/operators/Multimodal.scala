@@ -276,7 +276,7 @@ object Multimodal {
     while (ok && off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
       val id = tag(off)
       val size = bb.getInt(off + 4).toLong & 0xffffffffL
-      val fits = size <= Int.MaxValue - 9 && off + 8 + size <= payload.length + 8
+      val fits = size <= Int.MaxValue - 9 && off + 8 + size <= payload.length
       if (id == "fmt " && off + 24 <= payload.length) {
         fmtTag = bb.getShort(off + 8) & 0xffff
         channels = bb.getShort(off + 8 + 2) & 0xffff

@@ -207,7 +207,7 @@ object Similarity {
     // checkpoint the k-row centroid table each round (same pattern as
     // Contiguity's star loop): without it the plan embeds the FULL prior
     // lineage in every assign, growing super-linearly with iters
-    for (_ <- 1 to iters) cents = update(assign(cents)).localCheckpoint()
+    for (_ <- 1 to iters) cents = graft.util.Checkpoints.truncate(update(assign(cents)))
     assign(cents)
   }
 

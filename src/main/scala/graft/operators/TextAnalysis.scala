@@ -411,8 +411,9 @@ object TextAnalysis {
     * doc-keyed hash agg. Documents with < 2 tokens surface with
     * n_pairs = 0, score 0.
     */
-  def lmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"), Portable.tokens(col(textCol)).as("t"))
+  def lmScore(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), Portable.tokens(col(textCol)).as("t"))
     val pairs = toks
       .select(col("doc_id"), posexplode(when(size(col("t")) >= 2,
         transform(sequence(lit(0), size(col("t")) - 2),

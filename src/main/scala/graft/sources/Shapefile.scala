@@ -426,8 +426,19 @@ object Shapefile {
     * header needs the total length and envelope, so the final .shp is
     * header + a chunked copy of the spool — object-store safe (no seek).
     */
+  /** ESRI WKT for EPSG:4326 / WGS-84 — the CRS the reference stamps on
+    * every vector layer before export (species_range_etl.py:131-133).
+    * Shapefiles carry CRS only via this `.prj` sidecar; without it a
+    * geopandas/OGR consumer gets a CRS-less layer.
+    */
+  val Epsg4326Wkt: String =
+    "GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\"," +
+      "SPHEROID[\"WGS_1984\",6378137.0,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+
   def writeShapes(df: DataFrame, wkbCol: String, dir: String,
-                  attrCols: Seq[String] = Nil): Unit = {
+                  attrCols: Seq[String] = Nil,
+                  crsWkt: String = Epsg4326Wkt): Unit = {
     val projected = df.select((wkbCol +: attrCols).map(col): _*)
     val attrTypes = projected.schema.fields.drop(1).map(f => (f.name, f.dataType)).toSeq
     val hconf = new graft.util.SerializableHadoopConf(
@@ -491,6 +502,13 @@ object Shapefile {
           val shxPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.shx")
           val shxOut = fs.create(shxPath, true)
           try shxOut.write(buildShx(lens, shapeType, env)) finally shxOut.close()
+          // .prj is per-basename (readers pair sidecars by file stem), so
+          // each part writes its own copy of the constant WKT
+          if (crsWkt != null && crsWkt.nonEmpty) {
+            val prjPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.prj")
+            val prjOut = fs.create(prjPath, true)
+            try prjOut.write(crsWkt.getBytes("US-ASCII")) finally prjOut.close()
+          }
           if (attrTypes.nonEmpty) {
             val rows = attrRows.result()
             val fields = attrTypes.map { case (n, dt) =>

@@ -23,9 +23,24 @@ object FunnelStream {
   final case class FunnelState(stage: Int, times: Seq[Long])
   final case class StageAdvance(user_id: Long, stage: Int, ts_ms: Long)
 
+  /** Parse a Spark interval string ("1 hour", "30 minutes") to millis so the
+    * state timeout below uses the SAME duration as the watermark — a
+    * hardcoded constant here (pre-r8 bug) let idleTimeout > 1h admit events
+    * after state eviction (silent funnel reset → duplicate stage advances)
+    * and idleTimeout < 1h keep state past the documented idle window.
+    */
+  private def intervalMs(interval: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(iv.months == 0, s"idleTimeout must be day-time, not months: $interval")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   def statefulFunnel(events: Dataset[FEvent], steps: Seq[String],
                      idleTimeout: String = "1 hour"): Dataset[StageAdvance] = {
     require(steps.nonEmpty)
+    val idleMs = intervalMs(idleTimeout)
+    require(idleMs > 0, s"idleTimeout must be positive: $idleTimeout")
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[StageAdvance]
     implicit val keyEnc = Encoders.scalaLong
@@ -50,7 +65,7 @@ object FunnelStream {
               state.update(st)
               state.setTimeoutTimestamp(
                 math.max(st.times.lastOption.getOrElse(0L),
-                  state.getCurrentWatermarkMs()) + 3600000L)
+                  state.getCurrentWatermarkMs()) + idleMs)
             }
             out.result().iterator
           }

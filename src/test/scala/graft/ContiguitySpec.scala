@@ -50,6 +50,16 @@ class ContiguitySpec extends SparkSpec {
     assert(componentsOf(lbl).size === 1)
   }
 
+  test("durable LAZY checkpoints (dir configured) label identically") {
+    // exercises Checkpoints.truncate(eager = false) -> df.checkpoint(false):
+    // the per-round sig() action must still materialize each round exactly
+    // once under reliable checkpointing
+    val L = Seq(("g", 0, 0), ("g", 1, 0), ("g", 2, 0), ("g", 2, 1), ("g", 0, 5))
+    val plain = label(L)
+    val durable = SparkSpec.withCheckpointDir(_ => label(L))
+    assert(durable === plain)
+  }
+
   test("groups are independent: same coordinates, different keys") {
     val lbl = Contiguity.labelCells(
       Seq(("a", 0, 0), ("a", 0, 1), ("b", 0, 0), ("b", 0, 1)).toDF("g", "r", "c"),

@@ -34,6 +34,18 @@ class GraphSpec extends SparkSpec {
     assert(a === b) // exact == on doubles: fixed-point sums, not float order
   }
 
+  test("durable checkpoint path (dir configured) is bit-identical to local") {
+    val local = Graph.pageRank(star, iters = 3).as[(Long, Double)].collect().toMap
+    val durable = SparkSpec.withCheckpointDir { dir =>
+      val r = Graph.pageRank(star, iters = 3).as[(Long, Double)].collect().toMap
+      // prove the reliable branch actually ran: RDD checkpoint files exist
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "reliable checkpoint must write under the configured dir")
+      r
+    }
+    assert(durable === local)
+  }
+
   test("uniform cycle stays uniform") {
     val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
     val ranks = Graph.pageRank(cycle, iters = 4).as[(Long, Double)].collect()

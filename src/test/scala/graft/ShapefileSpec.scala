@@ -179,10 +179,16 @@ class ShapefileSpec extends SparkSpec {
     ).toDF("geometry", "Id", "label", "score").coalesce(1)
     val dir = java.nio.file.Files.createTempDirectory("graft-shp-attrs").toString + "/out"
     Shapefile.writeShapes(df, "geometry", dir, attrCols = Seq("Id", "label", "score"))
-    // sidecar layout: every part file has its .shx and .dbf siblings
+    // sidecar layout: every part file has its .shx, .dbf and .prj siblings
     val names = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).toSet // Hadoop local FS adds .crc siblings
-    assert(names === Set("part-00000.shp", "part-00000.shx", "part-00000.dbf"))
+    assert(names === Set("part-00000.shp", "part-00000.shx", "part-00000.dbf",
+      "part-00000.prj"))
+    // CRS sidecar carries the reference's EPSG:4326 stamp verbatim
+    val prj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000.prj")), "US-ASCII")
+    assert(prj === Shapefile.Epsg4326Wkt)
+    assert(prj.contains("GCS_WGS_1984") && prj.contains("298.257223563"))
     val back = Shapefile.readTable(spark, dir + "/*.shp").orderBy("record").collect()
     assert(back.length === 2)
     val a0 = back(0).getAs[Map[String, String]]("attrs")

@@ -22,4 +22,23 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Run `body` with a reliable checkpoint dir configured (the durable
+    * branch of graft.util.Checkpoints), then restore the no-dir state so
+    * the shared session's other suites keep the localCheckpoint fast
+    * path. SparkContext has no public un-setter, hence the reflective
+    * write of its `checkpointDir` var.
+    */
+  def withCheckpointDir[A](body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    session.sparkContext.setCheckpointDir(dir)
+    try body(dir)
+    finally {
+      val setter = classOf[org.apache.spark.SparkContext].getDeclaredMethods
+        .find(_.getName == "checkpointDir_$eq")
+        .getOrElse(sys.error("SparkContext.checkpointDir setter not found"))
+      setter.setAccessible(true)
+      setter.invoke(session.sparkContext, None)
+    }
+  }
 }
