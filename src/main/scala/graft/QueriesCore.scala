@@ -455,6 +455,73 @@ object QueriesCore {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---- quantile SKETCH vs exact (the q_ann_recall pattern: grade the
+  //      measurement): the log-linear histogram median per return flag,
+  //      joined to the exact nearest-rank value, with the sketch's
+  //      relative-error contract as a graded boolean. The sketch side is
+  //      the 100 TB path q_group_median's doc note promises (one
+  //      (group, slot) hash agg, no per-group value buffering); the
+  //      exact side is the measurement, not the scale path. Money scales
+  //      to integer cents so bucketing is exact integer math on both
+  //      engines. ----
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val sk = graft.operators.Quantile
+      .logLinearQuantile(v, Seq("l_returnflag"), "v", q = 0.5, subBuckets = 16)
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val exact = v
+      .withColumn("rn", row_number().over(byFlag.orderBy(col("v"))).cast("long"))
+      .withColumn("n2", count(lit(1)).over(byFlag))
+      .filter(col("rn") === ceil(lit(0.5) * col("n2")).cast("long"))
+      .select(col("l_returnflag"), (col("v").cast("double") / lit(100.0)).as("exact"))
+    sk.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        (col("est") / lit(100.0)).as("est"), col("exact"),
+        (abs(col("est") / lit(100.0) - col("exact")) / col("exact") <= lit(0.0625))
+          .as("within_bound"))
+  }
+
+  val oQuantileSketch: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+      |b AS (
+      |  SELECT grp, v, CAST(length(bin(v)) - 1 AS INTEGER) AS e FROM v),
+      |b2 AS (
+      |  SELECT grp, e, ((v - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS sub
+      |  FROM b),
+      |c AS (SELECT grp, e, sub, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM b2 GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT grp, e, sub, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY e, sub) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+      |  FROM c),
+      |pick AS (
+      |  SELECT grp, n, e, sub FROM cum
+      |  WHERE cum >= CAST(ceil(0.5::DOUBLE * n) AS BIGINT)
+      |    AND cum - cnt < CAST(ceil(0.5::DOUBLE * n) AS BIGINT)),
+      |est AS (
+      |  SELECT grp, n,
+      |    CAST((1::BIGINT << e) AS DOUBLE)
+      |      * (1.0::DOUBLE + (CAST(sub AS DOUBLE) + 0.5::DOUBLE) / 16.0::DOUBLE)
+      |      AS estc
+      |  FROM pick),
+      |ex AS (
+      |  SELECT grp, CAST(v AS DOUBLE) / 100.0::DOUBLE AS exact FROM (
+      |    SELECT grp, v,
+      |      CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS rn,
+      |      CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n2
+      |    FROM v) WHERE rn = CAST(ceil(0.5::DOUBLE * n2) AS BIGINT))
+      |SELECT e.grp AS l_returnflag, e.n, e.estc / 100.0::DOUBLE AS est,
+      |  x.exact,
+      |  abs(e.estc / 100.0::DOUBLE - x.exact) / x.exact <= 0.0625::DOUBLE
+      |    AS within_bound
+      |FROM est e JOIN ex x ON e.grp = x.grp""".stripMargin
+
   // ---- constraint checks: declarative data-quality rules evaluated in
   //      one conditional-sum pass (plus a distinct-count branch for the
   //      uniqueness rule) — the validation gate a pipeline runs on every

@@ -1031,6 +1031,50 @@ object QueriesExt {
        |SELECT node, rank FROM r2""".stripMargin
   }
 
+  // ---- PageRank with dangling-mass redistribution: ONE-directional
+  //      order→supplier edges, so every supplier node is a sink; each
+  //      iteration's sink mass returns uniformly (the NetworkX-default
+  //      variant). Oracle unrolls the same update, including the 2^40
+  //      fixed-point snap of both the contribution AND dangling sums ----
+  def qPagerankDangling(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+      iters = 2, redistributeDangling = true)
+
+  val oPagerankDangling: String = {
+    val S = "1099511627776.0::DOUBLE"
+    def iterCtes(rIn: String, i: String) =
+      s"""dm$i AS (
+         |  SELECT COALESCE(CAST(CAST(sum(CAST(floor(r.rank * $S + 0.5::DOUBLE)
+         |      AS BIGINT)) AS BIGINT) AS DOUBLE) / $S, 0.0::DOUBLE) AS dm
+         |  FROM $rIn r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+         |i$i AS (
+         |  SELECT e.dst AS dst,
+         |    CAST(CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
+         |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S AS in_sum
+         |  FROM e JOIN $rIn r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    0.125::DOUBLE / CAST(nn.n_nodes AS DOUBLE)
+         |      + 0.875::DOUBLE * (COALESCE(i.in_sum, 0.0::DOUBLE)
+         |        + dm.dm / CAST(nn.n_nodes AS DOUBLE)) AS rank
+         |  FROM nd n CROSS JOIN nn CROSS JOIN dm$i dm
+         |  LEFT JOIN i$i i ON n.node = i.dst)"""
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),
+       |r0 AS (SELECT node, 1.0::DOUBLE / CAST(n_nodes AS DOUBLE) AS rank
+       |       FROM nd, nn),
+       |${iterCtes("r0", "1")},
+       |${iterCtes("r1", "2")}
+       |SELECT node, rank FROM r2""".stripMargin
+  }
+
   // ---- BPE merge training (3 rounds over the word dictionary) ----
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.bpeMerges(t(s, dir, "documents"), rounds = 3)

@@ -30,16 +30,23 @@ object Graph {
     *
     * Input `edges`: (src, dst) rows; self-deduplicated. Every node
     * reachable only as a destination still receives the teleport term
-    * (left join + coalesce 0). Dangling mass is NOT redistributed —
-    * callers whose graphs have sinks should add reverse edges or accept
-    * the standard mass-leak variant.
+    * (left join + coalesce 0). Dangling mass is redistributed uniformly
+    * per iteration when `redistributeDangling` is set (the NetworkX /
+    * GraphX-comparable variant); off by default, matching the standard
+    * mass-leak formulation — callers can also just add reverse edges.
+    * The dangling sum snaps each sink's rank to the same 2^40 grid and
+    * sums longs, so the scalar is partition-independent like everything
+    * else here.
     */
   /** @param checkpoint disable ONLY to inspect the full-lineage plan in
     *                    tests — production iteration must truncate lineage
     *                    (the rank table is referenced twice per round, so
     *                    an uncheckpointed plan doubles per iteration)
+    * @param redistributeDangling add each iteration's sink-node mass back
+    *                    uniformly: rank' = (1-d)/n + d*(in_sum + dangling/n)
     */
-  def pageRank(edges: DataFrame, iters: Int, checkpoint: Boolean = true): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, checkpoint: Boolean = true,
+               redistributeDangling: Boolean = false): DataFrame = {
     val S = 1099511627776.0 // 2^40: the fixed-point grid of the exact sum
     // edges and degrees are REUSED every iteration — materialize them once
     // (the standard persist-the-edge-table shape of iterative graph
@@ -64,12 +71,29 @@ object Graph {
         .groupBy(col("dst"))
         .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
           .as("in_sum"))
-      ranks = ranks.select(col("node"), col("n_nodes"))
+      val withIn = ranks.select(col("node"), col("n_nodes"))
         .join(incoming, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(0.125) / col("n_nodes").cast("double") +
-            lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
-          col("n_nodes"))
+      ranks =
+        if (redistributeDangling) {
+          // sink mass = Σ rank over nodes with no out-edge, snapped per
+          // node to the 2^40 grid and summed as longs (exact scalar);
+          // empty sink set → null sum → 0.0
+          val dang = ranks.join(outdeg, col("node") === col("src"), "left_anti")
+            .agg(coalesce(
+              sum(floor(col("rank") * S + 0.5).cast("long")).cast("double") / S,
+              lit(0.0)).as("dangling"))
+          withIn.crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit(0.125) / col("n_nodes").cast("double") +
+                lit(0.875) * (coalesce(col("in_sum"), lit(0.0)) +
+                  col("dangling") / col("n_nodes").cast("double"))).as("rank"),
+              col("n_nodes"))
+        } else {
+          withIn.select(col("node"),
+            (lit(0.125) / col("n_nodes").cast("double") +
+              lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
+            col("n_nodes"))
+        }
       if (checkpoint) ranks = Checkpoints.truncate(ranks)
     }
     ranks.select(col("node"), col("rank"))

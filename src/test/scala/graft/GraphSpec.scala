@@ -46,6 +46,24 @@ class GraphSpec extends SparkSpec {
     assert(durable === local)
   }
 
+  test("dangling redistribution conserves mass on a sink-heavy graph") {
+    // 0 -> 1..4: four sinks; without redistribution 0.875 * (mass at
+    // sinks) leaks every iteration, with it the total stays 1
+    val fan = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val leaky = Graph.pageRank(fan, iters = 3)
+      .agg(sum($"rank")).as[Double].collect()(0)
+    val kept = Graph.pageRank(fan, iters = 3, redistributeDangling = true)
+      .agg(sum($"rank")).as[Double].collect()(0)
+    assert(leaky < 0.7, s"mass must leak without redistribution: $leaky")
+    assert(math.abs(kept - 1.0) < 1e-9, s"mass must be conserved: $kept")
+    // determinism across partitionings holds for the dangling scalar too
+    val a = Graph.pageRank(fan, iters = 3, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(fan.repartition(5), iters = 3, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+  }
+
   test("uniform cycle stays uniform") {
     val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
     val ranks = Graph.pageRank(cycle, iters = 4).as[(Long, Double)].collect()
