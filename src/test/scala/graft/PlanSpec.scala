@@ -278,6 +278,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch is slot hash-aggs + group windows, never a funnel") {
+    val p = plan("q_quantile_sketch")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "the sketch must never collapse a group to one task")
+    // the operator alone: the slot agg exchange + the group-window
+    // exchange — the only passes over data; windows run on the tiny
+    // per-group slot table
+    import org.apache.spark.sql.functions.{col, expr}
+    val v = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val sp = graft.operators.Quantile
+      .logLinearQuantile(v, Seq("l_returnflag"), "v", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange SinglePartition"))
+    assert("Exchange hashpartitioning".r.findAllIn(sp).size <= 2,
+      "sketch must be one slot agg + one group window, nothing more")
+  }
+
+  test("dangling pagerank keeps equi-join routing (full lineage)") {
+    import org.apache.spark.sql.functions.col
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val p = graft.operators.Graph
+      .pageRank(edges, iters = 1, checkpoint = false, redistributeDangling = true)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "the dangling scalar must broadcast, never plan a cartesian")
+    assert(p.contains("Exchange hashpartitioning"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "contribution routing must be an equi-join")
+  }
+
   test("pagerank iterations are equi-joins + hash aggs (full lineage)") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

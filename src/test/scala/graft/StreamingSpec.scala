@@ -219,4 +219,36 @@ class StreamingSpec extends SparkSpec {
       assert(stages() === Map(1L -> 3, 2L -> 2))
     } finally q.stop()
   }
+
+  test("funnel state honors idleTimeout > 1 hour (not the old hardcoded hour)") {
+    // regression for the r7 advice item: the state timeout was a hardcoded
+    // +1h, so with idleTimeout "200 minutes" a user idle 150 min lost
+    // state (and the funnel silently reset) even though the watermark
+    // still admitted their events. Now the timeout derives from
+    // idleTimeout, so the stage-2 advance below must survive.
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{FEvent, StageAdvance}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FEvent]
+    val q = FunnelStream.statefulFunnel(input.toDS(),
+        steps = Seq("view", "click"), idleTimeout = "200 minutes")
+      .writeStream.format("memory").queryName("funnel_idle")
+      .outputMode("append").start()
+    try {
+      // base offset 600s: an event at exactly ts(0) ties the initial
+      // watermark (0 ms) and is discarded as late before state ever forms
+      input.addData(FEvent(1L, "view", ts(600)))
+      q.processAllAvailable()
+      // unrelated user pushes the watermark to t0+150min (350 - 200 delay):
+      // beyond the old hardcoded 1h timeout, inside the configured 200min
+      input.addData(FEvent(99L, "view", ts(350 * 60 + 600)))
+      q.processAllAvailable()
+      // user 1 returns 160 min after their view — state must still exist
+      input.addData(FEvent(1L, "click", ts(160 * 60 + 600)))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_idle").as[StageAdvance].collect()
+        .filter(_.user_id == 1L).map(_.stage).toSet
+      assert(u1 === Set(1, 2), s"stage 2 must survive a >1h idle gap: $u1")
+    } finally q.stop()
+  }
 }
