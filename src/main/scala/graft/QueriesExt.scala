@@ -1950,4 +1950,260 @@ object QueriesExt {
       |  (2, -2238024098120950628),
       |  (3, -2049673414918479474)
       |) t(doc_id, fingerprint)""".stripMargin
+
+  // ---- portable HyperLogLog distinct (p=8) measured against exact
+  //      distinct — register math is pure integers over the md5-derived
+  //      hash, so DuckDB replays the sketch bit-for-bit; the exact side
+  //      is the measurement harness (the q_ann_recall pattern) ----
+  def qHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val est = graft.operators.Sketch.hllDistinct(li, Seq("l_returnflag"), "l_partkey")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    val rel = abs(col("hll_est") - col("n_exact").cast("double")) /
+      col("n_exact").cast("double")
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("hll_est"),
+        rel.as("rel_err"), (rel <= lit(0.195)).as("err_ok"))
+  }
+
+  val oHllDistinct: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    ${H32.format("CAST(l_partkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h // 16777216 AS j,
+       |    CASE WHEN h % 16777216 = 0 THEN 25
+       |         ELSE 25 - length(bin(h % 16777216)) END AS rho
+       |  FROM h),
+       |m AS (SELECT l_returnflag, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |sm AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT) AS sp
+       |  FROM m GROUP BY 1),
+       |e AS (
+       |  SELECT l_returnflag,
+       |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+       |      * 65536.0::DOUBLE * 33554432.0::DOUBLE
+       |      / CAST((256 - c) * 33554432 + sp AS DOUBLE) AS hll_est
+       |  FROM sm),
+       |x AS (
+       |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT x.l_returnflag, n_exact, hll_est,
+       |  abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err,
+       |  (abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE))
+       |    <= 0.195::DOUBLE AS err_ok
+       |FROM x JOIN e USING (l_returnflag)""".stripMargin
+
+  // ---- count-min heavy hitters (d=4 × w=512) over the document token
+  //      stream, graded with the exact counts beside the estimates ----
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketch.cmsHeavyHitters(
+      t(s, dir, "documents")
+        .select(explode(Portable.tokens(col("text"))).as("token")),
+      d = 4, w = 512, minFracDenom = 400L)
+
+  val oHeavyHitters: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+       |sd AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+       |sk AS (
+       |  SELECT seed,
+       |    ${H32.format("seed::VARCHAR || '#' || token")} % 512 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cell_cnt
+       |  FROM tok CROSS JOIN sd GROUP BY 1, 2),
+       |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+       |       FROM tok GROUP BY 1),
+       |est AS (
+       |  SELECT p.token, max(p.exact_cnt) AS exact_cnt,
+       |    min(s.cell_cnt) AS est_cnt
+       |  FROM (SELECT token, exact_cnt, seed,
+       |          ${H32.format("seed::VARCHAR || '#' || token")} % 512 AS bucket
+       |        FROM ex CROSS JOIN sd) p
+       |  JOIN sk s ON p.seed = s.seed AND p.bucket = s.bucket
+       |  GROUP BY 1)
+       |SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overest,
+       |  est_cnt <= exact_cnt + 4 * (total // 512) AS bound_ok
+       |FROM est CROSS JOIN n
+       |WHERE est_cnt >= total // 400""".stripMargin
+
+  // ---- per-node triangle counts over the parts-sharing-an-order
+  //      co-occurrence graph (degree-ordered orientation — the
+  //      last-reducer skew defense) ----
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("a"))
+      .join(li.select(col("k"), col("l_partkey").as("b")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.operators.Graph.triangleCounts(pairs)
+  }
+
+  val oTriangles: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_quantity >= 26 AND b.l_quantity >= 26),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.u ELSE e0.v END AS src,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.v ELSE e0.u END AS dst,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN dv.d ELSE du.d END AS ddst
+      |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+      |w AS (
+      |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+      |tri AS (SELECT x, y, z FROM w JOIN o ON w.y = o.src AND w.z = o.dst)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1""".stripMargin
+
+  // ---- overlapping-interval merge: 30-minute activity windows per user
+  //      consolidated into maximal spans ----
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame =
+    Temporal.mergeIntervals(
+      events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("s_us"),
+        (expr("ts DIV 1000") + lit(1800000000L)).as("e_us")),
+      keys = Seq("user_id"), startCol = "s_us", endCol = "e_us",
+      ordCol = "event_id")
+
+  val oIntervalMerge: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + 1800000000 AS e_us
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, s_us, e_us,
+      |    max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s_us, e_us,
+      |    sum(CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM w)
+      |SELECT user_id, CAST(grp AS BIGINT) AS grp, min(s_us) AS span_start,
+      |  max(e_us) AS span_end, CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY 1, 2""".stripMargin
+
+  // ---- calendar gap-fill + LOCF densification of the per-type daily
+  //      event series ----
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    Temporal.gapFillDaily(
+      events(s, dir).select(col("event_type"),
+        expr("ts DIV 86400000000000").as("day_num")),
+      keyCol = "event_type", dayCol = "day_num")
+
+  val oGapFill: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+      |    CAST(count(*) AS BIGINT) AS raw
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM d),
+      |spine AS (
+      |  SELECT event_type, unnest(range(lo, hi + 1)) AS day_num
+      |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN b),
+      |f AS (
+      |  SELECT s.event_type, s.day_num, COALESCE(d.raw, 0) AS n, d.raw AS raw
+      |  FROM spine s LEFT JOIN d
+      |    ON s.event_type = d.event_type AND s.day_num = d.day_num)
+      |SELECT event_type, day_num, CAST(n AS BIGINT) AS n,
+      |  CAST(COALESCE(last_value(raw IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY day_num
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS locf_n
+      |FROM f""".stripMargin
+
+  // ---- Z-order layout: per-zfile row counts + min/max envelopes of both
+  //      dimensions (bounded envelopes = the data-skipping property) ----
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 1024L).as("x"), (col("l_suppkey") % 1024L).as("y"))
+    v.select(col("x"), col("y"),
+        graft.operators.Layout.zValue(col("x"), col("y"), 10).as("z"))
+      .select(expr("z DIV 16384").as("zfile"), col("x"), col("y"))
+      .groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"), min(col("y")).as("min_y"),
+        max(col("y")).as("max_y"))
+  }
+
+  val oZorder: String = {
+    val zterms = (0 until 10).map(i =>
+      s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+       |z AS (SELECT x, y, ($zterms) AS z FROM v)
+       |SELECT z // 16384 AS zfile, CAST(count(*) AS BIGINT) AS n,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  // ---- hourly OHLC bars per event type (row_number-deterministic
+  //      open/close, one exchange) ----
+  def qOhlc(s: SparkSession, dir: String): DataFrame =
+    Temporal.ohlc(
+      events(s, dir).select(col("event_type"),
+        expr("ts DIV 3600000000000").as("hr"),
+        expr("ts DIV 1000").as("ts_us"), col("event_id"), col("value")),
+      keyCol = "event_type", bucketCol = "hr", tsCol = "ts_us",
+      idCol = "event_id", valueCol = "value")
+
+  val oOhlc: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    epoch_us(ts) AS ts_us, event_id, value
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, hr, value,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |      ORDER BY ts_us, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |      ORDER BY ts_us DESC, event_id DESC) AS rd
+      |  FROM e)
+      |SELECT event_type, hr, max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  // ---- exact-integer Pearson correlation (quantity vs discount mills)
+  //      per return flag — partition-independent moment sums ----
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      floor(col("l_discount") * 1000).cast("long").as("y"))
+    graft.operators.Stats.corrExact(li, Seq("l_returnflag"), "x", "y")
+  }
+
+  val oCorr: String =
+    """WITH v AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_discount * 1000) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM v GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+      |FROM s""".stripMargin
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-reproducible cardinality / frequency sketches.
+  *
+  * Spark's own `approx_count_distinct` (HLL++) and count-min live behind
+  * opaque binary buffers whose estimates can never hash-match another
+  * engine. These variants are built from the same published estimators
+  * (Flajolet et al. 2007 HyperLogLog; Cormode & Muthukrishnan 2005
+  * count-min) but on [[Portable.hash32]] and pure integer register math,
+  * so DuckDB can replay them bit-for-bit — the same determinism trick as
+  * [[Quantile.logLinearQuantile]] (no transcendentals, no float sums:
+  * register folds are longs, the one double op is the final division).
+  *
+  * Scale shape (the reason sketches exist at 100 TB):
+  *  - HLL: ONE narrow pass over the fact table → hash agg on
+  *    (group, register) with map-side combine — at most groups×2^p rows
+  *    ever shuffle, vs exact distinct's full key shuffle.
+  *  - count-min: one pass → hash agg on (seed, bucket) — the sketch is
+  *    d×w rows total (broadcastable) regardless of input size.
+  */
+object Sketch {
+
+  /** HyperLogLog distinct estimate per group, p = 8 (m = 256 registers,
+    * standard error 1.04/√m ≈ 6.5 %).
+    *
+    * Register math, all exact integers (portable to any engine):
+    *  - h   = 32-bit md5 prefix of the value
+    *  - j   = h >> 24 (register index, 0..255)
+    *  - w   = h & 0xFFFFFF; rho = 25 − bitlen(w) (w = 0 → 25)
+    *  - M_j = max(rho); Σ 2^−M_j is carried as the integer
+    *    S = Σ 2^(25−M_j) (absent registers contribute 2^25), so the only
+    *    float op is the final αm²·2^25 / S division.
+    *
+    * RAW estimator only (no low-range linear-counting correction: it
+    * needs `ln`, whose last ulp differs across libm builds — the exact
+    * failure mode this class exists to avoid). Below n ≈ 2.5m the raw
+    * estimate carries the documented upward bias; callers counting small
+    * groups should use exact distinct anyway.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ Portable.hash32(col(valueCol)).as("_h"): _*)
+      .select(g :+ expr("_h DIV 16777216").as("_j") :+
+        when(expr("_h % 16777216") === 0L, lit(25))
+          .otherwise(lit(25) - length(conv(expr("_h % 16777216").cast("string"), 10, 2)))
+          .as("_rho"): _*)
+      .groupBy(g :+ col("_j"): _*).agg(max(col("_rho")).as("_m"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("_c"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - _m)")).as("_sp"))
+      .select(g :+
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) * lit(65536.0) * lit(33554432.0) /
+          ((lit(256L) - col("_c")) * lit(33554432L) + col("_sp")).cast("double"))
+          .as("hll_est"): _*)
+  }
+
+  /** Count-min heavy hitters over a token stream (one row per occurrence,
+    * column `token`), d = 4 hash rows × w = 512 buckets.
+    *
+    * The sketch is the d×w cell table (2,048 rows — broadcast side of the
+    * probe join no matter the corpus size); estimate = min over the d
+    * cells a token hashes to, which can only OVER-estimate (`overest` is
+    * the measured slack, `bound_ok` the classic ε = 4/w additive bound).
+    * The exact per-token count joined next to it is the measurement
+    * harness (the [[Dedup]] `minhashError` / ANN-recall pattern — grade
+    * the sketch against ground truth, don't trust it blind); a production
+    * 100 TB run would keep only the sketch + per-partition candidate
+    * heaps and skip the exact side.
+    *
+    * @param minFracDenom report tokens whose estimate ≥ N / minFracDenom
+    */
+  def cmsHeavyHitters(tokens: DataFrame, d: Int = 4, w: Int = 512,
+                      minFracDenom: Long = 200L): DataFrame = {
+    val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
+    val occ = tokens.select(col("token"))
+    val sketch = occ.select(col("token"), seeds)
+      .select(col("seed"), (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
+      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cell_cnt"))
+    val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val total = occ.agg(count(lit(1)).as("_n"))
+    exact.select(col("token"), col("exact_cnt"), seeds)
+      .select(col("token"), col("exact_cnt"), col("seed"),
+        (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"))
+      .groupBy(col("token")).agg(max(col("exact_cnt")).as("exact_cnt"),
+        min(col("cell_cnt")).as("est_cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_cnt") >= expr(s"_n DIV $minFracDenom"))
+      .select(col("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overest"),
+        (col("est_cnt") <= col("exact_cnt") + expr(s"4 * (_n DIV $w)")).as("bound_ok"))
+  }
+}

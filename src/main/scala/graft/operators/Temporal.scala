@@ -51,6 +51,91 @@ object Temporal {
     * against bucket population; at 100 TB pick it near the median
     * interval length so each interval lands in O(1) bins.
     */
+  /** Merge overlapping-or-touching intervals per key (the session/span
+    * consolidation primitive: uptime windows, coverage spans, blackout
+    * merging). Classic sweep: within each key, an interval starts a new
+    * merged group iff its start exceeds the running max end of everything
+    * before it.
+    *
+    * Shape: ONE key-partitioned exchange feeding two same-partitioning
+    * windows (prev-max-end, then the cumulative group counter) + the
+    * final (key, grp) hash agg — Catalyst reuses the single sort.
+    * `ordCol` breaks start-time ties so the row order (and thus output)
+    * is total and engine-independent.
+    *
+    * Output: key..., grp (1-based per key in time order), span_start,
+    * span_end, n_events.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+                     endCol: String, ordCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val ord = Seq(col(startCol), col(ordCol))
+    val wPrev = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(keyCols :+ col(startCol) :+ col(endCol) :+ col(ordCol): _*)
+      .withColumn("_pmax", max(col(endCol)).over(wPrev))
+      .withColumn("grp",
+        sum(when(col("_pmax").isNull || col(startCol) > col("_pmax"), 1L)
+          .otherwise(0L)).over(wCum))
+      .groupBy(keyCols :+ col("grp"): _*)
+      .agg(min(col(startCol)).as("span_start"), max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Calendar gap-fill with last-observation-carried-forward: re-key a
+    * sparse per-(key, day) count series onto the full day spine so
+    * missing days exist as rows (n = 0) and `locf_n` carries the last
+    * seen value — the densification step before any window/forecast op
+    * that assumes regular spacing.
+    *
+    * The spine is |keys| × |days| — generated, never shuffled large: the
+    * day bounds are a broadcast scalar and the left join is keyed on
+    * (key, day) like the fact side. Counts are integers, so the fill is
+    * exact (no float carry).
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), col(dayCol))
+      .agg(count(lit(1)).as("_raw"))
+    val bounds = daily.agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
+    val spine = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"))).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol),
+        coalesce(col("_raw"), lit(0L)).as("n"), col("_raw"))
+      .withColumn("locf_n",
+        coalesce(last(col("_raw"), ignoreNulls = true).over(w), lit(0L)))
+      .drop("_raw")
+  }
+
+  /** Time-bucket downsampling to OHLC bars (open/high/low/close + count)
+    * per key — the resolution-reduction op that turns an event firehose
+    * into a chartable/joinable series. Open and close are picked by
+    * row_number over the (ts, id) total order (deterministic under ties,
+    * unlike min_by/max_by whose tie-break is undefined); both window
+    * specs share one (key, bucket) partitioning, so the whole op is one
+    * exchange + one hash agg.
+    */
+  def ohlc(df: DataFrame, keyCol: String, bucketCol: String, tsCol: String,
+           idCol: String, valueCol: String): DataFrame = {
+    val part = Seq(col(keyCol), col(bucketCol))
+    val wAsc = Window.partitionBy(part: _*).orderBy(col(tsCol), col(idCol))
+    val wDesc = Window.partitionBy(part: _*).orderBy(col(tsCol).desc, col(idCol).desc)
+    df.select(part :+ col(tsCol) :+ col(idCol) :+ col(valueCol): _*)
+      .withColumn("_ra", row_number().over(wAsc))
+      .withColumn("_rd", row_number().over(wDesc))
+      .groupBy(part: _*)
+      .agg(max(when(col("_ra") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"), min(col(valueCol)).as("low"),
+        max(when(col("_rd") === 1, col(valueCol))).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   def rangeJoinBinned(probe: DataFrame, intervals: DataFrame, keys: Seq[String],
                       tsCol: String, startCol: String, endCol: String,
                       binMicros: Long): DataFrame = {

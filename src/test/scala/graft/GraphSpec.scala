@@ -70,4 +70,27 @@ class GraphSpec extends SparkSpec {
     assert(ranks.map(_._2).distinct.length === 1,
       "a regular cycle is already the stationary distribution")
   }
+
+  test("triangleCounts on K4 plus a pendant edge") {
+    // K4 on 1..4 (4 triangles, every node in 3 of them); node 5 hangs off
+    // node 1 and is in none. Duplicate + reversed + self edges must be
+    // tolerated (canonicalized away).
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (5L, 1L), (2L, 1L), (3L, 3L)))
+      .toDF("a", "b")
+    val r = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangle count = Σ per-node / 3
+    assert(r.values.sum / 3 === 4L)
+  }
+
+  test("triangleCounts is invariant to partitioning and zero on a tree") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("a", "b")
+    val a = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    val b = Graph.triangleCounts(k4.repartition(7)).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    val tree = Seq((1L, 2L), (1L, 3L), (3L, 4L), (3L, 5L)).toDF("a", "b")
+    assert(Graph.triangleCounts(tree).count() === 0L)
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: Morton-interleave arithmetic against hand-computed
+  * values, and the physical clustering contract (disjoint per-partition
+  * z-ranges, sorted within — the property that makes file-level min/max
+  * stats prune on BOTH dimensions).
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: x at even positions, y at odd") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (10L, 5L), (1023L, 1023L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 10).as("z"))
+      .as[(Long, Long, Long)].collect().map { case (x, y, z) => (x, y) -> z }.toMap
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    for ((x, y) <- cases) assert(got((x, y)) === ref(x, y), s"($x,$y)")
+    assert(ref(3, 1) === 7L)            // 0b111: x bits at 0,2; y bit at 1
+    assert(ref(1023, 1023) === (1L << 20) - 1)
+  }
+
+  test("clusterByZ yields disjoint, sorted z-ranges per partition") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val clustered = Layout.clusterByZ(df, "x", "y", 6, numFiles = 8)
+    val zs = clustered
+      .select(Layout.zValue(col("x") % 64, col("y") % 64, 6).as("z"))
+      .select(spark_partition_id().as("pid"), col("z"))
+      .as[(Int, Long)]
+    // sorted within each partition…
+    val perPart = zs.collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((pid, vs) <- perPart) assert(vs === vs.sorted, s"partition $pid not sorted")
+    // …and partition ranges do not overlap (range partitioning)
+    val ranges = perPart.values.map(vs => (vs.min, vs.max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "partition z-ranges overlap")
+      case _ =>
+    }
+  }
+}

@@ -328,4 +328,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "contribution routing must be an equi-join")
   }
+
+  test("triangle counting is equi-joins only — wedge join never goes cartesian") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("interval merge and ohlc reuse one keyed exchange for windows + agg") {
+    // both ops: window partitioning == final grouping prefix, so Catalyst
+    // must NOT add a second fact-side exchange (windows and agg share the
+    // shuffle; the agg's clustering requirement is satisfied by the
+    // window's hashpartitioning)
+    for (q <- Seq("q_interval_merge", "q_ohlc")) {
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges === 1, s"$q: expected 1 keyed exchange, got $exchanges")
+      assert(!p.contains("Exchange SinglePartition"), s"$q funnels")
+    }
+  }
+
+  test("z-order stats and the sketch register folds are single-agg shapes") {
+    // zorder: per-row z arithmetic + one grouped agg — nothing else
+    val pz = plan("q_zorder")
+    assert(!pz.contains("Window") && !pz.contains("Join"), "zorder must stay scan+agg")
+    // hll: register fold is two chained hash aggs, no window/sort funnel
+    val ph = plan("q_hll_distinct")
+    assert(!ph.contains("Window"))
+    assert(!ph.contains("CartesianProduct"))
+    // cms: the sketch side must reach the probe join as a BROADCAST
+    val pc = plan("q_heavy_hitters")
+    assert(pc.contains("BroadcastHashJoin"), "2048-row sketch must broadcast")
+    assert(!pc.contains("CartesianProduct"))
+  }
+
+  test("exact corr is one partial+final hash agg over the scan") {
+    val p = plan("q_corr")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected 1 group-key exchange, got $exchanges")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
 }

@@ -59,6 +59,63 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("portable HLL estimates within its error regime and is partition-independent") {
+    import graft.operators.Sketch
+    val exact = li.agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val est = Sketch.hllDistinct(li.select(lit(1).as("g"), col("l_partkey")),
+      Seq("g"), "l_partkey").select(col("hll_est"))
+      .collect()(0).getDouble(0)
+    // sf0.001 has ~200 distinct parts — below the raw estimator's 2.5m
+    // sweet spot, so allow the documented low-range upward bias; the
+    // estimate must still land within a small constant factor
+    assert(est > exact * 0.7 && est < exact * 3.0, s"est=$est exact=$exact")
+    // registers are max-folds of a pure value hash: layout-independent
+    val est2 = Sketch.hllDistinct(
+      li.repartition(7).select(lit(1).as("g"), col("l_partkey")),
+      Seq("g"), "l_partkey").select(col("hll_est")).collect()(0).getDouble(0)
+    assert(est === est2)
+  }
+
+  test("portable HLL register math matches a Scala replay of the estimator") {
+    import graft.operators.Sketch
+    import spark.implicits._
+    val vals = (1L to 500L)
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val got = Sketch.hllDistinct(df, Seq("g"), "v")
+      .select("hll_est").collect()(0).getDouble(0)
+    // replay: same md5-truncated hash, same integer register fold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val regs = vals.map(v => h32(v.toString))
+      .groupBy(_ >> 24)
+      .view.mapValues { hs =>
+        hs.map { h =>
+          val w = h & 0xFFFFFF
+          if (w == 0) 25 else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max
+      }.toMap
+    val s = (256 - regs.size).toLong * (1L << 25) +
+      regs.values.map(m => 1L << (25 - m)).sum
+    val expected = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0 / s.toDouble
+    assert(got === expected)
+  }
+
+  test("count-min never under-estimates and is exact for solo-bucket tokens") {
+    import graft.operators.Sketch
+    val tokens = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val r = Sketch.cmsHeavyHitters(tokens, minFracDenom = 1000L)
+    val bad = r.filter(col("est_cnt") < col("exact_cnt")).count()
+    assert(bad === 0L, "count-min must only over-estimate")
+    assert(r.count() > 0L, "heavy-hitter report must be non-empty at this threshold")
+    // layout-independence of the whole report
+    val r2 = Sketch.cmsHeavyHitters(tokens.repartition(7), minFracDenom = 1000L)
+    assert(r.collect().toSet === r2.collect().toSet)
+  }
+
   test("percentile_approx brackets the exact median") {
     val r = li.agg(
       expr("percentile(l_quantity, 0.5)").as("exact"),

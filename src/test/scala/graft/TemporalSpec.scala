@@ -22,6 +22,47 @@ class TemporalSpec extends SparkSpec {
       (2L, 13L, None)))      // user 2's only ref is later
   }
 
+  test("mergeIntervals consolidates overlapping and touching spans per key") {
+    // user 1: [0,10] [5,15] (overlap) [15,20] (touching, start==pmax merges
+    // since start > pmax is false) [30,40] (gap) ; user 2: single interval
+    val iv = Seq((1L, 1L, 0L, 10L), (1L, 2L, 5L, 15L), (1L, 3L, 15L, 20L),
+      (1L, 4L, 30L, 40L), (2L, 5L, 0L, 1L))
+      .toDF("user_id", "event_id", "s", "e")
+    val r = Temporal.mergeIntervals(iv, Seq("user_id"), "s", "e", "event_id")
+      .select("user_id", "grp", "span_start", "span_end", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(r === Set(
+      (1L, 1L, 0L, 20L, 3L),
+      (1L, 2L, 30L, 40L, 1L),
+      (2L, 1L, 0L, 1L, 1L)))
+  }
+
+  test("gapFillDaily fills missing days with 0 and carries the last value") {
+    // key "a" active on days 10 and 13 (twice); "b" only on day 11
+    val df = Seq(("a", 10L), ("a", 13L), ("a", 13L), ("b", 11L))
+      .toDF("k", "day")
+    val r = Temporal.gapFillDaily(df, "k", "day")
+      .select("k", "day", "n", "locf_n")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r === Set(
+      ("a", 10L, 1L, 1L), ("a", 11L, 0L, 1L), ("a", 12L, 0L, 1L), ("a", 13L, 2L, 2L),
+      ("b", 10L, 0L, 0L), ("b", 11L, 1L, 1L), ("b", 12L, 0L, 1L), ("b", 13L, 0L, 1L)))
+  }
+
+  test("ohlc picks open/close deterministically under timestamp ties") {
+    val e = Seq(
+      ("t", 0L, 100L, 1L, 5.0), ("t", 0L, 100L, 2L, 9.0), // tie: id orders
+      ("t", 0L, 200L, 3L, 1.0), ("t", 0L, 300L, 4L, 7.0),
+      ("t", 1L, 400L, 5L, 2.0))
+      .toDF("k", "bucket", "ts", "id", "v")
+    val r = Temporal.ohlc(e, "k", "bucket", "ts", "id", "v")
+      .select("k", "bucket", "open", "high", "low", "close", "n")
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect().toSet
+    assert(r === Set(
+      ("t", 0L, 5.0, 9.0, 1.0, 7.0, 4L), // open = id 1 at the tied ts
+      ("t", 1L, 2.0, 2.0, 2.0, 2.0, 1L)))
+  }
+
   test("rangeJoinBinned matches plain containment including boundaries") {
     val probe = Seq((1L, 0L, 1L), (1L, 500L, 2L), (1L, 1000L, 3L), (1L, 1001L, 4L))
       .toDF("user_id", "ts_us", "event_id")
