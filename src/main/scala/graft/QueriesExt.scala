@@ -1079,7 +1079,11 @@ object QueriesExt {
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.bpeMerges(t(s, dir, "documents"), rounds = 3)
 
-  val oBpeMerges: String = {
+  /** Shared oracle CTE prefix: the word dictionary segmented by 3 BPE
+    * rounds (ends in CTE `t3`). Used by both oBpeMerges and oBpeEncode so
+    * train and apply replay the identical rules.
+    */
+  private val bpeDictCtes: String = {
     def roundCtes(tIn: String, i: Int) =
       s"""p$i AS (
          |  SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS total FROM (
@@ -1097,7 +1101,7 @@ object QueriesExt {
          |      j -> CASE WHEN j <= len(t) - 2 AND t[j+1] = r.a AND t[j+2] = r.b
          |           THEN r.a || r.b ELSE t[j+1] END) END AS t
          |  FROM $tIn LEFT JOIN r$i r ON TRUE)"""
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  GROUP BY 1),
@@ -1106,11 +1110,36 @@ object QueriesExt {
        |    i -> substring(word, i, 1)) AS t FROM w0),
        |${roundCtes("t0", 1)},
        |${roundCtes("t1", 2)},
-       |${roundCtes("t2", 3)}
+       |${roundCtes("t2", 3)}""".stripMargin
+  }
+
+  val oBpeMerges: String =
+    s"""WITH $bpeDictCtes
        |SELECT word, cnt, CAST(len(t) AS BIGINT) AS n_pieces,
        |  array_to_string(t, ' ') AS segmented
        |FROM t3""".stripMargin
+
+  // ---- BPE APPLY: encode every document with the 3 trained merges —
+  //      per-doc token vs piece counts (the train->apply loop closed; the
+  //      dictionary join is vocabulary-sized) ----
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dict = graft.operators.Bpe.bpeMerges(docs, rounds = 3)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col("doc_id"), explode(Portable.tokens(col("text"))).as("word"))
+      .join(dict, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_pieces")).as("n_pieces"))
   }
+
+  val oBpeEncode: String =
+    s"""WITH $bpeDictCtes,
+       |dict AS (SELECT word, CAST(len(t) AS BIGINT) AS n_pieces FROM t3),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+       |FROM tok JOIN dict USING (word) GROUP BY 1""".stripMargin
 
   // ---- quality deciles per domain (ntile over a deterministic total
   //      order — the bucketing behind "train on the top-N deciles") ----
@@ -1996,6 +2025,69 @@ object QueriesExt {
        |  (abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE))
        |    <= 0.195::DOUBLE AS err_ok
        |FROM x JOIN e USING (l_returnflag)""".stripMargin
+
+  // ---- HLL mergeability: per-source register sketches max-merged into a
+  //      global estimate, graded equal to the direct global sketch — the
+  //      precomputed-slice-union cardinality path of a 100 TB pipeline ----
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents")
+    val perSource = Sketch.hllRegisters(docs, Seq("source"), "text")
+    val merged = perSource.groupBy(col("_j")).agg(max(col("_m")).as("_m"))
+    val estMerged = Sketch.hllEstimate(merged, Nil)
+      .select(col("hll_est").as("est_merged"))
+    val estDirect = Sketch.hllEstimate(Sketch.hllRegisters(docs, Nil, "text"), Nil)
+      .select(col("hll_est").as("est_direct"))
+    docs.agg(countDistinct(col("text")).as("n_exact"))
+      .crossJoin(estMerged).crossJoin(estDirect)
+      .select(col("n_exact"), col("est_merged"), col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"))
+  }
+
+  val oHllUnion: String = {
+    def estSql(regCte: String) =
+      s"""SELECT (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+         |    * 65536.0::DOUBLE * 33554432.0::DOUBLE
+         |    / CAST((256 - count(*)) * 33554432
+         |           + CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT) AS DOUBLE) AS est
+         |  FROM $regCte""".stripMargin
+    s"""WITH h AS (
+       |  SELECT source, ${H32.format("text")} AS h FROM documents),
+       |r AS (
+       |  SELECT source, h // 16777216 AS j,
+       |    CASE WHEN h % 16777216 = 0 THEN 25
+       |         ELSE 25 - length(bin(h % 16777216)) END AS rho
+       |  FROM h),
+       |m AS (SELECT source, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |mg AS (SELECT j, max(mj) AS mj FROM m GROUP BY 1),
+       |md AS (SELECT j, max(rho) AS mj FROM r GROUP BY 1),
+       |em AS (${estSql("mg")}),
+       |ed AS (${estSql("md")}),
+       |x AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents)
+       |SELECT n_exact, em.est AS est_merged, ed.est AS est_direct,
+       |  em.est = ed.est AS merge_lossless
+       |FROM x CROSS JOIN em CROSS JOIN ed""".stripMargin
+  }
+
+  // ---- EWMA (α = 1/2, exact halving fold) of each user's value stream ----
+  def qEwma(s: SparkSession, dir: String): DataFrame =
+    Temporal.ewmaHalf(
+      events(s, dir).select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("value")),
+      keys = Seq("user_id"), tsCol = "ts_us", idCol = "event_id",
+      valueCol = "value")
+
+  val oEwma: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+      |a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    list(value ORDER BY ts_us, event_id) AS arr
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, n,
+      |  list_reduce(list_prepend(0.0::DOUBLE, arr),
+      |    (acc, v) -> acc / 2 + v / 2) AS ewma
+      |FROM a""".stripMargin
 
   // ---- count-min heavy hitters (d=4 × w=512) over the document token
   //      stream, graded with the exact counts beside the estimates ----

@@ -41,7 +41,18 @@ object Sketch {
     * estimate carries the documented upward bias; callers counting small
     * groups should use exact distinct anyway.
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The register table (groups..., _j, _m): a max-fold of a pure value
+    * hash, so it is (a) partition-independent and (b) MERGEABLE — the
+    * union of two data slices is `max` per register, which is how a
+    * 100 TB pipeline keeps per-partition/per-day sketches and answers
+    * "distinct over any slice union" without rescanning
+    * ([[hllEstimate]] of the max-merged registers is EXACTLY the
+    * estimate a direct scan of the union would produce).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val g = groupCols.map(col)
     df.select(g :+ Portable.hash32(col(valueCol)).as("_h"): _*)
       .select(g :+ expr("_h DIV 16777216").as("_j") :+
@@ -49,6 +60,13 @@ object Sketch {
           .otherwise(lit(25) - length(conv(expr("_h % 16777216").cast("string"), 10, 2)))
           .as("_rho"): _*)
       .groupBy(g :+ col("_j"): _*).agg(max(col("_rho")).as("_m"))
+  }
+
+  /** Estimate from a register table (the αm²·2²⁵/S formula; absent
+    * registers contribute 2²⁵ to the integer S). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    registers
       .groupBy(g: _*)
       .agg(count(lit(1)).as("_c"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 25 - _m)")).as("_sp"))

@@ -136,6 +136,30 @@ object Temporal {
         count(lit(1)).as("n"))
   }
 
+  /** Exponentially-weighted moving average with α = 1/2 folded over each
+    * key's (ts, id)-ordered values: e ← e/2 + v/2. Halving is EXACT in
+    * binary floating point, so the fold has one rounding per step in a
+    * fixed order — bit-identical on any engine that replays the same
+    * sequence (the [[graft.functions.Portable.polyFold]] discipline for
+    * doubles).
+    *
+    * Shape: one key-partitioned hash agg collecting the (bounded)
+    * per-key sequence, then a per-row array fold — state is one key's
+    * events, the same bounded-sequence contract as sequence packing.
+    * Output: key..., n, ewma (the smoothed final value per key).
+    */
+  def ewmaHalf(df: DataFrame, keys: Seq[String], tsCol: String,
+               idCol: String, valueCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select(keyCols :+ col(tsCol) :+ col(idCol) :+ col(valueCol): _*)
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(struct(col(tsCol), col(idCol),
+        col(valueCol).as("_v")))).as("_seq"))
+      .select(keyCols :+ size(col("_seq")).cast("long").as("n") :+
+        aggregate(transform(col("_seq"), x => x.getField("_v")),
+          lit(0.0), (acc, v) => acc / 2 + v / 2).as("ewma"): _*)
+  }
+
   def rangeJoinBinned(probe: DataFrame, intervals: DataFrame, keys: Seq[String],
                       tsCol: String, startCol: String, endCol: String,
                       binMicros: Long): DataFrame = {

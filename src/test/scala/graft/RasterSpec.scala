@@ -175,4 +175,29 @@ class RasterSpec extends SparkSpec {
     assert(spark.read.format("jdbc")
       .option("url", url).option("dbtable", "speciesdata").load().count() === 1)
   }
+
+  test("O-20 partitioned sink prunes partitions on read (the layout's point)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/sd"
+    val rows = (1L to 40L).map(i => (i, s"sp${i % 4}", "25", i.toDouble))
+      .toDF("sid", "species", "threshold", "area")
+    Raster.writeSpeciesData(rows, out, partitionBy = Seq("species"))
+    val read = spark.read.parquet(out).filter(col("species") === "sp1")
+    // the predicate must become a PARTITION filter (directory pruning),
+    // not a post-scan row filter over all files
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sp1"),
+      s"species predicate did not reach the partition filters:\n$plan")
+    // pruning is real: the scan selects ONE of the four directories
+    // (inputFiles would lie here — it lists the pre-pruning file index)
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    val parts = scan.selectedPartitions
+    assert(parts.partitionCount === 1,
+      s"expected 1 pruned partition, got ${parts.partitionCount}")
+    assert(parts.toPartitionArray.forall(_.filePath.toString.contains("species=sp1")))
+    assert(read.count() === 10L)
+  }
 }

@@ -103,6 +103,24 @@ class SketchSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("HLL registers max-merge losslessly: union sketch == direct sketch") {
+    import graft.operators.Sketch
+    import spark.implicits._
+    // two disjoint slices with an overlap — the union's registers must be
+    // the per-slice max, and the merged estimate must equal a direct scan
+    val a = (1L to 300L).map(v => ("a", v)).toDF("slice", "v")
+    val b = (200L to 500L).map(v => ("b", v)).toDF("slice", "v")
+    val both = a.union(b)
+    val merged = Sketch.hllEstimate(
+      Sketch.hllRegisters(both, Seq("slice"), "v")
+        .groupBy(col("_j")).agg(max(col("_m")).as("_m")), Nil)
+      .collect()(0).getDouble(0)
+    val direct = Sketch.hllEstimate(
+      Sketch.hllRegisters(both.select(col("v")), Nil, "v"), Nil)
+      .collect()(0).getDouble(0)
+    assert(merged === direct, "max-merged registers must reproduce the direct sketch")
+  }
+
   test("count-min never under-estimates and is exact for solo-bucket tokens") {
     import graft.operators.Sketch
     val tokens = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -251,4 +251,54 @@ class StreamingSpec extends SparkSpec {
       assert(u1 === Set(1, 2), s"stage 2 must survive a >1h idle gap: $u1")
     } finally q.stop()
   }
+
+  test("streaming OHLC bars close on watermark with deterministic open/close") {
+    import graft.streaming.BarStream
+    import graft.streaming.BarStream.Tick
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = BarStream.ohlcBars(input.toDF(), width = "1 minute",
+        watermark = "30 seconds")
+      .writeStream.format("memory").queryName("bars")
+      .outputMode("append").start()
+    try {
+      // one bar's worth of ticks, including a timestamp tie at ts(10):
+      // id 1 must win open (same (ts, id) order as the batch twin)
+      input.addData(
+        Tick("t", 1L, ts(10), 5.0), Tick("t", 2L, ts(10), 9.0),
+        Tick("t", 3L, ts(30), 1.0), Tick("t", 4L, ts(50), 7.0))
+      q.processAllAvailable()
+      // append mode: nothing emits until the watermark passes the window
+      assert(spark.table("bars").count() === 0L)
+      // a late-window tick advances the watermark beyond 60s + 30s delay
+      input.addData(Tick("t", 5L, ts(200), 2.0))
+      q.processAllAvailable()
+      val bars = spark.table("bars")
+        .select("key", "open", "high", "low", "close", "n")
+        .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+      assert(bars === Set(("t", 5.0, 9.0, 1.0, 7.0, 4L)))
+    } finally q.stop()
+  }
+
+  test("streaming OHLC keeps one state row per (key, open window)") {
+    import graft.streaming.BarStream
+    import graft.streaming.BarStream.Tick
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val q = BarStream.ohlcBars(input.toDF(), width = "1 minute",
+        watermark = "30 seconds")
+      .writeStream.format("memory").queryName("bars_state")
+      .outputMode("append").start()
+    try {
+      // 100 ticks for one key, all inside TWO 1-minute windows
+      input.addData((1 to 100).map(i =>
+        Tick("k", i.toLong, ts(i % 120), i.toDouble)): _*)
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+      // bounded state: 2 open windows, NOT 100 buffered rows
+      assert(state.head.numRowsTotal <= 2L,
+        s"state must be per-window, got ${state.head.numRowsTotal} rows")
+    } finally q.stop()
+  }
 }

@@ -63,6 +63,22 @@ class TemporalSpec extends SparkSpec {
       ("t", 1L, 2.0, 2.0, 2.0, 2.0, 1L)))
   }
 
+  test("ewmaHalf folds in (ts, id) order and is partition-independent") {
+    // e = ((0/2 + 8/2)/2 + 4/2)/2 + 2/2 = ((4)/2+2)/2+1 = 3/2+... replay:
+    // acc=0 -> 4 -> 4/2+2=4 -> 4/2+1=3
+    val df = Seq((1L, 10L, 1L, 8.0), (1L, 20L, 2L, 4.0), (1L, 30L, 3L, 2.0))
+      .toDF("k", "ts", "id", "v")
+    val r = Temporal.ewmaHalf(df, Seq("k"), "ts", "id", "v")
+      .select("k", "n", "ewma").as[(Long, Long, Double)].collect()
+    assert(r === Array((1L, 3L, 3.0)))
+    val big = (1 to 500).map(i => (i % 7L, i.toLong, i.toLong, (i % 13).toDouble))
+      .toDF("k", "ts", "id", "v")
+    val x = Temporal.ewmaHalf(big, Seq("k"), "ts", "id", "v").collect().toSet
+    val y = Temporal.ewmaHalf(big.repartition(11), Seq("k"), "ts", "id", "v")
+      .collect().toSet
+    assert(x === y, "fold order must come from (ts, id), not partition layout")
+  }
+
   test("rangeJoinBinned matches plain containment including boundaries") {
     val probe = Seq((1L, 0L, 1L), (1L, 500L, 2L), (1L, 1000L, 3L), (1L, 1001L, 4L))
       .toDF("user_id", "ts_us", "event_id")
