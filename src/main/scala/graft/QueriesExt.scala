@@ -2089,6 +2089,39 @@ object QueriesExt {
       |    (acc, v) -> acc / 2 + v / 2) AS ewma
       |FROM a""".stripMargin
 
+  // ---- grid-binned spatial join: synthetic lon/lat points vs per-nation
+  //      bounding boxes — the equi-join spatial-join pattern graded
+  //      against DuckDB's direct inequality join ----
+  def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 7 % 360 - 180).as("px"),
+      (col("l_suppkey") * 13 % 180 - 90).as("py"))
+    val boxes = t(s, dir, "nation").select(col("n_nationkey"),
+      (col("n_nationkey") * 37 % 300 - 180).as("x0"),
+      (col("n_nationkey") * 23 % 140 - 90).as("y0"))
+      .withColumn("x1", col("x0") + 45)
+      .withColumn("y1", col("y0") + 30)
+    SpatialJoin.pointInBoxBinned(pts, boxes, binSize = 64L)
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
+  val oSpatialJoin: String =
+    """WITH p AS (
+      |  SELECT l_partkey * 7 % 360 - 180 AS px,
+      |    l_suppkey * 13 % 180 - 90 AS py
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT n_nationkey,
+      |    n_nationkey * 37 % 300 - 180 AS x0,
+      |    n_nationkey * 23 % 140 - 90 AS y0
+      |  FROM nation)
+      |SELECT n_nationkey, CAST(count(*) AS BIGINT) AS n_points
+      |FROM p JOIN b ON px >= x0 AND px <= x0 + 45
+      |  AND py >= y0 AND py <= y0 + 30
+      |GROUP BY 1""".stripMargin
+
   // ---- count-min heavy hitters (d=4 × w=512) over the document token
   //      stream, graded with the exact counts beside the estimates ----
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
