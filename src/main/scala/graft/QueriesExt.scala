@@ -2122,6 +2122,138 @@ object QueriesExt {
       |  AND py >= y0 AND py <= y0 + 30
       |GROUP BY 1""".stripMargin
 
+  // ---- incremental materialized-aggregate maintenance: changelog delta
+  //      applied to the old rollup, graded per-group EQUAL to a direct
+  //      recompute of the post-change corpus ----
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Incremental
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val oldAgg = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    // changelog: inserts (id%10=0), deletes (base rows with id%7=0),
+    // updates (surviving base rows with id%13=0: n_chars doubles)
+    val ins = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("source"), lit(1L).as("dn"), col("n_chars").as("ds"))
+    val del = base.filter(col("doc_id") % 7 === 0)
+      .select(col("source"), lit(-1L).as("dn"), (-col("n_chars")).as("ds"))
+    val upd = base.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 13 === 0)
+      .select(col("source"), lit(0L).as("dn"), col("n_chars").as("ds"))
+    val delta = ins.union(del).union(upd).groupBy(col("source"))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    val incr = Incremental.applyAggDelta(oldAgg, delta, "source")
+    // ground truth: recompute over the post-change corpus
+    val post = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 13 === 0,
+          col("n_chars") * 2).otherwise(col("n_chars"))))
+    val direct = post.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_d"), sum(col("n_chars")).as("s_d"))
+    incr.join(direct, Seq("source"), "full_outer")
+      .select(col("source"), col("n"), col("s"),
+        coalesce(col("n") === col("n_d") && col("s") === col("s_d"),
+          lit(false)).as("consistent"))
+  }
+
+  val oIncrAgg: String =
+    """WITH base AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |old AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS s
+      |  FROM base GROUP BY 1),
+      |chg AS (
+      |  SELECT source, 1::BIGINT AS dn, n_chars AS ds FROM documents
+      |    WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT source, -1::BIGINT, -n_chars FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT source, 0::BIGINT, n_chars FROM base
+      |    WHERE doc_id % 7 <> 0 AND doc_id % 13 = 0),
+      |delta AS (
+      |  SELECT source, CAST(sum(dn) AS BIGINT) AS dn,
+      |    CAST(sum(ds) AS BIGINT) AS ds
+      |  FROM chg GROUP BY 1),
+      |incr AS (
+      |  SELECT COALESCE(o.source, d.source) AS source,
+      |    COALESCE(o.n, 0) + COALESCE(d.dn, 0) AS n,
+      |    COALESCE(o.s, 0) + COALESCE(d.ds, 0) AS s
+      |  FROM old o FULL OUTER JOIN delta d ON o.source = d.source),
+      |kept AS (SELECT * FROM incr WHERE n > 0),
+      |post AS (
+      |  SELECT source, n_chars FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT source,
+      |    CASE WHEN doc_id % 13 = 0 THEN n_chars * 2 ELSE n_chars END
+      |  FROM base WHERE doc_id % 7 <> 0),
+      |direct AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_d,
+      |    CAST(sum(n_chars) AS BIGINT) AS s_d
+      |  FROM post GROUP BY 1)
+      |SELECT COALESCE(k.source, di.source) AS source, k.n, k.s,
+      |  COALESCE(k.n = di.n_d AND k.s = di.s_d, FALSE) AS consistent
+      |FROM kept k FULL OUTER JOIN direct di ON k.source = di.source""".stripMargin
+
+  // ---- URL canonicalization + fetch dedup: the crawl-side key hygiene
+  //      every web corpus runs before URL-keyed dedup; synthetic URLs
+  //      (the corpus has no real ones) exercise case, default ports,
+  //      tracking params and fragments ----
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Crawl
+    val docs = t(s, dir, "documents")
+    val url = concat(
+      lit("HTTPS://Example"), (col("doc_id") % 10).cast("string"),
+      lit(".org:443/path/"), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=x&id="), (col("doc_id") % 10).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 10).cast("string"),
+            lit("&utm_campaign=y")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    docs.select(col("doc_id"), url.as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        Crawl.canonicalizeUrl(col("raw_url")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("raw_url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_id"))
+  }
+
+  val oUrlDedup: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://Example' || (doc_id % 10)::VARCHAR ||
+      |    '.org:443/path/' || (doc_id % 7)::VARCHAR ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN '?utm_source=x&id=' || (doc_id % 10)::VARCHAR
+      |         WHEN doc_id % 3 = 1
+      |         THEN '?id=' || (doc_id % 10)::VARCHAR || '&utm_campaign=y'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw_url
+      |  FROM documents),
+      |c1 AS (
+      |  SELECT doc_id, raw_url,
+      |    lower(regexp_extract(raw_url, '^([^/]*//[^/]+)', 1)) ||
+      |      regexp_replace(raw_url, '^[^/]*//[^/]+', '') AS s
+      |  FROM u),
+      |c2 AS (SELECT doc_id, raw_url,
+      |  regexp_replace(regexp_replace(s,
+      |    '^(https://[^/]+):443(/|$)', '\1\2'),
+      |    '^(http://[^/]+):80(/|$)', '\1\2') AS s FROM c1),
+      |c3 AS (SELECT doc_id, raw_url, regexp_replace(s, '#.*$', '') AS s FROM c2),
+      |c4 AS (SELECT doc_id, raw_url,
+      |  regexp_replace(s, '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS s
+      |  FROM c3),
+      |c5 AS (SELECT doc_id, raw_url,
+      |  regexp_replace(regexp_replace(regexp_replace(s,
+      |    '&&+', '&', 'g'), '\?&+', '?'), '[?&]+$', '') AS s FROM c4),
+      |canon AS (SELECT doc_id, raw_url,
+      |  regexp_replace(s, '^([^/]*//[^/?#]+)/$', '\1') AS canon FROM c5)
+      |SELECT canon, CAST(count(*) AS BIGINT) AS n_fetches,
+      |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+      |  min(doc_id) AS keep_id
+      |FROM canon GROUP BY 1""".stripMargin
+
   // ---- count-min heavy hitters (d=4 × w=512) over the document token
   //      stream, graded with the exact counts beside the estimates ----
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
