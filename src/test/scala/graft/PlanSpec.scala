@@ -369,4 +369,31 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 group-key exchange, got $exchanges")
     assert(!p.contains("Window") && !p.contains("Join"))
   }
+
+  test("r8 queries: no cartesians; nested loops only for 1-row broadcasts") {
+    // sanctioned BNLJ budgets = the 1-row scalar broadcasts each query
+    // declares (bounds/total/estimate frames); everything else equi-joins
+    val budget = Map(
+      "q_gap_fill" -> 1,       // day-bounds scalar
+      "q_heavy_hitters" -> 1,  // token-total scalar
+      "q_hll_union" -> 2,      // two 1-row estimate frames
+      "q_ewma" -> 0, "q_incr_agg" -> 0, "q_url_dedup" -> 0,
+      "q_bpe_encode" -> 3,     // one 1-row merge-rule broadcast per round
+      "q_spatial_join" -> 0, "q_interval_merge" -> 0, "q_ohlc" -> 0)
+    for ((q, b) <- budget) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= b, s"$q has $bnlj nested-loop joins (budget $b)")
+    }
+  }
+
+  test("url dedup is a pure scan until the canonical-key aggregation") {
+    val p = plan("q_url_dedup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // partial agg -> one canonical-key exchange -> final agg (countDistinct
+    // adds its Expand within the same keyed exchange chain)
+    assert(exchanges <= 2, s"regex chain must not shuffle: $exchanges exchanges")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
 }
