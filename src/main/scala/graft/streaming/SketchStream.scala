@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming twin of [[graft.operators.Sketch.hllDistinct]]: a running
+  * distinct-cardinality estimate per key with O(1) state.
+  *
+  * HLL registers are max-folds of a pure value hash, so they are
+  * order-insensitive AND prefix-mergeable — which makes the sketch the
+  * canonical streaming-state citizen: 256 bytes per key, forever,
+  * regardless of stream length (contrast exact streaming distinct, whose
+  * state grows with the value universe). Because the registers are the
+  * same pure function of the same md5-derived hash, the streaming
+  * estimate after any prefix is BIT-IDENTICAL to the batch
+  * [[graft.operators.Sketch.hllDistinct]] over that prefix —
+  * StreamingSpec asserts exact equality, not approximate agreement.
+  */
+object SketchStream {
+
+  case class KV(key: String, value: Long)
+  case class KeyEstimate(key: String, hll_est: Double)
+
+  private[streaming] def hash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private[streaming] def estimate(regs: Array[Byte]): Double = {
+    var s = 0L
+    var i = 0
+    while (i < 256) { s += 1L << (25 - regs(i)); i += 1 }
+    // same literal expression (and fold order) as the batch estimator —
+    // constant-folded identically by scalac and Catalyst
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0 / s.toDouble
+  }
+
+  /** One updated (key, estimate) row per key per micro-batch; run with
+    * output mode "update". Estimates are monotone non-decreasing (max
+    * registers only grow), so the latest row per key is the answer.
+    */
+  def runningDistinct(events: Dataset[KV]): Dataset[KeyEstimate] = {
+    implicit val enc = Encoders.product[KeyEstimate]
+    implicit val stateEnc = Encoders.BINARY
+    events.groupByKey(_.key)(Encoders.STRING)
+      .mapGroupsWithState[Array[Byte], KeyEstimate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KV], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](256))
+          rows.foreach { r =>
+            val h = hash32(r.value.toString)
+            val j = (h >>> 24).toInt
+            val w = h & 0xFFFFFFL
+            val rho =
+              if (w == 0L) 25
+              else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(j)) regs(j) = rho.toByte
+          }
+          state.update(regs)
+          KeyEstimate(key, estimate(regs))
+      }
+  }
+}

@@ -280,6 +280,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL sketch is bit-identical to the batch sketch, O(1) state") {
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.KV
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KV]
+    val q = SketchStream.runningDistinct(input.toDS())
+      .writeStream.format("memory").queryName("hll_s")
+      .outputMode("update").start()
+    try {
+      val batch1 = (1L to 400L).map(v => KV("a", v)) ++
+        (1L to 50L).map(v => KV("b", v * 7))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // second batch overlaps the first: replayed values must not move
+      // any register (max-fold idempotence)
+      val batch2 = (200L to 700L).map(v => KV("a", v))
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // estimates are monotone, so max-per-key == the final update
+      val streamed = spark.table("hll_s").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("hll_est").as("est"))
+        .as[(String, Double)].collect().toMap
+      val batch = graft.operators.Sketch.hllDistinct(
+        (batch1 ++ batch2).toDF("key", "value"), Seq("key"), "value")
+        .as[(String, Double)].collect().toMap
+      assert(streamed === batch,
+        "streaming registers must replay the batch sketch exactly")
+      // state: one 256-byte register array per key — not per value
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
+    } finally q.stop()
+  }
+
   test("streaming OHLC keeps one state row per (key, open window)") {
     import graft.streaming.BarStream
     import graft.streaming.BarStream.Tick
