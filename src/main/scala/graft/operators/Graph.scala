@@ -21,12 +21,14 @@ object Graph {
     *   2^40 fixed-point grid and sums LONGS (exact, associative,
     *   commutative), then rescales once.
     *
-    * Scale shape per iteration: one node-keyed equi-join (rank × outdeg),
-    * one src-keyed equi-join (edges × contributions — co-partitionable
-    * with the edge table's layout), one dst-keyed hash agg with map-side
-    * partials, and a node-keyed left join. No window, no collect; the
-    * rank table is node-sized, checkpointed per round so the plan stays
-    * flat (the Contiguity/kmeans iteration pattern).
+    * Scale shape per iteration: one src-keyed equi-join (edges ×
+    * contributions — co-partitionable with the edge table's layout), one
+    * dst-keyed hash agg with map-side partials, and a node-keyed left
+    * join. The static out-degree is folded into the rank table ONCE
+    * (null marks sinks), so neither the contribution step nor the
+    * dangling-mass scalar costs a per-round join. No window, no collect;
+    * the rank table is node-sized, checkpointed per round so the plan
+    * stays flat (the Contiguity/kmeans iteration pattern).
     *
     * Input `edges`: (src, dst) rows; self-deduplicated. Every node
     * reachable only as a destination still receives the teleport term
@@ -56,29 +58,35 @@ object Graph {
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg0 = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val outdeg = if (checkpoint) Checkpoints.truncate(outdeg0) else outdeg0
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
-    var ranks = nodes.crossJoin(broadcast(nTotal))
+    // outdeg is STATIC per node — fold it into the rank table once (null
+    // for sinks) instead of re-joining it every iteration: saves one
+    // node-keyed join per round, and the dangling variant reads sinks off
+    // the same table instead of an anti-join per round (r8; the oracle's
+    // unrolled update is arithmetically identical, so hashes don't move)
+    var ranks = nodes
+      .join(outdeg, col("node") === col("src"), "left").drop("src")
+      .crossJoin(broadcast(nTotal))
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("rank"),
-        col("n_nodes"))
+        col("n_nodes"), col("outdeg"))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(outdeg, col("node") === col("src"))
+      val contrib = ranks.filter(col("outdeg").isNotNull)
         .select(col("node").as("c_src"),
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
       val incoming = e.join(contrib, col("src") === col("c_src"))
         .groupBy(col("dst"))
         .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
           .as("in_sum"))
-      val withIn = ranks.select(col("node"), col("n_nodes"))
+      val withIn = ranks.select(col("node"), col("n_nodes"), col("outdeg"))
         .join(incoming, col("node") === col("dst"), "left")
       ranks =
         if (redistributeDangling) {
           // sink mass = Σ rank over nodes with no out-edge, snapped per
           // node to the 2^40 grid and summed as longs (exact scalar);
           // empty sink set → null sum → 0.0
-          val dang = ranks.join(outdeg, col("node") === col("src"), "left_anti")
+          val dang = ranks.filter(col("outdeg").isNull)
             .agg(coalesce(
               sum(floor(col("rank") * S + 0.5).cast("long")).cast("double") / S,
               lit(0.0)).as("dangling"))
@@ -87,12 +95,12 @@ object Graph {
               (lit(0.125) / col("n_nodes").cast("double") +
                 lit(0.875) * (coalesce(col("in_sum"), lit(0.0)) +
                   col("dangling") / col("n_nodes").cast("double"))).as("rank"),
-              col("n_nodes"))
+              col("n_nodes"), col("outdeg"))
         } else {
           withIn.select(col("node"),
             (lit(0.125) / col("n_nodes").cast("double") +
               lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
-            col("n_nodes"))
+            col("n_nodes"), col("outdeg"))
         }
       if (checkpoint) ranks = Checkpoints.truncate(ranks)
     }
