@@ -312,6 +312,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes clicks to in-horizon views, state purged by watermark") {
+    import graft.streaming.JoinStream
+    import graft.streaming.JoinStream.{Click, View}
+    implicit val sqlCtx = spark.sqlContext
+    val vin = MemoryStream[View]
+    val cin = MemoryStream[Click]
+    val q = JoinStream.attributedClicks(vin.toDF(), cin.toDF(),
+        delay = "10 seconds", horizon = "30 seconds")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      // base offset 600s: a row at exactly ts(0) ties the initial
+      // watermark and is discarded as late (the funnel-test pitfall)
+      vin.addData(View(1L, 100L, ts(600)), View(2L, 200L, ts(605)))
+      q.processAllAvailable()
+      cin.addData(
+        Click(1L, 900L, ts(620)),   // 20s after view 100 → inside horizon
+        Click(2L, 901L, ts(700)),   // 95s after view 200 → outside
+        Click(3L, 902L, ts(621)))   // no view for this user
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L, 900L)))
+      val before = q.lastProgress.stateOperators.head.numRowsTotal
+      // push both watermarks far past every buffered row: state must purge
+      vin.addData(View(9L, 999L, ts(10000)))
+      cin.addData(Click(9L, 998L, ts(10000)))
+      q.processAllAvailable()
+      vin.addData(View(9L, 1000L, ts(10050)))
+      cin.addData(Click(9L, 1001L, ts(10050)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(after < before + 4,
+        s"watermark must purge out-of-horizon state (before=$before after=$after)")
+    } finally q.stop()
+  }
+
   test("streaming OHLC keeps one state row per (key, open window)") {
     import graft.streaming.BarStream
     import graft.streaming.BarStream.Tick
