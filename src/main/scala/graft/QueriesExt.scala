@@ -1075,6 +1075,51 @@ object QueriesExt {
        |SELECT node, rank FROM r2""".stripMargin
   }
 
+  // ---- personalized PageRank: teleport concentrated on the supplier
+  //      nodes of the bidirectional order↔supplier graph (TrustRank-style
+  //      seed bias); oracle unrolls both iterations with the seed-indicator
+  //      teleport vector ----
+  def qPagerankPersonal(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val seeds = li.select(col("dst").as("node")).distinct()
+    graft.operators.Graph.personalizedPageRank(
+      li.union(li.select(col("dst").as("src"), col("src").as("dst"))),
+      teleport = seeds, iters = 2)
+  }
+
+  val oPagerankPersonal: String = {
+    val S = "1099511627776.0::DOUBLE"
+    def iterCtes(rIn: String, i: String) =
+      s"""i$i AS (
+         |  SELECT e.dst AS dst,
+         |    CAST(CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
+         |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S AS in_sum
+         |  FROM e JOIN $rIn r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT t.node,
+         |    0.125::DOUBLE * t.tp
+         |      + 0.875::DOUBLE * COALESCE(i.in_sum, 0.0::DOUBLE) AS rank
+         |  FROM tpv t LEFT JOIN i$i i ON t.node = i.dst)"""
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |ns AS (SELECT CAST(count(DISTINCT dst) AS BIGINT) AS n_seeds FROM e0),
+       |tpv AS (
+       |  SELECT node, CASE WHEN node % 2 = 1
+       |    THEN 1.0::DOUBLE / CAST(n_seeds AS DOUBLE)
+       |    ELSE 0.0::DOUBLE END AS tp
+       |  FROM nd CROSS JOIN ns),
+       |r0 AS (SELECT node, tp AS rank FROM tpv),
+       |${iterCtes("r0", "1")},
+       |${iterCtes("r1", "2")}
+       |SELECT node, rank FROM r2""".stripMargin
+  }
+
   // ---- BPE merge training (3 rounds over the word dictionary) ----
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.bpeMerges(t(s, dir, "documents"), rounds = 3)

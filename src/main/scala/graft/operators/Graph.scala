@@ -107,6 +107,60 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Personalized PageRank: the teleport term concentrates on a SEED SET
+    * instead of spreading uniformly — the "importance relative to these
+    * trusted/seed pages" signal (TrustRank-style crawl curation, related-
+    * item ranking). rank' = (1−d)·t(node) + d·Σ contributions, with
+    * t = 1/|seeds| on seed nodes and 0 elsewhere; ranks start at t.
+    *
+    * Same determinism discipline as [[pageRank]] (d = 7/8 exact, 2^40
+    * fixed-point contribution sums) and the same per-iteration shape
+    * (the static teleport weight rides the rank table like the
+    * out-degree — no per-round joins beyond the one src-keyed edge
+    * join). Dangling mass is not redistributed here; feed a graph whose
+    * every node has out-edges (e.g. both edge directions) or accept the
+    * standard leak.
+    *
+    * @param teleport one column `node`: the seed set (deduplicated;
+    *                 members absent from the graph are ignored)
+    */
+  def personalizedPageRank(edges: DataFrame, teleport: DataFrame, iters: Int,
+                           checkpoint: Boolean = true): DataFrame = {
+    val S = 1099511627776.0
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val e = if (checkpoint) Checkpoints.truncate(e0) else e0
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val seeds = teleport.select(col("node")).distinct()
+      .join(nodes, "node", "left_semi")
+    val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
+    var ranks = nodes
+      .join(outdeg, col("node") === col("src"), "left").drop("src")
+      .join(seeds.withColumn("_is_seed", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("outdeg"),
+        when(col("_is_seed").isNotNull,
+          lit(1.0) / col("n_seeds").cast("double")).otherwise(lit(0.0)).as("tp"))
+      .withColumn("rank", col("tp"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.filter(col("outdeg").isNotNull)
+        .select(col("node").as("c_src"),
+          (col("rank") / col("outdeg").cast("double")).as("contrib"))
+      val incoming = e.join(contrib, col("src") === col("c_src"))
+        .groupBy(col("dst"))
+        .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
+          .as("in_sum"))
+      ranks = ranks.select(col("node"), col("outdeg"), col("tp"))
+        .join(incoming, col("node") === col("dst"), "left")
+        .select(col("node"), col("outdeg"), col("tp"),
+          (lit(0.125) * col("tp") +
+            lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      if (checkpoint) ranks = Checkpoints.truncate(ranks)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation
     * (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
     * Last Reducer") — the skew defense that makes triangle counting

@@ -71,6 +71,24 @@ class GraphSpec extends SparkSpec {
       "a regular cycle is already the stationary distribution")
   }
 
+  test("personalized pagerank concentrates mass on and around the seed set") {
+    // path 0 <-> 1 <-> 2 <-> 3, seed = {0}: rank decays with distance
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val r = Graph.personalizedPageRank(path, seeds, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) > r(1L) && r(1L) > r(3L),
+      s"rank must decay away from the seed: $r")
+    // uniform pagerank has no such decay on a symmetric path interior
+    val u = Graph.pageRank(path, iters = 4).as[(Long, Double)].collect().toMap
+    assert(u(1L) === u(2L), "sanity: uniform treats the interior symmetrically")
+    // partition invariance (fixed-point sums, seed weight is static)
+    val r2 = Graph.personalizedPageRank(path.repartition(5), seeds, iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(r === r2)
+  }
+
   test("triangleCounts on K4 plus a pendant edge") {
     // K4 on 1..4 (4 triangles, every node in 3 of them); node 5 hangs off
     // node 1 and is in none. Duplicate + reversed + self edges must be
