@@ -464,6 +464,69 @@ object QueriesCore {
   //      exact side is the measurement, not the scale path. Money scales
   //      to integer cents so bucketing is exact integer math on both
   //      engines. ----
+  // ---- quantile-sketch mergeability: per-flag slot histograms summed
+  //      into a global sketch, graded EQUAL to the direct global sketch —
+  //      the precomputed-slice-union quantile path (q_hll_union's twin
+  //      for percentiles) ----
+  def qQuantileUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantile
+    val v = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val perFlag = Quantile.slotHistogram(v, Seq("l_returnflag"), "v", 16)
+    val merged = perFlag.groupBy(col("e"), col("sub"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val estMerged = Quantile.quantileFromSlots(merged, Nil, q = 0.5, 16)
+      .select(col("n"), col("est").as("est_merged"))
+    val estDirect = Quantile
+      .logLinearQuantile(v.select(col("v")), Nil, "v", q = 0.5, 16)
+      .select(col("est").as("est_direct"))
+    estMerged.crossJoin(estDirect)
+      .select(col("n"), col("est_merged"), col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"))
+  }
+
+  val oQuantileUnion: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+      |b AS (
+      |  SELECT grp, v, CAST(length(bin(v)) - 1 AS INTEGER) AS e FROM v),
+      |b2 AS (
+      |  SELECT grp, e, ((v - (1::BIGINT << e)) * 16) // (1::BIGINT << e) AS sub
+      |  FROM b),
+      |c AS (SELECT grp, e, sub, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM b2 GROUP BY 1, 2, 3),
+      |m AS (SELECT e, sub, CAST(sum(cnt) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+      |d AS (SELECT e, sub, CAST(count(*) AS BIGINT) AS cnt FROM b2 GROUP BY 1, 2),
+      |em AS (
+      |  SELECT n,
+      |    CAST((1::BIGINT << e) AS DOUBLE)
+      |      * (1.0::DOUBLE + (CAST(sub AS DOUBLE) + 0.5::DOUBLE) / 16.0::DOUBLE)
+      |      AS est
+      |  FROM (
+      |    SELECT e, sub, cnt,
+      |      CAST(sum(cnt) OVER (ORDER BY e, sub) AS BIGINT) AS cum,
+      |      CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |    FROM m)
+      |  WHERE cum >= CAST(ceil(0.5::DOUBLE * n) AS BIGINT)
+      |    AND cum - cnt < CAST(ceil(0.5::DOUBLE * n) AS BIGINT)),
+      |ed AS (
+      |  SELECT
+      |    CAST((1::BIGINT << e) AS DOUBLE)
+      |      * (1.0::DOUBLE + (CAST(sub AS DOUBLE) + 0.5::DOUBLE) / 16.0::DOUBLE)
+      |      AS est
+      |  FROM (
+      |    SELECT e, sub, cnt,
+      |      CAST(sum(cnt) OVER (ORDER BY e, sub) AS BIGINT) AS cum,
+      |      CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |    FROM d)
+      |  WHERE cum >= CAST(ceil(0.5::DOUBLE * n) AS BIGINT)
+      |    AND cum - cnt < CAST(ceil(0.5::DOUBLE * n) AS BIGINT))
+      |SELECT em.n, em.est AS est_merged, ed.est AS est_direct,
+      |  em.est = ed.est AS merge_lossless
+      |FROM em CROSS JOIN ed""".stripMargin
+
   def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = t(s, dir, "lineitem")

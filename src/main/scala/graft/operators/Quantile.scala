@@ -42,17 +42,39 @@ object Quantile {
     */
   def logLinearQuantile(df: DataFrame, groupCols: Seq[String], valueCol: String,
                         q: Double, subBuckets: Int = 16): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1]: $q")
+    quantileFromSlots(slotHistogram(df, groupCols, valueCol, subBuckets),
+      groupCols, q, subBuckets)
+  }
+
+  /** The slot table (groups..., e, sub, cnt) — like the HLL register
+    * table ([[Sketch.hllRegisters]]) it is MERGEABLE: slots are a pure
+    * function of the VALUE, so the histogram of a union of slices is the
+    * per-slot SUM of the slice histograms, and a quantile over any slice
+    * union is answerable from precomputed per-slice sketches without
+    * rescanning ([[quantileFromSlots]] of the summed slots is EXACTLY
+    * what a direct scan would build).
+    */
+  def slotHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    subBuckets: Int = 16): DataFrame = {
     require(subBuckets > 0 && (subBuckets & (subBuckets - 1)) == 0,
       s"subBuckets must be a power of two for exact midpoint arithmetic: $subBuckets")
-    require(q > 0.0 && q <= 1.0, s"q must be in (0, 1]: $q")
-    val k = subBuckets
-    val slots = df
-      .select(groupCols.map(col) :+ col(valueCol).cast("long").as("v"): _*)
+    df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("v"): _*)
       .withColumn("e", (length(bin(col("v"))) - 1).cast("int"))
       .withColumn("p", expr("shiftleft(CAST(1 AS BIGINT), e)"))
-      .withColumn("sub", expr(s"((v - p) * $k) div p"))
+      .withColumn("sub", expr(s"((v - p) * $subBuckets) div p"))
       .groupBy(groupCols.map(col) :+ col("e") :+ col("sub"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Rank-q estimate from a slot table: cumulative walk to the first slot
+    * covering rank ceil(q·n), estimate = the slot midpoint (exact binary
+    * arithmetic). Windows partition by group over the SLOT table (≤ ~1k
+    * rows per group), never the fact table.
+    */
+  def quantileFromSlots(slots: DataFrame, groupCols: Seq[String], q: Double,
+                        subBuckets: Int = 16): DataFrame = {
+    val k = subBuckets
     val byGroup = Window.partitionBy(groupCols.map(col): _*)
     slots
       .withColumn("cum", sum(col("cnt")).over(byGroup.orderBy(col("e"), col("sub"))))

@@ -121,6 +121,23 @@ class SketchSpec extends SparkSpec {
     assert(merged === direct, "max-merged registers must reproduce the direct sketch")
   }
 
+  test("quantile slot histograms sum-merge losslessly across slices") {
+    import graft.operators.Quantile
+    import spark.implicits._
+    val a = (1L to 5000L).map(v => ("a", v * 3 % 7919 + 1)).toDF("slice", "v")
+    val b = (1L to 4000L).map(v => ("b", v * 17 % 4231 + 1)).toDF("slice", "v")
+    val both = a.union(b)
+    val merged = Quantile.quantileFromSlots(
+      Quantile.slotHistogram(both, Seq("slice"), "v")
+        .groupBy(col("e"), col("sub"))
+        .agg(sum(col("cnt")).as("cnt")), Nil, q = 0.75)
+      .select("n", "est").as[(Long, Double)].head()
+    val direct = Quantile.logLinearQuantile(
+      both.select(col("v")), Nil, "v", q = 0.75)
+      .select("n", "est").as[(Long, Double)].head()
+    assert(merged === direct, "summed slice histograms must replay the direct sketch")
+  }
+
   test("count-min never under-estimates and is exact for solo-bucket tokens") {
     import graft.operators.Sketch
     val tokens = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
