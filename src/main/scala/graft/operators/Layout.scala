@@ -30,6 +30,31 @@ object Layout {
         shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
+  /** Compact a small-files table: rewrite `src` (a parquet directory) to
+    * `dest` in `numFiles` output files, optionally keeping the rows
+    * clustered on `sortCols` within each file (so min/max footer stats
+    * stay selective after the rewrite — compaction that destroys
+    * clustering trades one read problem for another).
+    *
+    * The small-files problem is the slow killer of streaming/incremental
+    * sinks at scale: every micro-batch/partition append adds files, and
+    * a 100 TB table read pays per-file open + footer costs. One range
+    * repartition (the same shuffle a sort would cost) rewrites the data
+    * at the target granularity. Returns the compacted row count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+              dest: String, numFiles: Int,
+              sortCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(src)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(numFiles)
+    out.write.mode("overwrite").parquet(dest)
+    spark.read.parquet(dest).count()
+  }
+
   /** Physically cluster `df` by the z-value of (xCol mod 2^bits,
     * yCol mod 2^bits): range-partition into `numFiles` output partitions,
     * sort within each. Writing the result produces files whose (x, y)

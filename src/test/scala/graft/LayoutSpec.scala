@@ -23,6 +23,30 @@ class LayoutSpec extends SparkSpec {
     assert(ref(1023, 1023) === (1L << 20) - 1)
   }
 
+  test("compact rewrites a many-file table to the target file count, clustering kept") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val src = s"$base/src"; val dest = s"$base/dest"
+    // simulate an incremental sink: 40 tiny appends -> >= 40 part files
+    spark.range(0, 2000).select(col("id"), (col("id") % 40).as("k"))
+      .repartition(40).write.parquet(src)
+    def parts(p: String) = new java.io.File(p).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(src) >= 40)
+    val n = Layout.compact(spark, src, dest, numFiles = 4, sortCols = Seq("id"))
+    assert(n === 2000L)
+    assert(parts(dest) === 4, s"expected 4 compacted files, got ${parts(dest)}")
+    // clustering: each output file covers a disjoint id range (footer
+    // stats stay selective) — check via per-file min/max
+    val ranges = spark.read.parquet(dest)
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy(col("f")).agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "file id-ranges overlap")
+      case _ =>
+    }
+  }
+
   test("clusterByZ yields disjoint, sorted z-ranges per partition") {
     val df = spark.range(0, 4096).select(
       (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
