@@ -2283,8 +2283,8 @@ object QueriesExt {
       |  FROM u),
       |c2 AS (SELECT doc_id, raw_url,
       |  regexp_replace(regexp_replace(s,
-      |    '^(https://[^/]+):443(/|$)', '\1\2'),
-      |    '^(http://[^/]+):80(/|$)', '\1\2') AS s FROM c1),
+      |    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+      |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS s FROM c1),
       |c3 AS (SELECT doc_id, raw_url, regexp_replace(s, '#.*$', '') AS s FROM c2),
       |c4 AS (SELECT doc_id, raw_url,
       |  regexp_replace(s, '(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS s

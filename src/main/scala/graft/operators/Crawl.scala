@@ -24,9 +24,12 @@ object Crawl {
     val hostLower = concat(
       lower(regexp_extract(url, "^([^/]*//[^/]+)", 1)),
       regexp_replace(url, "^[^/]*//[^/]+", ""))
-    // 2. default ports
-    val noPort = regexp_replace(hostLower, "^(https://[^/]+):443(/|$)", "$1$2")
-    val noPort2 = regexp_replace(noPort, "^(http://[^/]+):80(/|$)", "$1$2")
+    // 2. default ports — the boundary must cover ALL of /, ?, # and end,
+    //    or `https://host:443?q` keeps its port while `https://host:443`
+    //    loses it and canonicalization stops being idempotent (caught by
+    //    CrawlSpec's generated-URL property)
+    val noPort = regexp_replace(hostLower, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val noPort2 = regexp_replace(noPort, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
     // 4. fragment first (so tracking-param tidy can't resurrect it)
     val noFrag = regexp_replace(noPort2, "#.*$", "")
     // 3. tracking params: kill "key=value" for utm_*/fbclid/gclid, then

@@ -23,6 +23,24 @@ class LayoutSpec extends SparkSpec {
     assert(ref(1023, 1023) === (1L << 20) - 1)
   }
 
+  test("zValue is invertible: even bits recover x, odd bits recover y") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 500).map(_ => (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def unzip(z: Long): (Long, Long) = {
+      var (x, y, i) = (0L, 0L, 0)
+      while (i < 10) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    for ((x, y, z) <- got) assert(unzip(z) === ((x, y)), s"z=$z")
+  }
+
   test("compact rewrites a many-file table to the target file count, clustering kept") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val src = s"$base/src"; val dest = s"$base/dest"

@@ -63,6 +63,32 @@ class TemporalSpec extends SparkSpec {
       ("t", 1L, 2.0, 2.0, 2.0, 2.0, 1L)))
   }
 
+  test("mergeIntervals matches a sequential sweep reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val iv = (1 to 300).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (rnd.nextInt(5).toLong, i.toLong, s, s + 1 + rnd.nextInt(120))
+    }
+    val got = Temporal.mergeIntervals(
+        iv.toDF("k", "id", "s", "e").repartition(7), Seq("k"), "s", "e", "id")
+      .select("k", "span_start", "span_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // reference: per-key sequential sweep over (s, id)-sorted intervals
+    val want = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long, Long)]
+      var (cs, ce, cn) = (sorted.head._3, sorted.head._4, 1L)
+      for ((_, _, s, e) <- sorted.tail) {
+        if (s > ce) { out += ((k, cs, ce, cn)); cs = s; ce = e; cn = 1L }
+        else { ce = math.max(ce, e); cn += 1L }
+      }
+      out += ((k, cs, ce, cn))
+      out
+    }.toSet
+    assert(got === want)
+  }
+
   test("ewmaHalf folds in (ts, id) order and is partition-independent") {
     // e = ((0/2 + 8/2)/2 + 4/2)/2 + 2/2 = ((4)/2+2)/2+1 = 3/2+... replay:
     // acc=0 -> 4 -> 4/2+2=4 -> 4/2+1=3
