@@ -91,13 +91,24 @@ object Sketch {
     *
     * @param minFracDenom report tokens whose estimate ≥ N / minFracDenom
     */
+  /** The count-min cell table (seed, bucket, cell_cnt) — d×w rows. Like
+    * the HLL registers and the quantile slots it is MERGEABLE: cells are
+    * keyed by a pure token hash, so the sketch of a union of slices is
+    * the cell-wise SUM of the slice sketches (distributed counters
+    * without recounting; merge law asserted in SketchSpec).
+    */
+  def cmsSketch(tokens: DataFrame, d: Int = 4, w: Int = 512): DataFrame = {
+    val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
+    tokens.select(col("token"), seeds)
+      .select(col("seed"), (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
+      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cell_cnt"))
+  }
+
   def cmsHeavyHitters(tokens: DataFrame, d: Int = 4, w: Int = 512,
                       minFracDenom: Long = 200L): DataFrame = {
     val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
     val occ = tokens.select(col("token"))
-    val sketch = occ.select(col("token"), seeds)
-      .select(col("seed"), (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
-      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cell_cnt"))
+    val sketch = cmsSketch(occ, d, w)
     val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
     val total = occ.agg(count(lit(1)).as("_n"))
     exact.select(col("token"), col("exact_cnt"), seeds)

@@ -102,6 +102,26 @@ class GraphSpec extends SparkSpec {
     assert(r.values.sum / 3 === 4L)
   }
 
+  test("triangleCounts matches brute-force triple enumeration on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 18
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val got = Graph.triangleCounts(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val eset = edges.toSet
+      def adj(x: Long, y: Long) = eset.contains((math.min(x, y), math.max(x, y)))
+      val want = (for {
+        x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+        if adj(x, y) && adj(x, z) && adj(y, z)
+      } yield Seq(x, y, z)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === want, s"trial $trial: degree orientation miscounted")
+    }
+  }
+
   test("triangleCounts is invariant to partitioning and zero on a tree") {
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
       .toDF("a", "b")

@@ -121,6 +121,22 @@ class SketchSpec extends SparkSpec {
     assert(merged === direct, "max-merged registers must reproduce the direct sketch")
   }
 
+  test("count-min cell tables sum-merge losslessly across slices") {
+    import graft.operators.Sketch
+    import spark.implicits._
+    val a = (1 to 3000).map(i => s"tok${i % 97}").toDF("token")
+    val b = (1 to 2000).map(i => s"tok${(i * 3) % 211}").toDF("token")
+    val mergedCells = Sketch.cmsSketch(a)
+      .unionByName(Sketch.cmsSketch(b))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(sum(col("cell_cnt")).as("cell_cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val directCells = Sketch.cmsSketch(a.unionByName(b))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(mergedCells === directCells,
+      "cell-wise sum of slice sketches must equal the union's sketch")
+  }
+
   test("quantile slot histograms sum-merge losslessly across slices") {
     import graft.operators.Quantile
     import spark.implicits._

@@ -20,6 +20,17 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r("b") + 1.0) < 1e-15)   // y = 40 - 10x
   }
 
+  test("corrExact stays within [-1, 1] on random integer data") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 2000).map { i =>
+      (s"g${i % 8}", rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+    }
+    val r = Stats.corrExact(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .select("corr").as[Double].collect()
+    assert(r.length === 8)
+    for (c <- r) assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"corr=$c")
+  }
+
   test("corrExact matches the closed form and is partition-independent") {
     val rows = (1 to 97).map(i => ("g", i.toLong, ((i * 7919) % 101).toLong))
     val a = Stats.corrExact(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
