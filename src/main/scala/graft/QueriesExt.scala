@@ -623,6 +623,65 @@ object QueriesExt {
        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
        |FROM tr LEFT JOIN hits h USING (q_id)""".stripMargin
 
+  // ---- multi-probe ANN recall: probe side also visits the hamming-1
+  //      buckets (Lv et al. 2007) — recall rises without more hash
+  //      tables; same brute-force ground truth as q_ann_recall, so the
+  //      two graded queries document the single- vs multi-probe trade ----
+  def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecall(t(s, dir, "embeddings"), col("vec_id") < 5, k = 5,
+      numPlanes = 8, dim = 64, minCosine = 0.25, multiProbe = true)
+
+  val oAnnMultiprobe: String = {
+    val mpPairs =
+      """WITH sv AS (
+        |  SELECT p, list(CASE WHEN ('0x'||substr(md5(CAST(p*97+d AS VARCHAR)),1,8))::BIGINT & 1 = 1
+        |                      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY d) AS s
+        |  FROM (SELECT unnest(range(0,8)) AS p), (SELECT unnest(range(0,64)) AS d)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, sv.p,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * sv.s[i])),
+        |      (a,b) -> a + b) AS dp
+        |  FROM embeddings e, sv),
+        |buckets AS (
+        |  SELECT vec_id, sum(CASE WHEN dp >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)::BIGINT AS bucket
+        |  FROM dots GROUP BY 1),
+        |probe AS (
+        |  SELECT vec_id, xor(bucket, f) AS bucket
+        |  FROM buckets, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS f)),
+        |norms AS (
+        |  SELECT vec_id, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (a,b)->a+b)) AS nrm,
+        |    embedding
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT ba.vec_id AS a_id, bb.vec_id AS b_id
+        |  FROM buckets ba JOIN probe bb ON ba.bucket = bb.bucket
+        |    AND ba.vec_id < bb.vec_id)
+        |SELECT a_id, b_id, cosine FROM (
+        |  SELECT c.a_id, c.b_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65), i -> na.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE)), (a,b)->a+b)
+        |      / (na.nrm * nb.nrm) AS cosine
+        |  FROM cand c
+        |  JOIN norms na ON na.vec_id = c.a_id
+        |  JOIN norms nb ON nb.vec_id = c.b_id)
+        |WHERE cosine >= 0.25""".stripMargin
+    s"""WITH brute AS (SELECT q_id, vec_id FROM ($oSimilarTopk) bt),
+       |lshp AS (SELECT a_id, b_id FROM ($mpPairs) mt),
+       |sym AS (SELECT a_id AS q_id, b_id AS vec_id FROM lshp
+       |        UNION ALL SELECT b_id, a_id FROM lshp),
+       |hits AS (
+       |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM brute b SEMI JOIN sym s ON b.q_id = s.q_id AND b.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
+       |       FROM brute GROUP BY 1)
+       |SELECT tr.q_id, tr.n_truth, COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+       |FROM tr LEFT JOIN hits h USING (q_id)""".stripMargin
+  }
+
   // ---- vocab-id tokenization (encode step before packing) ----
   def qTokenizeIds(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -308,9 +308,12 @@ object Similarity {
     * recall = one exact long division per query.
     */
   def annRecall(vecs: DataFrame, queryPred: Column, k: Int,
-                numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
+                numPlanes: Int, dim: Int, minCosine: Double,
+                multiProbe: Boolean = false): DataFrame = {
     val truth = bruteTopK(vecs, queryPred, k).select(col("q_id"), col("vec_id"))
-    val ann = lshPairs(vecs, numPlanes, dim, minCosine)
+    val ann =
+      if (multiProbe) multiProbeLshPairs(vecs, numPlanes, dim, minCosine)
+      else lshPairs(vecs, numPlanes, dim, minCosine)
     val sym = ann.select(col("a_id").as("q_id"), col("b_id").as("vec_id"))
       .unionByName(ann.select(col("b_id").as("q_id"), col("a_id").as("vec_id")))
     val hits = truth.join(sym, Seq("q_id", "vec_id"), "left_semi")
@@ -321,6 +324,37 @@ object Similarity {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_truth").cast("double")).as("recall"))
+  }
+
+  /** Multi-probe LSH pairs: candidates whose signatures agree exactly OR
+    * differ in one plane — the standard recall/table-count trade (Lv et
+    * al. 2007, "Multi-Probe LSH"): instead of building more hash tables
+    * for recall, the PROBE side also visits the `numPlanes` buckets at
+    * hamming distance 1 (bit flips of its own signature). One side
+    * explodes ×(numPlanes+1); the join stays a bucket EQUI-join, so the
+    * scale shape is unchanged — candidate volume grows by the extra
+    * probes' bucket populations, never toward corpus².
+    */
+  def multiProbeLshPairs(vecs: DataFrame, numPlanes: Int, dim: Int,
+                         minCosine: Double): DataFrame = {
+    DotFold.register(vecs.sparkSession)
+    val sig = lshBucket(vecs, numPlanes, dim)
+      .withColumn("norm", sqrt(DotFold.dot(col("embedding"), col("embedding"))))
+    val a = sig.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val flips = array(lit(0L) +: (0 until numPlanes).map(p => lit(1L << p)): _*)
+    val b = sig.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"),
+        explode(flips).as("_f"))
+      .select(col("bucket").bitwiseXOR(col("_f")).as("bucket"), col("b_id"),
+        col("emb_b"), col("norm_b"))
+    a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (DotFold.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
   }
 
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
