@@ -682,6 +682,47 @@ object QueriesExt {
        |FROM tr LEFT JOIN hits h USING (q_id)""".stripMargin
   }
 
+  // ---- IVF nprobe=2: the second-best cell is probed too — cell-boundary
+  //      recall recovered without more centroids (the IVF analog of
+  //      q_ann_multiprobe) ----
+  def qAnnIvfProbe2(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPairsProbe2(t(s, dir, "embeddings"), numCentroids = 16,
+      minCosine = 0.25)
+
+  val oAnnIvfProbe2: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+       |      FROM nz WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT nz.vec_id, cid,
+       |    ${dot("nz.embedding", "cemb")} / (nz.nrm * cnrm) AS cscore
+       |  FROM nz, c),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, cid) AS rn
+       |  FROM scored),
+       |prim AS (SELECT vec_id AS a_id, cid AS cell FROM ranked WHERE rn = 1),
+       |probe AS (SELECT vec_id AS b_id, cid AS cell FROM ranked WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id
+       |  FROM prim JOIN probe USING (cell) WHERE a_id < b_id)
+       |SELECT a_id, b_id, cosine FROM (
+       |  SELECT cand.a_id, cand.b_id,
+       |    ${dot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM cand
+       |  JOIN nz na ON na.vec_id = cand.a_id
+       |  JOIN nz nb ON nb.vec_id = cand.b_id)
+       |WHERE cosine >= 0.25""".stripMargin
+  }
+
   // ---- vocab-id tokenization (encode step before packing) ----
   def qTokenizeIds(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")

@@ -357,6 +357,46 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** IVF with nprobe = 2: every vector's candidate search also probes its
+    * SECOND-best cell — the IVF analog of [[multiProbeLshPairs]] (recall
+    * lost to cell-boundary splits recovered without more centroids; the
+    * standard nprobe knob of IVF indexes). The top-2 assignment is one
+    * hash agg (collect the K=16 candidate cells, sort, slice — no window
+    * over the corpus); the pair stage stays a cell equi-join.
+    */
+  def ivfPairsProbe2(vecs: DataFrame, numCentroids: Int,
+                     minCosine: Double): DataFrame = {
+    val n = withNorm(vecs).filter(col("norm") > 0)
+    val cents = n.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (DotFold.dot(col("embedding"), col("cemb")) /
+          (col("norm") * col("cnorm"))).as("cscore"))
+    // (-cscore, cid) ascending == (cscore desc, cid asc): the same total
+    // order as the single-cell argmax's tie-break
+    val top2 = scored.groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cscore")).as("ns"), col("cid")))), 1, 2).as("t2"))
+    val a = top2.select(col("vec_id").as("a_id"),
+      element_at(col("t2"), 1).getField("cid").as("cell"))
+    val b = top2.select(col("vec_id").as("b_id"),
+      explode(col("t2")).as("p")).select(col("b_id"), col("p.cid").as("cell"))
+    val cand = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val na = n.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"))
+    val nb = n.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"))
+    cand.join(na, "a_id").join(nb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (DotFold.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

@@ -23,6 +23,18 @@ class SimilaritySpec extends SparkSpec {
       "hamming-1 probes must add candidates on this corpus")
   }
 
+  test("IVF nprobe=2 pair set strictly contains the single-cell pairs") {
+    val single = Similarity.ivfPairs(vecs, numCentroids = 16, minCosine = -1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val probe2 = Similarity.ivfPairsProbe2(vecs, numCentroids = 16,
+        minCosine = -1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(probe2),
+      "a vector always probes its own primary cell (rn <= 2 includes rn = 1)")
+    assert(probe2.size > single.size,
+      "second-cell probes must recover cell-boundary pairs on this corpus")
+  }
+
   test("multi-probe recall dominates single-probe on the same ground truth") {
     def avgRecall(multi: Boolean): Double =
       Similarity.annRecall(vecs, col("vec_id") < 5, k = 5,
