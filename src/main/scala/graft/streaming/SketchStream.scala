@@ -37,6 +37,55 @@ object SketchStream {
     0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0 / s.toDouble
   }
 
+  case class KeyQuantile(key: String, n: Long, est: Double)
+
+  /** Streaming twin of [[graft.operators.Quantile.logLinearQuantile]]:
+    * a running rank-q estimate per key whose state is the log-linear slot
+    * histogram — at most 64·k counters (an 8 KB long array at k = 16)
+    * per key, forever. Slot counts are additive and order-free, so the
+    * streaming estimate after any prefix is BIT-IDENTICAL to the batch
+    * sketch over that prefix (same slot arithmetic, same ceil(q·n) rank
+    * walk, same midpoint formula — asserted in StreamingSpec).
+    */
+  def runningQuantile(events: Dataset[KV], q: Double,
+                      subBuckets: Int = 16): Dataset[KeyQuantile] = {
+    require(subBuckets > 0 && (subBuckets & (subBuckets - 1)) == 0)
+    val k = subBuckets
+    implicit val enc = Encoders.product[KeyQuantile]
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    events.groupByKey(_.key)(Encoders.STRING)
+      .mapGroupsWithState[Array[Long], KeyQuantile](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KV], state: GroupState[Array[Long]]) =>
+          val slots = state.getOption.getOrElse(new Array[Long](64 * k))
+          rows.foreach { r =>
+            val v = r.value
+            require(v >= 1, s"log-linear sketch needs v >= 1, got $v")
+            val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+            val p = 1L << e
+            slots(e * k + ((v - p) * k / p).toInt) += 1L
+          }
+          state.update(slots)
+          val n = slots.sum
+          val r = math.ceil(q * n).toLong
+          var cum = 0L
+          var est = 0.0
+          var i = 0
+          var found = false
+          while (i < slots.length && !found) {
+            cum += slots(i)
+            if (slots(i) > 0 && cum >= r) {
+              val e = i / k; val sub = i % k
+              // same expression shape as the batch estimator
+              est = (1L << e).toDouble *
+                (1.0 + (sub.toDouble + 0.5) / k.toDouble)
+              found = true
+            }
+            i += 1
+          }
+          KeyQuantile(key, n, est)
+      }
+  }
+
   /** One updated (key, estimate) row per key per micro-batch; run with
     * output mode "update". Estimates are monotone non-decreasing (max
     * registers only grow), so the latest row per key is the answer.

@@ -349,6 +349,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch is bit-identical to the batch sketch") {
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.KV
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KV]
+    val q = SketchStream.runningQuantile(input.toDS(), q = 0.5)
+      .writeStream.format("memory").queryName("quant_s")
+      .outputMode("update").start()
+    try {
+      val batch1 = (1L to 700L).map(v => KV("a", v * 13 % 5000 + 1)) ++
+        (1L to 90L).map(v => KV("b", v * v % 800 + 1))
+      val batch2 = (1L to 400L).map(v => KV("a", v * 31 % 90000 + 1))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // the LAST update per key carries the full-prefix estimate; rows
+      // arrive in batch order, so max(n) identifies it
+      val streamed = spark.table("quant_s")
+        .groupBy("key")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct("n", "est")).as("last"))
+        .select("key", "last.n", "last.est")
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, e) => k -> ((n, e)) }.toMap
+      val batch = graft.operators.Quantile.logLinearQuantile(
+        (batch1 ++ batch2).toDF("key", "value"), Seq("key"), "value", q = 0.5)
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, e) => k -> ((n, e)) }.toMap
+      assert(streamed === batch,
+        "streaming slot histogram must replay the batch sketch exactly")
+    } finally q.stop()
+  }
+
   test("streaming OHLC keeps one state row per (key, open window)") {
     import graft.streaming.BarStream
     import graft.streaming.BarStream.Tick
