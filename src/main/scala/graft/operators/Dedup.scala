@@ -288,6 +288,51 @@ object Dedup {
     * companion to MinHash; all-pairs is intentionally restricted to the
     * sampled block — at scale the candidate generator is always LSH).
     */
+  /** Edit-distance similarity join via q-gram candidate generation
+    * (Gravano et al. 2001, "Approximate String Joins in a Database
+    * (Almost) for Free"): pairs within levenshtein ≤ `maxDist` must share
+    * at least one positional-free q-gram once |s| ≥ q·(maxDist+1), and
+    * their lengths differ by ≤ maxDist — so candidates come from a gram
+    * EQUI-join + length filter, and only candidates pay the O(|a|·|b|)
+    * exact distance. The all-pairs formulation is corpus² and plans a
+    * nested loop; this stays hash-join shaped.
+    *
+    * STOP-GRAMS: a gram shared by a constant fraction of the corpus (a
+    * common stem, 'ing', 'er ') would make its join key quadratic — the
+    * exact skew that kills naive similarity joins at 100 TB. Grams with
+    * df · stopDenom > |corpus| are therefore dropped from candidate
+    * generation (the [[containment]] rare-shingle trick with a
+    * FRACTIONAL cap, so the threshold scales with the corpus instead of
+    * rotting like an absolute df cap). Trade-off, deterministic and
+    * replayed identically by the oracle: a pair whose ONLY shared grams
+    * are stop-grams is not reported (a string made of nothing but
+    * stop-grams generates no candidates at all).
+    *
+    * Input: (id, s). Output: (a_id, b_id, dist) for exact
+    * levenshtein(a, b) ≤ maxDist among gram-candidate pairs, id-ordered.
+    */
+  def fuzzyStringJoin(strings: DataFrame, q: Int, maxDist: Int,
+                      stopDenom: Long = 8L): DataFrame = {
+    val grams = strings
+      .select(col("id"), col("s"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("s")) - (q - 1)),
+          i => col("s").substr(i, lit(q))))).as("g"))
+    val total = strings.agg(count(lit(1)).as("_n"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(total))
+      .filter(col("_df") * stopDenom <= col("_n"))
+      .select(col("g"))
+    val pruned = grams.join(broadcast(rare), Seq("g"), "left_semi")
+    val cand = pruned.select(col("g"), col("id").as("a_id"), col("s").as("s_a"))
+      .join(pruned.select(col("g"), col("id").as("b_id"), col("s").as("s_b")), "g")
+      .filter(col("a_id") < col("b_id") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .select(col("a_id"), col("b_id"), col("s_a"), col("s_b")).distinct()
+    cand.select(col("a_id"), col("b_id"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def ngramJaccardSample(docs: DataFrame, n: Int, sampleMod: Int, minJaccard: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // CharNgramsExpr: codegen'd, distinct by construction, and EMPTY for

@@ -220,4 +220,43 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
       (10L, 10L, 1), (11L, 10L, 0), (99L, 99L, 1)))
   }
+
+  test("fuzzyStringJoin equals brute force with pruning off; stays sound with it on") {
+    // random strings over a 12-letter alphabet; stopDenom = 1 disables
+    // stop-gram pruning, so the q-gram candidate filter must be COMPLETE
+    // (|s| >= q*(maxDist+1)) and the result equal all-pairs filtering
+    val rnd = new scala.util.Random(31)
+    val strs = (1L to 120L).map { i =>
+      val len = 4 + rnd.nextInt(4)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(12)).toChar).mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    val got = Dedup.fuzzyStringJoin(strs.toDF("id", "s"), q = 2, maxDist = 1,
+        stopDenom = 1L)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must contain 1-edit pairs")
+    // a universal stem ('stemN' for all rows) becomes stop-grams at the
+    // default denominator: the join key never goes all-pairs, and what IS
+    // reported is still a subset of the true pairs (sound, never wrong)
+    val stems = (1L to 60L).map(i => (i, s"stem${i % 20}"))
+    val pruned = Dedup.fuzzyStringJoin(stems.toDF("id", "s"), q = 2, maxDist = 1)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val trueStem = (for {
+      (ia, sa) <- stems; (ib, sb) <- stems if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(pruned.subsetOf(trueStem), "pruning must never create false pairs")
+  }
 }
