@@ -1265,6 +1265,49 @@ object QueriesExt {
        |SELECT node, rank FROM r2""".stripMargin
   }
 
+  // ---- HITS hubs & authorities over the one-directional order→supplier
+  //      graph (orders are pure hubs, suppliers pure authorities — the
+  //      bipartite case where hub and authority mass fully separate);
+  //      oracle unrolls both iterations including every 2^40 snap and
+  //      both L1 normalizations ----
+  def qHits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.hits(
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+      iters = 2)
+
+  val oHits: String = {
+    val S = "1099511627776.0::DOUBLE"
+    def snap(x: String) =
+      s"CAST(CAST(sum(CAST(floor($x * $S + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S"
+    def iterCtes(hIn: String, i: String) =
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, ${snap("h.hub")} AS a_raw
+         |  FROM e JOIN $hIn h ON e.src = h.node GROUP BY e.dst),
+         |aa$i AS (
+         |  SELECT nd.node, COALESCE(ar.a_raw, 0.0::DOUBLE) AS a_raw
+         |  FROM nd LEFT JOIN ar$i ar ON nd.node = ar.node),
+         |as$i AS (SELECT ${snap("a_raw")} AS a_sum FROM aa$i),
+         |a$i AS (SELECT node, a_raw / a_sum AS auth FROM aa$i CROSS JOIN as$i),
+         |hr$i AS (
+         |  SELECT e.src AS node, ${snap("a.auth")} AS h_raw
+         |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |ha$i AS (
+         |  SELECT nd.node, COALESCE(hr.h_raw, 0.0::DOUBLE) AS h_raw
+         |  FROM nd LEFT JOIN hr$i hr ON nd.node = hr.node),
+         |hs$i AS (SELECT ${snap("h_raw")} AS h_sum FROM ha$i),
+         |h$i AS (SELECT node, h_raw / h_sum AS hub FROM ha$i CROSS JOIN hs$i)"""
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1.0::DOUBLE AS hub FROM nd),
+       |${iterCtes("h0", "1")},
+       |${iterCtes("h1", "2")}
+       |SELECT h2.node, h2.hub, a2.auth
+       |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin
+  }
+
   // ---- BPE merge training (3 rounds over the word dictionary) ----
   def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.bpeMerges(t(s, dir, "documents"), rounds = 3)

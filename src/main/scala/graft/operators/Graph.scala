@@ -161,6 +161,51 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the directional
+    * complement of PageRank: an authority is pointed at by good hubs, a
+    * hub points at good authorities (crawl curation uses both: seed
+    * lists are hub-like, content pages authority-like).
+    *
+    * Same determinism discipline as [[pageRank]]: every per-node
+    * accumulation snaps addends to the 2^40 grid and sums longs; the L1
+    * normalization divides by a snapped global sum, so scores are
+    * bit-identical across partitionings. Per iteration: one src-keyed
+    * join + dst agg (authorities), one dst-keyed join + src agg (hubs),
+    * two 1-row scalar aggs broadcast back. Nodes without in-edges get
+    * authority 0, without out-edges hub 0.
+    */
+  def hits(edges: DataFrame, iters: Int, checkpoint: Boolean = true): DataFrame = {
+    val S = 1099511627776.0
+    def snapSum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * S + 0.5).cast("long")).cast("double") / S
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val e = if (checkpoint) Checkpoints.truncate(e0) else e0
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(scores.select(col("node").as("_s"), col("hub")),
+          col("src") === col("_s"))
+        .groupBy(col("dst")).agg(snapSum(col("hub")).as("a_raw"))
+      val aAll = nodes.join(aRaw, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a_raw"), lit(0.0)).as("a_raw"))
+      val aSum = aAll.agg(snapSum(col("a_raw")).as("a_sum"))
+      val auth = aAll.crossJoin(broadcast(aSum))
+        .select(col("node"), (col("a_raw") / col("a_sum")).as("auth"))
+      val hRaw = e.join(auth.select(col("node").as("_d"), col("auth")),
+          col("dst") === col("_d"))
+        .groupBy(col("src")).agg(snapSum(col("auth")).as("h_raw"))
+      val hAll = nodes.join(hRaw, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("h_raw"), lit(0.0)).as("h_raw"))
+      val hSum = hAll.agg(snapSum(col("h_raw")).as("h_sum"))
+      val hub = hAll.crossJoin(broadcast(hSum))
+        .select(col("node"), (col("h_raw") / col("h_sum")).as("hub"))
+      scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
+      if (checkpoint) scores = Checkpoints.truncate(scores)
+    }
+    scores
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation
     * (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
     * Last Reducer") — the skew defense that makes triangle counting

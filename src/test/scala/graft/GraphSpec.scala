@@ -89,6 +89,28 @@ class GraphSpec extends SparkSpec {
     assert(r === r2)
   }
 
+  test("HITS separates hubs from authorities and is partition-independent") {
+    // bipartite: 0 and 2 point at {1, 3}; 0 also at 5. Pure hubs have
+    // auth 0, pure authorities hub 0; the node with more in-links from
+    // the stronger hub dominates authority
+    val g = Seq((0L, 1L), (0L, 3L), (0L, 5L), (2L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.hits(g, iters = 2).as[(Long, Double, Double)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    for (hubNode <- Seq(0L, 2L)) assert(r(hubNode)._2 === 0.0, s"$hubNode is a pure hub")
+    for (authNode <- Seq(1L, 3L, 5L)) assert(r(authNode)._1 === 0.0, s"$authNode is a pure authority")
+    // 1 and 3 share both hubs; 5 only the weaker-normalized hub 0
+    assert(r(1L)._2 === r(3L)._2)
+    assert(r(1L)._2 > r(5L)._2)
+    // L1 norms: hubs sum to 1, authorities sum to 1 (snap tolerance)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-9)
+    val r2 = Graph.hits(g.repartition(5), iters = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    assert(r === r2, "snapped sums must make scores layout-independent")
+  }
+
   test("triangleCounts on K4 plus a pendant edge") {
     // K4 on 1..4 (4 triangles, every node in 3 of them); node 5 hangs off
     // node 1 and is in none. Duplicate + reversed + self edges must be
