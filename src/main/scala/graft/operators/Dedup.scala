@@ -310,35 +310,64 @@ object Dedup {
     *
     * Input: (id, s). Output: (a_id, b_id, dist) for exact
     * levenshtein(a, b) ≤ maxDist among gram-candidate pairs, id-ordered.
+    * Strings shorter than q generate NO grams (guarded — `sequence` with
+    * start > stop would otherwise descend and emit phantom grams via
+    * substr's position-0 quirks) and therefore no candidates; the oracle's
+    * `range(1, ...)` is ascending-only and agrees.
     */
   def fuzzyStringJoin(strings: DataFrame, q: Int, maxDist: Int,
                       stopDenom: Long = 8L): DataFrame = {
     val grams = strings
-      .select(col("id"), col("s"), explode(array_distinct(
-        transform(sequence(lit(1), length(col("s")) - (q - 1)),
-          i => col("s").substr(i, lit(q))))).as("g"))
+      .select(col("id"), length(col("s")).as("_len"),
+        explode(when(length(col("s")) >= q, array_distinct(
+            transform(sequence(lit(1), length(col("s")) - (q - 1)),
+              i => col("s").substr(i, lit(q)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
     val total = strings.agg(count(lit(1)).as("_n"))
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(total))
       .filter(col("_df") * stopDenom <= col("_n"))
       .select(col("g"))
     val pruned = grams.join(broadcast(rare), Seq("g"), "left_semi")
-    val cand = pruned.select(col("g"), col("id").as("a_id"), col("s").as("s_a"))
-      .join(pruned.select(col("g"), col("id").as("b_id"), col("s").as("s_b")), "g")
+    // the candidate distinct shuffles (a_id, b_id) ONLY — carrying the
+    // string payload through this exchange (the r8 shape) moves
+    // string-pair bytes for every gram co-occurrence; the strings are
+    // re-joined ONCE per side afterwards, id-keyed, for the exact verify
+    val candIds = pruned
+      .select(col("g"), col("id").as("a_id"), col("_len").as("_la"))
+      .join(pruned.select(col("g"), col("id").as("b_id"), col("_len").as("_lb")), "g")
       .filter(col("a_id") < col("b_id") &&
-        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .select(col("a_id"), col("b_id"), col("s_a"), col("s_b")).distinct()
-    cand.select(col("a_id"), col("b_id"),
+        abs(col("_la") - col("_lb")) <= maxDist)
+      .select(col("a_id"), col("b_id")).distinct()
+    candIds
+      .join(strings.select(col("id").as("a_id"), col("s").as("s_a")), Seq("a_id"))
+      .join(strings.select(col("id").as("b_id"), col("s").as("s_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
-  def ngramJaccardSample(docs: DataFrame, n: Int, sampleMod: Int, minJaccard: Double,
+  /** Deterministic bounded id-sample: keep rows whose id divides the
+    * modulus ceil(N / targetSample), so the SAMPLE SIZE stays ~targetSample
+    * no matter how large the corpus grows (a fixed modulus grows the
+    * sample linearly and any pairwise stage over it quadratically — the
+    * classic today-small constant that kills a 100× scale-up). The modulus
+    * is derived inside the plan (count → broadcast), never collected.
+    */
+  def boundedIdSample(docs: DataFrame, idCol: String, targetSample: Int): DataFrame = {
+    val mod = docs.agg(
+      greatest(lit(1L), ceil(count(lit(1)) / targetSample)).as("_mod"))
+    docs.crossJoin(broadcast(mod))
+      .filter(col(idCol) % col("_mod") === 0)
+      .drop("_mod")
+  }
+
+  def ngramJaccardSample(docs: DataFrame, n: Int, targetSample: Int, minJaccard: Double,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // CharNgramsExpr: codegen'd, distinct by construction, and EMPTY for
     // docs shorter than n chars (the r2 HOF formulation generated a
     // descending sequence there and emitted bogus grams)
-    val sets = docs.filter(col(idCol) % sampleMod === 0)
+    val sets = boundedIdSample(docs, idCol, targetSample)
       .select(col(idCol).as("doc_id"),
         TextHash.charNgrams(docs.sparkSession, col(textCol), n).as("g"))
     // The broadcast-nested-loop pair join streams the left side; a single
