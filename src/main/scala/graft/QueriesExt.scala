@@ -323,15 +323,21 @@ object QueriesExt {
       |GROUP BY 1, 2 HAVING hamming <= 3""".stripMargin
 
   // ---- exact char-3-gram Jaccard over a bounded sample ----
+  // targetSample=25 keeps the brute-force pair stage at ~25²/2 comparisons
+  // regardless of corpus size; the oracle replays the derived modulus
+  // greatest(1, ceil(N/25)) so both engines sample the identical doc set.
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardSample(t(s, dir, "documents"),
-      n = 3, sampleMod = 20, minJaccard = 0.5)
+      n = 3, targetSample = 25, minJaccard = 0.5)
 
   val oNgramJaccard =
-    """WITH g AS (
+    """WITH m AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) / 25.0) AS BIGINT)) AS mod
+      |  FROM documents),
+      |g AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS g
-      |  FROM documents WHERE doc_id % 20 = 0)
+      |  FROM documents, m WHERE doc_id % m.mod = 0)
       |SELECT a_id, b_id, jaccard FROM (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /

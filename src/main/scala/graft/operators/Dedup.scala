@@ -353,6 +353,11 @@ object Dedup {
     * sample linearly and any pairwise stage over it quadratically — the
     * classic today-small constant that kills a 100× scale-up). The modulus
     * is derived inside the plan (count → broadcast), never collected.
+    *
+    * PRECONDITION: ids must be dense (≈ 0..N contiguous, as the synthetic
+    * doc_id is). For sparse or hashed id spaces `id % mod === 0` selects
+    * an id-correlated, possibly empty subset — sample `pmod(xxhash64(id),
+    * mod) === 0` instead and mirror that in any oracle.
     */
   def boundedIdSample(docs: DataFrame, idCol: String, targetSample: Int): DataFrame = {
     val mod = docs.agg(

@@ -66,7 +66,7 @@ class DedupSpec extends SparkSpec {
     // two sampled docs shorter than n=3 chars: empty gram sets -> jaccard
     // null (not NaN) -> filtered, not emitted
     val short = Seq((0L, "ab"), (20L, "x")).toDF("doc_id", "text")
-    assert(Dedup.ngramJaccardSample(short, n = 3, sampleMod = 20, minJaccard = 0.0)
+    assert(Dedup.ngramJaccardSample(short, n = 3, targetSample = 20, minJaccard = 0.0)
       .collect().isEmpty)
     // non-BMP character (surrogate pair in UTF-16): grams slice by code
     // point, so no gram contains a lone surrogate half
@@ -74,6 +74,55 @@ class DedupSpec extends SparkSpec {
     val strs = (0 until grams.numElements()).map(grams.getUTF8String(_).toString)
     assert(strs === Seq("ab😀", "b😀c", "😀cd"))
     assert(strs.forall(g => g.codePointCount(0, g.length) == 3))
+  }
+
+  test("boundedIdSample size stays ~targetSample as N grows 10x") {
+    def sampled(n: Long): Long = Dedup.boundedIdSample(
+      spark.range(n).select($"id".as("doc_id")), "doc_id", 25).count()
+    // dense ids: mod = ceil(N/25) keeps exactly ceil(N/mod) = 25 rows at
+    // both sizes — the pair stage downstream is constant, not quadratic
+    assert(sampled(100L) === 25L)
+    assert(sampled(1000L) === 25L)
+    // degenerate corpus smaller than the target: mod clamps to 1, keep all
+    assert(sampled(10L) === 10L)
+  }
+
+  test("fuzzyStringJoin candidate distinct shuffles ids only, no strings") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter          => unwrap(i.child)
+      case other                    => other
+    }
+    val strings = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sitting"))
+      .toDF("id", "s")
+    // stopDenom=1 disables the fractional stop-gram cap (df*8 > 3 would
+    // otherwise drop EVERY gram of a 3-string corpus)
+    val df = Dedup.fuzzyStringJoin(strings, q = 2, maxDist = 2, stopDenom = 1L)
+    // exchanges only exist post-EnsureRequirements, and AQE hides the tree
+    // behind AdaptiveSparkPlanExec — plan once with AQE off for the audit
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the exchange under the candidate-pair distinct (a partial HashAggregate
+    // with no agg functions) must carry id-width rows only — the r8 shape
+    // shuffled the full string pair for every gram co-occurrence
+    val distinctExchanges =
+      try df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => unwrap(e.child) match {
+          case h: HashAggregateExec if h.aggregateExpressions.isEmpty => Some(e)
+          case _ => None
+        }
+      }.flatten
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(distinctExchanges.nonEmpty, "expected a shuffled distinct for candidate pairs")
+    for (e <- distinctExchanges; a <- e.output)
+      assert(a.dataType != StringType, s"candidate distinct carries string column ${a.name}")
+    // and the join still finds the real matches
+    val got = df.as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 1)))
   }
 
   test("DotFold matches the interpreted HOF fold bit-for-bit") {
