@@ -384,6 +384,27 @@ object QueriesExt {
       |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) AS quality
       |FROM s""".stripMargin
 
+  // ---- linear quality-classifier inference ----
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.linearClassifier(t(s, dir, "documents"))
+
+  val oQualityClassifier =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 1024 AS BIGINT) AS feature,
+      |    count(*) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |w AS (
+      |  SELECT CAST(i AS BIGINT) AS feature, (i * 2654435761) % 1001 - 500 AS w
+      |  FROM (SELECT unnest(range(0, 1024)) AS i)),
+      |s AS (
+      |  SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS score
+      |  FROM f JOIN w USING (feature) GROUP BY 1)
+      |SELECT doc_id, score, CASE WHEN score >= 0 THEN 1 ELSE 0 END AS label
+      |FROM s""".stripMargin
+
   // ---- language-ID (marker-token heuristic) ----
   def qLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(s, dir, "documents"), truthCol = Some("lang"))

@@ -439,6 +439,41 @@ object TextAnalysis {
         coalesce(col("s") / col("n_pairs").cast("double"), lit(0.0)).as("lm_score"))
   }
 
+  /** Linear quality-classifier INFERENCE — the trained-model filter tier
+    * between the surface heuristics ([[qualityScore]]) and the
+    * statistical LM ([[lmScore]]): hashing-trick bag-of-words features
+    * scored as a sparse dot product against a weight vector, the standard
+    * fastText/logistic-regression serving shape for corpus filtering.
+    *
+    * Scale shape: the weight table is dim rows (model-sized, not
+    * corpus-sized) and is broadcast — the token/feature fact side streams
+    * through a BroadcastHashJoin with NO shuffle; the only exchanges are
+    * the two doc/feature-keyed hash aggs, both partial-agg friendly.
+    * FIXED-POINT throughout (integer weights, long dot product): bit-exact
+    * across engines and partition layouts, no float fold order to pin.
+    *
+    * Weights are a deterministic surrogate (Knuth multiplicative hash of
+    * the feature id → [-500, 500]) standing in for trained coefficients;
+    * production swaps in the same-schema (feature, w) table from a model
+    * store and the inference plan is unchanged. Feature hashing uses
+    * md5's top 60 bits (portable: DuckDB replays it exactly), not
+    * xxhash64 (Spark-only).
+    */
+  def linearClassifier(docs: DataFrame, dim: Int = 1024, threshold: Long = 0L,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val feats = docs
+      .select(col(idCol).as("doc_id"), explode(Portable.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % dim).as("feature"))
+      .groupBy(col("doc_id"), col("feature")).agg(count(lit(1)).as("cnt"))
+    val weights = docs.sparkSession.range(dim.toLong)
+      .select(col("id").as("feature"), ((col("id") * 2654435761L) % 1001 - 500).as("w"))
+    feats.join(broadcast(weights), Seq("feature"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("w")).as("score"))
+      .withColumn("label", (col("score") >= threshold).cast("int"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       dupBigramMax: Double = 0.1, dupTokenMax: Double = 0.5): DataFrame = {
     val toks = split(col(textCol), " ")

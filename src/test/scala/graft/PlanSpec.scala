@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
     assert(df.select("sid").distinct().count() === df.count())
   }
 
+  test("quality classifier joins the weight table broadcast, never shuffled") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "dim-sized weight table must broadcast to the feature facts")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffled weight join moves the whole corpus's features")
+  }
+
   test("ivf centroid assignment aggregates instead of sorting") {
     val p = plan("q_ann_ivf")
     assert(!p.contains("Window"), "argmax should be a max_by hash agg, not a window sort")
