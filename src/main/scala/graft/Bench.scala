@@ -59,17 +59,27 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    // noise defense, env-gated (default 1 rep = unchanged semantics): the
+    // box shows ±20% run-to-run variance, so SPARK_GRAFT_BENCH_REPS=3
+    // reports the per-query MEDIAN of 3 back-to-back runs instead of one
+    // sample. Median, not mean: one storage-latency outlier must not move
+    // the reported number.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     // deterministic execution order (sorted by name) for reproducible timings
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must be VISIBLE in the JSON (rows=-1 + errors entry),
-      // never a normal-looking timing (r2: q_speciesdata failed silently)
-      val (rows, sum, err) =
-        try { val (r, h) = materialize(fn(spark, sfDir)); (r, h, None) }
-        catch { case e: Throwable =>
-          (-1L, 0L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
-        }
-      (name, (System.nanoTime() - t0) / 1e9, rows, sum, err)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query must be VISIBLE in the JSON (rows=-1 + errors entry),
+        // never a normal-looking timing (r2: q_speciesdata failed silently)
+        val (rows, sum, err) =
+          try { val (r, h) = materialize(fn(spark, sfDir)); (r, h, None) }
+          catch { case e: Throwable =>
+            (-1L, 0L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
+          }
+        ((System.nanoTime() - t0) / 1e9, rows, sum, err)
+      }
+      val med = runs.map(_._1).sorted.apply(reps / 2)
+      (name, med, runs.head._2, runs.head._3, runs.flatMap(_._4).headOption)
     }
     // The graded line must be SHORT and LAST: the driver keeps only the
     // final ~2000 chars of output, and r4-r6's single fat line (timings +

@@ -1074,6 +1074,10 @@ object QueriesCore {
         Seq(Seq("7", "holed", "0.250000"),
             Seq("11", "two shells", "1.500000"),
             Seq("13", "pt", "-2.125000"))))
+    // .prj sidecar: the CRS a gpd.read_file consumer sees — read back as
+    // the srid column (species_range_etl.py:131-133,199)
+    java.nio.file.Files.write(dir.resolve("golden_shapes.prj"),
+      graft.sources.Shapefile.Epsg4326Wkt.getBytes("US-ASCII"))
     dir.toString
   }
 
@@ -1081,15 +1085,16 @@ object QueriesCore {
     val gdir = fixtureShpDir()
     graft.sources.Shapefile.readShapes(s, s"$gdir/golden_shapes.shp")
       .select(col("record"), col("shape_type"), col("n_points"),
-        Geom.stArea(col("geometry")).as("area"))
+        Geom.stArea(col("geometry")).as("area"), col("srid"))
   }
 
   val oShapefileScan =
     """SELECT CAST(record AS INT) AS record, CAST(shape_type AS INT) AS shape_type,
-      |  CAST(n_points AS INT) AS n_points, CAST(area AS DOUBLE) AS area
+      |  CAST(n_points AS INT) AS n_points, CAST(area AS DOUBLE) AS area,
+      |  CAST(srid AS INT) AS srid
       |FROM (VALUES
-      |  (1, 5, 10, 15.0), (2, 5, 10, 20.0), (3, 1, 1, 0.0)
-      |) t(record, shape_type, n_points, area)""".stripMargin
+      |  (1, 5, 10, 15.0, 4326), (2, 5, 10, 20.0, 4326), (3, 1, 1, 0.0, 4326)
+      |) t(record, shape_type, n_points, area, srid)""".stripMargin
 
   // ---- O-5 complete: .dbf attribute table joined to .shp geometry by
   // record index, with the reference's Id→species_id rename

@@ -2329,6 +2329,48 @@ object QueriesExt {
        |FROM x CROSS JOIN em CROSS JOIN ed""".stripMargin
   }
 
+  // ---- CMS mergeability: per-source cell sketches sum-merged, graded
+  //      cell-for-cell equal to the direct global sketch — completes the
+  //      sketch-union trio (HLL max-merge, quantile slot-sum, CMS cell-sum) ----
+  def qCmsUnion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketch
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(Portable.tokens(col("text"))).as("token"))
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsSketchBy(toks, Seq("source")).drop("source"))
+      .withColumnRenamed("cell_cnt", "cnt_merged")
+    val direct = Sketch.cmsSketch(toks.select(col("token")))
+      .withColumnRenamed("cell_cnt", "cnt_direct")
+    // full outer: a cell present in only one side is a merge-law violation
+    // and must surface as a mismatched row, not silently drop
+    merged.join(direct, Seq("seed", "bucket"), "full_outer")
+      .select(col("seed"), col("bucket"),
+        coalesce(col("cnt_merged"), lit(0L)).as("cnt_merged"),
+        coalesce(col("cnt_direct"), lit(0L)).as("cnt_direct"))
+      .withColumn("merge_lossless", col("cnt_merged") === col("cnt_direct"))
+  }
+
+  val oCmsUnion: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |sd AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+       |ps AS (
+       |  SELECT source, seed,
+       |    ${H32.format("seed::VARCHAR || '#' || token")} % 512 AS bucket,
+       |    count(*) AS cnt
+       |  FROM tok CROSS JOIN sd GROUP BY 1, 2, 3),
+       |mg AS (SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS cnt_merged
+       |       FROM ps GROUP BY 1, 2),
+       |dr AS (SELECT seed,
+       |    ${H32.format("seed::VARCHAR || '#' || token")} % 512 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt_direct
+       |  FROM tok CROSS JOIN sd GROUP BY 1, 2)
+       |SELECT seed, bucket,
+       |  CAST(coalesce(cnt_merged, 0) AS BIGINT) AS cnt_merged,
+       |  CAST(coalesce(cnt_direct, 0) AS BIGINT) AS cnt_direct,
+       |  coalesce(cnt_merged, 0) = coalesce(cnt_direct, 0) AS merge_lossless
+       |FROM mg FULL OUTER JOIN dr USING (seed, bucket)""".stripMargin
+
   // ---- EWMA (α = 1/2, exact halving fold) of each user's value stream ----
   def qEwma(s: SparkSession, dir: String): DataFrame =
     Temporal.ewmaHalf(

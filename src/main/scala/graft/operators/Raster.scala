@@ -166,8 +166,22 @@ object Raster {
     * executor-side batched inserts (vs the reference's single connection at
     * chunksize=5). Tested offline against
     * embedded Derby (ships with Spark — RasterSpec round-trips write,
-    * read-back, and overwrite-replace); geometry goes as WKB bytes
-    * (PostGIS: add a `ST_GeomFromWKB` view or writer option).
+    * read-back, and overwrite-replace).
+    *
+    * KNOWN GAP vs the reference's PostGIS target (geopandas `to_postgis`,
+    * species_range_etl.py:230-236): geometry lands as generic WKB
+    * `bytea`, NOT a typed `geometry(MultiPolygon, 4326)` column. Spark's
+    * JDBC writer maps BinaryType through the dialect's default, and no
+    * stock dialect knows PostGIS types; closing it needs a custom
+    * `JdbcDialect` (registered via `JdbcDialects.registerDialect`)
+    * overriding `getJDBCType(BinaryType)` → `other` with
+    * `geometry(MultiPolygon,4326)` plus an INSERT through
+    * `ST_GeomFromWKB(?, 4326)` — or, operationally, this writer followed
+    * by one `ALTER TABLE ... USING ST_GeomFromWKB(geometry, 4326)`.
+    * Untestable in this environment (no PostGIS server, zero egress), so
+    * the engine ships the documented WKB contract instead of an unproven
+    * dialect; round-trip correctness of the bytes themselves IS covered
+    * by the Derby tests.
     */
   def writeSpeciesDataJdbc(df: DataFrame, url: String, table: String,
                            batchSize: Int = 10000,

@@ -97,12 +97,33 @@ object Sketch {
     * the cell-wise SUM of the slice sketches (distributed counters
     * without recounting; merge law asserted in SketchSpec).
     */
-  def cmsSketch(tokens: DataFrame, d: Int = 4, w: Int = 512): DataFrame = {
+  def cmsSketch(tokens: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
+    cmsSketchBy(tokens, Nil, d, w)
+
+  /** Per-group count-min cell tables (groups..., seed, bucket, cell_cnt):
+    * the per-slice sketches a 100 TB pipeline keeps per partition/day so
+    * any slice union is answerable by [[cmsMerge]] without a rescan.
+    */
+  def cmsSketchBy(tokens: DataFrame, groupCols: Seq[String],
+                  d: Int = 4, w: Int = 512): DataFrame = {
+    val g = groupCols.map(col)
     val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
-    tokens.select(col("token"), seeds)
-      .select(col("seed"), (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
-      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cell_cnt"))
+    tokens.select(g :+ col("token") :+ seeds: _*)
+      .select(g :+ col("seed") :+
+        (Portable.hash32(col("token"), col("seed")) % w).as("bucket"): _*)
+      .groupBy(g ++ Seq(col("seed"), col("bucket")): _*)
+      .agg(count(lit(1)).as("cell_cnt"))
   }
+
+  /** Cell-wise SUM-merge of per-slice count-min sketches: counters are
+    * additive on pure-hash keys, so the merged table is EXACTLY the
+    * sketch a direct scan of the union would build (graded in
+    * q_cms_union; law also property-tested in SketchSpec). Input is a
+    * union of [[cmsSketchBy]] outputs with their group columns dropped.
+    */
+  def cmsMerge(cells: DataFrame): DataFrame =
+    cells.groupBy(col("seed"), col("bucket"))
+      .agg(sum(col("cell_cnt")).as("cell_cnt"))
 
   def cmsHeavyHitters(tokens: DataFrame, d: Int = 4, w: Int = 512,
                       minFracDenom: Long = 200L): DataFrame = {

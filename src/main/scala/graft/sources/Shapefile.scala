@@ -10,16 +10,21 @@ import graft.functions.Geom
 /** One row per .shp record; geometry re-encoded as WKB (the engine's
   * end-to-end geometry currency) — null for null shapes (type 0) and
   * unsupported types, mirroring the NODATA→null stance of EsriAsciiGrid.
+  * `srid` is the EPSG code parsed from the `.prj` sidecar (the way
+  * `gpd.read_file` carries layer CRS, species_range_etl.py:131-133,199);
+  * null when the sidecar is absent or names an unrecognized CRS.
   */
 final case class ShpRecord(path: String, record: Int, shape_type: Int,
-                           n_points: Int, geometry: Array[Byte])
+                           n_points: Int, geometry: Array[Byte],
+                           srid: Option[Int])
 
 /** [[ShpRecord]] plus the record's .dbf attribute row (raw trimmed field
   * text keyed by field name; empty map when no .dbf sidecar exists).
   */
 final case class ShpAttrRecord(path: String, record: Int, shape_type: Int,
                                n_points: Int, geometry: Array[Byte],
-                               attrs: Map[String, String])
+                               attrs: Map[String, String],
+                               srid: Option[Int])
 
 /** One .dbf column: 11-char-max name, dBase type char (C/N/F/L/D),
   * fixed byte width, decimal count (N only).
@@ -50,12 +55,47 @@ object Shapefile {
 
   def readShapes(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
+    val hconf = new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, b) => parse(p, b) }
+      .flatMap { case (p, b) => parse(p, b, sidecarSrid(p, hconf.value)) }
       .toDF()
   }
+
+  /** EPSG srid from a .prj ESRI-WKT — minimal, like the rest of this
+    * reader: an explicit AUTHORITY["EPSG","n"] wins (the OUTERMOST one,
+    * which WKT1 nesting puts last in the string); otherwise the WGS-84
+    * geographic names arcpy/OGR emit without an authority clause map to
+    * 4326. Unrecognized CRSes yield None — surfaced as a null `srid`,
+    * never a guess.
+    */
+  def parsePrj(wkt: String): Option[Int] = {
+    val auth = """AUTHORITY\[\s*"EPSG"\s*,\s*"(\d+)"\s*\]""".r
+    val hits = auth.findAllMatchIn(wkt).map(_.group(1).toInt).toSeq
+    if (hits.nonEmpty) Some(hits.last)
+    else if (wkt.contains("GCS_WGS_1984") || wkt.contains("WGS_1984") ||
+      wkt.contains("WGS 84")) Some(4326)
+    else None
+  }
+
+  /** Resolve the sibling .prj of a .shp through the Hadoop FS (same
+    * task-side sidecar pattern as the .dbf open in [[readTable]]); absent
+    * or unreadable sidecars are a CRS-less layer, not a failure.
+    */
+  private def sidecarSrid(shpPath: String,
+                          hconf: org.apache.hadoop.conf.Configuration): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(shpPath.replaceAll("\\.shp$", ".prj"))
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        parsePrj(new String(buf, "US-ASCII"))
+      } else None
+    } catch { case _: Exception => None }
 
   /** .shp + .dbf joined by record index — the full attribute table the
     * reference sees through `gpd.read_file` (species_range_etl.py:199):
@@ -88,11 +128,12 @@ object Shapefile {
             parseDbf(buf)._2
           } else Vector.empty
         } catch { case _: Exception => Vector.empty } // corrupt .dbf ⇒ geometry-only
-        parse(p, b).map { r =>
+        parse(p, b, sidecarSrid(p, hconf.value)).map { r =>
           val attrs = // .shp record numbers are 1-based; .dbf rows 0-based
             if (r.record >= 1 && r.record <= attrRows.length) attrRows(r.record - 1)
             else Map.empty[String, String]
-          ShpAttrRecord(r.path, r.record, r.shape_type, r.n_points, r.geometry, attrs)
+          ShpAttrRecord(r.path, r.record, r.shape_type, r.n_points, r.geometry,
+            attrs, r.srid)
         }
       }
       .toDF()
@@ -139,8 +180,11 @@ object Shapefile {
     (fields, rows.result())
   }
 
-  /** Pure parser (unit-testable without Spark). */
-  def parse(path: String, bytes: Array[Byte]): Iterator[ShpRecord] = {
+  /** Pure parser (unit-testable without Spark); `srid` is stamped onto
+    * every record (the caller resolves it from the .prj sidecar).
+    */
+  def parse(path: String, bytes: Array[Byte],
+            srid: Option[Int] = None): Iterator[ShpRecord] = {
     if (bytes.length < 100) return Iterator.empty
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -159,7 +203,7 @@ object Shapefile {
         val shapeType = le.getInt(start.toInt)
         val g = parseShape(le, start.toInt, gf)
         out += ShpRecord(path, recNo, shapeType,
-          g.map(_.getNumPoints).getOrElse(0), g.map(Geom.writeWkb).orNull)
+          g.map(_.getNumPoints).getOrElse(0), g.map(Geom.writeWkb).orNull, srid)
         off = start + contentLen
       }
     }

@@ -86,6 +86,45 @@ object SketchStream {
       }
   }
 
+  case class Tok(key: String, token: String)
+  case class CmsCell(key: String, seed: Int, bucket: Long, cell_cnt: Long)
+
+  /** Streaming twin of [[graft.operators.Sketch.cmsSketchBy]]: a running
+    * count-min cell table per key with O(d·w) state (a 16 KB long array
+    * at d = 4, w = 512 — per key, forever, regardless of stream length).
+    * Cells are additive counters on the same pure md5-derived hash as the
+    * batch sketch, so after any prefix the state is BIT-IDENTICAL to the
+    * batch cell table over that prefix — and counters only grow, so in
+    * update mode the max per (key, seed, bucket) is the final answer
+    * (asserted exact in StreamingSpec, same contract as the HLL and
+    * quantile twins). Emits only the cells touched by the micro-batch.
+    */
+  def runningCms(tokens: Dataset[Tok], d: Int = 4, w: Int = 512): Dataset[CmsCell] = {
+    implicit val enc = Encoders.product[CmsCell]
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    tokens.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[Array[Long], CmsCell](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Tok], state: GroupState[Array[Long]]) =>
+          val cells = state.getOption.getOrElse(new Array[Long](d * w))
+          val touched = scala.collection.mutable.SortedSet.empty[Int]
+          rows.foreach { r =>
+            var s = 0
+            while (s < d) {
+              // same seed-mixing as Portable.hash32(token, seed)
+              val i = s * w + (hash32(s.toString + "#" + r.token) % w).toInt
+              cells(i) += 1L
+              touched += i
+              s += 1
+            }
+          }
+          state.update(cells)
+          touched.iterator.map(i =>
+            CmsCell(key, i / w, (i % w).toLong, cells(i)))
+      }
+  }
+
   /** One updated (key, estimate) row per key per micro-batch; run with
     * output mode "update". Estimates are monotone non-decreasing (max
     * registers only grow), so the latest row per key is the answer.

@@ -132,9 +132,22 @@ class ShapefileSpec extends SparkSpec {
     val df = Seq(Geom.writeWkb(withHole), Geom.writeWkb(square)).toDF("geometry")
     val dir = java.nio.file.Files.createTempDirectory("graft-shp-sink").toString + "/out"
     Shapefile.writeShapes(df, "geometry", dir)
-    val back = Shapefile.readShapes(spark, dir + "/*.shp")
-      .collect().map(r => Geom.area(r.getAs[Array[Byte]]("geometry"))).sorted
+    val rows = Shapefile.readShapes(spark, dir + "/*.shp").collect()
+    val back = rows.map(r => Geom.area(r.getAs[Array[Byte]]("geometry"))).sorted
     assert(back.toSeq === Seq(4.0, 12.0)) // 2×2 square, and 4×4 shell minus 2×2 hole
+    // the writer's .prj sidecar survives the round trip as srid=4326 —
+    // the CRS carry gpd.read_file gives the reference
+    assert(rows.forall(r => r.getAs[Int]("srid") == 4326))
+  }
+
+  test("parsePrj: EPSG authority wins, bare WGS-84 names map to 4326, unknown is None") {
+    assert(Shapefile.parsePrj(Shapefile.Epsg4326Wkt) === Some(4326))
+    // outermost AUTHORITY (last in WKT1) wins over the datum's inner one
+    assert(Shapefile.parsePrj(
+      """PROJCS["X",GEOGCS["Y",AUTHORITY["EPSG","4326"]],
+        |AUTHORITY["EPSG","3857"]]""".stripMargin) === Some(3857))
+    assert(Shapefile.parsePrj("""GEOGCS["WGS 84",DATUM["WGS_1984"]]""") === Some(4326))
+    assert(Shapefile.parsePrj("""PROJCS["Some_Local_Grid"]""") === None)
   }
 
   test("dbf codec round-trips N, C, N-decimal and L fields; deleted row stays positional") {

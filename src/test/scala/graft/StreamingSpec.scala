@@ -383,6 +383,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch is bit-identical to the batch sketch") {
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.Tok
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tok]
+    val q = SketchStream.runningCms(input.toDS(), d = 4, w = 64)
+      .writeStream.format("memory").queryName("cms_s")
+      .outputMode("update").start()
+    try {
+      val batch1 = (1 to 300).map(i => Tok("a", s"tok${i % 40}")) ++
+        (1 to 80).map(i => Tok("b", s"word${i % 11}"))
+      val batch2 = (1 to 250).map(i => Tok("a", s"tok${i % 25}"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // cell counters are monotone, so max per cell == the final update
+      val streamed = spark.table("cms_s").groupBy("key", "seed", "bucket")
+        .agg(org.apache.spark.sql.functions.max("cell_cnt").as("cell_cnt"))
+        .as[(String, Int, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketch.cmsSketchBy(
+        (batch1 ++ batch2).map(t => (t.key, t.token)).toDF("key", "token"),
+        Seq("key"), d = 4, w = 64)
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "streaming cell counters must replay the batch sketch exactly")
+      // state: one d*w long array per key — not per token
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
+    } finally q.stop()
+  }
+
   test("streaming OHLC keeps one state row per (key, open window)") {
     import graft.streaming.BarStream
     import graft.streaming.BarStream.Tick
