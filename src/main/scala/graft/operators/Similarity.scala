@@ -397,6 +397,88 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Product quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each `dim`-vector into
+    * `m` subvectors of `subDim`, learn a `ksub`-codeword codebook PER
+    * SUBSPACE (deterministic Lloyd: init = the first `ksub` vectors' slices,
+    * one exact fixed-point update — same 2^40 grid as [[kmeans]]), encode
+    * every vector as `m` small codes, then answer queries by Asymmetric
+    * Distance Computation: the query precomputes a `m × ksub` table of
+    * exact subspace distances and every database vector's approximate
+    * distance is just `m` TABLE LOOKUPS — no full-width math per candidate.
+    *
+    * Scale shape — this is the memory-bound regime's answer, complementing
+    * [[lshPairs]]/[[ivfPairs]] (which prune CANDIDATES, while PQ compresses
+    * the VECTORS ~`dim*4/m` : 1 so a 100 TB corpus's index fits a cluster's
+    * RAM): codebooks are `m*ksub` rows trained with broadcast joins + hash
+    * aggs (corpus never shuffled, like [[kmeansAssign]]); the LUT is
+    * `|Q|*m*ksub` rows, broadcast; the ADC join is an equi-join on
+    * `(sub, code)` followed by a `(query, vector)` hash agg summing `m`
+    * FIXED-POINT longs — exact and associative, so the ranking is
+    * partitioning-independent (a double sum here would let Spark's agg
+    * order pick the neighbor list). Top-k per query via window over the
+    * per-query candidate set.
+    *
+    * Returns (query_id, neighbor_id, adc_dist2, rank), rank 1..topK by
+    * (approximate distance, neighbor_id); queries match `queryPred` and
+    * never list themselves.
+    */
+  def pqTopK(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,
+             queryPred: Column, topK: Int): DataFrame = {
+    DotFold.register(vecs.sparkSession)
+    val S = 1099511627776.0 // 2^40 fixed-point grid (shared with kmeans)
+    val sv = vecs
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"),
+        explode(array((0 until m).map(lit): _*)).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("emb"), col("sub") * subDim + 1, lit(subDim)).as("svec"))
+      .withColumn("s2", DotFold.dot(col("svec"), col("svec")))
+    val cb0 = sv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("svec").as("cvec"), col("s2").as("c2"))
+    // nearest codeword per (vector, subspace); ties to the lowest cid —
+    // per-row double math only, identical operand order to the oracle
+    def assign(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cid"),
+          (col("s2") + col("c2") -
+            lit(2.0) * DotFold.dot(col("svec"), col("cvec"))).as("dist2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("code"))
+    val cb1 = graft.util.Checkpoints.truncate(
+      assign(cb0).join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code").as("cid"),
+          posexplode(col("svec")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((sum(floor(col("x") * lit(S) + lit(0.5)).cast("long")).cast("double") /
+          count(lit(1)).cast("double") / lit(S)).as("c"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .withColumn("c2", DotFold.dot(col("cvec"), col("cvec"))))
+    val codes = assign(cb1)
+    // ADC lookup table: exact subspace distances, snapped to the fixed-point
+    // grid HERE so the downstream sum of m longs is order-free
+    val lut = sv.filter(queryPred)
+      .join(broadcast(cb1), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
+        floor((col("s2") + col("c2") -
+          lit(2.0) * DotFold.dot(col("svec"), col("cvec"))) * lit(S) + lit(0.5))
+          .cast("long").as("d2fx"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid") &&
+          lut("query_id") =!= codes("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2fx")).as("afx"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("afx"), col("vec_id"))
+    adc
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("afx").cast("double") / lit(S)).as("adc_dist2"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

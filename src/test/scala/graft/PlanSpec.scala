@@ -150,6 +150,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("pq ann broadcasts codebooks and LUT; corpus is never cartesian-joined") {
+    val p = plan("q_ann_pq")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "codebook/LUT joins carry equi-keys (sub, code) and must hash-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the m*ksub codebook and |Q|*m*ksub LUT are broadcast dims")
+  }
+
   test("kmeans assignment is a hash aggregate, not a window sort") {
     val p = plan("q_kmeans")
     assert(!p.contains("Window"), "argmin must be min_by partial+final agg")

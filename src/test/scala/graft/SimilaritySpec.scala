@@ -43,4 +43,45 @@ class SimilaritySpec extends SparkSpec {
     assert(avgRecall(true) >= avgRecall(false),
       "extra probes can only widen the candidate set")
   }
+
+  test("PQ ADC top-k: shape, no self-match, and partitioning independence") {
+    def run(v: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(v, m = 4, subDim = 16, ksub = 16,
+          queryPred = col("vec_id") < 8, topK = 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val r = run(vecs)
+    assert(r.size === 8 * 5)
+    assert(r.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._4).toSeq.sorted == (1L to 5L) }, "each query ranks 1..k")
+    assert(r.forall { case (q, n, _, _) => q != n }, "a query never lists itself")
+    // the fixed-point ADC sum is associative, so a different partitioning
+    // must yield the IDENTICAL neighbor lists (a double sum here would not)
+    assert(run(vecs.repartition(17)) === r)
+  }
+
+  test("PQ approximate neighbors overlap exact L2 brute-force neighbors") {
+    val pq = Similarity.pqTopK(vecs, m = 4, subDim = 16, ksub = 16,
+        queryPred = col("vec_id") < 8, topK = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    // exact squared-L2 ground truth, locally on the sf0.001 corpus — ADC
+    // approximates L2, so L2 (not cosine) is the honest reference ranking
+    val all = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i).toDouble - b(i)) * (a(i).toDouble - b(i))).sum
+    val exact = (for {
+      (qid, qv) <- all.take(8)
+      (nid, _) <- all.filter(_._1 != qid)
+        .sortBy { case (nid, nv) => (d2(qv, nv), nid) }.take(5)
+    } yield (qid, nid)).toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    // this synthetic corpus is largely isotropic noise (distances
+    // concentrate), so lossy 4-byte codes top out near 0.25 recall here —
+    // chance is 5/499 ≈ 0.01, so 0.2+ is 20× better than guessing, and
+    // finer codebooks (8×8@32) only reach 0.4 (PqProbe)
+    assert(recall >= 0.2,
+      f"ADC on 4x16 codebooks should recover far more of exact L2 top-5 " +
+        f"than the ~0.01 chance baseline (got $recall%.2f)")
+  }
 }
