@@ -684,6 +684,36 @@ object QueriesCore {
       |  (4, 'trailing space ', 'z')
       |) t(id, val, opt)""".stripMargin
 
+  // ---- ORC roundtrip: the engine's second columnar format (Spark-native
+  //      reader/writer) — orders pushed through the ORC codec and
+  //      re-aggregated; the oracle computes the same aggregate straight
+  //      from parquet, so any value/timestamp/null corruption in the
+  //      ORC path hash-mismatches ----
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // session-scoped temp scratch, same isolation rationale as the CSV twin
+    val out = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_orc_rt_${s.sparkContext.applicationId}").getAbsolutePath
+    t(s, dir, "orders").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("sum_price"),
+        // NTZ → LTZ cast is wall-clock-preserving under the session's UTC
+        // timezone, so unix_micros here equals DuckDB's epoch_us(naive)
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("min_date_us"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("max_date_us"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"))
+  }
+
+  val oOrcRoundtrip: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  min(epoch_us(o_orderdate)) AS min_date_us,
+      |  max(epoch_us(o_orderdate)) AS max_date_us,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- IQR-fence outlier counts per group (Tukey fences; 1.5 is an
   //      exact binary fraction, quartile interpolation matches
   //      quantile_cont bit-for-bit — see q_group_median). Fences are a

@@ -1647,6 +1647,57 @@ object QueriesExt {
       |  max(ts_us) - min(ts_us) AS duration_us
       |FROM g GROUP BY 1, 2""".stripMargin
 
+  // ---- shuffle-key skew profile: per-key count distribution for two
+  //      prospective keys of the events stream — the pre-flight check
+  //      that decides salting/AQE-skew before a key is committed ----
+  def qSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    graft.operators.Skew.skewProfile(e, Seq("user_id"), "user_id")
+      .unionAll(graft.operators.Skew.skewProfile(e, Seq("event_type"), "event_type"))
+  }
+
+  val oSkewProfile: String =
+    """WITH cu AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+      |ce AS (SELECT event_type AS k, count(*) AS cnt FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT 'user_id' AS key_set, cnt FROM cu
+      |  UNION ALL SELECT 'event_type' AS key_set, cnt FROM ce)
+      |SELECT key_set, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |  quantile_cont(cnt, 0.5) AS p50_cnt,
+      |  quantile_cont(cnt, 0.99) AS p99_cnt,
+      |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top1_share,
+      |  CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+      |    / CAST(sum(cnt) AS DOUBLE) AS skew_ratio
+      |FROM s GROUP BY key_set""".stripMargin
+
+  // ---- SCD2: each user's event_type changelog compacted into validity
+  //      intervals (point-in-time dimension reconstruction) ----
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    Temporal.scd2(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"), col("event_id")),
+      keys = Seq("user_id"), attrCol = "event_type",
+      tsCol = "ts_us", ordCol = "event_id")
+
+  val oScd2: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_type, ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS prev
+      |  FROM e),
+      |r AS (SELECT user_id, event_type, ts_us, event_id FROM f
+      |      WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from,
+      |  lead(ts_us) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  lead(ts_us) OVER w IS NULL AS is_current
+      |FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
   // ---- as-of join: each view event matched to the user's most recent
   //      click at-or-before it — one union + window pass, never an
   //      inequality BNLJ ----

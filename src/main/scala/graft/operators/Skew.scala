@@ -66,4 +66,33 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The measurement that decides whether [[saltedAggregate]]/[[saltedJoin]]
+    * (or AQE's skew split) is needed at all: the per-key row-count
+    * distribution of a prospective shuffle key, as one summary row —
+    * key cardinality, hottest-key share of all rows, exact p50/p99 of
+    * per-key counts, and `skew_ratio` = max/mean (1.0 = perfectly uniform;
+    * the straggler factor a key-partitioned shuffle of this data would
+    * see). Run it BEFORE committing a pipeline to groupBy/join on a key —
+    * at 100 TB a hot key found here is a salted plan instead of a dead
+    * executor found in production.
+    *
+    * Shape: one keyed hash agg (map-side partials) collapses the data to
+    * |keys| count rows; the summary is a partial+final scalar aggregate
+    * over those counts. The raw table is never sorted or funneled.
+    */
+  def skewProfile(df: DataFrame, keys: Seq[String], label: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("cnt")).cast("long").as("n_rows"),
+        max(col("cnt")).cast("long").as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .select(lit(label).as("key_set"), col("n_keys"), col("n_rows"),
+        col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        (col("max_cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
 }

@@ -84,6 +84,41 @@ object Temporal {
         count(lit(1)).as("n_events"))
   }
 
+  /** Changelog → slowly-changing-dimension type 2: compact each key's
+    * attribute stream into validity intervals — consecutive rows with an
+    * unchanged attribute collapse into one version; each version is
+    * [valid_from, valid_to) with `valid_to` null (and `is_current` true)
+    * on the key's latest version. The point-in-time join this table
+    * enables (`valid_from <= ts < valid_to`) is how a training pipeline
+    * reconstructs what a dimension looked like when each training example
+    * was emitted, instead of leaking today's attributes into the past.
+    *
+    * Shape: ONE key-partitioned exchange; the change-detection lag and
+    * the valid_to/version windows share the identical (keys, ts, ord)
+    * sort, and the intermediate filter preserves distribution, so
+    * Catalyst plans a single exchange + sort reused by all three window
+    * functions. `ordCol` totalizes ties so versions are
+    * engine-independent.
+    *
+    * Output: keys..., attr, valid_from, valid_to, version (1-based per
+    * key), is_current.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], attrCol: String,
+           tsCol: String, ordCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(ordCol))
+    changes
+      .select(keyCols :+ col(attrCol) :+ col(tsCol) :+ col(ordCol): _*)
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols ++ Seq(col(attrCol), col("valid_from"),
+        col("valid_to"), col("version"), col("is_current")): _*)
+  }
+
   /** Calendar gap-fill with last-observation-carried-forward: re-key a
     * sparse per-(key, day) count series onto the full day spine so
     * missing days exist as rows (n = 0) and `locf_n` carries the last

@@ -366,6 +366,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scd2 runs all three windows off one keyed exchange") {
+    val p = plan("q_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"change-detect lag and valid_to/version windows share one " +
+        s"(user_id) sort; got $exchanges exchanges")
+    assert(!p.contains("Exchange SinglePartition"), "scd2 funnels")
+  }
+
   test("z-order stats and the sketch register folds are single-agg shapes") {
     // zorder: per-row z arithmetic + one grouped agg — nothing else
     val pz = plan("q_zorder")

@@ -414,6 +414,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA replays the batch fold bit-exactly with O(1) state") {
+    import graft.streaming.EwmaStream
+    import graft.streaming.EwmaStream.Sample
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sample]
+    val q = EwmaStream.runningEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewma_s")
+      .outputMode("update").start()
+    try {
+      // batch 2's (ts, id) all follow batch 1's (append-log order across
+      // micro-batches); rows WITHIN a batch arrive shuffled
+      val batch1 = Seq(Sample("a", 30L, 3L, 1.5), Sample("a", 10L, 1L, 4.0),
+        Sample("a", 20L, 2L, -2.25), Sample("b", 10L, 4L, 7.0))
+      val batch2 = Seq(Sample("a", 50L, 6L, 0.125), Sample("a", 40L, 5L, 3.0),
+        Sample("b", 20L, 7L, -1.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // update mode: max n per key marks the final row
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val streamed = spark.table("ewma_s")
+        .groupBy("key").agg(max(struct(col("n"), col("ewma"))).as("f"))
+        .select(col("key"), col("f.n"), col("f.ewma"))
+        .as[(String, Long, Double)].collect().toSet
+      val batch = graft.operators.Temporal.ewmaHalf(
+        (batch1 ++ batch2).toDF(), Seq("key"), "ts_us", "id", "value")
+        .select(col("key"), col("n"), col("ewma"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        "carried accumulator + in-state sort must equal the batch fold exactly")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L,
+        "state is one (n, acc) row per key")
+    } finally q.stop()
+  }
+
   test("streaming OHLC keeps one state row per (key, open window)") {
     import graft.streaming.BarStream
     import graft.streaming.BarStream.Tick

@@ -37,6 +37,24 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, 0L, 1L, 1L)))
   }
 
+  test("scd2 compacts runs into versions; point-in-time lookup reconstructs history") {
+    // user 1: A A B A (run-collapse then two changes); user 2: constant C
+    val ch = Seq((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L), (2L, "C", 5L, 5L))
+      .toDF("user_id", "attr", "ts_us", "event_id")
+    val r = Temporal.scd2(ch, Seq("user_id"), "attr", "ts_us", "event_id")
+      .as[(Long, String, Long, Option[Long], Long, Boolean)].collect().toSet
+    assert(r === Set(
+      (1L, "A", 10L, Some(30L), 1L, false),
+      (1L, "B", 30L, Some(40L), 2L, false),
+      (1L, "A", 40L, None, 3L, true),
+      (2L, "C", 5L, None, 1L, true)))
+    // point-in-time: the version covering ts=35 for user 1 is B
+    val at35 = r.filter { case (u, _, f, t, _, _) =>
+      u == 1L && f <= 35L && t.forall(_ > 35L) }
+    assert(at35.map(_._2) === Set("B"))
+  }
+
   test("gapFillDaily fills missing days with 0 and carries the last value") {
     // key "a" active on days 10 and 13 (twice); "b" only on day 11
     val df = Seq(("a", 10L), ("a", 13L), ("a", 13L), ("b", 11L))
