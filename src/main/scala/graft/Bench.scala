@@ -65,6 +65,20 @@ object Bench {
     // sample. Median, not mean: one storage-latency outlier must not move
     // the reported number.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // Untimed warmup: queries run sorted by name, so without this the
+    // alphabetically-first query (q_ann_ivf) absorbs the session-wide
+    // first-job cost — Hadoop FS + parquet reader init, codegen/JIT of the
+    // agg pipeline, broadcast machinery — measured at 8.9 s cold vs 1.3 s
+    // warm for the identical plan. Touch each subsystem once so every
+    // timed number reflects the query's own plan, not session startup.
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      materialize(r.join(broadcast(r.select("r_regionkey").limit(1)),
+        Seq("r_regionkey")))
+      materialize(spark.range(1000).selectExpr("id % 7 AS k", "id")
+        .groupBy("k").count())
+    }
     // deterministic execution order (sorted by name) for reproducible timings
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>

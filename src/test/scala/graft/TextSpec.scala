@@ -188,6 +188,38 @@ class TextSpec extends SparkSpec {
     assert(out(2)._2 === 1.0 - 1.0 / 5.0 && out(2)._3 === 1.0 - 1.0 / 6.0 && out(2)._4 === 0)
   }
 
+  test("NgramDupFrac native expression matches the declarative formulation") {
+    import graft.operators.TrainPrep
+    // edge cases: empty string (split -> [""]), single token, token count
+    // below n (0 grams -> NaN both ways), all-identical, clean prose
+    val docs = Seq(
+      (1L, ""), (2L, "solo"), (3L, "a a a a"), (4L, "w x y z w x"),
+      (5L, "buy now buy now buy now")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val grams = TrainPrep.wordNgrams(col("text"), n)
+      val declarative = lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams)
+      // the declarative tower throws ANSI DIVIDE_BY_ZERO on 0-gram rows,
+      // so equivalence is asserted where grams exist; the native expr
+      // yields NaN there instead (never reached by repetitionStats'
+      // consumers — every real doc has tokens)
+      val out = docs.filter(size(grams) > 0)
+        .withColumn("fast", graft.plans.NgramDupFrac(spark, split(col("text"), " "), n))
+        .withColumn("slow", declarative)
+        .select("doc_id", "fast", "slow")
+        .as[(Long, Double, Double)].collect()
+      assert(out.nonEmpty)
+      out.foreach { case (id, fast, slow) =>
+        assert(fast == slow, s"n=$n doc=$id native=$fast declarative=$slow")
+      }
+      val degenerate = docs.filter(size(grams) === 0)
+        .withColumn("fast", graft.plans.NgramDupFrac(spark, split(col("text"), " "), n))
+        .select("fast").as[Double].collect()
+      assert(degenerate.forall(_.isNaN))
+    }
+  }
+
   test("bm25: rarer query terms dominate, ranks are dense from 1, topK caps") {
     // 'rare' appears in 1 of 4 docs, 'common' in all 4; equal tf and dl
     // mean the rare-term doc must outrank every common-only doc
