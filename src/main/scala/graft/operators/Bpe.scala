@@ -64,7 +64,11 @@ object Bpe {
         .withColumn("t", when(col("ra").isNull, col("t"))
           .otherwise(mergePair(col("t"), col("ra"), col("rb"))))
         .drop("ra", "rb")
-      dict = graft.util.Checkpoints.truncate(dict)
+      // eager=false: lineage is truncated at plan level either way; the
+      // per-round dict (referenced twice next round) materializes once
+      // into cached blocks inside the final action instead of a separate
+      // driver-blocking job per merge round
+      dict = graft.util.Checkpoints.truncate(dict, eager = false)
     }
     dict.select(col("word"), col("cnt"),
       size(col("t")).cast("long").as("n_pieces"),

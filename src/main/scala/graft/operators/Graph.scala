@@ -102,7 +102,11 @@ object Graph {
               lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
             col("n_nodes"), col("outdeg"))
         }
-      if (checkpoint) ranks = Checkpoints.truncate(ranks)
+      // eager=false: no per-round action — the lineage is truncated at
+      // plan level either way, but the rank RDDs materialize inside the
+      // single final action instead of one driver-blocking job per round
+      // (10 rounds x 3 graph queries was ~40 job launches of tiny data)
+      if (checkpoint) ranks = Checkpoints.truncate(ranks, eager = false)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -156,7 +160,11 @@ object Graph {
         .select(col("node"), col("outdeg"), col("tp"),
           (lit(0.125) * col("tp") +
             lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      if (checkpoint) ranks = Checkpoints.truncate(ranks)
+      // eager=false: no per-round action — the lineage is truncated at
+      // plan level either way, but the rank RDDs materialize inside the
+      // single final action instead of one driver-blocking job per round
+      // (10 rounds x 3 graph queries was ~40 job launches of tiny data)
+      if (checkpoint) ranks = Checkpoints.truncate(ranks, eager = false)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -201,7 +209,7 @@ object Graph {
       val hub = hAll.crossJoin(broadcast(hSum))
         .select(col("node"), (col("h_raw") / col("h_sum")).as("hub"))
       scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
-      if (checkpoint) scores = Checkpoints.truncate(scores)
+      if (checkpoint) scores = Checkpoints.truncate(scores, eager = false)
     }
     scores
   }

@@ -280,10 +280,17 @@ object TextAnalysis {
     val uni = docs.select(explode(split(col(textCol), " ")).as("tok"))
     val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("n"))
     val total = uni.agg(count(lit(1)).as("nn"))
+    // adjacent pairs via arrays_zip of the two shifted slices — same
+    // (a, b) rows as exploding 2-grams and re-splitting, without the
+    // join-then-split string round-trip or the transform() lambda (both
+    // interpreted; this form stays inside codegen and matches the
+    // oracle's direct t[i], t[i+1] indexing)
+    val toksP = split(col(textCol), " ")
+    val nP = size(toksP) - 1
     val pairs = docs
-      .select(explode(TrainPrep.wordNgrams(col(textCol), 2)).as("gram"))
-      .select(element_at(split(col("gram"), " "), 1).as("a"),
-        element_at(split(col("gram"), " "), 2).as("b"))
+      .select(explode(arrays_zip(
+        slice(toksP, lit(1), nP), slice(toksP, lit(2), nP))).as("p"))
+      .select(col("p.0").as("a"), col("p.1").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     pairs
