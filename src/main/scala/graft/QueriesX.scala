@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 extension queries: relational reshaping (unpivot, winsorize),
+  * training-corpus chunk dedup, deletion-neighborhood edit-distance join,
+  * Bloom-filter runtime pre-filtering, event-transition (Markov) matrix,
+  * and iterative BFS. Candidate generation stays equi-join-on-block-key
+  * (never an unbounded cartesian) and aggregates stay partial-aggregable —
+  * the 100 TB constraints.
+  */
+object QueriesX {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores nanosecond timestamps; Spark 4 reads them only as
+    * raw longs via this legacy conf (the ts column is unused here but must
+    * still be decodable at scan time).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  // ---- unpivot / melt: wide per-group aggregates to (group, metric, value)
+  //      long form. Spark's Dataset.unpivot is a zero-shuffle local expand
+  //      on top of the (already partial-aggregated) groupBy — the long form
+  //      is 3x the rows but never re-shuffles. ----
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double").as("price"),
+        sum(col("l_discount").cast("decimal(20,2)")).cast("double").as("disc"))
+    agg.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("qty"), col("price"), col("disc")),
+      "metric", "value")
+  }
+
+  val oUnpivot: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS price,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+      |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+      |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a)""".stripMargin
+
+  // ---- C4-style chunk dedup: split each doc into DISJOINT 10-token
+  //      chunks, keep only the globally-first occurrence of each chunk
+  //      (ordered by doc_id, then position), report per-doc retention.
+  //      The keeper choice is one groupBy on chunk content (hash-
+  //      partitioned by chunk — a pathologically common chunk is a skew
+  //      key; AQE skew-split handles it, the aggregate itself is just
+  //      min(struct)). Differs from q_substring_dedup (overlapping 8-gram
+  //      repeated-span coverage): this is the removal policy, not the
+  //      measurement. ----
+  def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= K) // docs with no full chunk drop out
+    val chunks = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("t")) / K).cast("int") - 1),
+        i => array_join(slice(col("t"), i * K + 1, lit(K)), " "))).as(Seq("pos", "chunk")))
+    val keeper = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("chunk"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
+    chunks.join(keeper, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kd") === col("doc_id") && col("kp") === col("pos"), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  val oChunkDedup: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(t) // 10)) AS pos,
+      |    unnest(list_transform(range(0, len(t) // 10),
+      |      i -> array_to_string(t[i*10+1:i*10+10], ' '))) AS chunk
+      |  FROM toks WHERE len(t) >= 10),
+      |k AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      |  FROM ch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM k GROUP BY 1""".stripMargin
+
+  // ---- edit-distance <= 1 self-join via FastSS deletion neighborhoods
+  //      (Bocek et al. 2007, public): two equal-or-off-by-one-length
+  //      strings within edit distance 1 share at least one single-character
+  //      -deletion variant, so emitting L+1 variants per string and
+  //      equi-joining on the variant finds ALL such pairs with blocks sized
+  //      by true near-neighbor density — never by any fixed prefix scheme
+  //      (c_name's constant "Customer#" prefix makes half/third-split
+  //      blocking degenerate to all-pairs; deletion variants stay ~10 per
+  //      block here). N*(L+1) emitted rows, one shuffle, exact
+  //      levenshtein only on candidates. ----
+  /** Deletion variants of `nm`: the string itself plus each single-char
+    * deletion, as an array column.
+    */
+  private def deletionVariants(nm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_union(
+      array(nm),
+      transform(sequence(lit(1), length(nm)),
+        i => concat(nm.substr(lit(1), i - 1), nm.substr(i + 1, length(nm)))))
+
+  def qEditDistJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+    val v = names.select(col("id"), col("nm"),
+      explode(deletionVariants(col("nm"))).as("v"))
+    val a = v.select(col("id").as("a_id"), col("nm").as("a_nm"), col("v"))
+    val b = v.select(col("id").as("b_id"), col("nm").as("b_nm"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_nm"), col("b_nm")).distinct()
+      .filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_nm"), col("b_nm")).cast("long").as("d"))
+  }
+
+  val oEditDistJoin: String =
+    """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+  // ---- Bloom-filter runtime pre-filter: build a 65,536-bit / 3-hash
+  //      Bloom filter over the (small) filtered dimension's keys as a
+  //      1,024-row (word_index, bits) bitmap — built with one tiny
+  //      shuffle, broadcast to the fact side — prefilter fact rows by
+  //      testing all 3 bit positions, then remove false positives with the
+  //      exact broadcast semi-join. At 100 TB the bloom probe runs inside
+  //      the fact scan stage BEFORE any exchange, so rows that cannot join
+  //      never reach the shuffle — Spark's own AQE runtime filter does the
+  //      same thing implicitly; this is the explicit, tunable form. The
+  //      oracle sees only the exact final semantics. ----
+  def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val m = 1 << 16
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    def positions(key: org.apache.spark.sql.Column) =
+      array((0 until 3).map(i => pmod(xxhash64(lit(i), key), lit(m.toLong))): _*)
+    val bitmap = cust
+      .select(explode(positions(col("c_custkey"))).as("pos"))
+      .select((col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("bits")) // <= 1,024 rows
+    val orders = t(s, dir, "orders")
+    val candKeys = orders.select(col("o_custkey")).distinct()
+      .select(col("o_custkey"), explode(positions(col("o_custkey"))).as("pos"))
+      .select(col("o_custkey"),
+        (col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("b"))
+      .join(broadcast(bitmap), "w")
+      .filter(col("bits").bitwiseAND(col("b")) =!= 0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 3) // all 3 bits set -> bloom-maybe
+      .select(col("o_custkey"))
+    orders
+      .join(broadcast(candKeys), Seq("o_custkey"), "left_semi") // bloom prefilter
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"), "left_semi") // exact
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val oBloomPrefilter: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  // ---- first-order Markov transition matrix over per-user event
+  //      sequences: one window (shuffle by user_id) for the lag pairing,
+  //      one partial-aggregable count, and a broadcast of the tiny
+  //      per-prev totals. p = n/tot is exact IEEE long/long division —
+  //      bit-identical across engines. ----
+  def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val tr = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("curr", lead(col("event_type"), 1).over(w))
+      .filter(col("curr").isNotNull)
+      .groupBy(col("event_type").as("prev"), col("curr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("prev").agg(sum("n").as("tot"))
+    tr.join(broadcast(tot), "prev")
+      .select(col("prev"), col("curr"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  val oMarkov: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS curr
+      |  FROM events),
+      |tr AS (
+      |  SELECT event_type AS prev, curr, CAST(count(*) AS BIGINT) AS n
+      |  FROM e WHERE curr IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
+      |SELECT tr.prev, tr.curr, tr.n,
+      |  CAST(tr.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+      |FROM tr JOIN tot USING (prev)""".stripMargin
+
+  // ---- BFS shortest-path depth (<= 3 hops) from node 0 over the
+  //      undirected order/supplier bipartite graph. Frontier-expansion
+  //      joins with a distinct() per level keep the frontier bounded by
+  //      the node count (not the path count — the recursive-CTE oracle
+  //      pays path enumeration; this plan never does). min(d) at the end
+  //      collapses revisits. 3 fixed iterations — the unrolled-loop plan
+  //      is 3 equi-joins, no lineage blowup at this depth. ----
+  def qBfsDepth(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val init = s.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
+    var reached = init
+    var frontier = init
+    for (i <- 1 to 3) {
+      frontier = frontier.as("f").join(edges.as("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"), lit(i.toLong).as("d")).distinct()
+      reached = reached.union(frontier)
+    }
+    reached.groupBy("node").agg(min("d").as("d"))
+  }
+
+  val oBfsDepth: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      |  UNION
+      |  SELECT DISTINCT l_suppkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+      |bfs(node, d) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+      |  UNION
+      |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+      |  WHERE bfs.d < 3)
+      |SELECT node, min(d) AS d FROM bfs GROUP BY 1""".stripMargin
+
+  // ---- winsorization: clip each value to its group's nearest-rank
+  //      [p05, p95] (rank = ceil(q*n) over one per-group sort — the rank's
+  //      VALUE is deterministic under ties even though row_number is not),
+  //      then an exact DECIMAL sum of the clipped column. Nearest-rank
+  //      (not interpolated) bounds keep every clipped value a real
+  //      2-decimal data value, so the sum stays exact across engines. ----
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val wAll = Window.partitionBy("l_returnflag")
+    def rk(q: Double) = ceil(lit(q) * col("n")).cast("long")
+    val ranked = li
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val bounds = ranked
+      .filter(col("rn") === rk(0.05) || col("rn") === rk(0.95))
+      .groupBy("l_returnflag")
+      .agg(max(when(col("rn") === rk(0.05), col("l_extendedprice"))).as("lo"),
+        max(when(col("rn") === rk(0.95), col("l_extendedprice"))).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"),
+        when(col("l_extendedprice") < col("lo"), col("lo"))
+          .when(col("l_extendedprice") > col("hi"), col("hi"))
+          .otherwise(col("l_extendedprice")).as("v"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(20,2)")).cast("double").as("sum_winsorized"))
+  }
+
+  val oWinsorize: String =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT l_returnflag,
+      |    max(CASE WHEN rn = CAST(ceil(0.05::DOUBLE * n) AS BIGINT)
+      |      THEN l_extendedprice END) AS lo,
+      |    max(CASE WHEN rn = CAST(ceil(0.95::DOUBLE * n) AS BIGINT)
+      |      THEN l_extendedprice END) AS hi
+      |  FROM r
+      |  WHERE rn = CAST(ceil(0.05::DOUBLE * n) AS BIGINT)
+      |     OR rn = CAST(ceil(0.95::DOUBLE * n) AS BIGINT)
+      |  GROUP BY 1)
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CASE WHEN l_extendedprice < lo THEN lo
+      |    WHEN l_extendedprice > hi THEN hi
+      |    ELSE l_extendedprice END AS DECIMAL(20,2))) AS DOUBLE) AS sum_winsorized
+      |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin
+}
