@@ -15,13 +15,13 @@ object QueriesExt {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores nanosecond timestamps; Spark 4 reads them only as
-    * raw longs via this legacy conf (DuckDB truncates to micros on read —
-    * integer `DIV 1000` reconciles the two exactly).
+  /** events.ts normalized to epoch-nanos longs regardless of storage type
+    * (legacy nanos-INT64 or the regenerated TIMESTAMP_NTZ micros testdata);
+    * downstream `DIV 1000` yields exactly DuckDB's `epoch_us(ts)`.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    graft.util.EventTime.tsToNanos(t(s, dir, "events"))
   }
 
   // shared DuckDB SQL fragments (same algebra as graft.functions.Portable)

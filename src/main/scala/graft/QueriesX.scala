@@ -16,13 +16,12 @@ object QueriesX {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores nanosecond timestamps; Spark 4 reads them only as
-    * raw longs via this legacy conf (the ts column is unused here but must
-    * still be decodable at scan time).
+  /** events.ts normalized to epoch-nanos longs regardless of storage type
+    * (legacy nanos-INT64 or TIMESTAMP_NTZ micros); see [[graft.util.EventTime]].
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    graft.util.EventTime.tsToNanos(t(s, dir, "events"))
   }
 
   // ---- unpivot / melt: wide per-group aggregates to (group, metric, value)
