@@ -296,4 +296,76 @@ object QueriesX {
       |    WHEN l_extendedprice > hi THEN hi
       |    ELSE l_extendedprice END AS DECIMAL(20,2))) AS DOUBLE) AS sum_winsorized
       |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin
+
+  // ---- sliding-window distinct via HLL register fan-out: 7-day trailing
+  //      distinct (user, action) activity pairs, daily. Sliding DISTINCT
+  //      doesn't decompose like sliding sums — recounting each window
+  //      rescans every event windowDays times; fanning out each day's
+  //      <=256 register rows and max-merging per window costs
+  //      days×7×256 rows however large the corpus is. The exact recount
+  //      rides along as the measurement harness (the q_hll_distinct
+  //      pattern); the value is the composite user#event_type so the
+  //      per-window cardinality (~750 at sf0.01) sits above the raw
+  //      p=8 estimator's ~2.5m small-range bias floor. ----
+  def qHllSliding(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketch
+    val W = 7
+    val e = events(s, dir).select(
+      expr("ts DIV 1000 DIV 86400000000").as("day"),
+      concat(col("user_id").cast("string"), lit("#"), col("event_type")).as("pair"))
+    val est = Sketch.hllSlidingDaily(e, "day", "pair", W)
+    // exact side: fan out DISTINCT (day, pair) — the day-grain dedup
+    // happens before the ×W expansion, so the harness too stays far
+    // smaller than events×W
+    val exact = e.select(col("day"), col("pair")).distinct()
+      .select(explode(sequence(col("day"), col("day") + (W - 1))).as("win"),
+        col("pair"))
+      .groupBy(col("win")).agg(countDistinct(col("pair")).as("n_exact"))
+    val rel = abs(col("hll_est") - col("n_exact").cast("double")) /
+      col("n_exact").cast("double")
+    exact.join(est, "win")
+      .select(col("win"), col("n_exact"), col("hll_est"),
+        rel.as("rel_err"), (rel <= lit(0.195)).as("err_ok"))
+  }
+
+  private val H32 = "('0x' || substr(md5(%s), 1, 8))::BIGINT"
+
+  val oHllSliding: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(user_id AS VARCHAR) || '#' || event_type AS pair
+       |  FROM events),
+       |mx AS (SELECT max(day) AS mx FROM e),
+       |h AS (SELECT day, ${H32.format("pair")} AS h FROM e),
+       |r AS (
+       |  SELECT day, h // 16777216 AS j,
+       |    CASE WHEN h % 16777216 = 0 THEN 25
+       |         ELSE 25 - length(bin(h % 16777216)) END AS rho
+       |  FROM h),
+       |m AS (SELECT day, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+       |f AS (
+       |  SELECT unnest(range(day, day + 7)) AS win, j, mj FROM m),
+       |fm AS (
+       |  SELECT win, j, max(mj) AS mj FROM f, mx WHERE win <= mx.mx
+       |  GROUP BY 1, 2),
+       |sm AS (
+       |  SELECT win, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT) AS sp
+       |  FROM fm GROUP BY 1),
+       |est AS (
+       |  SELECT win,
+       |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+       |      * 65536.0::DOUBLE * 33554432.0::DOUBLE
+       |      / CAST((256 - c) * 33554432 + sp AS DOUBLE) AS hll_est
+       |  FROM sm),
+       |dp AS (SELECT DISTINCT day, pair FROM e),
+       |xf AS (SELECT unnest(range(day, day + 7)) AS win, pair FROM dp),
+       |x AS (
+       |  SELECT win, CAST(count(DISTINCT pair) AS BIGINT) AS n_exact
+       |  FROM xf, mx WHERE win <= mx.mx GROUP BY 1)
+       |SELECT win, n_exact, hll_est,
+       |  abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err,
+       |  (abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE))
+       |    <= 0.195::DOUBLE AS err_ok
+       |FROM x JOIN est USING (win)""".stripMargin
 }

@@ -91,6 +91,32 @@ object Sketch {
     *
     * @param minFracDenom report tokens whose estimate ≥ N / minFracDenom
     */
+  /** Trailing-`windowDays`-day sliding distinct estimates, built ENTIRELY
+    * from per-day register sketches: each day's ≤ m register rows fan out
+    * to the `windowDays` windows they belong to and are max-merged per
+    * window (the [[hllRegisters]] merge law), so the sliding-distinct
+    * series costs one scan of the data plus work proportional to
+    * `days × windowDays × m` — NOT `days × window_slice` rescans. This is
+    * how a 100 TB pipeline answers "7-day active distincts, daily" —
+    * sliding distinct counts don't decompose like sums, but register
+    * sketches do. Windows past the last observed day are suppressed (the
+    * max-day scalar rides the plan as a broadcast, never collected).
+    *
+    * Output: (win = day index the window ends on, hll_est).
+    */
+  def hllSlidingDaily(df: DataFrame, dayCol: String, valueCol: String,
+                      windowDays: Int): DataFrame = {
+    val daily = hllRegisters(df, Seq(dayCol), valueCol)
+    val maxDay = df.agg(max(col(dayCol)).as("_mx"))
+    val fanned = daily
+      .select(explode(sequence(col(dayCol),
+        col(dayCol) + (windowDays - 1))).as("win"), col("_j"), col("_m"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("win") <= col("_mx")).drop("_mx")
+      .groupBy(col("win"), col("_j")).agg(max(col("_m")).as("_m"))
+    hllEstimate(fanned, Seq("win"))
+  }
+
   /** The count-min cell table (seed, bucket, cell_cnt) — d×w rows. Like
     * the HLL registers and the quantile slots it is MERGEABLE: cells are
     * keyed by a pure token hash, so the sketch of a union of slices is

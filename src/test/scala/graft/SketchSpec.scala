@@ -167,6 +167,29 @@ class SketchSpec extends SparkSpec {
     assert(r.collect().toSet === r2.collect().toSet)
   }
 
+  test("sliding HLL window estimate == direct sketch of the window's slice") {
+    import graft.operators.Sketch
+    import spark.implicits._
+    // synthetic 5 days × overlapping values; window = 3 days
+    val df = spark.range(500).select(
+      (col("id") % 5).as("day"), (col("id") % 137).cast("string").as("v"))
+    val sliding = Sketch.hllSlidingDaily(df, "day", "v", windowDays = 3)
+      .as[(Long, Double)].collect().toMap
+    // every window present, none past the last day
+    assert(sliding.keySet === (0L to 4L).toSet)
+    for (win <- 0L to 4L) {
+      val direct = Sketch.hllDistinct(
+        df.filter(col("day") >= win - 2 && col("day") <= win), Nil, "v")
+        .as[Double].head()
+      assert(sliding(win) === direct,
+        s"window $win: register fan-out must replay the direct window sketch")
+    }
+    // partition-independence of the fan-out + max-merge
+    val repart = Sketch.hllSlidingDaily(df.repartition(7), "day", "v", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(repart === sliding)
+  }
+
   test("percentile_approx brackets the exact median") {
     val r = li.agg(
       expr("percentile(l_quantity, 0.5)").as("exact"),
