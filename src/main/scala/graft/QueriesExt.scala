@@ -650,6 +650,43 @@ object QueriesExt {
        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
        |FROM tr LEFT JOIN hits h USING (q_id)""".stripMargin
 
+  // ---- ANN rank quality: harmonic-discounted NDCG of the LSH path
+  //      against the brute top-k ranking. Set recall (q_ann_recall) says
+  //      whether true neighbours are found; this grades where the ANN
+  //      ranking puts them. Harmonic discount over log2 so the gains sum
+  //      as exact integers (27720 DIV (rank+1)) — bit-identical across
+  //      engines and partitionings; one double division per query. ----
+  def qAnnNdcg(s: SparkSession, dir: String): DataFrame =
+    Similarity.annNdcg(t(s, dir, "embeddings"), col("vec_id") < 5, k = 5,
+      numPlanes = 8, dim = 64, minCosine = 0.25)
+
+  val oAnnNdcg: String =
+    s"""WITH brute AS (SELECT q_id, vec_id, rank FROM ($oSimilarTopk) bt),
+       |lshp AS (SELECT a_id, b_id, cosine FROM ($oAnnLsh) lt),
+       |sym AS (SELECT a_id AS q_id, b_id AS vec_id, cosine FROM lshp
+       |        UNION ALL SELECT b_id, a_id, cosine FROM lshp),
+       |symq AS (SELECT s.* FROM sym s
+       |         SEMI JOIN (SELECT DISTINCT q_id FROM brute) q ON s.q_id = q.q_id),
+       |annTop AS (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM symq)
+       |  WHERE rank <= 5),
+       |dcg AS (
+       |  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(27720 // (a.rank + 1)) AS BIGINT) AS dcg_i
+       |  FROM annTop a SEMI JOIN brute b
+       |    ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+       |  GROUP BY 1),
+       |idcg AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(sum(27720 // (rank + 1)) AS BIGINT) AS idcg_i
+       |  FROM brute GROUP BY 1)
+       |SELECT i.q_id, i.n_truth, COALESCE(d.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(d.dcg_i, 0) AS DOUBLE) / CAST(i.idcg_i AS DOUBLE) AS ndcg_h
+       |FROM idcg i LEFT JOIN dcg d USING (q_id)""".stripMargin
+
   // ---- multi-probe ANN recall: probe side also visits the hamming-1
   //      buckets (Lv et al. 2007) — recall rises without more hash
   //      tables; same brute-force ground truth as q_ann_recall, so the
@@ -1903,6 +1940,32 @@ object QueriesExt {
        |SELECT doc_id, shard, n_tokens, tokens_before // 512 AS bin,
        |  tokens_before % 512 AS offset
        |FROM c""".stripMargin
+
+  // ---- strided context windows: per-document BERT-style fixed-size
+  //      training examples with overlap (window 32, stride 16); full
+  //      windows for docs >= 32 tokens, one partial window for shorter
+  //      docs. Pure per-row array expand — no shuffle. ----
+  def qContextWindows(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.contextWindows(t(s, dir, "documents"), "doc_id", "text",
+      window = 32, stride = 16)
+
+  val oContextWindows: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+      |nw AS (
+      |  SELECT doc_id, t, n,
+      |    CASE WHEN n < 32 THEN 1 ELSE (n - 32) // 16 + 1 END AS nwin
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(unnest(range(0, nwin)) AS BIGINT) AS win_id,
+      |  unnest(list_transform(range(0, nwin), i -> CAST(i * 16 AS BIGINT))) AS start,
+      |  unnest(list_transform(range(0, nwin),
+      |    i -> CAST(least(32, n - i * 16) AS BIGINT))) AS n_tok,
+      |  unnest(list_transform(range(0, nwin),
+      |    i -> array_to_string(t[i*16+1 : i*16+32], ' '))) AS win_text
+      |FROM nw""".stripMargin
 
   // ---- stratified deterministic sampling: per-language keep rates for
   //      corpus rebalancing, content-addressed (kept docs stay kept as

@@ -168,20 +168,16 @@ object Raster {
     * embedded Derby (ships with Spark — RasterSpec round-trips write,
     * read-back, and overwrite-replace).
     *
-    * KNOWN GAP vs the reference's PostGIS target (geopandas `to_postgis`,
-    * species_range_etl.py:230-236): geometry lands as generic WKB
-    * `bytea`, NOT a typed `geometry(MultiPolygon, 4326)` column. Spark's
-    * JDBC writer maps BinaryType through the dialect's default, and no
-    * stock dialect knows PostGIS types; closing it needs a custom
-    * `JdbcDialect` (registered via `JdbcDialects.registerDialect`)
-    * overriding `getJDBCType(BinaryType)` → `other` with
-    * `geometry(MultiPolygon,4326)` plus an INSERT through
-    * `ST_GeomFromWKB(?, 4326)` — or, operationally, this writer followed
-    * by one `ALTER TABLE ... USING ST_GeomFromWKB(geometry, 4326)`.
-    * Untestable in this environment (no PostGIS server, zero egress), so
-    * the engine ships the documented WKB contract instead of an unproven
-    * dialect; round-trip correctness of the bytes themselves IS covered
-    * by the Derby tests.
+    * Geometry lands as generic WKB `bytea` through this stock path
+    * (Spark's JDBC writer maps BinaryType via the dialect default; no
+    * stock dialect knows PostGIS types, and the INSERT builder cannot
+    * wrap a placeholder in `ST_GeomFromWKB`). For the reference's TYPED
+    * `geometry(MultiPolygon, 4326)` column (geopandas `to_postgis`,
+    * species_range_etl.py:230-236) use [[graft.sources.PostGis]]: typed
+    * DDL + `ST_GeomFromWKB(?, 4326)` batched inserts, or its
+    * `alterToGeometrySql` to convert a bytea column this writer loaded.
+    * The live PostGIS server is unreachable here (zero egress); the
+    * statement text and the batched plumbing are Derby-tested offline.
     */
   def writeSpeciesDataJdbc(df: DataFrame, url: String, table: String,
                            batchSize: Int = 10000,

@@ -326,6 +326,51 @@ object Similarity {
           col("n_truth").cast("double")).as("recall"))
   }
 
+  /** Rank-aware complement of [[annRecall]]: set recall says WHETHER the
+    * true neighbours were found; this grades WHERE the ANN path ranks
+    * them. Binary relevance (membership in the brute-force top-k),
+    * harmonic position discount 1/(rank+1) — chosen over nDCG's classic
+    * log₂ discount deliberately: log2(3) differs in the last ulp across
+    * libm builds, while the harmonic weights become EXACT integers after
+    * scaling by 27720 (divisible by 2..11, so exact for every rank ≤ 10).
+    * Per query: the LSH candidate set re-ranked by the same exact cosine
+    * the ground truth used, gains summed as integers, one final
+    * dcg/idcg division — bit-identical across engines and partitionings.
+    * ndcg = 1 ⟺ the ANN top-k IS the true top-k in order; missing or
+    * late-ranked neighbours decay it smoothly.
+    */
+  def annNdcg(vecs: DataFrame, queryPred: Column, k: Int,
+              numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
+    require(k <= 10, "harmonic discount table is exact for ranks <= 10")
+    val truth = bruteTopK(vecs, queryPred, k) // (q_id, vec_id, cosine, rank)
+    val pairs = lshPairs(vecs, numPlanes, dim, minCosine)
+    val sym = pairs.select(col("a_id").as("q_id"), col("b_id").as("vec_id"),
+        col("cosine"))
+      .unionByName(pairs.select(col("b_id").as("q_id"), col("a_id").as("vec_id"),
+        col("cosine")))
+      // candidates of the graded query set only
+      .join(truth.select(col("q_id")).distinct(), Seq("q_id"), "left_semi")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val annTop = sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    // integer DIV (Column./ would be float division): exact since 27720
+    // is divisible by every rank+1 <= 11
+    val disc = expr("CAST(27720 AS BIGINT) DIV (rank + 1)")
+    val dcg = annTop
+      .join(truth.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"),
+        "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(disc).as("dcg_i"))
+    val idcg = truth.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"), sum(disc).as("idcg_i"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("dcg_i"), lit(0L)).cast("double") /
+          col("idcg_i").cast("double")).as("ndcg_h"))
+  }
+
   /** Multi-probe LSH pairs: candidates whose signatures agree exactly OR
     * differ in one plane — the standard recall/table-count trade (Lv et
     * al. 2007, "Multi-Probe LSH"): instead of building more hash tables

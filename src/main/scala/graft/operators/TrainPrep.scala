@@ -75,6 +75,46 @@ object TrainPrep {
       .drop("tokens_before")
   }
 
+  /** Strided sliding context windows over each document's token sequence —
+    * the BERT-style per-document windowing that turns long documents into
+    * fixed-size training examples with `window - stride` tokens of overlap
+    * (the alternative to [[packSequences]]' concat-and-chunk: windows never
+    * cross document boundaries, at the cost of duplicated overlap tokens).
+    *
+    * Contract: documents with at least `window` tokens emit
+    * `(n - window) DIV stride + 1` full windows starting at
+    * 0, stride, 2·stride, …  (tail tokens not covered by a full window are
+    * truncated — the standard strided-training convention); shorter
+    * documents emit their whole token sequence as one partial window, so
+    * no document vanishes from the training set.
+    *
+    * Scale shape: a pure per-row array expand (sequence → transform →
+    * posexplode) — no shuffle, no window function, whole-stage-codegen
+    * friendly; output rows ≈ corpus_tokens / stride however the input is
+    * partitioned.
+    */
+  def contextWindows(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = docs.select(col(idCol), Portable.tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .filter(col("_n") > 0)
+      .withColumn("_nw",
+        when(col("_n") < window, lit(1))
+          .otherwise(expr(s"CAST((_n - $window) DIV $stride AS INT) + 1")))
+    toks.select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("_nw") - 1),
+          i => struct(
+            (i * stride).cast("long").as("start"),
+            array_join(slice(col("_t"), i * stride + 1, lit(window)), " ").as("win_text"),
+            least(lit(window), col("_n") - i * stride).cast("long").as("n_tok"))))
+          .as(Seq("win_id", "w")))
+      .select(col(idCol), col("win_id").cast("long").as("win_id"),
+        col("w.start").as("start"), col("w.n_tok").as("n_tok"),
+        col("w.win_text").as("win_text"))
+  }
+
   /** Token-budget domain mixing — the mixture-weights step of pretraining
     * data assembly: each domain (language, source, quality bin) gets a
     * token BUDGET, and documents are admitted in a deterministic

@@ -84,4 +84,22 @@ class SimilaritySpec extends SparkSpec {
       f"ADC on 4x16 codebooks should recover far more of exact L2 top-5 " +
         f"than the ~0.01 chance baseline (got $recall%.2f)")
   }
+
+  test("annNdcg: bounded by [0,1], 1 iff ANN replays the true ranking, " +
+      "and 0-plane LSH (all-pairs candidates) achieves exactly 1") {
+    val r = Similarity.annNdcg(vecs, col("vec_id") < 5, k = 5,
+        numPlanes = 8, dim = 64, minCosine = 0.25)
+      .select(col("q_id"), col("n_hit"), col("ndcg_h"))
+      .as[(Long, Long, Double)].collect()
+    assert(r.length === 5)
+    assert(r.forall { case (_, _, n) => n >= 0.0 && n <= 1.0 })
+    // a query with zero hits must score exactly 0; full in-order hits 1
+    r.foreach { case (_, hits, n) => if (hits == 0L) assert(n === 0.0) }
+    // 0 planes -> every vector lands in bucket 0 -> candidates are all
+    // pairs above the floor -> the re-ranked top-k IS the brute top-k
+    val perfect = Similarity.annNdcg(vecs, col("vec_id") < 5, k = 5,
+        numPlanes = 0, dim = 64, minCosine = -1.0)
+      .select(col("ndcg_h")).as[Double].collect()
+    assert(perfect.length === 5 && perfect.forall(_ === 1.0))
+  }
 }

@@ -215,4 +215,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2, r._3)).toSeq ===
       rows.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
+
+  test("contextWindows: full-window coverage, overlap, short-doc and tail semantics") {
+    val d = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 toks: 3 full + tail drop
+      (2L, "a b c"),                              // short: one partial window
+      (3L, (1 to 4).map("s" + _).mkString(" "))   // exactly window: one window
+    ).toDF("doc_id", "text")
+    val r = TrainPrep.contextWindows(d, "doc_id", "text", window = 4, stride = 2)
+      .select("doc_id", "win_id", "start", "n_tok", "win_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // doc 1: (10-4)/2+1 = 4 full windows at starts 0,2,4,6; tokens 9..10
+    // appear only inside the last window (start 6 covers 7..10)
+    assert(r(1L).map(w => (w._3, w._5)) === Seq(
+      0L -> "t1 t2 t3 t4", 2L -> "t3 t4 t5 t6",
+      4L -> "t5 t6 t7 t8", 6L -> "t7 t8 t9 t10"))
+    assert(r(1L).forall(_._4 === 4L))
+    // doc 2 (< window): one partial window, n_tok = doc length
+    assert(r(2L) === Seq((2L, 0L, 0L, 3L, "a b c")))
+    // doc 3 (== window): exactly one full window
+    assert(r(3L) === Seq((3L, 0L, 0L, 4L, "s1 s2 s3 s4")))
+    // partition-independence of the expand
+    val again = TrainPrep.contextWindows(d.repartition(5), "doc_id", "text", 4, 2)
+      .select("doc_id", "win_id", "start", "n_tok", "win_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(again === r.values.flatten.toSet)
+  }
 }
