@@ -345,6 +345,33 @@ object QueriesExt {
       |  FROM g a, g b WHERE a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  // ---- EXACT all-pairs set-similarity join at Jaccard >= 3/5 over word
+  //      3-shingles: prefix filtering (PPJoin) makes the candidate stage
+  //      an equi-join on each doc's rarest shingles — lossless, unlike
+  //      the MinHash/SimHash banding family, so the brute-force oracle is
+  //      an equality check, not a recall measurement. All threshold
+  //      math is integer (num/den rational). ----
+  def qSetsimJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.setSimJoin(t(s, dir, "documents"), k = 3, num = 3, den = 5)
+
+  val oSetsimJoin: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |i AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, inter, na.n + nb.n - inter AS n_union,
+      |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+      |FROM i JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+      |WHERE inter * 5 >= (na.n + nb.n - inter) * 3""".stripMargin
+
   // ---- text statistics ----
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(s, dir, "documents"))

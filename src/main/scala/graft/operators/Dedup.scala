@@ -491,6 +491,65 @@ object Dedup {
         min(col("n_toks")).as("n_toks"))
   }
 
+  /** EXACT set-similarity self-join at Jaccard ≥ num/den over word
+    * k-shingle sets, via prefix filtering (Chaudhuri et al. 2006;
+    * Xiao et al. 2008, PPJoin — the public all-pairs algorithm): order
+    * every document's shingles globally by (df asc, shingle asc) and keep
+    * only its PREFIX — the first `n − ⌈t·n⌉ + 1` rarest shingles; two sets
+    * with Jaccard ≥ t must share a prefix shingle, so the candidate stage
+    * is an equi-join on prefix shingles only. Guaranteed lossless (unlike
+    * MinHash banding) yet never all-pairs: prefixes are the RAREST
+    * shingles, so join-key fan-out is bounded by true near-neighbor
+    * density — the df-ordering does for free what fuzzyStringJoin's
+    * stop-gram pruning does explicitly. A length filter
+    * (den·min ≥ num·max) prunes candidates whose sizes alone forbid t.
+    *
+    * The threshold is a RATIONAL num/den: prefix length, length filter
+    * and the final verify (`den·inter ≥ num·union`) are all exact integer
+    * arithmetic — no float ceil whose rounding could differ across
+    * engines. Verification joins the candidate pairs back to the full
+    * shingle lists (id-keyed equi-joins), counts the intersection, and
+    * emits exact sizes with one final double division for display.
+    *
+    * Scale: one df aggregation, one id-keyed window (rank + size share a
+    * single exchange), a prefix-shingle equi-join, and two id-keyed
+    * verify joins. PPJoin's positional refinement is omitted — it prunes
+    * constants, not the asymptotic shape.
+    */
+  def setSimJoin(docs: DataFrame, k: Int, num: Int, den: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num/den <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("id"),
+      explode(TextHash.wordShingles(docs.sparkSession, col(textCol), k)).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("id"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rank", row_number().over(byDoc.orderBy(col("df"), col("sh"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rank") <= expr(s"n - (n * $num + ${den - 1}) DIV $den + 1"))
+      .select(col("sh"), col("id"), col("n"))
+    val cand = prefix.select(col("sh"), col("id").as("a_id"), col("n").as("na"))
+      .join(prefix.select(col("sh"), col("id").as("b_id"), col("n").as("nb")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("na"), col("nb")) * den >= greatest(col("na"), col("nb")) * num)
+      .select(col("a_id"), col("b_id")).distinct()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("n_union"))
+      .filter(col("inter") * den >= col("n_union") * num)
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("n_union").cast("double"))
+  }
+
   /** Near-duplicate CLUSTERS from a candidate-pair list — what a real
     * dedup pipeline needs after pair generation: similarity is not
     * transitive, but keep-one-per-group semantics are, so the pair graph's

@@ -125,6 +125,31 @@ object SketchStream {
       }
   }
 
+  case class DayValue(day: Long, value: Long)
+
+  /** Streaming twin of [[graft.operators.Sketch.hllSlidingDaily]]: the
+    * trailing-`windowDays` sliding distinct series maintained live. The
+    * window fan-out is a STATELESS flatMap (each event contributes its
+    * value to the `windowDays` windows it falls in) feeding
+    * [[runningDistinct]] keyed by window index — so the state is one
+    * 256-byte register array per OPEN window, and because registers are
+    * order-insensitive max-folds of the same hash, each window's estimate
+    * after the full stream is BIT-IDENTICAL to the batch
+    * `hllSlidingDaily` over the same data (StreamingSpec asserts exact
+    * equality; the stream also emits the `windowDays − 1` trailing
+    * windows past the last observed day, which the batch operator
+    * suppresses — callers filter by their notion of "now"). A production
+    * deployment caps state by expiring windows older than the watermark;
+    * register state is per-window-constant either way.
+    */
+  def slidingDistinct(events: Dataset[DayValue],
+                      windowDays: Int): Dataset[KeyEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    runningDistinct(events.flatMap(e =>
+      (e.day until e.day + windowDays).map(w => KV(w.toString, e.value))))
+  }
+
   /** One updated (key, estimate) row per key per micro-batch; run with
     * output mode "update". Estimates are monotone non-decreasing (max
     * registers only grow), so the latest row per key is the answer.

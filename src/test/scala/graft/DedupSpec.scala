@@ -308,4 +308,33 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib, d)).toSet
     assert(pruned.subsetOf(trueStem), "pruning must never create false pairs")
   }
+
+  test("setSimJoin: prefix filtering is lossless vs brute-force Jaccard") {
+    // 40 docs over a small word pool so shingle collisions are plentiful,
+    // plus planted near-dup pairs that must survive
+    val pool = Vector("red", "blue", "fox", "dog", "cat", "sun", "sky", "sea")
+    def text(i: Long): String =
+      (0 until 12).map(j => pool(((i * 7 + j * j + j) % pool.size).toInt)).mkString(" ")
+    val base = (1L to 40L).map(i => (i, text(i)))
+    val planted = Seq(
+      (101L, text(3) + " extra"), // near-dup of 3
+      (102L, text(3)))            // exact dup of 3
+    val d = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(d, k = 3, num = 1, den = 2)
+      .select("a_id", "b_id", "inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force in Scala over the same distinct-shingle sets
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = (base ++ planted).map { case (i, t) => (i, shingles(t)) }
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      inter = (sa intersect sb).size.toLong
+      union = (sa union sb).size.toLong
+      if inter * 2 >= union
+    } yield (ia, ib, inter, union)).toSet
+    assert(got === want, "prefix-filtered join must equal brute force exactly")
+    assert(want.exists { case (a, b, _, _) => (a, b) == (3L, 101L) || (a, b) == (3L, 102L) },
+      "planted near-dups must be present in the ground truth")
+  }
 }

@@ -414,6 +414,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r10 queries: no cartesians; nested loops only for 1-row broadcasts") {
+    val budget = Map(
+      "q_hll_sliding" -> 1,     // max-day scalar rides as a 1-row broadcast
+      // the ANN path itself is a bucket equi-join; the 4 BNLJs are the
+      // brute-force ground-truth harness (5-query broadcast x corpus),
+      // whose subtree the plan replays for each of truth's three uses
+      "q_ann_ndcg" -> 4,
+      "q_context_windows" -> 0, // pure per-row expand
+      "q_setsim_join" -> 0)     // prefix-shingle equi-join + id-keyed joins
+    for ((q, b) <- budget) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= b, s"$q has $bnlj nested-loop joins (budget $b)")
+    }
+    // the context-window expand must not shuffle or window at all
+    val cw = plan("q_context_windows")
+    assert(!cw.contains("Exchange") && !cw.contains("Window"),
+      "context windows must be a pure local expand")
+  }
+
   test("url dedup is a pure scan until the canonical-key aggregation") {
     val p = plan("q_url_dedup")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

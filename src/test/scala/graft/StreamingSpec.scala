@@ -471,4 +471,39 @@ class StreamingSpec extends SparkSpec {
         s"state must be per-window, got ${state.head.numRowsTotal} rows")
     } finally q.stop()
   }
+
+  test("streaming sliding HLL replays batch hllSlidingDaily bit-for-bit") {
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.DayValue
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DayValue]
+    val q = SketchStream.slidingDistinct(input.toDS(), windowDays = 3)
+      .writeStream.format("memory").queryName("hll_slide")
+      .outputMode("update").start()
+    try {
+      // 4 days of values with cross-day overlap, delivered out of order
+      val data = (0L until 300L).map(i => DayValue(i % 4, i % 90))
+      val (d1, d2) = data.splitAt(140)
+      input.addData(d2: _*) // later slice first: order must not matter
+      q.processAllAvailable()
+      input.addData(d1: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_slide").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("hll_est").as("est"))
+        .as[(String, Double)].collect()
+        .map { case (k, e) => (k.toLong, e) }.toMap
+      val batch = graft.operators.Sketch.hllSlidingDaily(
+        data.toDF("day", "value"), "day", "value", windowDays = 3)
+        .as[(Long, Double)].collect().toMap
+      // batch suppresses windows past the last observed day; on the
+      // shared domain the estimates must be exactly equal
+      assert(batch.keySet.subsetOf(streamed.keySet))
+      batch.foreach { case (w, e) => assert(streamed(w) === e,
+        s"window $w: streaming register state must replay the batch sketch") }
+      // trailing windows exist in the stream but not the batch output
+      assert(streamed.keySet.diff(batch.keySet) === Set(4L, 5L))
+      // state: one register array per open window (days 0..5), not per value
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 6L)
+    } finally q.stop()
+  }
 }
