@@ -328,6 +328,49 @@ object QueriesX {
         rel.as("rel_err"), (rel <= lit(0.195)).as("err_ok"))
   }
 
+  // ---- robust outlier detection via Median Absolute Deviation: the
+  //      heavy-tail-safe complement of q_outliers' IQR fences (one wild
+  //      value can stretch quartiles; the MAD barely moves). Median and
+  //      MAD are interpolated percentiles (bit-compatible with DuckDB
+  //      quantile_cont, the q_group_median precedent); the outlier rule
+  //      |x - med| > 3*MAD is exact double arithmetic with a rational
+  //      multiplier. Scale shape: two group aggregations + two broadcast
+  //      joins of the groups-sized tables over the fact scan; at 100 TB
+  //      the exact percentile swaps for the log-linear sketch
+  //      (q_quantile_sketch) without changing the plan shape. ----
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(max(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
+    dev.drop("med").join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  val oMadOutliers: String =
+    """WITH li AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
+      |med AS (
+      |  SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM li GROUP BY 1),
+      |d AS (
+      |  SELECT li.l_returnflag, x, abs(x - med) AS adev, med
+      |  FROM li JOIN med USING (l_returnflag)),
+      |m AS (
+      |  SELECT l_returnflag, max(med) AS med, quantile_cont(adev, 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  max(m.med) AS med, max(m.mad) AS mad,
+      |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN m USING (l_returnflag) GROUP BY 1""".stripMargin
+
   private val H32 = "('0x' || substr(md5(%s), 1, 8))::BIGINT"
 
   val oHllSliding: String =
