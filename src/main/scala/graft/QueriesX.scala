@@ -297,6 +297,83 @@ object QueriesX {
       |    ELSE l_extendedprice END AS DECIMAL(20,2))) AS DOUBLE) AS sum_winsorized
       |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin
 
+  // ---- equi-width histogram: binned value distribution per group, the
+  //      profiling primitive q_profile's scalar stats don't give. Exact
+  //      integer binning via the round-to-cents trick (both engines bin
+  //      identically — no float-boundary drift); one partial-aggregable
+  //      hash agg, output is bins-sized. ----
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 1000000").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", (col("bin") * 10000L).cast("double"))
+
+  val oHistogram: String =
+    """SELECT l_returnflag,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST((CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000) * 10000
+      |    AS DOUBLE) AS bin_lo
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // ---- last-touch conversion attribution: each purchase attributed to
+  //      the latest prior click by the same user, but only within a
+  //      2-hour horizon — the productized form of the as-of join
+  //      primitive (q_asof_join): horizon gating, revenue carried, and
+  //      an attributed verdict per conversion. One user-keyed window
+  //      (the carry-forward union trick — never an inequality join) plus
+  //      one id-keyed equi-join to bring the revenue back. ----
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Temporal
+    val horizonUs = 2L * 3600L * 1000000L
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val matched = Temporal.asofJoin(purchases, clicks,
+      keys = Seq("user_id"), tsCol = "ts_us", idCol = "event_id")
+    val gated = matched.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts_us"),
+      when(col("ts_us") - col("matched_ts") <= horizonUs, col("matched_id"))
+        .as("click_id"),
+      when(col("ts_us") - col("matched_ts") <= horizonUs,
+        col("ts_us") - col("matched_ts")).as("gap_us"))
+    gated.join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("value")),
+        "purchase_id")
+      .select(col("purchase_id"), col("user_id"), col("ts_us"),
+        col("click_id"), col("gap_us"), col("value"),
+        col("click_id").isNotNull.as("attributed"))
+  }
+
+  val oAttribution: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, ts_us, event_id, 1 AS is_ref FROM e WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts_us, event_id, 0 AS is_ref FROM e WHERE event_type = 'purchase'),
+      |w AS (SELECT user_id, ts_us, event_id, is_ref,
+      |    last_value(CASE WHEN is_ref = 1 THEN event_id END IGNORE NULLS) OVER win AS matched_id,
+      |    last_value(CASE WHEN is_ref = 1 THEN ts_us END IGNORE NULLS) OVER win AS matched_ts
+      |  FROM u WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY ts_us, is_ref DESC, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT event_id AS purchase_id, user_id, ts_us,
+      |    CASE WHEN ts_us - matched_ts <= 7200000000 THEN matched_id END AS click_id,
+      |    CASE WHEN ts_us - matched_ts <= 7200000000 THEN ts_us - matched_ts END AS gap_us
+      |  FROM w WHERE is_ref = 0)
+      |SELECT g.purchase_id, g.user_id, g.ts_us, g.click_id, g.gap_us,
+      |  e.value, g.click_id IS NOT NULL AS attributed
+      |FROM g JOIN e ON e.event_id = g.purchase_id""".stripMargin
+
   // ---- sliding-window distinct via HLL register fan-out: 7-day trailing
   //      distinct (user, action) activity pairs, daily. Sliding DISTINCT
   //      doesn't decompose like sliding sums — recounting each window

@@ -133,4 +133,22 @@ class TemporalSpec extends SparkSpec {
       .select("event_id").as[Long].collect().sorted
     assert(r === Array(1L, 2L, 3L)) // both boundaries inclusive; 1001 excluded
   }
+
+  test("attribution horizon gates the as-of match; ties attribute; no-click stays null") {
+    // user 1: click at t=100, purchases at t=150 (in horizon=100) and
+    // t=300 (beyond); user 2: click exactly at the purchase ts (tie ->
+    // ref sorts first -> attributes with gap 0); user 3: purchase, no click
+    val horizon = 100L
+    val clicks = Seq((10L, 1L, 100L), (20L, 2L, 500L)).toDF("event_id", "user_id", "ts_us")
+    val purchases = Seq((11L, 1L, 150L), (12L, 1L, 300L), (21L, 2L, 500L),
+      (31L, 3L, 50L)).toDF("event_id", "user_id", "ts_us")
+    val m = Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "event_id")
+      .select($"event_id",
+        when($"ts_us" - $"matched_ts" <= horizon, $"matched_id").as("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(m(11L) === Some(10L)) // within horizon
+    assert(m(12L) === None)      // same click, beyond horizon
+    assert(m(21L) === Some(20L)) // simultaneous click attributes
+    assert(m(31L) === None)      // never clicked
+  }
 }
