@@ -374,6 +374,60 @@ object QueriesX {
       |  e.value, g.click_id IS NOT NULL AS attributed
       |FROM g JOIN e ON e.event_id = g.purchase_id""".stripMargin
 
+  // ---- linear (multi-touch) attribution: every click in the 2-hour
+  //      window before a purchase shares the credit equally — the
+  //      complement of q_attribution's last-touch rule. The
+  //      (click, purchase) pair stage is the binned range join (equi-join
+  //      on (user, 30-min bin) + exact BETWEEN — never an inequality
+  //      BNLJ); credit = value / n_clicks is emitted PER PAIR with one
+  //      deterministic division — summing credits across purchases would
+  //      be a float sum whose partition order could differ between
+  //      engines, so the materialized assignment IS the graded output. ----
+  def qAttributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Temporal
+    val horizonUs = 2L * 3600L * 1000000L
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts_us") - horizonUs).as("start_us"), col("ts_us").as("end_us"),
+        col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+    val pairs = Temporal.rangeJoinBinned(clicks, purchases,
+      keys = Seq("user_id"), tsCol = "ts_us",
+      startCol = "start_us", endCol = "end_us",
+      binMicros = 1800L * 1000000L)
+    val perPurchase = pairs.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    pairs.join(perPurchase, "purchase_id")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("ts_us").as("click_ts"), col("n_clicks"),
+        (col("value") / col("n_clicks").cast("double")).as("credit"))
+  }
+
+  val oAttributionLinear: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    ts_us - 7200000000 AS start_us, ts_us AS end_us, value
+      |  FROM e WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, ts_us
+      |  FROM e WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.purchase_id, p.user_id, c.click_id, c.ts_us AS click_ts, p.value
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |    AND c.ts_us BETWEEN p.start_us AND p.end_us),
+      |n AS (
+      |  SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+      |  FROM pairs GROUP BY 1)
+      |SELECT pairs.purchase_id, user_id, click_id, click_ts, n.n_clicks,
+      |  value / CAST(n.n_clicks AS DOUBLE) AS credit
+      |FROM pairs JOIN n USING (purchase_id)""".stripMargin
+
   // ---- sliding-window distinct via HLL register fan-out: 7-day trailing
   //      distinct (user, action) activity pairs, daily. Sliding DISTINCT
   //      doesn't decompose like sliding sums — recounting each window

@@ -422,7 +422,11 @@ class PlanSpec extends SparkSpec {
       // whose subtree the plan replays for each of truth's three uses
       "q_ann_ndcg" -> 4,
       "q_context_windows" -> 0, // pure per-row expand
-      "q_setsim_join" -> 0)     // prefix-shingle equi-join + id-keyed joins
+      "q_setsim_join" -> 0,     // prefix-shingle equi-join + id-keyed joins
+      "q_mad_outliers" -> 0,    // group aggs + broadcast hash joins
+      "q_histogram" -> 0,       // one hash agg
+      "q_attribution" -> 0,     // union+window carry-forward, id equi-join
+      "q_attribution_linear" -> 0) // binned range equi-join + count join
     for ((q, b) <- budget) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
