@@ -297,6 +297,58 @@ object QueriesX {
       |    ELSE l_extendedprice END AS DECIMAL(20,2))) AS DOUBLE) AS sum_winsorized
       |FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1""".stripMargin
 
+  // ---- top session paths: the event-sequence signature of each 30-min
+  //      session (first 5 event types in time order, '>'-joined), counted
+  //      corpus-wide, top 20 by frequency — the "what do users actually
+  //      do" path-analysis query. Session labeling shares ONE user-keyed
+  //      exchange (the sessionize window pair); the path table is
+  //      dictionary-sized and the top-k is orderBy+limit
+  //      (TakeOrderedAndProject — never a global single-partition
+  //      window); ties at the cut broken by path so the selection is
+  //      deterministic in both engines. ----
+  def qTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"))
+    val labeled = e
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    labeled
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(transform(
+        slice(sort_array(collect_list(
+          struct(col("ts_us"), col("event_id"), col("event_type")))), 1, 5),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val oTopPaths: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER win IS NULL
+      |      OR ts_us - lag(ts_us) OVER win > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM w),
+      |p AS (
+      |  SELECT user_id, session_idx,
+      |    array_to_string(list(event_type ORDER BY ts_us, event_id)[1:5], '>') AS path
+      |  FROM s GROUP BY 1, 2),
+      |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1)
+      |SELECT path, n_sessions FROM c ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   // ---- equi-width histogram: binned value distribution per group, the
   //      profiling primitive q_profile's scalar stats don't give. Exact
   //      integer binning via the round-to-cents trick (both engines bin

@@ -426,7 +426,8 @@ class PlanSpec extends SparkSpec {
       "q_mad_outliers" -> 0,    // group aggs + broadcast hash joins
       "q_histogram" -> 0,       // one hash agg
       "q_attribution" -> 0,     // union+window carry-forward, id equi-join
-      "q_attribution_linear" -> 0) // binned range equi-join + count join
+      "q_attribution_linear" -> 0, // binned range equi-join + count join
+      "q_top_paths" -> 0)       // sessionize windows + TakeOrdered top-k
     for ((q, b) <- budget) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
