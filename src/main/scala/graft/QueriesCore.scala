@@ -714,6 +714,40 @@ object QueriesCore {
       |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- schema evolution: two parquet generations of the same table —
+  //      the second adds a column — read back together with mergeSchema;
+  //      old-generation rows surface NULL for the new column (bucketed
+  //      into 'MISSING' here so the drift is visible in the output). The
+  //      lakehouse schema-drift primitive: widening a corpus schema must
+  //      not require rewriting history. Oracle replays the generation
+  //      split straight from the source table. ----
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_se_${s.sparkContext.applicationId}").getAbsolutePath
+    val orders = t(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("MISSING")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+  }
+
+  val oSchemaEvolution: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING'
+      |    ELSE o_orderpriority END AS priority,
+      |  count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- IQR-fence outlier counts per group (Tukey fences; 1.5 is an
   //      exact binary fraction, quartile interpolation matches
   //      quantile_cont bit-for-bit — see q_group_median). Fences are a

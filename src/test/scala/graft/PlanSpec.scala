@@ -427,7 +427,8 @@ class PlanSpec extends SparkSpec {
       "q_histogram" -> 0,       // one hash agg
       "q_attribution" -> 0,     // union+window carry-forward, id equi-join
       "q_attribution_linear" -> 0, // binned range equi-join + count join
-      "q_top_paths" -> 0)       // sessionize windows + TakeOrdered top-k
+      "q_top_paths" -> 0,       // sessionize windows + TakeOrdered top-k
+      "q_schema_evolution" -> 0) // two writes + one merged-scan agg
     for ((q, b) <- budget) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
