@@ -119,6 +119,19 @@ object Bench {
     val sf = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + esc(sfDir) + "\"")
     spark.stop()
+    // Persist the COMPLETE per-query record to a file: the driver's log
+    // capture keeps only the tail (~2000 chars), which at 158 queries
+    // truncates the first ~75 per-query timings out of BENCH_r{N}.json —
+    // cross-round per-query diffing needs every number (r10 verdict).
+    // Best-effort: a read-only working dir must not fail the bench.
+    val detailJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},""" +
+        s""""queries":$qs,"rows":$rows,"checksums":$sums,"errors":$errs,"sf":$sf}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json")),
+      detailJson + "\n")
+    catch { case _: Throwable => }
     println(s"""{"detail":"bench","rows":$rows,"checksums":$sums,"errors":$errs,"sf":$sf}""")
     // errors repeat on the graded line only when present — failure must be
     // visible even if the detail line scrolls out of the capture window

@@ -638,20 +638,35 @@ object QueriesCore {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
+  /** Scratch workspace for write→read round-trip queries: a session-scoped
+    * directory under the Hadoop-RESOLVED warehouse path (shared storage on
+    * a real cluster, unlike the driver's java.io.tmpdir, which executors
+    * on other nodes cannot see), torn down eagerly once the body's result
+    * is materialized. The result is collected to local rows first — every
+    * round-trip query here returns a handful of rows — so the caller's
+    * DataFrame never depends on the deleted files. applicationId keeps
+    * concurrent verify/bench sessions from clobbering each other.
+    */
+  private def withScratch(s: SparkSession, tag: String)
+                         (body: String => DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      val df = body(root.toString)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    } finally fs.delete(root, true)
+  }
+
   // ---- delimited-text round trip (the O-1 TSV source's sink
   //      complement): quotes, embedded commas and nulls survive a
   //      write -> read cycle through Spark's CSV codec; graded against
   //      golden VALUES like the shapefile round trip ----
-  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = withScratch(s, "csv_rt") { out =>
     import s.implicits._
     import org.apache.spark.sql.types._
-    // per-session temp scratch, NOT a repo path: a graded query writing
-    // into the checkout broke read-only mounts and concurrent
-    // verify/bench runs (r7 advice). applicationId isolates sessions;
-    // overwrite-mode keeps re-runs within a session idempotent.
-    val out = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")),
-      s"graft_csv_rt_${s.sparkContext.applicationId}").getAbsolutePath
     Seq(
       (1L, "plain", "x"),
       (2L, "has,comma", null.asInstanceOf[String]),
@@ -689,11 +704,7 @@ object QueriesCore {
   //      re-aggregated; the oracle computes the same aggregate straight
   //      from parquet, so any value/timestamp/null corruption in the
   //      ORC path hash-mismatches ----
-  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // session-scoped temp scratch, same isolation rationale as the CSV twin
-    val out = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")),
-      s"graft_orc_rt_${s.sparkContext.applicationId}").getAbsolutePath
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = withScratch(s, "orc_rt") { out =>
     t(s, dir, "orders").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy(col("o_orderstatus"))
@@ -721,10 +732,7 @@ object QueriesCore {
   //      lakehouse schema-drift primitive: widening a corpus schema must
   //      not require rewriting history. Oracle replays the generation
   //      split straight from the source table. ----
-  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")),
-      s"graft_se_${s.sparkContext.applicationId}").getAbsolutePath
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = withScratch(s, "se") { out =>
     val orders = t(s, dir, "orders")
     orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

@@ -345,6 +345,34 @@ object QueriesExt {
       |  FROM g a, g b WHERE a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  // ---- the same bounded-sample Jaccard under the HASHED id regime:
+  //      sample membership keyed on the portable md5 hash of doc_id
+  //      (Dedup.boundedHashSample) instead of id % mod — the sampler that
+  //      stays uniform for sparse/snowflake/UUID id spaces where the
+  //      dense-id modulus is id-correlated or empty (the r9 failure mode).
+  //      Oracle replays the identical hash, so both engines pick the same
+  //      documents. ----
+  def qNgramJaccardHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardSample(t(s, dir, "documents"),
+      n = 3, targetSample = 25, minJaccard = 0.5, hashedIds = true)
+
+  val oNgramJaccardHash =
+    """WITH m AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) / 25.0) AS BIGINT)) AS mod
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, length(text) - 1), i -> substr(text, CAST(i AS INT), 3))) AS g
+      |  FROM documents, m
+      |  WHERE ('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |          % m.mod = 0)
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |      len(list_distinct(a.g || b.g)) AS jaccard
+      |  FROM g a, g b WHERE a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   // ---- EXACT all-pairs set-similarity join at Jaccard >= 3/5 over word
   //      3-shingles: prefix filtering (PPJoin) makes the candidate stage
   //      an equi-join on each doc's rarest shingles — lossless, unlike

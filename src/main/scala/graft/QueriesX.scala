@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -247,24 +247,49 @@ object QueriesX {
       |SELECT node, min(d) AS d FROM bfs GROUP BY 1""".stripMargin
 
   // ---- winsorization: clip each value to its group's nearest-rank
-  //      [p05, p95] (rank = ceil(q*n) over one per-group sort — the rank's
-  //      VALUE is deterministic under ties even though row_number is not),
-  //      then an exact DECIMAL sum of the clipped column. Nearest-rank
-  //      (not interpolated) bounds keep every clipped value a real
-  //      2-decimal data value, so the sum stays exact across engines. ----
+  //      [p05, p95] (rank = ceil(q*n), 1-indexed ascending), then an exact
+  //      DECIMAL sum of the clipped column. Nearest-rank (not interpolated)
+  //      bounds keep every clipped value a real 2-decimal data value, so
+  //      the sum stays exact across engines.
+  //
+  //      The rank VALUE is found without ever sorting a whole group in one
+  //      task (the r10 shape was a 3-partition corpus-scale window — one
+  //      task per returnflag sorting ~n/3 rows): a coarse VALUE-BUCKET
+  //      histogram (bucket = floor(price/64) — monotone in price, so
+  //      bucket boundaries respect rank order and ties share a bucket)
+  //      locates the bucket holding rank k via a cumulative count over the
+  //      buckets-sized table, and only THAT bucket's ~n/buckets rows rank
+  //      locally (window keyed by (flag, bucket, which) — parallel, tiny
+  //      partitions). Same two-level cutoff as TrainPrep.qualityGate; at
+  //      100 TB no task ever holds more than one bucket's population. ----
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val B = 64.0 // bucket width in price units: ~1,700 buckets over the domain
     val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
-    val wOrd = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val binned = li.withColumn("bkt", floor(col("l_extendedprice") / B).cast("long"))
+    val hist = binned.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(count(lit(1)).as("nb"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("l_returnflag")
+    val cum = hist
+      .withColumn("cum", sum(col("nb")).over(wCum))
+      .withColumn("n", sum(col("nb")).over(wAll))
     def rk(q: Double) = ceil(lit(q) * col("n")).cast("long")
-    val ranked = li
-      .withColumn("rn", row_number().over(wOrd).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-    val bounds = ranked
-      .filter(col("rn") === rk(0.05) || col("rn") === rk(0.95))
-      .groupBy("l_returnflag")
-      .agg(max(when(col("rn") === rk(0.05), col("l_extendedprice"))).as("lo"),
-        max(when(col("rn") === rk(0.95), col("l_extendedprice"))).as("hi"))
+    // the bucket containing global rank k, plus the residual rank within it
+    def target(q: Double, which: String) = cum
+      .filter(col("cum") - col("nb") < rk(q) && rk(q) <= col("cum"))
+      .select(col("l_returnflag"), col("bkt"),
+        (rk(q) - (col("cum") - col("nb"))).as("r"), lit(which).as("which"))
+    val targets = target(0.05, "lo").union(target(0.95, "hi"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("bkt"), col("which"))
+      .orderBy(col("l_extendedprice"))
+    val bounds = binned
+      .join(broadcast(targets), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter(col("rn") === col("r"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("which") === "lo", col("l_extendedprice"))).as("lo"),
+        max(when(col("which") === "hi", col("l_extendedprice"))).as("hi"))
     li.join(broadcast(bounds), "l_returnflag")
       .select(col("l_returnflag"),
         when(col("l_extendedprice") < col("lo"), col("lo"))
@@ -517,20 +542,54 @@ object QueriesX {
   //      MAD are interpolated percentiles (bit-compatible with DuckDB
   //      quantile_cont, the q_group_median precedent); the outlier rule
   //      |x - med| > 3*MAD is exact double arithmetic with a rational
-  //      multiplier. Scale shape: two group aggregations + two broadcast
-  //      joins of the groups-sized tables over the fact scan; at 100 TB
-  //      the exact percentile swaps for the log-linear sketch
-  //      (q_quantile_sketch) without changing the plan shape. ----
+  //      multiplier.
+  //
+  //      Both medians come from the rank-window formulation (the
+  //      q_outliers r10 template): `percentile(...)` is a
+  //      TypedImperativeAggregate that buffers EVERY group value in a
+  //      per-partition OpenHashMap and serializes the maps between
+  //      partial and final — 5.7 s at sf0.1 for the two calls here; a
+  //      row_number window is one exchange + one codegen'd sort. The
+  //      interpolation replays Percentile.getPercentile bit-for-bit:
+  //      pos = 0.5*(n-1), (ceil(pos)-pos)*lo + (pos-floor(pos))*hi, with
+  //      the floor==ceil and equal-endpoint shortcuts. The second pass
+  //      (median of |x-med|) reuses the first exchange's hash(flag)
+  //      partitioning — the deviation frame derives from the broadcast
+  //      join, so window 2 sorts without re-shuffling, and the final agg
+  //      is exchange-free. ----
   def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    def interp(pos: Column, vLo: Column, vHi: Column): Column =
+      when(floor(pos) === ceil(pos) || vLo === vHi, vLo)
+        .otherwise((ceil(pos) - pos) * vLo + (pos - floor(pos)) * vHi)
+    // per-group interpolated median of `v` via ONE rank window over df
+    def groupMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy("l_returnflag").orderBy(v)
+      val wAll = Window.partitionBy("l_returnflag")
+      def atFloor = col("_rn") === floor(col("_pos")).cast("long")
+      def atCeil = col("_rn") === ceil(col("_pos")).cast("long")
+      df
+        .withColumn("_rn", row_number().over(wOrd).cast("long") - 1)
+        .withColumn("_pos",
+          lit(0.5) * (count(lit(1)).over(wAll) - 1).cast("double"))
+        .filter(atFloor || atCeil)
+        .groupBy(col("l_returnflag"))
+        .agg(max(when(atFloor, col(v))).cast("double").as("_lo"),
+          max(when(atCeil, col(v))).cast("double").as("_hi"),
+          max(col("_pos")).as("_p"))
+        .select(col("l_returnflag"),
+          interp(col("_p"), col("_lo"), col("_hi")).as(out))
+    }
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
-    val med = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5)").as("med"))
+    // the 3-row median table is referenced by BOTH the MAD pass and the
+    // final aggregate; without truncation each reference replays the
+    // median's corpus-scale window (no cross-branch plan reuse in Spark) —
+    // checkpointing 3 rows costs nothing and halves the query
+    val med = graft.util.Checkpoints.truncate(groupMedian(li, "x", "med"))
     val dev = li.join(broadcast(med), "l_returnflag")
       .withColumn("adev", abs(col("x") - col("med")))
-    val mad = dev.groupBy(col("l_returnflag"))
-      .agg(max(col("med")).as("med"), expr("percentile(adev, 0.5)").as("mad"))
-    dev.drop("med").join(broadcast(mad), "l_returnflag")
+    val mad = groupMedian(dev.select(col("l_returnflag"), col("adev")), "adev", "mad")
+    dev.join(broadcast(mad), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
         max(col("mad")).as("mad"),

@@ -355,9 +355,9 @@ object Dedup {
     * is derived inside the plan (count → broadcast), never collected.
     *
     * PRECONDITION: ids must be dense (≈ 0..N contiguous, as the synthetic
-    * doc_id is). For sparse or hashed id spaces `id % mod === 0` selects
-    * an id-correlated, possibly empty subset — sample `pmod(xxhash64(id),
-    * mod) === 0` instead and mirror that in any oracle.
+    * doc_id is). For sparse, hashed, or non-numeric id spaces
+    * `id % mod === 0` selects an id-correlated, possibly EMPTY subset —
+    * use [[boundedHashSample]], which keys on a hash of the id instead.
     */
   def boundedIdSample(docs: DataFrame, idCol: String, targetSample: Int): DataFrame = {
     val mod = docs.agg(
@@ -367,12 +367,34 @@ object Dedup {
       .drop("_mod")
   }
 
+  /** Id-distribution-free variant of [[boundedIdSample]]: keys the modulus
+    * test on the PORTABLE 32-bit hash of the id (md5-derived, non-negative
+    * — see [[graft.functions.Portable.hash32]], so `% mod === 0` needs no
+    * pmod), making the sample uniform for ANY id regime — sparse longs,
+    * snowflake/UUID strings, hashed keys. The sample size is binomial
+    * around targetSample (hash-uniform keep probability 1/mod) rather than
+    * the dense-id variant's exact count; the set is content-addressed, so
+    * it is reproducible across runs and stable as the corpus grows.
+    * DuckDB mirror of the keep test:
+    * `('0x' || substr(md5('<seed>#' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % mod = 0`.
+    */
+  def boundedHashSample(docs: DataFrame, idCol: String, targetSample: Int,
+                        seed: Int = 7): DataFrame = {
+    val mod = docs.agg(
+      greatest(lit(1L), ceil(count(lit(1)) / targetSample)).as("_mod"))
+    docs.crossJoin(broadcast(mod))
+      .filter(graft.functions.Portable.hash32(col(idCol), seed) % col("_mod") === 0)
+      .drop("_mod")
+  }
+
   def ngramJaccardSample(docs: DataFrame, n: Int, targetSample: Int, minJaccard: Double,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text",
+                         hashedIds: Boolean = false): DataFrame = {
     // CharNgramsExpr: codegen'd, distinct by construction, and EMPTY for
     // docs shorter than n chars (the r2 HOF formulation generated a
     // descending sequence there and emitted bogus grams)
-    val sets = boundedIdSample(docs, idCol, targetSample)
+    val sets = (if (hashedIds) boundedHashSample(docs, idCol, targetSample)
+                else boundedIdSample(docs, idCol, targetSample))
       .select(col(idCol).as("doc_id"),
         TextHash.charNgrams(docs.sparkSession, col(textCol), n).as("g"))
     // The broadcast-nested-loop pair join streams the left side; a single

@@ -85,6 +85,15 @@ object PostGis {
     * the executor-parallel analog of the reference's single-connection
     * `to_postgis(chunksize=5)`. `geomExpr` exists so the plumbing is
     * testable against servers without PostGIS (Derby: `Some("?")`).
+    *
+    * Failure/retry semantics: each partition loads inside ONE transaction
+    * (autocommit off, single `commit()` after the last batch), so a task
+    * that dies mid-partition rolls back and its retry re-inserts from a
+    * clean slate — no partial-partition duplicates. What a transaction
+    * CANNOT fix is two attempts of the same task both reaching commit
+    * (speculative execution): run the load with
+    * `spark.speculation=false` (the default), or stage into a temp table
+    * keyed by partition id and swap at the end if speculation must stay on.
     */
   def writeTyped(df: DataFrame, url: String, table: String, geomCol: String,
                  geomType: String = "MultiPolygon", srid: Int = 4326,
@@ -102,11 +111,16 @@ object PostGis {
       case None => createTableSql(schema, table, geomCol, geomType, srid)
     }
     val insert = insertSql(schema, table, geomCol, srid, geomExpr)
-    // driver: full-replace DDL (ignore "table does not exist" on DROP)
+    // driver: full-replace DDL. The DROP swallows ONLY "table does not
+    // exist" (42P01 Postgres / 42Y55 Derby); a permission or lock error
+    // must surface HERE, not later as a confusing CREATE failure.
     val c0 = java.sql.DriverManager.getConnection(url)
     try {
       val st = c0.createStatement()
-      try st.executeUpdate(s"DROP TABLE $table") catch { case _: java.sql.SQLException => }
+      try st.executeUpdate(s"DROP TABLE $table") catch {
+        case e: java.sql.SQLException
+          if e.getSQLState == "42P01" || e.getSQLState == "42Y55" =>
+      }
       st.executeUpdate(create)
       st.close()
     } finally c0.close()
@@ -115,24 +129,33 @@ object PostGis {
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
+          // one transaction per partition: a mid-partition failure rolls
+          // back every batch this task inserted, so the retry starts clean
+          conn.setAutoCommit(false)
           val ps = conn.prepareStatement(insert)
-          var pending = 0
-          rows.foreach { r =>
-            var i = 0
-            while (i < fields.length) {
-              val v = r.get(i)
-              if (v == null) ps.setObject(i + 1, null)
-              else fields(i).dataType match {
-                case BinaryType => ps.setBytes(i + 1, v.asInstanceOf[Array[Byte]])
-                case _          => ps.setObject(i + 1, v)
+          try {
+            var pending = 0
+            rows.foreach { r =>
+              var i = 0
+              while (i < fields.length) {
+                val v = r.get(i)
+                if (v == null) ps.setObject(i + 1, null)
+                else fields(i).dataType match {
+                  case BinaryType => ps.setBytes(i + 1, v.asInstanceOf[Array[Byte]])
+                  case _          => ps.setObject(i + 1, v)
+                }
+                i += 1
               }
-              i += 1
+              ps.addBatch(); pending += 1
+              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
             }
-            ps.addBatch(); pending += 1
-            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-          }
-          if (pending > 0) ps.executeBatch()
-          ps.close()
+            if (pending > 0) ps.executeBatch()
+            conn.commit()
+          } catch {
+            case t: Throwable =>
+              try conn.rollback() catch { case _: java.sql.SQLException => }
+              throw t
+          } finally ps.close()
         } finally conn.close()
       }
     }

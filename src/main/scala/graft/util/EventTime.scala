@@ -21,10 +21,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * the underlying micros value.
   */
 object EventTime {
+  // the NTZ→TZ cast is micros-identity ONLY under a UTC session timezone;
+  // fail fast instead of silently shifting every event timestamp
+  private def requireUtc(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "+00:00",
+      s"EventTime.tsToNanos requires spark.sql.session.timeZone=UTC " +
+        s"(found '$tz'): the TIMESTAMP_NTZ cast would shift every value")
+  }
+
   def tsToNanos(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema(tsCol).dataType match {
       case LongType => df
       case TimestampNTZType =>
+        requireUtc(df)
         df.withColumn(tsCol, unix_micros(col(tsCol).cast(TimestampType)) * 1000L)
       case TimestampType =>
         df.withColumn(tsCol, unix_micros(col(tsCol)) * 1000L)

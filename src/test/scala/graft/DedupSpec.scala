@@ -87,6 +87,29 @@ class DedupSpec extends SparkSpec {
     assert(sampled(10L) === 10L)
   }
 
+  test("boundedHashSample stays uniform on sparse ids where the dense modulus breaks") {
+    // sparse snowflake-ish ids: stride divisible by the derived modulus
+    // (mod = ceil(1000/25) = 40), offset 17 — every id ≡ 17 (mod 40), so
+    // the dense-id sampler returns the EMPTY set (the r9 failure mode),
+    // while the hash-keyed variant still draws a ~targetSample subset
+    val sparse = spark.range(1000L)
+      .select(($"id" * 1000000L + 17L).as("doc_id"))
+    assert(Dedup.boundedIdSample(sparse, "doc_id", 25).count() === 0L)
+    val n = Dedup.boundedHashSample(sparse, "doc_id", 25).count()
+    // binomial(1000, 1/40): mean 25, essentially always within [5, 60]
+    assert(n > 5L && n < 60L, s"hash sample size $n outside plausible band")
+    // content-addressed: same corpus -> identical sample set across runs
+    val s1 = Dedup.boundedHashSample(sparse, "doc_id", 25)
+      .as[Long].collect().toSet
+    val s2 = Dedup.boundedHashSample(sparse, "doc_id", 25)
+      .as[Long].collect().toSet
+    assert(s1 === s2)
+    // dense ids: both regimes produce a bounded sample of the same order
+    val dense = spark.range(1000L).select($"id".as("doc_id"))
+    val nd = Dedup.boundedHashSample(dense, "doc_id", 25).count()
+    assert(nd > 5L && nd < 60L)
+  }
+
   test("fuzzyStringJoin candidate distinct shuffles ids only, no strings") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
