@@ -756,6 +756,45 @@ object QueriesCore {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- small-files compaction, graded end-to-end: orders fragmented
+  //      into 64 shards, rewritten by Layout.compact to 4 range-clustered
+  //      files, read back and aggregated. The oracle aggregates the SOURCE
+  //      table — any row lost/duplicated/corrupted by the rewrite
+  //      hash-mismatches — plus the layout constants the rewrite must
+  //      produce: exactly 4 files whose o_orderkey min/max envelopes are
+  //      pairwise DISJOINT (the property that keeps footer-stats pruning
+  //      selective after compaction). The file-stats window runs over the
+  //      4-row per-file table (metadata-sized, like any manifest), never
+  //      over data rows. ----
+  def qCompact(s: SparkSession, dir: String): DataFrame = withScratch(s, "compact") { out =>
+    t(s, dir, "orders").repartition(64).write.parquet(s"$out/frag")
+    operators.Layout.compact(s, s"$out/frag", s"$out/compacted",
+      numFiles = 4, sortCols = Seq("o_orderkey"))
+    val c = s.read.parquet(s"$out/compacted")
+    val perFile = c
+      .select(col("o_orderkey"), col("_metadata.file_path").as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+    val wf = Window.orderBy(col("mn"))
+    val layout = perFile
+      .withColumn("prev_mx", lag(col("mx"), 1).over(wf))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("prev_mx").isNull || col("mn") > col("prev_mx"))
+          .as("ranges_disjoint"))
+    c.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+      .crossJoin(broadcast(layout))
+  }
+
+  val oCompact: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---- IQR-fence outlier counts per group (Tukey fences; 1.5 is an
   //      exact binary fraction, quartile interpolation matches
   //      quantile_cont bit-for-bit — see q_group_median). Fences are a
@@ -1148,6 +1187,56 @@ object QueriesCore {
       |  (8, 'grid_b', 1, '50', 'vtech', 'current', '2020', 4326, 2.0),
       |  (9, 'grid_b', 1, '75', 'vtech', 'current', '2020', 4326, 1.0)
       |) t(sid, species, species_id, threshold, source, scenario, year, srid, area)""".stripMargin
+
+  // ---- polygon × polygon spatial join (grid-binned + exact JTS
+  //      residual): the dissolved speciesdata ranges overlaid with a 1°
+  //      zone lattice — the reference's downstream overlay shape (ranges
+  //      land in PostGIS to be intersected with boundary layers,
+  //      species_range_etl.py:199-205,230-236). Candidates meet in a
+  //      (bin_x, bin_y) equi-join with report-once dedup (no distinct
+  //      exchange); DuckDB has no spatial types, so the oracle is golden
+  //      VALUES derived via GRAFT_SHOW at two partition counts. Zone list
+  //      includes an empty margin zone (-81, 35) that must NOT appear. ----
+  def qSpatialJoinPoly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gdir = fixtureGridDir()
+    val species = operators.SpeciesPipeline
+      .speciesData(s, s"$gdir/*.asc", globalSidOrder = true)
+      .select(col("sid"), col("species"), col("threshold"), col("geometry"))
+    val zones = Seq(
+      (-81L, 35L), (-80L, 35L), (-80L, 36L), (-79L, 35L), (-79L, 36L),
+      (10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L))
+      .toDF("zx", "zy")
+      .withColumn("zone_geom", Geom.stRect(
+        col("zx").cast("double"), col("zy").cast("double"),
+        (col("zx") + 1).cast("double"), (col("zy") + 1).cast("double")))
+    operators.SpatialJoin
+      .polygonIntersectsBinned(species, zones, "geometry", "zone_geom", binSize = 1.0)
+      .select(col("sid"), col("species"), col("threshold"), col("zx"), col("zy"))
+  }
+
+  // Golden pairs (GRAFT_SHOW at shuffle.partitions 4 and 17, identical):
+  // every (species, threshold) range × the 1° zones it touches. Boundary
+  // contact COUNTS (JTS intersects = DE-9IM, like PostGIS): grid_a's '75'
+  // cells touch zones (-80, 35)/(-80, 36) only along the x = -79 edge /
+  // corner. The empty margin zone (-81, 35) appears nowhere.
+  val oSpatialJoinPoly =
+    """SELECT CAST(sid AS BIGINT) AS sid, species, threshold,
+      |  CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy
+      |FROM (VALUES
+      |  (1, 'grid_a', '25', -80, 35), (1, 'grid_a', '25', -80, 36),
+      |  (1, 'grid_a', '25', -79, 35), (1, 'grid_a', '25', -79, 36),
+      |  (2, 'grid_a', '50', -80, 35), (2, 'grid_a', '50', -80, 36),
+      |  (2, 'grid_a', '50', -79, 35), (2, 'grid_a', '50', -79, 36),
+      |  (3, 'grid_a', '75', -80, 35), (3, 'grid_a', '75', -80, 36),
+      |  (3, 'grid_a', '75', -79, 35), (3, 'grid_a', '75', -79, 36),
+      |  (4, 'grid_b', '25', 10, 20), (4, 'grid_b', '25', 10, 21),
+      |  (4, 'grid_b', '25', 11, 20), (4, 'grid_b', '25', 11, 21),
+      |  (5, 'grid_b', '50', 10, 20), (5, 'grid_b', '50', 10, 21),
+      |  (5, 'grid_b', '50', 11, 20), (5, 'grid_b', '50', 11, 21),
+      |  (6, 'grid_b', '75', 10, 20), (6, 'grid_b', '75', 10, 21),
+      |  (6, 'grid_b', '75', 11, 20), (6, 'grid_b', '75', 11, 21)
+      |) t(sid, species, threshold, zx, zy)""".stripMargin
 
   // ---- O-5 + O-22: shapefile sink -> scan round trip on golden
   // geometries (species_range_etl.py:199,235). The fixture .shp is BUILT

@@ -1195,6 +1195,77 @@ object QueriesExt {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- IVF-PQ (IVFADC): coarse inverted-file routing (first-16 L2
+  //      centroids, nprobe=1) + PQ asymmetric distance within the query's
+  //      cell — the same codebooks/codes/LUT as q_ann_pq, the same coarse
+  //      rule as q_ann_ivf, composed. Oracle replays BOTH halves exactly:
+  //      fixed-point codebook training AND the coarse argmin, so every
+  //      routed candidate and every ADC distance must agree bit-for-bit. ----
+  def qAnnIvfpq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), numCoarse = 16,
+      m = 4, subDim = 16, ksub = 16, queryPred = col("vec_id") < 10, topK = 5)
+
+  val oAnnIvfpq: String = {
+    val S = "1099511627776.0"
+    def dot16(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17), " +
+        s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+    def assignCte(cb: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT n.vec_id, n.sub, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id, n.sub ORDER BY
+         |        (n.s2 + c.c2) - 2.0 * ${dot16("n.svec", "c.cvec")}, c.cid) AS rn
+         |    FROM s2v n JOIN $cb c USING (sub)) WHERE rn = 1)"""
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, s.sub, emb[s.sub * 16 + 1 : s.sub * 16 + 16] AS svec
+       |  FROM v, (SELECT unnest([0, 1, 2, 3]) AS sub) s),
+       |s2v AS (SELECT vec_id, sub, svec, ${dot16("svec", "svec")} AS s2 FROM sv),
+       |cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, svec AS cvec, s2 AS c2
+       |        FROM s2v WHERE vec_id < 16),
+       |${assignCte("cb0", "a0")},
+       |c1m AS (
+       |  SELECT n.sub, a.code AS cid, r.i AS i,
+       |    CAST(CAST(sum(CAST(floor(n.svec[r.i + 1] * $S + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) / $S AS c
+       |  FROM a0 a JOIN s2v n USING (vec_id, sub), range(0, 16) r(i)
+       |  GROUP BY 1, 2, 3),
+       |c1l AS (SELECT sub, cid, list(c ORDER BY i) AS cvec FROM c1m GROUP BY 1, 2),
+       |cb1 AS (SELECT sub, cid, cvec, ${dot16("cvec", "cvec")} AS c2 FROM c1l),
+       |${assignCte("cb1", "codes")},
+       |n2f AS (SELECT vec_id, emb, ${dotSql("emb", "emb")} AS x2 FROM v),
+       |coarse AS (SELECT CAST(vec_id AS INT) AS ccid, emb AS cemb, x2 AS cc2
+       |           FROM n2f WHERE vec_id < 16),
+       |cells AS (
+       |  SELECT vec_id, ccid AS cell FROM (
+       |    SELECT n.vec_id, c.ccid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (n.x2 + c.cc2) - 2.0 * ${dotSql("n.emb", "c.cemb")}, c.ccid) AS rn
+       |    FROM n2f n, coarse c) WHERE rn = 1),
+       |lut AS (
+       |  SELECT n.vec_id AS query_id, n.sub, c.cid,
+       |    CAST(floor(((n.s2 + c.c2) - 2.0 * ${dot16("n.svec", "c.cvec")}) * $S + 0.5)
+       |      AS BIGINT) AS d2fx
+       |  FROM s2v n JOIN cb1 c USING (sub) WHERE n.vec_id < 10),
+       |adc AS (
+       |  SELECT l.query_id, k.vec_id, kc.cell, CAST(sum(l.d2fx) AS BIGINT) AS afx
+       |  FROM codes k
+       |  JOIN cells kc ON kc.vec_id = k.vec_id
+       |  JOIN lut l ON k.sub = l.sub AND k.code = l.cid AND l.query_id <> k.vec_id
+       |  JOIN cells qc ON qc.vec_id = l.query_id AND qc.cell = kc.cell
+       |  GROUP BY 1, 2, 3)
+       |SELECT query_id, vec_id AS neighbor_id, cell,
+       |  CAST(afx AS DOUBLE) / $S AS adc_dist2, rank
+       |FROM (SELECT query_id, vec_id, cell, afx,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY afx, vec_id) AS BIGINT) AS rank
+       |      FROM adc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // ---- BM25 scoring (log-free odds-ratio idf; k1=1.5, b=0.75 exact) ----
   def qBm25(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25(t(s, dir, "documents"),

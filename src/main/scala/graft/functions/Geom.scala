@@ -126,6 +126,24 @@ object Geom {
   /** st_rect(xmin, ymin, xmax, ymax). */
   val stRect = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
     rectWkb(xmin, ymin, xmax, ymax))
+  /** st_env_bounds(wkb): the geometry's envelope as (minx, miny, maxx,
+    * maxy) — the bbox that drives grid binning in
+    * [[graft.operators.SpatialJoin]]. Null geometry → null struct.
+    */
+  val stEnvBounds = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val e = readWkb(b).getEnvelopeInternal
+      (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+    })
+
+  /** st_intersects(a, b): exact JTS topological intersects (boundary
+    * contact counts, DE-9IM semantics — same as PostGIS ST_Intersects).
+    */
+  val stIntersects = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null
+    else java.lang.Boolean.valueOf(readWkb(a).intersects(readWkb(b))))
+
   /** st_cell_rect_from(row, col, xll, yll, cellsize, nrows): cell
     * rectangle with the grid geometry supplied per ROW (columns from the
     * source header) — for frames mixing grids of different

@@ -470,6 +470,23 @@ object Similarity {
     */
   def pqTopK(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,
              queryPred: Column, topK: Int): DataFrame = {
+    val (codes, lut) = pqCodesAndLut(vecs, m, subDim, ksub, queryPred)
+    val adc = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid") &&
+          lut("query_id") =!= codes("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2fx")).as("afx"))
+    pqRank(adc, topK)
+  }
+
+  /** Shared PQ index build: per-subspace codebooks (deterministic init +
+    * ONE exact fixed-point Lloyd update), every vector's m codes, and the
+    * queries' ADC lookup table of fixed-point subspace distances. Returns
+    * (codes = (vec_id, sub, code), lut = (query_id, sub, cid, d2fx)).
+    */
+  private def pqCodesAndLut(vecs: DataFrame, m: Int, subDim: Int, ksub: Int,
+                            queryPred: Column): (DataFrame, DataFrame) = {
     DotFold.register(vecs.sparkSession)
     val S = 1099511627776.0 // 2^40 fixed-point grid (shared with kmeans)
     val sv = vecs
@@ -510,15 +527,74 @@ object Similarity {
         floor((col("s2") + col("c2") -
           lit(2.0) * DotFold.dot(col("svec"), col("cvec"))) * lit(S) + lit(0.5))
           .cast("long").as("d2fx"))
-    val adc = codes
-      .join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("cid") &&
-          lut("query_id") =!= codes("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d2fx")).as("afx"))
+    (codes, lut)
+  }
+
+  private def pqRank(adc: DataFrame, topK: Int): DataFrame = {
+    val S = 1099511627776.0
     val w = Window.partitionBy(col("query_id")).orderBy(col("afx"), col("vec_id"))
     adc
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("afx").cast("double") / lit(S)).as("adc_dist2"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** IVF-PQ — the IVFADC composition (Jégou et al., TPAMI 2011, §IV): the
+    * coarse inverted file restricts WHICH vectors a query scores (its own
+    * coarse cell, nprobe = 1), and PQ's asymmetric distance scores them
+    * with m table lookups each. This is the memory-resident 100 TB ANN
+    * index: cells bound candidate volume (~N/K per query, like
+    * [[ivfPairs]]) while codes compress the scanned vectors `dim*4/m : 1`
+    * (like [[pqTopK]]) — candidate PRUNING and vector COMPRESSION at
+    * once, each inherited unchanged from its component.
+    *
+    * The coarse quantizer is the deterministic first-`numCoarse` rule of
+    * [[ivfPairs]] but under the SQUARED-L2 metric (argmin dist², ties to
+    * the lowest cell id) so coarse routing and ADC scoring agree on one
+    * metric. Plain-PQ-on-raw-vectors variant (no residual re-encoding):
+    * codebooks, codes, and LUT are IDENTICAL to [[pqTopK]]'s — only the
+    * candidate set shrinks, which is exactly the knob IVF adds.
+    *
+    * Scale shape: coarse centroids broadcast (K rows) over a linear scan
+    * folded by a min_by hash agg; the ADC join gains `cell` as one more
+    * equi-key (routing never widens a shuffle); per-query work drops from
+    * N×m lookups to (N/K)×m.
+    *
+    * Returns (query_id, neighbor_id, cell, adc_dist2, rank), rank 1..topK
+    * by (approximate distance, neighbor_id) within the query's cell.
+    */
+  def ivfPqTopK(vecs: DataFrame, numCoarse: Int, m: Int, subDim: Int,
+                ksub: Int, queryPred: Column, topK: Int): DataFrame = {
+    DotFold.register(vecs.sparkSession)
+    val base = vecs
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("x2", DotFold.dot(col("emb"), col("emb")))
+    val coarse = base.filter(col("vec_id") < numCoarse)
+      .select(col("vec_id").cast("int").as("ccid"), col("emb").as("cemb"),
+        col("x2").as("cc2"))
+    val cells = base.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("ccid"),
+        ((col("x2") + col("cc2")) -
+          lit(2.0) * DotFold.dot(col("emb"), col("cemb"))).as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("ccid"), struct(col("dist2"), col("ccid"))).as("cell"))
+    val (codes, lut) = pqCodesAndLut(vecs, m, subDim, ksub, queryPred)
+    val codesC = codes.join(cells, Seq("vec_id"))
+    val lutC = lut.join(
+      cells.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("cell", "qcell"), Seq("query_id"))
+    val adc = codesC
+      .join(broadcast(lutC),
+        codesC("sub") === lutC("sub") && codesC("code") === lutC("cid") &&
+          codesC("cell") === lutC("qcell") &&
+          lutC("query_id") =!= codesC("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("d2fx")).as("afx"))
+    val S = 1099511627776.0
+    val w = Window.partitionBy(col("query_id")).orderBy(col("afx"), col("vec_id"))
+    adc
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
         (col("afx").cast("double") / lit(S)).as("adc_dist2"),
         row_number().over(w).cast("long").as("rank"))
       .filter(col("rank") <= topK)

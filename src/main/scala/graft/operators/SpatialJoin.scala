@@ -18,6 +18,52 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  /** Polygon × polygon INTERSECTS join, grid-binned — the reference's
+    * product is polygon layers (species_range_etl.py:199-205: per-species
+    * dissolved ranges later overlaid with zone/boundary layers in
+    * PostGIS), and the naive formulation is a cartesian with a JTS test
+    * per pair. Here each side explodes to the grid cells its ENVELOPE
+    * covers (O(area/bin²) per geometry, O(1) when binSize is near the
+    * typical extent), candidates meet in an equi-join on (bin_x, bin_y),
+    * and the exact JTS `intersects` runs only on candidates.
+    *
+    * Duplicate suppression is REPORT-ONCE, not distinct: a pair whose
+    * envelopes share k cells would surface k times, so only the
+    * TOP-LEFT cell of the envelope OVERLAP — (max of the two min-corner
+    * bins), a cell both sides are guaranteed to have generated — emits
+    * the pair. That removes the post-join `distinct()` exchange that
+    * would otherwise shuffle every candidate pair a second time.
+    *
+    * Both inputs keep all their columns (caller guarantees disjoint
+    * names); geometry columns hold WKB. Null/empty geometries drop out
+    * (null envelope → no cells).
+    */
+  def polygonIntersectsBinned(left: DataFrame, right: DataFrame,
+                              leftGeom: String, rightGeom: String,
+                              binSize: Double): DataFrame = {
+    import graft.functions.Geom
+    def cover(df: DataFrame, geomCol: String, env: String) =
+      df.withColumn(env, Geom.stEnvBounds(col(geomCol)))
+        .withColumn("_bx", explode(sequence(
+          floor(col(s"$env._1") / binSize).cast("long"),
+          floor(col(s"$env._3") / binSize).cast("long"))))
+        .withColumn("_by", explode(sequence(
+          floor(col(s"$env._2") / binSize).cast("long"),
+          floor(col(s"$env._4") / binSize).cast("long"))))
+    val a = cover(left, leftGeom, "_env_a")
+    val b = cover(right, rightGeom, "_env_b")
+    a.join(b, Seq("_bx", "_by"))
+      .filter(
+        col("_bx") === greatest(
+          floor(col("_env_a._1") / binSize),
+          floor(col("_env_b._1") / binSize)).cast("long") &&
+        col("_by") === greatest(
+          floor(col("_env_a._2") / binSize),
+          floor(col("_env_b._2") / binSize)).cast("long"))
+      .filter(Geom.stIntersects(col(leftGeom), col(rightGeom)))
+      .drop("_bx", "_by", "_env_a", "_env_b")
+  }
+
   /** points: (px, py, ...) integer-ish coordinates; boxes: (x0, y0, x1,
     * y1, ...) with x0 <= x1, y0 <= y1 (inclusive bounds). Returns the
     * matched pairs (all point and box columns).

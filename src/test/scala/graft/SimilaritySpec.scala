@@ -59,6 +59,39 @@ class SimilaritySpec extends SparkSpec {
     assert(run(vecs.repartition(17)) === r)
   }
 
+  test("IVF-PQ routes within the coarse cell and preserves PQ's ADC ranking") {
+    val ivfpq = Similarity.ivfPqTopK(vecs, numCoarse = 16, m = 4, subDim = 16,
+        ksub = 16, queryPred = col("vec_id") < 8, topK = 5)
+      .as[(Long, Long, Int, Double, Long)].collect()
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.forall { case (q, n, _, _, _) => q != n })
+    // brute-force the coarse assignment locally: argmin squared-L2 to the
+    // first-16 centroids, ties to the lowest id
+    val all = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i).toDouble - b(i)) * (a(i).toDouble - b(i))).sum
+    val cents = all.take(16)
+    val cellOf: Map[Long, Int] = all.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (d2(v, cv), cid.toInt) }.min._2
+    }.toMap
+    // every reported neighbor sits in ITS QUERY'S cell, and the reported
+    // cell column is that cell
+    assert(ivfpq.forall { case (q, n, cell, _, _) =>
+      cellOf(q) == cell && cellOf(n) == cell })
+    // within a cell the ranking is PQ's: ivfpq's list per query equals the
+    // unrestricted pqTopK list FILTERED to the query's cell (same codes,
+    // same LUT, same tie-break), truncated to k
+    val pqAll = Similarity.pqTopK(vecs, m = 4, subDim = 16, ksub = 16,
+        queryPred = col("vec_id") < 8, topK = Int.MaxValue)
+      .as[(Long, Long, Double, Long)].collect()
+    val expected = pqAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.toSeq.sortBy(_._4).filter(r => cellOf(r._2) == cellOf(q)).take(5)
+        .map(r => (q, r._2))
+    }.toSet
+    assert(ivfpq.map(t => (t._1, t._2)).toSet === expected)
+  }
+
   test("PQ approximate neighbors overlap exact L2 brute-force neighbors") {
     val pq = Similarity.pqTopK(vecs, m = 4, subDim = 16, ksub = 16,
         queryPred = col("vec_id") < 8, topK = 5)

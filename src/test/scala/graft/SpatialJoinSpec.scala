@@ -37,6 +37,50 @@ class SpatialJoinSpec extends SparkSpec {
     assert(hit.contains(3L))
   }
 
+  test("polygonIntersectsBinned equals the naive cross-join at several bin sizes") {
+    import graft.functions.Geom
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def tri(x: Double, y: Double, s: Double): Array[Byte] = Geom.writeWkb(
+      gf.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(x, y),
+        new org.locationtech.jts.geom.Coordinate(x + s, y),
+        new org.locationtech.jts.geom.Coordinate(x, y + s),
+        new org.locationtech.jts.geom.Coordinate(x, y))))
+    // deterministic mix: rectangles of varied extent (some span many bins,
+    // some sub-bin), plus triangles whose ENVELOPES overlap a rect but
+    // whose shapes may not — exercising the exact-residual filter
+    val leftRows = (0 until 25).map { i =>
+      val x = (i * 131) % 17 - 8.0; val y = (i * 173) % 13 - 6.0
+      (i.toLong, Geom.rectWkb(x, y, x + 0.3 + (i % 5), y + 0.2 + (i % 4)))
+    }
+    val rightRows = (0 until 25).map { j =>
+      val x = (j * 97) % 19 - 9.0; val y = (j * 61) % 11 - 5.0
+      if (j % 2 == 0) (j.toLong, tri(x, y, 1.0 + (j % 7)))
+      else (j.toLong, Geom.rectWkb(x, y, x + 0.4 + (j % 6), y + 0.5 + (j % 3)))
+    }
+    val left = leftRows.toDF("a_id", "a_geom")
+    val right = rightRows.toDF("b_id", "b_geom")
+    val naive = left.crossJoin(right)
+      .filter(Geom.stIntersects(col("a_geom"), col("b_geom")))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "fixture must actually produce matches")
+    for (bin <- Seq(0.7, 1.0, 4.0)) {
+      val pairs = SpatialJoin
+        .polygonIntersectsBinned(left, right, "a_geom", "b_geom", bin)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      // report-once: no distinct in the operator, so duplicates would
+      // surface here as a multiset larger than its set
+      assert(pairs.length === pairs.toSet.size, s"duplicate pairs at bin=$bin")
+      assert(pairs.toSet === naive, s"mismatch at bin=$bin")
+    }
+    // plan: candidates meet in an equi-join, never a cartesian
+    val plan = SpatialJoin
+      .polygonIntersectsBinned(left, right, "a_geom", "b_geom", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("binned join plans as an equi-join, the naive one cannot") {
     val pBinned = SpatialJoin.pointInBoxBinned(pts, boxes, binSize = 32L)
       .queryExecution.executedPlan.toString
