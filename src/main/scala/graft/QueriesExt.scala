@@ -1205,7 +1205,12 @@ object QueriesExt {
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), numCoarse = 16,
       m = 4, subDim = 16, ksub = 16, queryPred = col("vec_id") < 10, topK = 5)
 
-  val oAnnIvfpq: String = {
+  /** Shared CTE prefix of the IVF-PQ oracles: PQ codebook training +
+    * codes + query LUT (identical to oAnnPq's) plus the full-width coarse
+    * quantizer and every vector's primary cell. The nprobe=1 and nprobe=2
+    * oracles differ only in which query cells the ADC join admits.
+    */
+  private val ivfPqCtes: String = {
     val S = "1099511627776.0"
     def dot16(x: String, y: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17), " +
@@ -1249,7 +1254,20 @@ object QueriesExt {
        |  SELECT n.vec_id AS query_id, n.sub, c.cid,
        |    CAST(floor(((n.s2 + c.c2) - 2.0 * ${dot16("n.svec", "c.cvec")}) * $S + 0.5)
        |      AS BIGINT) AS d2fx
-       |  FROM s2v n JOIN cb1 c USING (sub) WHERE n.vec_id < 10),
+       |  FROM s2v n JOIN cb1 c USING (sub) WHERE n.vec_id < 10)""".stripMargin
+  }
+
+  private val ivfPqSelect: String =
+    """SELECT query_id, vec_id AS neighbor_id, cell,
+      |  CAST(afx AS DOUBLE) / 1099511627776.0 AS adc_dist2, rank
+      |FROM (SELECT query_id, vec_id, cell, afx,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY afx, vec_id) AS BIGINT) AS rank
+      |      FROM adc)
+      |WHERE rank <= 5""".stripMargin
+
+  val oAnnIvfpq: String =
+    s"""$ivfPqCtes,
        |adc AS (
        |  SELECT l.query_id, k.vec_id, kc.cell, CAST(sum(l.d2fx) AS BIGINT) AS afx
        |  FROM codes k
@@ -1257,12 +1275,71 @@ object QueriesExt {
        |  JOIN lut l ON k.sub = l.sub AND k.code = l.cid AND l.query_id <> k.vec_id
        |  JOIN cells qc ON qc.vec_id = l.query_id AND qc.cell = kc.cell
        |  GROUP BY 1, 2, 3)
-       |SELECT query_id, vec_id AS neighbor_id, cell,
-       |  CAST(afx AS DOUBLE) / $S AS adc_dist2, rank
-       |FROM (SELECT query_id, vec_id, cell, afx,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY afx, vec_id) AS BIGINT) AS rank
-       |      FROM adc)
+       |$ivfPqSelect""".stripMargin
+
+  // ---- IVF-PQ at nprobe = 2: the query also probes its second-best
+  //      coarse cell (rn <= 2 replays the Spark side's sorted-slice
+  //      top-2); database vectors keep their single primary cell, so each
+  //      candidate pair still meets exactly once. ----
+  def qAnnIvfpqProbe2(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopKProbe2(t(s, dir, "embeddings"), numCoarse = 16,
+      m = 4, subDim = 16, ksub = 16, queryPred = col("vec_id") < 10, topK = 5)
+
+  val oAnnIvfpqProbe2: String =
+    s"""$ivfPqCtes,
+       |qcells AS (
+       |  SELECT vec_id AS query_id, ccid AS qcell FROM (
+       |    SELECT n.vec_id, c.ccid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (n.x2 + c.cc2) - 2.0 * ${dotSql("n.emb", "c.cemb")}, c.ccid) AS rn
+       |    FROM n2f n, coarse c) WHERE rn <= 2),
+       |adc AS (
+       |  SELECT l.query_id, k.vec_id, kc.cell, CAST(sum(l.d2fx) AS BIGINT) AS afx
+       |  FROM codes k
+       |  JOIN cells kc ON kc.vec_id = k.vec_id
+       |  JOIN lut l ON k.sub = l.sub AND k.code = l.cid AND l.query_id <> k.vec_id
+       |  JOIN qcells qc ON qc.query_id = l.query_id AND qc.qcell = kc.cell
+       |  GROUP BY 1, 2, 3)
+       |$ivfPqSelect""".stripMargin
+
+  // ---- Johnson–Lindenstrauss random-projection top-k: 64 -> 16 dims
+  //      through the md5-parity ±1 matrix, cosine ranking in the projected
+  //      space. Every projected coordinate is an ordered fold, so the
+  //      oracle replays projection, norms, and ranking bit-for-bit. ----
+  def qAnnRp(s: SparkSession, dir: String): DataFrame =
+    Similarity.rpTopK(t(s, dir, "embeddings"), rpDim = 16, dim = 64,
+      queryPred = col("vec_id") < 5, topK = 5)
+
+  val oAnnRp: String = {
+    def dot16(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17), " +
+        s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT p.p, d.d,
+       |    CASE WHEN ('0x' || substr(md5(CAST(p.p * 97 + d.d AS VARCHAR)), 1, 8))::BIGINT
+       |           % 2 = 1
+       |      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+       |  FROM range(0, 16) p(p), range(0, 64) d(d)),
+       |px AS (
+       |  SELECT v.vec_id, pl.p,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(pl.sgn * v.emb[pl.d + 1] ORDER BY pl.d)), (a, x) -> a + x) AS c
+       |  FROM v, pl GROUP BY 1, 2),
+       |pv AS (SELECT vec_id, list(c ORDER BY p) AS proj FROM px GROUP BY 1),
+       |pn AS (SELECT vec_id, proj, sqrt(${dot16("proj", "proj")}) AS pnorm FROM pv),
+       |nz AS (SELECT * FROM pn WHERE pnorm > 0),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id,
+       |    ${dot16("q.proj", "n.proj")} / (q.pnorm * n.pnorm) AS pcos
+       |  FROM nz q JOIN nz n ON q.vec_id < 5 AND n.vec_id <> q.vec_id)
+       |SELECT query_id, vec_id AS neighbor_id, pcos, rank FROM (
+       |  SELECT query_id, vec_id, pcos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pcos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc)
        |WHERE rank <= 5""".stripMargin
   }
 
@@ -1303,6 +1380,36 @@ object QueriesExt {
       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
       |  FROM sc)
       |WHERE rank <= 50""".stripMargin
+
+  // ---- temperature-based domain mixture (tau = 2, the sqrt-exact tau):
+  //      per-language keep probability p = min(1, budget*sqrt(n)/SUMsqrt/n),
+  //      content-addressed row keeps, per-domain sample accounting. The
+  //      SUMsqrt normalizer folds the domain-sorted weight list in both
+  //      engines (a bare double sum would be partition-order-dependent). ----
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.temperatureMix(t(s, dir, "documents"),
+      domainCol = "lang", idCol = "doc_id", budget = 300)
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), count(lit(1)).as("n_kept"),
+        max(col("p")).as("p"))
+
+  val oTemperatureMix: String =
+    """WITH s AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      |  GROUP BY 1),
+      |w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM s),
+      |d AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY lang)),
+      |        (a, x) -> a + x) AS denom FROM w),
+      |p AS (SELECT lang, n_docs,
+      |        least(1.0::DOUBLE,
+      |          w * 300.0::DOUBLE / d.denom / CAST(n_docs AS DOUBLE)) AS p
+      |      FROM w, d),
+      |k AS (SELECT doc.lang, CAST(count(*) AS BIGINT) AS n_kept
+      |      FROM documents doc JOIN p USING (lang)
+      |      WHERE CAST(('0x' || substr(md5('29#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |              AS DOUBLE) < p.p * 4294967296.0::DOUBLE
+      |      GROUP BY 1)
+      |SELECT p.lang, p.n_docs, k.n_kept, p.p FROM p JOIN k USING (lang)""".stripMargin
 
   // ---- per-domain quality gate (top-1/4 of each language by score) ----
   def qQualityGate(s: SparkSession, dir: String): DataFrame =

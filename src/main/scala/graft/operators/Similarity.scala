@@ -600,6 +600,113 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ with nprobe = 2: the query side also probes its SECOND-best
+    * coarse cell (the standard IVFADC recall knob — cell-boundary
+    * neighbors lost to nprobe=1 routing come back without retraining
+    * anything). Database vectors stay in their single primary cell, so a
+    * (query, vector) pair meets through at most one probe — no dedup
+    * stage. Candidate volume doubles at most; the join stays the same
+    * (sub, code, cell) equi-join as [[ivfPqTopK]].
+    */
+  def ivfPqTopKProbe2(vecs: DataFrame, numCoarse: Int, m: Int, subDim: Int,
+                      ksub: Int, queryPred: Column, topK: Int): DataFrame = {
+    DotFold.register(vecs.sparkSession)
+    val base = vecs
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("x2", DotFold.dot(col("emb"), col("emb")))
+    val coarse = base.filter(col("vec_id") < numCoarse)
+      .select(col("vec_id").cast("int").as("ccid"), col("emb").as("cemb"),
+        col("x2").as("cc2"))
+    val scored = base.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("ccid"),
+        ((col("x2") + col("cc2")) -
+          lit(2.0) * DotFold.dot(col("emb"), col("cemb"))).as("dist2"))
+    val cells = scored.groupBy(col("vec_id"))
+      .agg(min_by(col("ccid"), struct(col("dist2"), col("ccid"))).as("cell"))
+    // query-side top-2 cells: same hash-agg collect/sort/slice as
+    // ivfPairsProbe2 — (dist2, ccid) ascending replays the argmin tie-break
+    val qcells = scored.groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("dist2"), col("ccid")))), 1, 2).as("t2"))
+      .select(col("vec_id").as("query_id"),
+        explode(col("t2")).as("p"))
+      .select(col("query_id"), col("p.ccid").as("qcell"))
+    val (codes, lut) = pqCodesAndLut(vecs, m, subDim, ksub, queryPred)
+    val codesC = codes.join(cells, Seq("vec_id"))
+    val lutC = lut.join(qcells, Seq("query_id"))
+    val adc = codesC
+      .join(broadcast(lutC),
+        codesC("sub") === lutC("sub") && codesC("code") === lutC("cid") &&
+          codesC("cell") === lutC("qcell") &&
+          lutC("query_id") =!= codesC("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("d2fx")).as("afx"))
+    val S = 1099511627776.0
+    val w = Window.partitionBy(col("query_id")).orderBy(col("afx"), col("vec_id"))
+    adc
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        (col("afx").cast("double") / lit(S)).as("adc_dist2"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Random-projection (Johnson–Lindenstrauss) top-k: project every
+    * embedding from `dim` to `rpDim` dimensions through a deterministic
+    * ±1 matrix (the md5-parity plane family of [[lshBucket]], kept
+    * REAL-VALUED instead of thresholded to sign bits — LSH's buckets are
+    * this projection quantized to 1 bit/dim), then rank neighbors by
+    * cosine in the PROJECTED space. JL: pairwise angles survive the
+    * projection within (1±ε), so a 4× narrower vector gives a faithful
+    * first-pass ranking — the third compression lever beside int8
+    * quantization (4×, [[quantizeInt8]]) and PQ codes (64×, [[pqTopK]]),
+    * sitting between them in fidelity.
+    *
+    * Determinism / oracle-exactness: each projected coordinate is an
+    * ORDERED left fold over input dims (acc + sign·x_d, d ascending) — the
+    * same fold both engines replay bit-for-bit; no partition order can
+    * touch it because it is a per-row scalar.
+    *
+    * Scale shape: projection is one codegen'd per-row pass (no shuffle);
+    * the top-k is a broadcast of the |Q| projected queries against a
+    * linear scan of projected vectors — never corpus × corpus. At 100 TB
+    * the projected table (rpDim/dim of the bytes) is what feeds the
+    * LSH/IVF candidate stages.
+    */
+  def rpTopK(vecs: DataFrame, rpDim: Int, dim: Int, queryPred: Column,
+             topK: Int): DataFrame = {
+    val planes: Array[Double] = Array.tabulate(rpDim * dim) { i =>
+      val p = i / dim; val d = i % dim
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(p * 97 + d).getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(md5hex, 16) & 1L) == 1L) 1.0 else -1.0
+    }
+    val planeArr = array(planes.map(lit): _*)
+    def project(emb: Column): Column =
+      transform(sequence(lit(0), lit(rpDim - 1)), p =>
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
+          acc + element_at(planeArr, p * dim + d + 1) *
+            element_at(emb, d + 1).cast("double")))
+    val projected = vecs
+      .select(col("vec_id"), project(col("embedding")).as("proj"))
+      .withColumn("pnorm", sqrt(graft.functions.Portable.dotDouble(col("proj"), col("proj"))))
+      .filter(col("pnorm") > 0)
+    val q = projected.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("proj").as("qproj"),
+        col("pnorm").as("qnorm"))
+    val scored = projected.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (graft.functions.Portable.dotDouble(col("qproj"), col("proj")) /
+          (col("qnorm") * col("pnorm"))).as("pcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("pcos"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

@@ -305,6 +305,49 @@ object TrainPrep {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Temperature-based domain mixture sampling — the data-mixing step of
+    * pre-training corpus assembly (GPT-3/Pile style): raw domain
+    * proportions are flattened by reweighting each domain `d` to
+    * `w_d = n_d^(1/τ)`, so over-represented domains are down-sampled and
+    * small domains keep presence. τ is FIXED at 2 (`w_d = sqrt(n_d)`)
+    * because sqrt is IEEE-754-exact in every engine while a general
+    * `pow(x, 1/τ)` is libm-dependent — the one tau the oracle can replay
+    * bit-for-bit. Per-domain keep probability
+    * `p_d = min(1, budget * w_d / Σw / n_d)` targets `budget` kept docs in
+    * expectation, distributed ∝ sqrt(n_d); each row keeps via the
+    * content-addressed hash test (the [[weightedSample]] rule), so the
+    * sample is reproducible and stable under corpus growth.
+    *
+    * The Σw normalizer is an ORDERED fold over the domain-sorted weight
+    * list (domains are a dimension — the list is small), because a plain
+    * double `sum` would let partitioning pick the addition order and leak
+    * into every p_d.
+    *
+    * Scale shape: one domain-count aggregate, a broadcast of the
+    * domains-sized prob table, and a per-row hash filter — the corpus
+    * shuffles zero times. Returns the kept rows with `n_docs` and `p`
+    * attached for observability.
+    */
+  def temperatureMix(docs: DataFrame, domainCol: String, idCol: String,
+                     budget: Long, seed: Int = 29): DataFrame = {
+    val stats = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val denom = stats.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col(domainCol).as("d"), col("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("denom"))
+    val probs = stats.crossJoin(broadcast(denom))
+      .withColumn("p", least(lit(1.0),
+        col("w") * lit(budget.toDouble) / col("denom") /
+          col("n_docs").cast("double")))
+      .select(col(domainCol), col("n_docs"), col("p"))
+    docs.join(broadcast(probs), Seq(domainCol))
+      .filter(Portable.hash32(col(idCol), seed).cast("double") <
+        col("p") * lit(4294967296.0))
+  }
+
   /** Train/eval decontamination — the standard pre-training hygiene step:
     * drop every training document that shares at least one word n-gram
     * with the held-out evaluation set, so benchmark answers can't leak

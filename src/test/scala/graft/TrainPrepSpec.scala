@@ -145,6 +145,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(exact.nonEmpty && !exact.exists(_ % 5 == 0)) // the contaminated docs really dropped
   }
 
+  test("temperatureMix flattens domain proportions and stays reproducible") {
+    // three domains with 16:4:1 raw proportions — tau=2 reweights keep
+    // RATES to 1:2:4 (p_d ∝ 1/sqrt(n_d)), flattening the mixture
+    val d = (1 to 1600).map(i => (i.toLong, "big"))
+      .++((2001 to 2400).map(i => (i.toLong, "mid")))
+      .++((3001 to 3100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val kept = TrainPrep.temperatureMix(d, "lang", "doc_id", budget = 400)
+    val rates = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+      .map { case (l, k) =>
+        l -> k.toDouble / Map("big" -> 1600.0, "mid" -> 400.0, "small" -> 100.0)(l) }
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"),
+      s"keep rates must invert domain size: $rates")
+    // expectation accounting: budget split prop. to sqrt(n) = 40:20:10,
+    // so expected kept = (400*40/70, 400*20/70, 400*10/70) ≈ (229, 114, 57);
+    // binomial spread stays well within ±40%
+    val total = kept.count()
+    assert(total > 240 && total < 560, s"total kept $total far from budget 400")
+    // content-addressed: identical sample set on rerun and under repartition
+    val s1 = kept.select("doc_id").as[Long].collect().toSet
+    val s2 = TrainPrep.temperatureMix(d.repartition(17), "lang", "doc_id", 400)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2)
+  }
+
   test("applyDiff: inserts land, updates replace, deletes drop, rest untouched") {
     val snap = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
     val changes = Seq(
