@@ -441,6 +441,38 @@ class PlanSpec extends SparkSpec {
       "context windows must be a pure local expand")
   }
 
+  test("r11 operators keep their scale shapes") {
+    // both percentile rewrites: the TypedImperativeAggregate is gone for good
+    for (q <- Seq("q_mad_outliers", "q_winsorize", "q_outliers")) {
+      val p = plan(q)
+      assert(!p.contains("ObjectHashAggregate"), s"$q buffers values in an object agg")
+      assert(!p.contains("percentile"), s"$q fell back to the percentile agg")
+    }
+    // winsorize: every window over raw rows is keyed by (flag, bkt, which) —
+    // the only flag-only window runs over the buckets-sized histogram
+    val pw = plan("q_winsorize")
+    assert(pw.contains("bkt"), "winsorize lost its bucket-histogram cutoff")
+    // spatial polygon join: candidates meet in an equi-join; the only
+    // nested-loop joins are the 3-row thresholds dim of the speciesdata
+    // input (twice: once per side-effect-free reference)
+    val ps = plan("q_spatial_join_poly")
+    assert(!ps.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ps).size <= 2)
+    // IVF-PQ family: corpus is never cartesian-joined; the only BNLJs are
+    // the K-row coarse-centroid broadcasts (once per cells reference)
+    for ((q, b) <- Seq("q_ann_ivfpq" -> 2, "q_ann_ivfpq_probe2" -> 2,
+      "q_ann_rp" -> 1, "q_temperature_mix" -> 1)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= b, s"$q has $bnlj nested-loop joins (budget $b)")
+    }
+    // mixture sampling never shuffles the corpus: no window, and the only
+    // exchanges feed the domains-sized aggregates
+    val pm = plan("q_temperature_mix")
+    assert(!pm.contains("Window"), "temperature mix must not window")
+  }
+
   test("url dedup is a pure scan until the canonical-key aggregation") {
     val p = plan("q_url_dedup")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
