@@ -528,6 +528,55 @@ object QueriesExt {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---- hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+  //      top-50 fused with the exact-cosine vector top-50 (query = vec 0)
+  //      by 1/(60+rank) sums — the RAG-stack combiner that needs no score
+  //      normalization. Documents and embeddings share the synthetic
+  //      id link (doc i <-> vec i). Both engines replay ranks, the two
+  //      divisions, and the fixed-order sum exactly; the fusion window
+  //      covers at most 100 rows. ----
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val text = TextAnalysis.bm25(t(s, dir, "documents"),
+      queryTerms = Seq("hash", "join", "scan"), topK = 50)
+      .select(col("doc_id").as("id"), col("rank").as("rank_a"))
+    val vec = Similarity.bruteTopK(t(s, dir, "embeddings"),
+      col("vec_id") === 0, k = 50)
+      .select(col("vec_id").as("id"), col("rank").as("rank_b"))
+    Similarity.rrfFuse(text, vec, c = 60, topK = 20)
+      .select(col("id"), col("rank_a").as("rank_text"),
+        col("rank_b").as("rank_vec"), col("rrf"), col("rank"))
+  }
+
+  // lazy: references oBm25, declared later in this object — an eager val
+  // here would capture null at object init
+  lazy val oHybridRrf: String = {
+    val cos = cosineSql("q.qe", "e.embedding")
+    s"""WITH tr AS (SELECT doc_id AS id, rank AS rank_text FROM ($oBm25)),
+       |vr0 AS (
+       |  SELECT e.vec_id, $cos AS cosine
+       |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings
+       |                      WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0),
+       |vr AS (SELECT vec_id AS id, rank_vec FROM (
+       |         SELECT vec_id,
+       |           CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+       |             AS BIGINT) AS rank_vec
+       |         FROM vr0)
+       |       WHERE rank_vec <= 50),
+       |f AS (
+       |  SELECT coalesce(tr.id, vr.id) AS id, rank_text, rank_vec,
+       |    COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(rank_text AS DOUBLE)),
+       |      0.0::DOUBLE)
+       |    + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(rank_vec AS DOUBLE)),
+       |      0.0::DOUBLE) AS rrf
+       |  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id)
+       |SELECT id, rank_text, rank_vec, rrf, rank FROM (
+       |  SELECT id, rank_text, rank_vec, rrf,
+       |    CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank
+       |  FROM f)
+       |WHERE rank <= 20""".stripMargin
+  }
+
   // ---- embedding near-dup pairs, blocked by label (equi-join) ----
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupByBlock(t(s, dir, "embeddings"), "label", minCosine = 0.3)

@@ -600,6 +600,32 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge two
+    * rankings of the same id space by summing `1/(c + rank)` per list —
+    * the standard HYBRID-RETRIEVAL combiner (lexical BM25 ⊕ embedding
+    * cosine) because it needs no score normalization across
+    * incomparable scales, only ranks. An id absent from one list
+    * contributes 0 from it (full outer join). c = 60 is the paper's
+    * constant; both inputs must carry (`id`, `rank_a`) / (`id`,
+    * `rank_b`) with 1-based ranks.
+    *
+    * Determinism: ranks are integers, each contribution is one double
+    * division, and the two contributions add in fixed (a, b) order —
+    * bit-identical across engines. The final ordering window is GLOBAL
+    * but runs over at most |a| + |b| rows — two top-k lists, never a
+    * corpus — so the single-partition sort is bounded by construction.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int, topK: Int): DataFrame = {
+    val fused = a.join(b, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b").cast("double")), lit(0.0)))
+    val w = Window.orderBy(col("rrf").desc, col("id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** IVF-PQ with nprobe = 2: the query side also probes its SECOND-best
     * coarse cell (the standard IVFADC recall knob — cell-boundary
     * neighbors lost to nprobe=1 routing come back without retraining

@@ -168,6 +168,24 @@ class SimilaritySpec extends SparkSpec {
         f"than the ~0.01 chance baseline (got $recall%.2f)")
   }
 
+  test("rrfFuse: both-list ids dominate equal single-list ranks, absentees contribute zero") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank_a")
+    val b = Seq((10L, 2L), (40L, 1L), (30L, 1L)).toDF("id", "rank_b")
+    val fused = Similarity.rrfFuse(a, b, c = 60, topK = 10)
+      .select("id", "rrf", "rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    // id 10 (ranks 1+2) and 30 (ranks 3+1) appear in both lists: their rrf
+    // exceeds any single-list id's maximum possible 1/61
+    val byId = fused.map(t => t._1 -> t._2).toMap
+    assert(byId(10L) === 1.0 / 61 + 1.0 / 62)
+    assert(byId(30L) === 1.0 / 63 + 1.0 / 61)
+    assert(byId(20L) === 1.0 / 62 && byId(40L) === 1.0 / 61)
+    assert(fused.map(_._1).take(2).toSet === Set(10L, 30L),
+      "dual-list ids must outrank single-list ids here")
+    // all four ids survive the full-outer fuse
+    assert(fused.map(_._1).toSet === Set(10L, 20L, 30L, 40L))
+  }
+
   test("annNdcg: bounded by [0,1], 1 iff ANN replays the true ranking, " +
       "and 0-plane LSH (all-pairs candidates) achieves exactly 1") {
     val r = Similarity.annNdcg(vecs, col("vec_id") < 5, k = 5,
