@@ -42,8 +42,10 @@ object Raster {
   def htmlLinks(pages: DataFrame, keyCol: String, htmlCol: String): DataFrame =
     pages
       .select(col(keyCol),
+        // (?s): real pages break blocks across lines — matches the staging
+        // script's re.S contract (tools/stage_species_inputs.py BLOCK_RE)
         explode(regexp_extract_all(col(htmlCol),
-          lit("<div class=\"thumbnail-file-group\">(.*?)</div>"), lit(1))).as("block"))
+          lit("(?s)<div class=\"thumbnail-file-group\">(.*?)</div>"), lit(1))).as("block"))
       .select(col(keyCol),
         regexp_extract(col("block"), "<h4>([^<]*)</h4>", 1).as("scenario"),
         // try_element_at: a malformed block with <2 hrefs yields null (like
