@@ -44,7 +44,8 @@ object GraftFunctions {
       intArg(es(1), "minhash_sig"), intArg(es(2), "minhash_sig"))),
     "simhash64"     -> (es => SimHash64Expr(es(0))),
     "char_ngrams"   -> (es => CharNgramsExpr(es(0), intArg(es(1), "char_ngrams"))),
-    "array_jaccard" -> (es => ArrayJaccardExpr(es(0), es(1))))
+    "array_jaccard" -> (es => ArrayJaccardExpr(es(0), es(1))),
+    "ngram_dup_frac" -> (es => NgramDupFrac(es(0), intArg(es(1), "ngram_dup_frac"))))
 
   /** Runtime registration on an existing session (idempotent). */
   def registerAll(spark: SparkSession): Unit =

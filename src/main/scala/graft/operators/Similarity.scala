@@ -74,14 +74,22 @@ object Similarity {
     * hash32(p*97+d)), signature bit p = (dot(v, plane_p) >= 0). Plane
     * vectors are literal arrays, so each plane dot is one codegen'd fold.
     */
-  def lshBucket(vecs: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
-    val planes: Array[Double] = Array.tabulate(numPlanes * dim) { i =>
+  /** The ±1 plane family shared by [[lshBucket]] (sign-thresholded) and
+    * [[rpTopK]] (real-valued): plane p, dim d → parity of the first 32
+    * md5 bits of the decimal string `p*97+d`. Oracle mirror:
+    * `('0x' || substr(md5(CAST(p*97+d AS VARCHAR)), 1, 8))::BIGINT % 2`.
+    */
+  private def planeSigns(numPlanes: Int, dim: Int): Array[Double] =
+    Array.tabulate(numPlanes * dim) { i =>
       val p = i / dim; val d = i % dim
       val md5hex = java.security.MessageDigest.getInstance("MD5")
         .digest(String.valueOf(p * 97 + d).getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString
       if ((java.lang.Long.parseLong(md5hex, 16) & 1L) == 1L) 1.0 else -1.0
     }
+
+  def lshBucket(vecs: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = planeSigns(numPlanes, dim)
     vecs.withColumn("bucket",
       graft.plans.LshBucketExpr(vecs.sparkSession, col("embedding"), planes, numPlanes, dim))
   }
@@ -700,14 +708,7 @@ object Similarity {
     */
   def rpTopK(vecs: DataFrame, rpDim: Int, dim: Int, queryPred: Column,
              topK: Int): DataFrame = {
-    val planes: Array[Double] = Array.tabulate(rpDim * dim) { i =>
-      val p = i / dim; val d = i % dim
-      val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(String.valueOf(p * 97 + d).getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      if ((java.lang.Long.parseLong(md5hex, 16) & 1L) == 1L) 1.0 else -1.0
-    }
-    val planeArr = array(planes.map(lit): _*)
+    val planeArr = array(planeSigns(rpDim, dim).map(lit): _*)
     def project(emb: Column): Column =
       transform(sequence(lit(0), lit(rpDim - 1)), p =>
         aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
