@@ -708,14 +708,12 @@ object Similarity {
     */
   def rpTopK(vecs: DataFrame, rpDim: Int, dim: Int, queryPred: Column,
              topK: Int): DataFrame = {
-    val planeArr = array(planeSigns(rpDim, dim).map(lit): _*)
-    def project(emb: Column): Column =
-      transform(sequence(lit(0), lit(rpDim - 1)), p =>
-        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
-          acc + element_at(planeArr, p * dim + d + 1) *
-            element_at(emb, d + 1).cast("double")))
+    // codegen'd projection (one tight loop) — the rpDim×dim interpreted
+    // HOF formulation produced the same bits ~4× slower
     val projected = vecs
-      .select(col("vec_id"), project(col("embedding")).as("proj"))
+      .select(col("vec_id"),
+        graft.plans.RpProjectExpr(vecs.sparkSession, col("embedding"),
+          planeSigns(rpDim, dim), rpDim, dim).as("proj"))
       .withColumn("pnorm", sqrt(graft.functions.Portable.dotDouble(col("proj"), col("proj"))))
       .filter(col("pnorm") > 0)
     val q = projected.filter(queryPred)
