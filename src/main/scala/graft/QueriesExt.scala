@@ -1430,6 +1430,57 @@ object QueriesExt {
       |  FROM sc)
       |WHERE rank <= 50""".stripMargin
 
+  // ---- quality-aware canonical selection: per exact-content duplicate
+  //      group keep the highest-quality member (ties -> lowest id), not
+  //      the min id — one md5-keyed max_by hash agg, no window. Oracle
+  //      replays the quality formula and the (quality desc, id) rank. ----
+  def qDedupBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerContent(
+      TextAnalysis.qualityScore(t(s, dir, "documents")), qualityCol = "quality")
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_dups"))
+
+  val oDedupBest: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text, length(text) AS n_chars2,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, text, n_chars2, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  len(list_filter(toks,
+      |    x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop
+      |  FROM t),
+      |q AS (SELECT doc_id, lang, md5(text) AS ch,
+      |  (CASE WHEN n_chars2 BETWEEN 100 AND 450 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+      |   + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE
+      |   + (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3::DOUBLE) AS quality
+      |  FROM s),
+      |r AS (SELECT doc_id, lang, quality,
+      |  CAST(row_number() OVER (PARTITION BY ch
+      |    ORDER BY quality DESC, doc_id) AS BIGINT) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY ch) AS BIGINT) AS n_dups
+      |  FROM q)
+      |SELECT doc_id, lang, quality, n_dups FROM r WHERE rn = 1""".stripMargin
+
+  // ---- exact-k uniform sample per stratum (k smallest content hashes
+  //      per language) via the bucket-histogram cutoff — no per-group
+  //      global sort anywhere; the oracle states the equivalent rank
+  //      formulation directly. ----
+  def qGroupSample(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.groupSampleExact(t(s, dir, "documents"),
+      groupCol = "lang", idCol = "doc_id", k = 40)
+      .select(col("lang"), col("doc_id"))
+
+  val oGroupSample: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('31#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |          ORDER BY hh, doc_id) AS BIGINT) AS rn
+      |      FROM h)
+      |SELECT lang, doc_id FROM r WHERE rn <= 40""".stripMargin
+
   // ---- temperature-based domain mixture (tau = 2, the sqrt-exact tau):
   //      per-language keep probability p = min(1, budget*sqrt(n)/SUMsqrt/n),
   //      content-addressed row keeps, per-domain sample accounting. The

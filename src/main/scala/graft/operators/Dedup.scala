@@ -572,6 +572,27 @@ object Dedup {
         col("inter").cast("double") / col("n_union").cast("double"))
   }
 
+  /** Quality-aware canonical selection: per exact-content group, keep the
+    * row with the HIGHEST score (ties → lowest id) instead of
+    * [[dropExactDuplicates]]' lowest-id rule — what a production dedup
+    * actually wants when duplicates differ in metadata quality (fetch
+    * recency, source reliability, parse cleanliness). One md5-keyed hash
+    * aggregate: `max_by` over the full row struct folds map-side, so the
+    * exchange carries one candidate row per group per partition — no
+    * window, no second pass. Adds `n_dups` (the group size) to the
+    * surviving row.
+    */
+  def keepBestPerContent(scored: DataFrame, qualityCol: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val all = struct(scored.columns.map(col): _*)
+    scored
+      .groupBy(md5(col(textCol)).as("_ch"))
+      .agg(count(lit(1)).as("n_dups"),
+        max_by(all, struct(col(qualityCol), -col(idCol))).as("_best"))
+      .select(col("_best.*"), col("n_dups"))
+  }
+
   /** Near-duplicate CLUSTERS from a candidate-pair list — what a real
     * dedup pipeline needs after pair generation: similarity is not
     * transitive, but keep-one-per-group semantics are, so the pair graph's

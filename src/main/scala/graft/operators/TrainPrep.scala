@@ -305,6 +305,50 @@ object TrainPrep {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Exact-k uniform sample PER STRATUM (deterministic): the k rows with
+    * the smallest content-addressed hash in each group — per-domain eval
+    * sets, per-source spot-check samples, anywhere "exactly k of each"
+    * beats [[stratifiedSample]]'s expected-rate keep.
+    *
+    * Never sorts a whole group in one task (the trap: `row_number over
+    * (partition by group order by hash)` funnels a 100 TB domain through
+    * one task): a 4096-bucket histogram of the hash's high bits locates
+    * each group's k-th-smallest-hash bucket via a cumulative count over
+    * the buckets-sized table; rows in buckets strictly below pass
+    * outright, and only the boundary bucket's ~n/4096 rows rank locally.
+    * Same two-level cutoff as the winsorize rewrite / qualityGate.
+    * Groups smaller than k keep every row. Content-addressed, so the
+    * sample is reproducible and stable as the corpus grows.
+    */
+  def groupSampleExact(docs: DataFrame, groupCol: String, idCol: String,
+                       k: Int, seed: Int = 31): DataFrame = {
+    require(k > 0)
+    val base = docs
+      .withColumn("_h", Portable.hash32(col(idCol), seed))
+      .withColumn("_bkt", (col("_h") / 1048576L).cast("long")) // 2^20 -> 4096 buckets
+    val hist = base.groupBy(col(groupCol), col("_bkt"))
+      .agg(count(lit(1)).as("_nb"))
+    val wCum = Window.partitionBy(groupCol).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("_cum", sum(col("_nb")).over(wCum))
+      .withColumn("_n", sum(col("_nb")).over(wAll))
+      .withColumn("_k", least(lit(k.toLong), col("_n"))) // small groups keep all
+    val targets = cum
+      .filter(col("_cum") - col("_nb") < col("_k") && col("_k") <= col("_cum"))
+      .select(col(groupCol), col("_bkt").as("_tb"),
+        (col("_k") - (col("_cum") - col("_nb"))).as("_r"))
+    val joined = base.join(broadcast(targets), Seq(groupCol))
+    val below = joined.filter(col("_bkt") < col("_tb"))
+    val wIn = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    val boundary = joined.filter(col("_bkt") === col("_tb"))
+      .withColumn("_rn", row_number().over(wIn).cast("long"))
+      .filter(col("_rn") <= col("_r"))
+      .drop("_rn")
+    below.union(boundary).drop("_h", "_bkt", "_tb", "_r")
+  }
+
   /** Temperature-based domain mixture sampling — the data-mixing step of
     * pre-training corpus assembly (GPT-3/Pile style): raw domain
     * proportions are flattened by reweighting each domain `d` to

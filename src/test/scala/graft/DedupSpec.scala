@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
     assert(sampled(10L) === 10L)
   }
 
+  test("keepBestPerContent keeps the highest-quality member, min id on ties") {
+    val scored = Seq(
+      (1L, "dup text", 0.2), (2L, "dup text", 0.9), (3L, "dup text", 0.9),
+      (4L, "unique", 0.1)
+    ).toDF("doc_id", "text", "quality")
+    val kept = Dedup.keepBestPerContent(scored, "quality")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toMap
+    // quality 0.9 beats 0.2; the 2-vs-3 tie breaks to the LOWER id
+    assert(kept === Map(2L -> 3L, 4L -> 1L))
+  }
+
   test("boundedHashSample stays uniform on sparse ids where the dense modulus breaks") {
     // sparse snowflake-ish ids: stride divisible by the derived modulus
     // (mod = ceil(1000/25) = 40), offset 17 — every id ≡ 17 (mod 40), so

@@ -145,6 +145,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(exact.nonEmpty && !exact.exists(_ % 5 == 0)) // the contaminated docs really dropped
   }
 
+  test("groupSampleExact: exactly min(k, n) per group, equal to the naive rank, no full-group sort") {
+    val d = (1 to 900).map(i => (i.toLong, s"g${i % 3}"))
+      .++((10001 to 10005).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "grp")
+    val k = 25
+    val sampled = TrainPrep.groupSampleExact(d, "grp", "doc_id", k)
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    val sizes = sampled.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes === Map("g0" -> 25, "g1" -> 25, "g2" -> 25, "tiny" -> 5))
+    // equals the naive per-group rank over (hash, id) — the semantics the
+    // bucket cutoff must reproduce without ever sorting a whole group
+    import org.apache.spark.sql.expressions.Window
+    val naive = d
+      .withColumn("h", graft.functions.Portable.hash32(col("doc_id"), 31))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    assert(sampled.toSet === naive.toSet)
+    // content-addressed: repartition-invariant
+    val again = TrainPrep.groupSampleExact(d.repartition(13), "grp", "doc_id", k)
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    assert(again.toSet === sampled.toSet)
+  }
+
   test("temperatureMix flattens domain proportions and stays reproducible") {
     // three domains with 16:4:1 raw proportions — tau=2 reweights keep
     // RATES to 1:2:4 (p_d ∝ 1/sqrt(n_d)), flattening the mixture
