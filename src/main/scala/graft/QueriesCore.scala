@@ -656,7 +656,18 @@ object QueriesCore {
     try {
       val df = body(root.toString)
       import scala.jdk.CollectionConverters._
-      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      // hard bound on the driver collect: round-trip queries return a
+      // handful of rows by design, and this assert keeps a future
+      // round-trip over a REAL table from silently becoming an unbounded
+      // driver materialization (r11 verdict). limit(N+1) bounds the fetch
+      // itself, so even the failing case never ships more than N+1 rows.
+      val maxRows = 10000
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"withScratch($tag): round-trip result exceeds $maxRows rows — " +
+          "this helper is for small write->read proofs, not table-sized " +
+          "round trips; stream the result instead of collecting it")
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
     } finally fs.delete(root, true)
   }
 
@@ -1217,9 +1228,29 @@ object QueriesCore {
 
   // Golden pairs (GRAFT_SHOW at shuffle.partitions 4 and 17, identical):
   // every (species, threshold) range × the 1° zones it touches. Boundary
-  // contact COUNTS (JTS intersects = DE-9IM, like PostGIS): grid_a's '75'
-  // cells touch zones (-80, 35)/(-80, 36) only along the x = -79 edge /
-  // corner. The empty margin zone (-81, 35) appears nowhere.
+  // contact COUNTS (JTS intersects = DE-9IM, like PostGIS).
+  //
+  // HAND-VERIFIED from the GridA header (xll=-80, yll=35, cellsize=0.5,
+  // 4×3, rows listed top-down so file row 0 spans y∈[36.0,36.5]) — this
+  // breaks the engine-derived-oracle circularity for the sharpest rows
+  // (r11 ADVICE). Threshold '75' keeps exactly three cells:
+  //   0.9  → col 3, file row 0 → x∈[-78.5,-78.0], y∈[36.0,36.5]
+  //   0.75 → col 2, file row 1 → x∈[-79.0,-78.5], y∈[35.5,36.0]
+  //   0.8  → col 3, file row 2 → x∈[-78.5,-78.0], y∈[35.0,35.5]
+  // so the sid-3 union's leftmost extent is exactly x = -79, and:
+  //   (3,'75',-79,35) / (3,'75',-79,36): interior overlap (cells lie
+  //     inside those zones) — unambiguous;
+  //   (3,'75',-80,35): EDGE-ONLY contact — the segment x=-79,
+  //     y∈[35.5,36.0] shared with zone [-80,-79]×[35,36];
+  //   (3,'75',-80,36): CORNER-POINT-ONLY contact at (-79, 36) — the
+  //     single point shared with zone [-80,-79]×[36,37]; DE-9IM
+  //     intersects=true, so the row belongs in the golden set.
+  // The margin zone (-81, 35) spans x∈[-81,-80]; even threshold '25''s
+  // leftmost kept cell starts at x=-79.5 (col 1 — col 0's values
+  // 0.1/0.0/0.2 all fall below every threshold), so no geometry reaches
+  // x=-80 and the margin zone appears nowhere. SpatialJoinSpec
+  // independently cross-checks polygonIntersectsBinned against a naive
+  // JTS cross-join.
   val oSpatialJoinPoly =
     """SELECT CAST(sid AS BIGINT) AS sid, species, threshold,
       |  CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy

@@ -576,20 +576,30 @@ object Dedup {
     * row with the HIGHEST score (ties → lowest id) instead of
     * [[dropExactDuplicates]]' lowest-id rule — what a production dedup
     * actually wants when duplicates differ in metadata quality (fetch
-    * recency, source reliability, parse cleanliness). One md5-keyed hash
-    * aggregate: `max_by` over the full row struct folds map-side, so the
-    * exchange carries one candidate row per group per partition — no
-    * window, no second pass. Adds `n_dups` (the group size) to the
+    * recency, source reliability, parse cleanliness). Window-free
+    * two-pass (r11 ADVICE: the one-pass `max_by(…, struct(quality,
+    * -id))` form assumed a NUMERIC id — UnaryMinus fails analysis on the
+    * string/UUID ids the sparse-id samplers exist for): pass 1 is an
+    * md5-keyed hash agg for (group size, max quality); pass 2 keeps only
+    * rows AT that max and `min_by`s the full row struct on the raw id —
+    * no negation, so the id may be any orderable type. Both aggs fold
+    * map-side; the join is a broadcast-able hash-keyed equi-join (one
+    * row per group on the build side), so the exchange count matches the
+    * old one-pass shape at scale. Adds `n_dups` (the group size) to the
     * surviving row.
     */
   def keepBestPerContent(scored: DataFrame, qualityCol: String,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
+    val keyed = scored.withColumn("_ch", md5(col(textCol)))
+    val best = keyed.groupBy(col("_ch"))
+      .agg(count(lit(1)).as("n_dups"), max(col(qualityCol)).as("_bq"))
     val all = struct(scored.columns.map(col): _*)
-    scored
-      .groupBy(md5(col(textCol)).as("_ch"))
-      .agg(count(lit(1)).as("n_dups"),
-        max_by(all, struct(col(qualityCol), -col(idCol))).as("_best"))
+    keyed
+      .join(best, Seq("_ch"))
+      .filter(col(qualityCol) === col("_bq"))
+      .groupBy(col("_ch"))
+      .agg(min_by(all, col(idCol)).as("_best"), max(col("n_dups")).as("n_dups"))
       .select(col("_best.*"), col("n_dups"))
   }
 

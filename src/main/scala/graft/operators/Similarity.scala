@@ -658,10 +658,20 @@ object Similarity {
     val cells = scored.groupBy(col("vec_id"))
       .agg(min_by(col("ccid"), struct(col("dist2"), col("ccid"))).as("cell"))
     // query-side top-2 cells: same hash-agg collect/sort/slice as
-    // ivfPairsProbe2 — (dist2, ccid) ascending replays the argmin tie-break
-    val qcells = scored.groupBy(col("vec_id"))
-      .agg(slice(array_sort(collect_list(
-        struct(col("dist2"), col("ccid")))), 1, 2).as("t2"))
+    // ivfPairsProbe2 — (dist2, ccid) ascending replays the argmin
+    // tie-break. Scored against the coarse table for QUERY ROWS ONLY
+    // (r11 ADVICE: the corpus-wide form did |corpus|×numCoarse work to
+    // feed an aggregate whose output only ever joins query_ids — at the
+    // 100 TB shape that is |Q|-sized work done corpus-wide). Query rows
+    // are re-scored here (they are corpus rows too) — |Q|×numCoarse
+    // arithmetic, negligible beside the corpus scan it replaces.
+    val qcells = base.filter(queryPred).crossJoin(broadcast(coarse))
+      .select(col("vec_id"),
+        struct(((col("x2") + col("cc2")) -
+          lit(2.0) * DotFold.dot(col("emb"), col("cemb"))).as("dist2"),
+          col("ccid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(col("dc"))), 1, 2).as("t2"))
       .select(col("vec_id").as("query_id"),
         explode(col("t2")).as("p"))
       .select(col("query_id"), col("p.ccid").as("qcell"))

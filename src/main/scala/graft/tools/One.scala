@@ -6,6 +6,7 @@ object One {
     val b = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", graft.util.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")
     sys.env.get("GRAFT_EXTRA_CONF").foreach { kvs =>
       kvs.split(";").foreach { kv => val Array(k, v) = kv.split("="); b.config(k, v) }
