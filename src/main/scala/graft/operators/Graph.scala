@@ -179,8 +179,9 @@ object Graph {
     * normalization divides by a snapped global sum, so scores are
     * bit-identical across partitionings. Per iteration: one src-keyed
     * join + dst agg (authorities), one dst-keyed join + src agg (hubs),
-    * two 1-row scalar aggs broadcast back. Nodes without in-edges get
-    * authority 0, without out-edges hub 0.
+    * each raw aggregate checkpointed once (node-sized) with its L1
+    * normalizer collected as an exact fixed-point driver scalar. Nodes
+    * without in-edges get authority 0, without out-edges hub 0.
     */
   def hits(edges: DataFrame, iters: Int, checkpoint: Boolean = true): DataFrame = {
     val S = 1099511627776.0
@@ -190,24 +191,37 @@ object Graph {
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // L1 normalizer as an exact driver SCALAR off the (checkpointed) raw
+    // aggregate: zero-filled nodes contribute floor(0·S + 0.5) = 0 to the
+    // snapped long sum, so summing the raw table alone equals the oracle's
+    // sum over the zero-filled table bit-for-bit — and the fixed-point
+    // grid makes the scalar partition-independent, same license as
+    // Contiguity's convergence checksum. Folding the scalar back as a
+    // lit() removes the per-iteration broadcast-crossjoin normalizer pass
+    // whose subtree (join + agg + left join) re-ran per broadcast job —
+    // the r11 official bench's q_hits stall concentrated exactly there.
+    def l1Scalar(raw: DataFrame, c: String): Double = {
+      val r = raw.agg(snapSum(col(c))).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
     var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
     for (_ <- 1 to iters) {
-      val aRaw = e.join(scores.select(col("node").as("_s"), col("hub")),
+      val aRaw0 = e.join(scores.select(col("node").as("_s"), col("hub")),
           col("src") === col("_s"))
         .groupBy(col("dst")).agg(snapSum(col("hub")).as("a_raw"))
-      val aAll = nodes.join(aRaw, col("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("a_raw"), lit(0.0)).as("a_raw"))
-      val aSum = aAll.agg(snapSum(col("a_raw")).as("a_sum"))
-      val auth = aAll.crossJoin(broadcast(aSum))
-        .select(col("node"), (col("a_raw") / col("a_sum")).as("auth"))
-      val hRaw = e.join(auth.select(col("node").as("_d"), col("auth")),
+      // eager: the raw table is read 3× (scalar, zero-fill join, next
+      // half-iteration) — materialize once, node-sized
+      val aRaw = if (checkpoint) Checkpoints.truncate(aRaw0) else aRaw0
+      val aSum = l1Scalar(aRaw, "a_raw")
+      val auth = nodes.join(aRaw, col("node") === col("dst"), "left")
+        .select(col("node"), (coalesce(col("a_raw"), lit(0.0)) / lit(aSum)).as("auth"))
+      val hRaw0 = e.join(auth.select(col("node").as("_d"), col("auth")),
           col("dst") === col("_d"))
         .groupBy(col("src")).agg(snapSum(col("auth")).as("h_raw"))
-      val hAll = nodes.join(hRaw, col("node") === col("src"), "left")
-        .select(col("node"), coalesce(col("h_raw"), lit(0.0)).as("h_raw"))
-      val hSum = hAll.agg(snapSum(col("h_raw")).as("h_sum"))
-      val hub = hAll.crossJoin(broadcast(hSum))
-        .select(col("node"), (col("h_raw") / col("h_sum")).as("hub"))
+      val hRaw = if (checkpoint) Checkpoints.truncate(hRaw0) else hRaw0
+      val hSum = l1Scalar(hRaw, "h_raw")
+      val hub = nodes.join(hRaw, col("node") === col("src"), "left")
+        .select(col("node"), (coalesce(col("h_raw"), lit(0.0)) / lit(hSum)).as("hub"))
       scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
       if (checkpoint) scores = Checkpoints.truncate(scores, eager = false)
     }

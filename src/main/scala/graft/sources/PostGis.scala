@@ -89,17 +89,30 @@ object PostGis {
     * Failure/retry semantics: each partition loads inside ONE transaction
     * (autocommit off, single `commit()` after the last batch), so a task
     * that dies mid-partition rolls back and its retry re-inserts from a
-    * clean slate — no partial-partition duplicates. What a transaction
-    * CANNOT fix is two attempts of the same task both reaching commit
-    * (speculative execution): run the load with
-    * `spark.speculation=false` (the default), or stage into a temp table
-    * keyed by partition id and swap at the end if speculation must stay on.
+    * clean slate — no partial-partition duplicates. What a bare
+    * transaction CANNOT fix is a task that COMMITTED and is then re-run
+    * anyway (upstream fetch failure re-running the stage, or a lost
+    * task-success message): set `retrySafe = true` and the load becomes
+    * idempotent per partition — the table gains a `load_part integer`
+    * bookkeeping column (= the task's partition id) and every partition
+    * transaction starts with `DELETE … WHERE load_part = pid`, so a
+    * re-run replaces its own previous commit instead of duplicating it.
+    * The delete rides the same transaction, so a mid-load failure rolls
+    * both back. CONCURRENT duplicate attempts (speculative execution)
+    * can still interleave delete/insert under READ COMMITTED — keep
+    * `spark.speculation=false` (the default) for the load stage either
+    * way. Deployers drop `load_part` post-load or read through a view.
     */
-  def writeTyped(df: DataFrame, url: String, table: String, geomCol: String,
+  def writeTyped(df0: DataFrame, url: String, table: String, geomCol: String,
                  geomType: String = "MultiPolygon", srid: Int = 4326,
                  batchSize: Int = 10000,
                  geomExpr: Option[String] = None,
-                 createTypeOverride: Option[String] = None): Unit = {
+                 createTypeOverride: Option[String] = None,
+                 retrySafe: Boolean = false): Unit = {
+    val df =
+      if (retrySafe)
+        df0.withColumn("load_part", org.apache.spark.sql.functions.spark_partition_id())
+      else df0
     val schema = df.schema
     require(schema.fieldNames.contains(geomCol), s"missing $geomCol")
     val create = createTypeOverride match {
@@ -126,38 +139,67 @@ object PostGis {
     } finally c0.close()
     val fields = schema.fields
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url)
-        try {
-          // one transaction per partition: a mid-partition failure rolls
-          // back every batch this task inserted, so the retry starts clean
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(insert)
-          try {
-            var pending = 0
-            rows.foreach { r =>
-              var i = 0
-              while (i < fields.length) {
-                val v = r.get(i)
-                if (v == null) ps.setObject(i + 1, null)
-                else fields(i).dataType match {
-                  case BinaryType => ps.setBytes(i + 1, v.asInstanceOf[Array[Byte]])
-                  case _          => ps.setObject(i + 1, v)
-                }
-                i += 1
-              }
-              ps.addBatch(); pending += 1
-              if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
-            }
-            if (pending > 0) ps.executeBatch()
-            conn.commit()
-          } catch {
-            case t: Throwable =>
-              try conn.rollback() catch { case _: java.sql.SQLException => }
-              throw t
-          } finally ps.close()
-        } finally conn.close()
-      }
+      if (rows.nonEmpty)
+        loadPartition(url, table, insert, fields,
+          if (retrySafe) Some(org.apache.spark.TaskContext.getPartitionId())
+          else None,
+          rows, batchSize)
     }
+  }
+
+  /** One partition's transactional load — factored out of the
+    * `foreachPartition` closure so the spec can replay it verbatim, which
+    * is how the retry-idempotence guarantee is TESTED (a real Spark task
+    * re-run of a committed attempt cannot be forced deterministically in
+    * a unit test; calling this twice with the same rows is exactly what
+    * that re-run executes).
+    *
+    * @param deletePart Some(pid) = retry-safe mode: the transaction opens
+    *                   with `DELETE … WHERE load_part = pid`, making a
+    *                   post-commit re-run replace rather than append
+    */
+  private[graft] def loadPartition(url: String, table: String, insert: String,
+                                   fields: Array[StructField],
+                                   deletePart: Option[Int],
+                                   rows: Iterator[org.apache.spark.sql.Row],
+                                   batchSize: Int): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // one transaction per partition: a mid-partition failure rolls
+      // back every batch this task inserted (including the retry-safe
+      // delete), so the retry starts clean
+      conn.setAutoCommit(false)
+      try {
+        deletePart.foreach { pid =>
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DELETE FROM $table WHERE load_part = $pid")
+          finally st.close()
+        }
+        val ps = conn.prepareStatement(insert)
+        try {
+          var pending = 0
+          rows.foreach { r =>
+            var i = 0
+            while (i < fields.length) {
+              val v = r.get(i)
+              if (v == null) ps.setObject(i + 1, null)
+              else fields(i).dataType match {
+                case BinaryType => ps.setBytes(i + 1, v.asInstanceOf[Array[Byte]])
+                case _          => ps.setObject(i + 1, v)
+              }
+              i += 1
+            }
+            ps.addBatch(); pending += 1
+            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+        } finally ps.close()
+        conn.commit()
+      } catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => }
+          throw t
+      }
+    } finally conn.close()
   }
 }

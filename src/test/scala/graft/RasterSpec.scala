@@ -250,4 +250,48 @@ class RasterSpec extends SparkSpec {
     assert(spark.read.format("jdbc")
       .option("url", url).option("dbtable", "speciesdata").load().count() === 1L)
   }
+
+  test("retry-safe PostGIS load: a re-run of a COMMITTED partition does not duplicate") {
+    import spark.implicits._
+    import graft.sources.PostGis
+    val db = java.nio.file.Files.createTempDirectory("graft-pg-retry").toString + "/rdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val rows = Seq(
+      (1L, 0.75, Array[Byte](1, 2, 3)),
+      (2L, 1.5, Array[Byte](9, 8)),
+      (3L, 2.25, Array[Byte](4))
+    ).toDF("sid", "area", "geometry").repartition(2)
+    // end-to-end: retrySafe adds the load_part bookkeeping column
+    PostGis.writeTyped(rows, url, "speciesdata", "geometry",
+      batchSize = 2, geomExpr = Some("?"), createTypeOverride = Some("blob"),
+      retrySafe = true)
+    def loaded() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "speciesdata").load()
+    assert(loaded().count() === 3L)
+    assert(loaded().columns.map(_.toLowerCase).contains("load_part"))
+    // replay ONE partition's load verbatim — exactly what a Spark task
+    // re-run after a lost success message executes (transaction + delete
+    // + batched inserts). Rows must be REPLACED, not appended.
+    val part0 = loaded().filter($"LOAD_PART" === 0).orderBy("SID").collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("area", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("geometry", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("load_part", org.apache.spark.sql.types.IntegerType)))
+    val insert = PostGis.insertSql(schema, "speciesdata", "geometry",
+      geomExpr = Some("?"))
+    val replayRows = part0.map(r => org.apache.spark.sql.Row(
+      r.getAs[Long]("SID"), r.getAs[Double]("AREA"),
+      r.getAs[Array[Byte]]("GEOMETRY"), 0))
+    PostGis.loadPartition(url, "speciesdata", insert, schema.fields.toArray,
+      deletePart = Some(0), replayRows.iterator, batchSize = 2)
+    // same total, same content — the committed attempt was replaced
+    assert(loaded().count() === 3L)
+    assert(loaded().select("SID").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // and WITHOUT the delete (legacy non-retry-safe path) the same replay
+    // WOULD duplicate — proving the delete is what carries the guarantee
+    PostGis.loadPartition(url, "speciesdata", insert, schema.fields.toArray,
+      deletePart = None, replayRows.iterator, batchSize = 2)
+    assert(loaded().count() === (3L + part0.length))
+  }
 }
