@@ -3270,4 +3270,97 @@ object QueriesExt {
       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
       |FROM s""".stripMargin
+
+  // ---- hard-negative mining: per query, top-5 nearest corpus vectors of
+  //      a DIFFERENT label, candidates from IVF cells (query probes 2) ----
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hardNegatives(t(s, dir, "embeddings"),
+      numCentroids = 16, queryPred = col("vec_id") < 20, k = 5)
+
+  val oHardNegatives: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM nz WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT nz.vec_id, nz.label, cid,
+       |    ${dot("nz.embedding", "cemb")} / (nz.nrm * cnrm) AS cscore
+       |  FROM nz, c),
+       |corpus AS (
+       |  SELECT vec_id AS n_id, label AS n_label, cid AS cell FROM (
+       |    SELECT vec_id, label, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |qc AS (
+       |  SELECT vec_id AS q_id, label AS q_label, cid AS cell FROM (
+       |    SELECT vec_id, label, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+       |    FROM scored WHERE vec_id < 20) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT q_id, n_id
+       |  FROM qc JOIN corpus USING (cell)
+       |  WHERE n_id <> q_id AND n_label <> q_label)
+       |SELECT q_id, n_id, cosine, rank FROM (
+       |  SELECT cand.q_id, cand.n_id,
+       |    ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY cand.q_id
+       |      ORDER BY ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC, cand.n_id) AS rank
+       |  FROM cand JOIN nz a ON a.vec_id = cand.q_id
+       |            JOIN nz b ON b.vec_id = cand.n_id)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  // ---- DSIR importance scores: hashed-unigram target-vs-raw
+  //      cross-difference, exact integer, top-100 ----
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.dsirScores(t(s, dir, "documents"),
+      targetPred = col("lang") === "en")
+
+  val oDsirWeights: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, tgt, ${H32.format("t")} % 256 AS bucket FROM (
+       |    SELECT doc_id, lang = 'en' AS tgt,
+       |      unnest(string_split(text, ' ')) AS t
+       |    FROM documents)),
+       |db AS (SELECT doc_id, tgt, bucket, CAST(count(*) AS BIGINT) AS n
+       |       FROM tok GROUP BY 1, 2, 3),
+       |bt AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS raw_cnt,
+       |         CAST(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS tgt_cnt
+       |       FROM db GROUP BY 1),
+       |tot AS (SELECT CAST(sum(raw_cnt) AS BIGINT) AS r,
+       |               CAST(sum(tgt_cnt) AS BIGINT) AS t FROM bt),
+       |sc AS (SELECT bucket,
+       |         CAST((tgt_cnt + 1) * (r + 256) - (raw_cnt + 1) * (t + 256) AS BIGINT) AS s
+       |       FROM bt, tot),
+       |ds AS (SELECT doc_id, CAST(sum(n * s) AS BIGINT) AS dsir_score
+       |       FROM db JOIN sc USING (bucket) GROUP BY 1)
+       |SELECT doc_id, dsir_score FROM ds
+       |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin
+
+  // ---- two-level k-anonymity: generalize mktsegment, then suppress ----
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.kAnonymize(t(s, dir, "customer"),
+      idCol = "c_custkey", qi1 = "c_nationkey", qi2 = "c_mktsegment", k = 10)
+
+  val oKAnonymity: String =
+    """WITH g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt0
+      |            FROM customer GROUP BY 1, 2),
+      |a0 AS (SELECT c_custkey, c.c_nationkey, c.c_mktsegment, cnt0
+      |       FROM customer c JOIN g0 USING (c_nationkey, c_mktsegment)),
+      |rem AS (SELECT * FROM a0 WHERE cnt0 < 10),
+      |g1 AS (SELECT c_nationkey, count(*) AS cnt1 FROM rem GROUP BY 1)
+      |SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS gen_q1,
+      |  c_mktsegment AS gen_q2, CAST(0 AS INT) AS level
+      |FROM a0 WHERE cnt0 >= 10
+      |UNION ALL
+      |SELECT c_custkey, CAST(r.c_nationkey AS VARCHAR), '*', CAST(1 AS INT)
+      |FROM rem r JOIN g1 USING (c_nationkey) WHERE cnt1 >= 10
+      |UNION ALL
+      |SELECT c_custkey, '*', '*', CAST(2 AS INT)
+      |FROM rem r JOIN g1 USING (c_nationkey) WHERE cnt1 < 10""".stripMargin
 }

@@ -742,6 +742,65 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k highest-cosine corpus vectors with a DIFFERENT label —
+    * near-misses that teach an embedding model the decision boundary
+    * (the in-batch-negatives upgrade used by DPR, Karpukhin et al. 2020).
+    *
+    * Scale shape: centroids (`vec_id < numCentroids`, same deterministic
+    * convention as [[ivfPairs]]) are broadcast; every vector's cell
+    * assignment is one linear broadcast pass (argmax via a min-of-struct
+    * hash agg — map-side foldable, no window over the corpus). Queries
+    * probe their top-2 cells; candidates come from the `cell` EQUI-join
+    * of the (small) query-cell table against the corpus-cell table, so
+    * cost is |corpus ∩ probed cells|, never all-pairs. Exact cosine +
+    * per-query top-k window runs only on candidates (queries are a
+    * bounded set, so the window partitions are bounded).
+    *
+    * Returns (q_id, n_id, cosine, rank), rank 1..k by (cosine desc, n_id).
+    */
+  def hardNegatives(vecs: DataFrame, numCentroids: Int, queryPred: Column,
+                    k: Int): DataFrame = {
+    val n = withNorm(vecs, col("label")).filter(col("norm") > 0)
+    val cents = n.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cid"),
+        (DotFold.dot(col("embedding"), col("cemb")) /
+          (col("norm") * col("cnorm"))).as("cscore"))
+    // corpus side: single argmax cell; (-cscore, cid) min-struct == the
+    // (cscore desc, cid) tie-break of the oracle's row_number
+    val corpusCell = scored.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("cscore")).as("ns"), col("cid"))).as("t1"))
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("t1.cid").as("cell"))
+    // query side only (the r11-ADVICE lesson from ivfPqTopKProbe2: never
+    // pay a corpus-wide top-2 aggregate for a |Q|-sized consumer)
+    val qCells = scored.filter(queryPred)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cscore")).as("ns"), col("cid")))), 1, 2).as("t2"))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        explode(col("t2")).as("p"))
+      .select(col("q_id"), col("q_label"), col("p.cid").as("cell"))
+    val cand = qCells.join(corpusCell, "cell")
+      .filter(col("n_id") =!= col("q_id") && col("n_label") =!= col("q_label"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val qv = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("norm").as("q_norm"))
+    val nv = n.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    cand.join(qv, "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        (DotFold.dot(col("q_emb"), col("n_emb")) /
+          (col("q_norm") * col("n_norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH candidate pairs + exact cosine verify (the ANN scale path). */
   def lshPairs(vecs: DataFrame, numPlanes: Int, dim: Int, minCosine: Double): DataFrame = {
     DotFold.register(vecs.sparkSession)

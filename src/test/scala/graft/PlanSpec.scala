@@ -216,6 +216,35 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "cell pair join missing an equi-join")
   }
 
+  test("dsir scores end in a heap top-N with broadcast score tables") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must be per-partition heaps")
+    assert(!p.contains("CartesianProduct"))
+    // the B-row bucket-score table joins back by broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"))
+    // one sanctioned nested-loop join: the 1-row (R, T) totals broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
+  test("hard negatives: candidates come from a cell equi-join, not all-pairs") {
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop joins are the 16-centroid broadcast (once per
+    // consumer of the assignment subtree); the candidate join must be the
+    // cell equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "cell candidate join missing an equi-join")
+  }
+
+  test("k-anonymity joins group counts back by broadcast") {
+    val p = plan("q_k_anonymity")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both ladder levels must broadcast their count tables")
+  }
+
   test("bm25 takes top-k with heaps, never a global sort") {
     val p = plan("q_bm25")
     assert(p.contains("TakeOrderedAndProject"), "top-k must be per-partition heaps")

@@ -35,6 +35,37 @@ class SimilaritySpec extends SparkSpec {
       "second-cell probes must recover cell-boundary pairs on this corpus")
   }
 
+  test("hard negatives: cross-label only, ranked, and near-brute recall") {
+    val hn = Similarity.hardNegatives(vecs, numCentroids = 16,
+      queryPred = col("vec_id") < 20, k = 5)
+    val rows = hn.select("q_id", "n_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val labels = vecs.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    // label constraint: a hard negative NEVER shares the query's label
+    rows.foreach { case (q, n, _, _) =>
+      assert(labels(q) !== labels(n), s"$q -> $n shares label ${labels(q)}")
+    }
+    // ranks are 1..k and cosine is non-increasing within a query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse === sorted.map(_._3).toSeq,
+        s"cosine not monotone for query $q")
+    }
+    // IVF-probed mining must find most of the TRUE hardest negatives: the
+    // brute-force cross-label top-1 per query should appear in the probed
+    // top-5 for a clear majority of queries (cell pruning may drop a few)
+    val brute = Similarity.bruteTopK(vecs, col("vec_id") < 20, k = 60)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Long)].collect()
+      .filter { case (q, n, _) => labels(q) != labels(n) }
+      .groupBy(_._1).map { case (q, rs) => q -> rs.minBy(_._3)._2 }
+    val probed = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hit = brute.count { case (q, top1) => probed.get(q).exists(_.contains(top1)) }
+    assert(hit >= brute.size * 7 / 10,
+      s"probed mining found the true hardest negative for only $hit/${brute.size} queries")
+  }
+
   test("multi-probe recall dominates single-probe on the same ground truth") {
     def avgRecall(multi: Boolean): Double =
       Similarity.annRecall(vecs, col("vec_id") < 5, k = 5,

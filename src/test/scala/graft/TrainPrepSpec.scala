@@ -292,4 +292,49 @@ class TrainPrepSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].collect().toSet
     assert(again === r.values.flatten.toSet)
   }
+
+  test("dsirScores: target-like held-out docs outrank raw-like, partition-invariant") {
+    // targets (lang=en) speak 'alpha*'; the raw remainder speaks 'beta*'.
+    // Two held-out non-target probes then differ only in which
+    // distribution their tokens resemble.
+    val d = ((1 to 20).map(i => (i.toLong, "alpha1 alpha2 alpha3", "en")) ++
+      (21 to 40).map(i => (i.toLong, "beta1 beta2 beta3", "de")) ++
+      Seq((98L, "alpha1 alpha2 alpha3", "xx"), (99L, "beta1 beta2 beta3", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val scores = TrainPrep.dsirScores(d, col("lang") === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(scores(98L) > scores(99L),
+      "a doc drawn from the target distribution must outscore a raw-like doc")
+    // an actual target doc and the target-like probe share token stats
+    assert(scores(98L) === scores(1L))
+    val again = TrainPrep.dsirScores(d.repartition(7), col("lang") === "en")
+      .as[(Long, Long)].collect().toMap
+    assert(again === scores)
+  }
+
+  test("kAnonymize: ladder levels honor k, partition the input, preserve ids") {
+    // (A,x)=12 -> level 0; (A,y)=3 -> A-remainder 3 < k -> suppressed;
+    // (B,x)=6 + (B,y)=5 -> B-remainder 11 >= k -> level 1
+    val rows = (1 to 12).map(i => (i.toLong, "A", "x")) ++
+      (13 to 15).map(i => (i.toLong, "A", "y")) ++
+      (16 to 21).map(i => (i.toLong, "B", "x")) ++
+      (22 to 26).map(i => (i.toLong, "B", "y"))
+    val d = rows.toDF("id", "q1", "q2")
+    val r = TrainPrep.kAnonymize(d, "id", "q1", "q2", k = 10)
+      .as[(Long, String, String, Int)].collect()
+    assert(r.length === 26, "every input row gets exactly one output row")
+    assert(r.map(_._1).toSet === (1L to 26L).toSet)
+    val byLevel = r.groupBy(_._4)
+    assert(byLevel(0).length === 12 &&
+      byLevel(0).forall(x => x._2 == "A" && x._3 == "x"))
+    assert(byLevel(1).length === 11 &&
+      byLevel(1).forall(x => x._2 == "B" && x._3 == "*"))
+    assert(byLevel(2).length === 3 &&
+      byLevel(2).forall(x => x._2 == "*" && x._3 == "*"))
+    // the published-group invariant k-anonymity promises: every non-
+    // suppressed (gen_q1, gen_q2) group has at least k members
+    r.filter(_._4 < 2).groupBy(x => (x._2, x._3)).foreach { case (g, xs) =>
+      assert(xs.length >= 10, s"group $g leaked with ${xs.length} < k rows")
+    }
+  }
 }
