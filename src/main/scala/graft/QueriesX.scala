@@ -653,4 +653,28 @@ object QueriesX {
        |  (abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE))
        |    <= 0.195::DOUBLE AS err_ok
        |FROM x JOIN est USING (win)""".stripMargin
+
+  // ---- winnowing (MOSS) fingerprint overlap: partial-copy detection
+  //      via window-min k-gram hashes, stop-fingerprint capped ----
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.winnowPairs(t(s, dir, "documents"))
+
+  val oWinnow: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |hs AS (SELECT doc_id,
+      |  list_transform(range(1, len(tk) - 2), i ->
+      |    ('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 8))::BIGINT) AS h
+      |  FROM toks WHERE len(tk) >= 4),
+      |fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(h) >= 4
+      |    THEN list_transform(range(1, len(h) - 2), j -> list_min(h[j:j+3]))
+      |    ELSE [list_min(h)] END)) AS f
+      |  FROM hs),
+      |df AS (SELECT f, count(*) AS d FROM fp GROUP BY 1),
+      |keep AS (SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f) WHERE d <= 20)
+      |SELECT a_id, b_id, shared FROM (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM keep a JOIN keep b ON a.f = b.f AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |WHERE shared >= 2""".stripMargin
 }

@@ -624,4 +624,53 @@ object Dedup {
       .select(col("node").as(idCol), col("comp").as("cluster_id"),
         (col("node") === col("comp")).cast("int").as("is_rep"))
   }
+
+  /** Winnowing fingerprint overlap (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm): hash every token k-gram, slide a window of `w` consecutive
+    * hashes, keep each window's MINIMUM — a ~2/(w+1)-density fingerprint
+    * sample with the paper's guarantee that any shared token run of length
+    * ≥ w+k-1 yields at least one shared fingerprint. Detects PARTIAL
+    * overlap (a copied paragraph inside an otherwise-unrelated pair) that
+    * whole-document MinHash dilutes away.
+    *
+    * Returns (a_id, b_id, shared) pairs sharing ≥ `minShared` fingerprints.
+    *
+    * Scale shape: gram hashing and window minima are per-row codegen'd
+    * array algebra (no shuffle, no UDF); the fingerprint table shuffles
+    * once for the df count; stop-fingerprints (df > maxDf — boilerplate
+    * shared by everything) are dropped BEFORE the pair join, so the
+    * equi-join on `f` is bounded by maxDf² per fingerprint, never
+    * quadratic in the corpus. Same stop-gram discipline as
+    * [[substringDedup]]/[[fuzzyJoinQGram]].
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4, maxDf: Long = 20,
+                  minShared: Long = 2, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val hs = transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+      Portable.hash32(concat_ws(" ", slice(toks, i, lit(k)))))
+    // the gram-hash array MUST be materialized as its own projection
+    // before the window pass: a lambda referencing the raw `hs` expression
+    // re-evaluates it per window element — O(grams²) md5 calls per doc
+    // (measured 209 s vs 9 s at sf0.1)
+    val h = col("h")
+    // a doc with fewer than w grams gets one whole-doc window (the paper's
+    // boundary condition); `when` keeps the sequence() bounds positive
+    val fps = when(size(h) >= w,
+        array_distinct(transform(sequence(lit(1), size(h) - (w - 1)), j =>
+          array_min(slice(h, j, lit(w))))))
+      .otherwise(array(array_min(h)))
+    val fp = docs.filter(size(toks) >= k)
+      .select(col(idCol), hs.as("h"))
+      .select(col(idCol), explode(fps).as("f"))
+    val keep = fp.join(
+      fp.groupBy(col("f")).agg(count(lit(1)).as("d"))
+        .filter(col("d") <= maxDf).select(col("f")), "f")
+    keep.select(col("f"), col(idCol).as("a_id"))
+      .join(keep.select(col("f"), col(idCol).as("b_id")), "f")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

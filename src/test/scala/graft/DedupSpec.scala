@@ -371,4 +371,26 @@ class DedupSpec extends SparkSpec {
     assert(want.exists { case (a, b, _, _) => (a, b) == (3L, 101L) || (a, b) == (3L, 102L) },
       "planted near-dups must be present in the ground truth")
   }
+
+  test("winnowing: a shared run >= w+k-1 tokens is always detected, partition-invariant") {
+    // doc 2 copies a 12-token run from doc 1 into otherwise-disjoint text;
+    // doc 3 shares nothing. k=4, w=4 => guarantee threshold is 7 tokens.
+    val runA = (20 to 31).map("a" + _).mkString(" ")
+    val d = Seq(
+      (1L, ((1 to 19) ++ (32 to 60)).map("a" + _).mkString(" ") + " " + runA),
+      (2L, (1 to 24).map("b" + _).mkString(" ") + " " + runA + " " +
+        (25 to 48).map("b" + _).mkString(" ")),
+      (3L, (1 to 60).map("c" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, k = 4, w = 4, maxDf = 100, minShared = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "the 12-token copied run must surface at least one shared fingerprint")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L },
+      "an unrelated doc must share no fingerprints")
+    val again = Dedup.winnowPairs(d.repartition(5), k = 4, w = 4,
+        maxDf = 100, minShared = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(again === pairs)
+  }
 }

@@ -12,7 +12,7 @@ class PlanSpec extends SparkSpec {
 
   test("dedup pipelines contain no cartesian product") {
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_exact",
-      "q_embed_near_dup", "q_ann_lsh")) {
+      "q_embed_near_dup", "q_ann_lsh", "q_winnow")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
