@@ -677,4 +677,145 @@ object QueriesX {
       |  FROM keep a JOIN keep b ON a.f = b.f AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |WHERE shared >= 2""".stripMargin
+
+  // ---- label propagation (deterministic LPA, 2 synchronous rounds) over
+  //      the order↔supplier bipartite graph; oracle unrolls both rounds
+  //      with a row_number argmax (cnt DESC, lbl ASC) ----
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    graft.operators.Graph.labelPropagation(li, iters = 2)
+  }
+
+  val oLabelProp: String = {
+    def round(cIn: String, i: String) =
+      s"""c$i AS (
+         |  SELECT n.node, l.lbl, count(*) AS cnt
+         |  FROM nbr n JOIN $cIn l ON n.peer = l.node GROUP BY 1, 2),
+         |r$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1)"""
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem),
+       |nbr AS (SELECT a AS node, b AS peer FROM e0
+       |        UNION ALL SELECT b, a FROM e0),
+       |l0 AS (SELECT node, node AS lbl FROM (SELECT DISTINCT node FROM nbr)),
+       |${round("l0", "1")},
+       |${round("r1", "2")}
+       |SELECT node, lbl AS label FROM r2""".stripMargin
+  }
+
+  // ---- differentially-private histogram (geometric mechanism, seeded
+  //      trailing-zero noise, noisy-threshold suppression) ----
+  def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.dpCounts(t(s, dir, "documents"), "lang", "source",
+      threshold = 5L)
+
+  val oDpCounts: String = {
+    def geo(h: String) = {
+      val arms = (1 to 11).map { k =>
+        val m = 1L << (k + 1); s"WHEN $h % $m = ${m >> 1} THEN $k"
+      }.mkString(" ")
+      s"CASE WHEN $h % 2 = 1 THEN 0 $arms ELSE 12 END"
+    }
+    s"""WITH c AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |h AS (
+       |  SELECT lang, source, n,
+       |    ('0x' || substr(md5('101#' || lang || '|' || source), 1, 8))::BIGINT AS h1,
+       |    ('0x' || substr(md5('202#' || lang || '|' || source), 1, 8))::BIGINT AS h2
+       |  FROM c),
+       |g AS (
+       |  SELECT lang, source, n,
+       |    ${geo("h1")} AS g1,
+       |    ${geo("h2")} AS g2
+       |  FROM h)
+       |SELECT lang, source, n + (g1 - g2) AS noisy_n,
+       |  CAST(g1 - g2 AS BIGINT) AS noise
+       |FROM g WHERE n + (g1 - g2) >= 5""".stripMargin
+  }
+
+  // ---- RAKE keyword extraction (2^20 fixed-point word scores, top-50
+  //      phrases; ties broken on phrase text) ----
+  def qRake(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.rakeKeywords(t(s, dir, "documents"))
+
+  val oRake: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+      |        FROM toks),
+      |m AS (SELECT doc_id, pos, tok,
+      |        (tok IN ('the','a','of','and','to','in','is')) AS stop
+      |      FROM tok),
+      |p AS (SELECT doc_id, pos, tok, stop,
+      |        sum(CASE WHEN stop THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS UNBOUNDED PRECEDING) AS pid
+      |      FROM m),
+      |words AS (SELECT doc_id, pid, pos, tok FROM p WHERE NOT stop),
+      |phr AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+      |          string_agg(tok, ' ' ORDER BY pos) AS phrase
+      |        FROM words GROUP BY 1, 2 HAVING count(*) <= 4),
+      |mem AS (SELECT w.doc_id, w.pid, w.tok, ph.plen
+      |        FROM words w JOIN phr ph ON w.doc_id = ph.doc_id AND w.pid = ph.pid),
+      |ws AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(sum(plen) AS BIGINT) AS deg
+      |       FROM mem GROUP BY 1),
+      |wsc AS (SELECT tok, (deg * 1048576) // freq AS wscore FROM ws),
+      |ps AS (SELECT m.doc_id, m.pid, CAST(sum(wscore) AS BIGINT) AS score
+      |       FROM mem m JOIN wsc USING (tok) GROUP BY 1, 2)
+      |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, max(score) AS score
+      |FROM phr JOIN ps USING (doc_id, pid)
+      |GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50""".stripMargin
+
+  // ---- deterministic epoch shuffle: per-shard summary of the derived
+  //      training order (the assignment is a pure projection; the summary
+  //      is the one hash agg). order_sig pins membership, and membership
+  //      pins the order because the order is SORTED by (sort_key, id) ----
+  def qShardShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.shuffleShards(t(s, dir, "documents"), "doc_id",
+      nShards = 16, epoch = 1)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("sort_key")).as("min_key"), max(col("sort_key")).as("max_key"),
+        expr("bit_xor(sort_key * 1000003 + doc_id)").as("order_sig"))
+
+  val oShardShuffle: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('1#' || doc_id), 1, 8))::BIGINT AS k
+      |  FROM documents),
+      |s AS (SELECT doc_id, k, CAST(k % 16 AS INTEGER) AS shard FROM a)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(k) AS min_key, max(k) AS max_key,
+      |  bit_xor(k * 1000003 + doc_id) AS order_sig
+      |FROM s GROUP BY shard""".stripMargin
+
+  // ---- Fellegi–Sunter record linkage: (nation, segment) blocking +
+  //      integer agreement weights, link threshold 20 ----
+  def qRecordLinkage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.scoredPairs(t(s, dir, "customer"))
+
+  val oRecordLinkage: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_nationkey AS nk, c_mktsegment AS seg,
+      |         c_acctbal AS bal, c_name AS nm
+      |  FROM customer),
+      |ok AS (SELECT nk, seg FROM base GROUP BY 1, 2
+      |       HAVING count(*) BETWEEN 2 AND 2000),
+      |b AS (SELECT base.* FROM base JOIN ok USING (nk, seg)),
+      |p AS (
+      |  SELECT x.key AS a_key, y.key AS b_key,
+      |    (CASE WHEN abs(x.bal - y.bal) < 100 THEN 24
+      |          WHEN abs(x.bal - y.bal) < 1000 THEN 8 ELSE -12 END
+      |     + CASE WHEN right(x.nm, 2) = right(y.nm, 2) THEN 10 ELSE -6 END
+      |     + CASE WHEN floor(x.bal / 1000) = floor(y.bal / 1000)
+      |            THEN 6 ELSE -2 END) AS score
+      |  FROM b x JOIN b y ON x.nk = y.nk AND x.seg = y.seg AND x.key < y.key)
+      |SELECT a_key, b_key, CAST(score AS INTEGER) AS score
+      |FROM p WHERE score >= 20""".stripMargin
 }

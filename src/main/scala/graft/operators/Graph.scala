@@ -273,6 +273,56 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E 76)
+    * — community detection, the grouping signal BETWEEN connected
+    * components (which only see reachability) and modularity methods
+    * (which need global optimization a data-parallel engine can't do
+    * cheaply). Training-data use: cluster hosts/domains of a link graph
+    * into communities for per-community sampling caps.
+    *
+    * Every node starts labeled with its own id; each round it adopts the
+    * most frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — the deterministic variant (classic LPA breaks ties
+    * randomly; a hash-graded engine cannot). Synchronous update, fixed
+    * `iters` rounds (the async/convergent variant is order-dependent and
+    * therefore partition-dependent — rejected by design).
+    *
+    * Scale shape per round: one peer-keyed equi-join (neighbor table ×
+    * label table — both node-partitioned, co-partitionable), one
+    * (node,label) hash agg with map-side partials, one node-keyed argmax
+    * agg (`min_by` over (−count, label) — no window). The neighbor table
+    * is materialized once and checkpointed; the label table is node-sized
+    * and lineage-truncated per round like [[pageRank]]'s rank table.
+    * Counts are longs — no float order anywhere, so results are
+    * partition-independent by construction.
+    *
+    * Input `edges`: undirected (a, b) rows; both directions are derived
+    * here, self-loops and duplicates dropped. Output: (node, label) for
+    * every node with ≥ 1 neighbor; `label` is the id of some member of
+    * the node's community.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       checkpoint: Boolean = true): DataFrame = {
+    val und = edges.select(
+      least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val nbr0 = und.select(col("u").as("node"), col("v").as("peer"))
+      .union(und.select(col("v").as("node"), col("u").as("peer")))
+    val nbr = if (checkpoint) Checkpoints.truncate(nbr0) else nbr0
+    var lbl = nbr.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val counts = nbr
+        .join(lbl.select(col("node").as("peer"), col("lbl")), "peer")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      lbl = counts.groupBy(col("node"))
+        .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl").as("tb")))
+          .as("lbl"))
+      if (checkpoint) lbl = Checkpoints.truncate(lbl, eager = false)
+    }
+    lbl.select(col("node"), col("lbl").as("label"))
+  }
+
   /** Degree histogram — the first diagnostic anyone runs on a link graph
     * (hub detection, power-law sanity check, skew sizing for the
     * PageRank/CC shuffles above). Two chained hash aggs: per-node degree,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — blocking + Fellegi–Sunter scoring
+  * (Fellegi & Sunter 1969, JASA 64; the model behind every modern
+  * entity-resolution system, e.g. Splink / dedupe.io). Training-data use:
+  * linking user/author/entity records across crawl snapshots or vendor
+  * feeds before per-entity sampling caps and PII handling can be applied.
+  *
+  * The classic decomposition:
+  *  1. BLOCKING — only records agreeing on a cheap key are ever compared.
+  *     Turns the O(n²) all-pairs problem into an equi-join; the block-size
+  *     cap bounds the quadratic fan-out of any single block (a block the
+  *     cap rejects is a sign the blocking key is too coarse there — at
+  *     scale you'd re-block those rows on a finer key, which is itself
+  *     just another pass of this operator).
+  *  2. FIELD COMPARISON — each field pair yields an agreement weight
+  *     (log-likelihood ratio log(m/u) in the model). Weights here are
+  *     fixed small integers standing in for precomputed log2(m/u)·4
+  *     values — production systems estimate them by EM, but the
+  *     SCORING algebra (sum of per-field weights, threshold) is exactly
+  *     Fellegi–Sunter and integer weights keep the result engine-exact.
+  *  3. DECISION — pairs scoring ≥ `minScore` are declared links.
+  *
+  * Scale shape: one hash agg for block sizes (tiny, broadcast back), one
+  * blocked self-equi-join (shuffle keyed on the block key; AQE skew-split
+  * handles a hot block under the cap), per-pair scalar scoring in
+  * whole-stage codegen, no window, no collect. Output is the match set,
+  * not the pair set.
+  */
+object Linkage {
+
+  /** Score customer-record pairs within (nation, segment) blocks.
+    * Comparators: account-balance proximity (two agreement levels), name
+    * suffix agreement, and wealth-band agreement. All arithmetic is
+    * integer or single IEEE double ops on the raw column values —
+    * bit-identical across engines.
+    *
+    * @param maxBlock  skip blocks larger than this (quadratic guard)
+    * @param minScore  link-decision threshold on the summed weights
+    */
+  def scoredPairs(cust: DataFrame, maxBlock: Long = 2000L,
+                  minScore: Int = 20): DataFrame = {
+    val base = cust.select(col("c_custkey").as("key"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"), col("c_name").as("nm"))
+    val okBlocks = base.groupBy(col("nk"), col("seg"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") >= 2 && col("bs") <= maxBlock)
+      .select(col("nk"), col("seg"))
+    val blocked = base.join(broadcast(okBlocks), Seq("nk", "seg"))
+    val a = blocked.select(col("nk"), col("seg"), col("key").as("a_key"),
+      col("bal").as("a_bal"), col("nm").as("a_nm"))
+    val b = blocked.select(col("nk"), col("seg"), col("key").as("b_key"),
+      col("bal").as("b_bal"), col("nm").as("b_nm"))
+    val pairs = a.join(b, Seq("nk", "seg")).filter(col("a_key") < col("b_key"))
+    val balDiff = abs(col("a_bal") - col("b_bal"))
+    val wBal = when(balDiff < 100, 24).when(balDiff < 1000, 8).otherwise(-12)
+    val wName = when(substring(col("a_nm"), -2, 2) === substring(col("b_nm"), -2, 2),
+      10).otherwise(-6)
+    val wBand = when(floor(col("a_bal") / 1000) === floor(col("b_bal") / 1000),
+      6).otherwise(-2)
+    pairs
+      .select(col("a_key"), col("b_key"),
+        (wBal + wName + wBand).cast("int").as("score"))
+      .filter(col("score") >= minScore)
+  }
+}

@@ -497,4 +497,66 @@ object TextAnalysis {
         (col("dup_bigram_frac") <= dupBigramMax &&
           col("dup_token_frac") <= dupTokenMax).cast("int"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") — the classic unsupervised
+    * keyphrase scorer: candidate phrases are the maximal stopword-free
+    * token runs, each word is scored deg(w)/freq(w) over the candidate
+    * set (deg = Σ length of the phrases it appears in — rewards words
+    * that co-occur in long phrases), and a phrase scores the sum of its
+    * member-word scores. Corpus-level here (keyword dictionary / topic
+    * labels for corpus curation) rather than RAKE's per-document framing
+    * — same algebra, aggregated once.
+    *
+    * Determinism: deg/freq is snapped to a 2^20 fixed-point integer
+    * (floor(deg·2^20 / freq) in 64-bit), so phrase scores are SUMS OF
+    * LONGS — associative, partition-independent, no float fold order,
+    * HUGEINT-safe. Ties in the final top-k break on the phrase text.
+    *
+    * Scale shape: posexplode → per-DOCUMENT window (key = doc_id; the
+    * prefix-sum of stopword flags numbers the runs — millions of tiny
+    * partitions, never a corpus-wide window) → phrase-occurrence agg,
+    * IMMEDIATELY collapsed to the distinct-phrase vocabulary with an
+    * occurrence count. Word stats and phrase scores are then derived from
+    * the vocabulary table weighted by `n_occ` (freq(w) = Σ n_occ·mult,
+    * deg(w) = Σ n_occ·mult·plen — algebraically identical to iterating
+    * occurrences), so every downstream join/agg runs over vocabulary-sized
+    * data, not corpus-sized occurrence rows, and the corpus-sized windowed
+    * subtree is referenced exactly once per consumer chain instead of five
+    * times. Phrases longer than `maxPhraseLen` are dropped BEFORE word
+    * stats, as RAKE prescribes. Final top-k is a TakeOrdered heap.
+    */
+  def rakeKeywords(docs: DataFrame, textCol: String = "text",
+                   maxPhraseLen: Int = 4, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = array(Stopwords.map(lit): _*)
+    val toks = docs.select(col("doc_id"),
+      posexplode(Portable.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks
+      .withColumn("stop", array_contains(stopArr, col("tok")))
+      .withColumn("pid", sum(col("stop").cast("long")).over(win))
+    val words = marked.filter(!col("stop"))
+      .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+    val phrOcc = words.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+    val uphr = phrOcc.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+    val mem = uphr.select(col("phrase"), col("n_occ"),
+      size(split(col("phrase"), " ")).cast("long").as("plen"),
+      explode(split(col("phrase"), " ")).as("tok"))
+    val wscore = mem.groupBy(col("tok"))
+      .agg(sum(col("n_occ")).as("freq"), sum(col("n_occ") * col("plen")).as("deg"))
+      // DIV = exact 64-bit integral division (Spark's `/` on longs widens
+      // to DOUBLE, which can round differently than DuckDB's `//`)
+      .selectExpr("tok", "deg * 1048576 DIV freq AS wscore")
+    mem.join(wscore, "tok")
+      .groupBy(col("phrase"))
+      .agg(max(col("n_occ")).as("n_occ"), sum(col("wscore")).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topK)
+  }
 }

@@ -547,4 +547,86 @@ object TrainPrep {
         lit(2).as("level"))
     pass0.unionByName(pass1).unionByName(suppressed)
   }
+
+  /** Differentially-private histogram release via the GEOMETRIC MECHANISM
+    * (Ghosh, Roughgarden, Sundararajan, STOC 2009) — the discrete,
+    * utility-optimal analogue of Laplace noise. Counts per group get
+    * two-sided-geometric noise with ratio α = 1/2 (ε = ln 2 per release),
+    * then groups whose NOISY count falls below `threshold` are suppressed
+    * — the k-anonymity-style tail guard that stops tiny (re-identifying)
+    * groups from being published at all. The companion of [[kAnonymize]]:
+    * that operator privatizes the microdata, this one the aggregates.
+    *
+    * Noise here is SEEDED, not sampled: the magnitude of a Geometric(1/2)
+    * variable equals the trailing-zero count of a uniform random integer,
+    * so each group derives two independent portable hashes and reads the
+    * noise off an integer CASE ladder — pure 64-bit arithmetic, no libm,
+    * bit-identical in any engine, and reproducible across reruns (a DP
+    * release that changed on every rerun would leak the true count by
+    * averaging; fixing the randomness to the group key is the standard
+    * "salted seed" deployment. A production release would keep the salt
+    * secret; the fixed literal here is the testable stand-in.)
+    *
+    * Scale shape: one hash agg over the group domain (partial+final),
+    * then per-row scalar noise — no second shuffle, no window, no
+    * collect. The released histogram is group-domain-sized.
+    */
+  def dpCounts(df: DataFrame, q1: String, q2: String,
+               threshold: Long = 5L): DataFrame = {
+    // trailing-zero ladder: P(geo = k) = 2^-(k+1) for k < 12, cap at 12.
+    // h is uniform on [0, 2^32) — h odd → 0, h ≡ 2 (mod 4) → 1, …
+    def geo(h: Column): Column =
+      (1 to 11).foldLeft(when(h % 2 === 1, 0)) { (c, k) =>
+        val m = 1L << (k + 1)
+        c.when(h % m === (m >> 1), k)
+      }.otherwise(12)
+    val key = concat_ws("|", col(q1).cast("string"), col(q2).cast("string"))
+    val noise = (geo(Portable.hash32(key, 101)) -
+      geo(Portable.hash32(key, 202))).cast("long")
+    df.groupBy(col(q1), col(q2)).agg(count(lit(1)).as("n"))
+      .select(col(q1), col(q2), (col("n") + noise).as("noisy_n"),
+        noise.as("noise"))
+      .filter(col("noisy_n") >= threshold)
+  }
+
+  /** Deterministic global training-order shuffle. Every epoch of LLM
+    * training wants the corpus in a fresh pseudo-random order; at 100 TB
+    * "shuffle the rows" must mean a DERIVED SORT KEY, not an RNG — the
+    * portable hash of (epoch, id) gives every document a reproducible
+    * position, so two clusters (or a rerun after preemption) materialize
+    * byte-identical epochs. `shard = key mod nShards` splits the order
+    * into independently consumable files (data-loader workers each read
+    * their own shard stream).
+    *
+    * This assignment is a PURE PROJECTION — no shuffle, no window, stays
+    * in whole-stage codegen; the global order is defined by (shard,
+    * sort_key, id), not computed. Materializing that order is
+    * [[writeShuffled]]'s job and the only place a sort exists.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int = 16,
+                    epoch: Int = 0): DataFrame = {
+    require(nShards > 0)
+    val key = Portable.hash32(col(idCol), epoch)
+    df.withColumn("sort_key", key)
+      .withColumn("shard", (key % nShards).cast("int"))
+  }
+
+  /** Materialize one epoch's order: range-partition by (shard, sort_key,
+    * id) — so part-file index order IS global order — and sort within
+    * partitions. The classic write-once-read-sequentially layout: the
+    * sort cost is paid once per epoch by the writer; readers stream part
+    * files in filename order with zero further shuffling. Range
+    * partitioning samples boundaries at runtime, so FILE CUTS may differ
+    * between runs, but the row SEQUENCE across the cut points is the
+    * derived total order — reproducible by construction (asserted in
+    * TrainPrepSpec by re-reading part files in filename order).
+    */
+  def writeShuffled(df: DataFrame, idCol: String, path: String,
+                    nShards: Int = 16, epoch: Int = 0,
+                    nFiles: Int = 16): Unit = {
+    shuffleShards(df, idCol, nShards, epoch)
+      .repartitionByRange(nFiles, col("shard"), col("sort_key"), col(idCol))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
+      .write.mode("overwrite").parquet(path)
+  }
 }

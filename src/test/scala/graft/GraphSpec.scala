@@ -153,4 +153,22 @@ class GraphSpec extends SparkSpec {
     val tree = Seq((1L, 2L), (1L, 3L), (3L, 4L), (3L, 5L)).toDF("a", "b")
     assert(Graph.triangleCounts(tree).count() === 0L)
   }
+
+  test("label propagation recovers bridged cliques and is partition-invariant") {
+    // two K4 cliques joined by one bridge edge: LPA must give each clique
+    // one label, and the two labels must differ (CC would merge them)
+    def k4(off: Long) =
+      for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a + off, b + off)
+    val edges = (k4(0) ++ k4(10) :+ (3L, 10L)).toDF("a", "b")
+    val l = Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val cliqueA = (0L to 3L).map(l).distinct
+    val cliqueB = (10L to 13L).map(l).distinct
+    assert(cliqueA.size === 1, s"clique A split: $cliqueA")
+    assert(cliqueB.size === 1, s"clique B split: $cliqueB")
+    assert(cliqueA.head !== cliqueB.head, "bridge merged the communities")
+    val rep = Graph.labelPropagation(edges.repartition(7), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l === rep) // counts are longs, argmax is min_by — no float order
+  }
 }

@@ -510,4 +510,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"regex chain must not shuffle: $exchanges exchanges")
     assert(!p.contains("Window") && !p.contains("Join"))
   }
+
+  test("r12 operators keep their scale shapes") {
+    // all four are equi-join / hash-agg routed — nothing may go cartesian
+    // or nested-loop (no 1-row broadcast dims anywhere in these)
+    for (q <- Seq("q_label_prop", "q_dp_counts", "q_rake", "q_record_linkage",
+      "q_shard_shuffle")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // epoch-shuffle summary: the assignment is a pure projection, so the
+    // whole query is scan -> partial agg -> ONE shard-keyed exchange
+    val px = plan("q_shard_shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(px).size === 1)
+    assert(!px.contains("Window") && !px.contains("Sort"))
+    // DP release: one keyed exchange (group counts), scalar noise on top —
+    // no second shuffle, no window, no join
+    val pd = plan("q_dp_counts")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).size === 1)
+    assert(!pd.contains("Window") && !pd.contains("Join"))
+    // RAKE: windows are the per-document run-numbering prefix sum (key =
+    // doc_id), never a corpus-wide window; the vocabulary collapse keeps
+    // the corpus-sized windowed subtree to one per consumer chain (word
+    // stats + score join = 2)
+    val pr = plan("q_rake")
+    val winSpecs = "Window \\[".r.findAllIn(pr).size
+    assert(winSpecs <= 2, s"rake re-expands its windowed subtree: $winSpecs")
+    assert(pr.contains("hashpartitioning(doc_id"), "rake window must key on doc_id")
+    // linkage: block sizes broadcast back; the pair join is a hash join on
+    // the block key
+    val pl = plan("q_record_linkage")
+    assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"))
+  }
 }

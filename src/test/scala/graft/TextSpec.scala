@@ -299,4 +299,24 @@ class TextSpec extends SparkSpec {
       assert(seg.replace(" ", "") === w, s"pieces of '$w' reassembled to '$seg'")
     }
   }
+
+  test("rakeKeywords scores phrases by hand-computed deg/freq fixed-point") {
+    // "red wine | red wine vinegar | red" (split at stopwords the/a):
+    //   freq(red)=3 deg(red)=2+3+1=6   -> 6*2^20/3 = 2097152
+    //   freq(wine)=2 deg(wine)=2+3=5   -> 5*2^20/2 = 2621440
+    //   freq(vinegar)=1 deg=3          -> 3*2^20   = 3145728
+    val d = Seq((1L, "red wine the red wine vinegar a red")).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeywords(d)
+      .as[(String, Long, Long)].collect().toList
+    assert(r === List(
+      ("red wine vinegar", 1L, 2097152L + 2621440L + 3145728L),
+      ("red wine", 1L, 2097152L + 2621440L),
+      ("red", 1L, 2097152L)))
+    // phrases longer than maxPhraseLen never reach the word statistics
+    val long = Seq((1L, "v w x y z the v w")).toDF("doc_id", "text")
+    val rl = TextAnalysis.rakeKeywords(long, maxPhraseLen = 4)
+      .as[(String, Long, Long)].collect().toList
+    // only "v w" remains; its words score deg/freq = 2/1 exactly
+    assert(rl === List(("v w", 1L, 2L * 2097152L)))
+  }
 }

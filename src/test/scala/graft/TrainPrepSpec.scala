@@ -337,4 +337,65 @@ class TrainPrepSpec extends SparkSpec {
       assert(xs.length >= 10, s"group $g leaked with ${xs.length} < k rows")
     }
   }
+
+  test("dpCounts: geometric noise matches the reference ladder, suppression holds") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hash32(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    // the trailing-zero ladder: geo = min(tz(h), 12); tz(0) = 64 caps to 12
+    def geo(h: Long) = math.min(java.lang.Long.numberOfTrailingZeros(h), 12)
+    def noise(g1: String, g2: String) =
+      geo(hash32(s"101#$g1|$g2")) - geo(hash32(s"202#$g1|$g2"))
+    val truth = Map(("en", "s1") -> 100, ("fr", "s2") -> 3, ("zh", "s3") -> 1)
+    val rows = truth.toSeq.flatMap { case ((a, b), n) =>
+      Seq.fill(n)((a, b)) }.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val d = rows.toDF("id", "g1", "g2")
+    val out = TrainPrep.dpCounts(d, "g1", "g2", threshold = 5L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val expect = truth.collect {
+      case ((a, b), n) if n + noise(a, b) >= 5 =>
+        (a, b) -> ((n + noise(a, b)).toLong, noise(a, b).toLong)
+    }
+    assert(out === expect, "released histogram must equal the reference mechanism")
+    assert(out.contains(("en", "s1")), "a 100-count group always survives |noise| <= 12")
+    assert(out.values.forall { case (noisy, nz) => noisy >= 5 && math.abs(nz) <= 12 })
+    // rerun is byte-identical: the seeded mechanism is reproducible
+    val again = TrainPrep.dpCounts(d.repartition(7), "g1", "g2", threshold = 5L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(again === out)
+  }
+
+  test("epoch shuffle: assignment is a shuffle-free projection; writer emits the global order") {
+    val d = docs(500)
+    val assigned = TrainPrep.shuffleShards(d, "doc_id", nShards = 8, epoch = 3)
+    // pure projection: no exchange anywhere in the assignment plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "assignment must not shuffle")
+    // epochs produce different orders; the same epoch reproduces exactly
+    val e3 = assigned.select("doc_id", "sort_key").as[(Long, Long)].collect().toMap
+    val e4 = TrainPrep.shuffleShards(d, "doc_id", nShards = 8, epoch = 4)
+      .select("doc_id", "sort_key").as[(Long, Long)].collect().toMap
+    assert(e3 !== e4, "different epochs must reorder")
+    assert(TrainPrep.shuffleShards(d.repartition(7), "doc_id", nShards = 8, epoch = 3)
+      .select("doc_id", "sort_key").as[(Long, Long)].collect().toMap === e3)
+
+    // writer: part files read back IN FILENAME ORDER yield the derived
+    // total order (shard, sort_key, doc_id) — the property data-loader
+    // workers rely on
+    val out = java.nio.file.Files.createTempDirectory("graft-shuffle").toString + "/epoch3"
+    TrainPrep.writeShuffled(d, "doc_id", out, nShards = 8, epoch = 3, nFiles = 4)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parts.length >= 2, "range partitioning must produce multiple files")
+    val seq = parts.toSeq.flatMap { f =>
+      spark.read.parquet(f.getAbsolutePath)
+        .select("shard", "sort_key", "doc_id")
+        .as[(Int, Long, Long)].collect().toSeq
+    }
+    assert(seq.length === 500)
+    assert(seq === seq.sorted, "concatenated part files must be globally ordered")
+  }
 }
