@@ -772,6 +772,53 @@ object QueriesX {
       |FROM phr JOIN ps USING (doc_id, pid)
       |GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50""".stripMargin
 
+  // ---- tf-weighted MinHash near-dup pairs (bigram weights capped at 3,
+  //      16 hashes in 4 bands; banding candidates verified by EXACT
+  //      weighted Jaccard — the oracle replays both halves) ----
+  def qDedupMinhashWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.weightedMinhashPairs(t(s, dir, "documents"))
+
+  val oDedupMinhashWeighted: String = {
+    val mins = (0 until 16).map(h =>
+      s"min(('0x' || substr(md5('$h#' || e || '#' || occ), 1, 8))::BIGINT) AS h$h")
+      .mkString(",\n    ")
+    val bandSel = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"h${b * 4 + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, len(t)),
+       |    i -> array_to_string(t[i:i+1], ' '))) AS e
+       |  FROM toks),
+       |tf AS (SELECT doc_id, e, least(count(*), 3) AS w FROM sh GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, e, unnest(range(1, w + 1)) AS occ FROM tf),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM rep GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |tw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw FROM tf GROUP BY 1),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, CAST(sum(least(x.w, y.w)) AS BIGINT) AS n_min
+       |  FROM cand c
+       |  JOIN tf x ON x.doc_id = c.a_id
+       |  JOIN tf y ON y.doc_id = c.b_id AND y.e = x.e
+       |  GROUP BY 1, 2)
+       |SELECT i.a_id, i.b_id, i.n_min, ta.tw AS tw_a, tb.tw AS tw_b,
+       |  CAST(i.n_min AS DOUBLE) / CAST(ta.tw + tb.tw - i.n_min AS DOUBLE) AS jw
+       |FROM inter i
+       |JOIN tw ta ON i.a_id = ta.doc_id
+       |JOIN tw tb ON i.b_id = tb.doc_id
+       |WHERE CAST(i.n_min AS DOUBLE) / CAST(ta.tw + tb.tw - i.n_min AS DOUBLE)
+       |  >= 0.5::DOUBLE""".stripMargin
+  }
+
   // ---- deterministic epoch shuffle: per-shard summary of the derived
   //      training order (the assignment is a pure projection; the summary
   //      is the one hash agg). order_sig pins membership, and membership

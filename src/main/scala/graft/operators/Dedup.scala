@@ -96,6 +96,76 @@ object Dedup {
     verifyJaccard(docs, candidates, k, idCol, textCol).filter(col("jaccard") >= minJaccard)
   }
 
+  /** TF-WEIGHTED near-dup pairs — weighted Jaccard
+    * J_w = Σ min(w_a, w_b) / Σ max(w_a, w_b) over CAPPED bigram term
+    * frequencies, via the integer-replication reduction (Chum, Philbin,
+    * Zisserman, BMVC 2008 §3 "min-Hash and tf-idf weighting"): an element
+    * of integer weight w behaves as w distinct replicas (e, 1..w), and
+    * PLAIN set Jaccard over replica sets equals weighted Jaccard over the
+    * capped weights — so plain MinHash over replicas estimates J_w and
+    * banding generates candidates with the usual S-curve. Plain MinHash
+    * scores "spark spark spark spark report" vs "spark report" as
+    * near-identical (same shingle SET); the weighted form does not — the
+    * repetition signal matters exactly for the boilerplate/spam documents
+    * a training-corpus dedup is pointed at.
+    *
+    * Verification is EXACT: J_w recomputed from the tf tables
+    * (Σ max = tw_a + tw_b − Σ min, so only the intersection is joined).
+    * Like [[minhashPairs]], the published set is banding-candidates ∩
+    * exact-threshold — deterministic because both halves are.
+    *
+    * Scale shape: the tf table is one (doc, element)-keyed hash agg (the
+    * standard term-table shuffle); replication multiplies rows by ≤ the
+    * weight cap (bounded, default 3); the signature is `numHashes` min
+    * aggs in ONE doc-keyed groupBy (no row blow-up per hash); candidates
+    * come from the band equi-join; the verify joins touch candidate pairs
+    * only. No window, no cartesian, no collect.
+    */
+  def weightedMinhashPairs(docs: DataFrame, numHashes: Int = 16,
+                           bandSize: Int = 4, maxW: Int = 3,
+                           minJw: Double = 0.5, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(numHashes % bandSize == 0)
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(Portable.wordShingles(col(textCol), 2)).as("e"))
+    val tf = sh.groupBy(col("doc_id"), col("e"))
+      .agg(least(count(lit(1)), lit(maxW.toLong)).as("w"))
+    val rep = tf.select(col("doc_id"), col("e"),
+      explode(sequence(lit(1L), col("w"))).as("occ"))
+    val sigCols = (0 until numHashes).map { h =>
+      min(Portable.hash32(concat_ws("#", lit(h.toString), col("e"), col("occ"))))
+        .as(s"h$h")
+    }
+    val sig = rep.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandSize).map(i => col(s"h${b * bandSize + i}")): _*)
+          .as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val candidates = bands
+      .select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("b_id")),
+        Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
+    val sizes = tf.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
+    val inter = candidates
+      .join(tf.select(col("doc_id").as("a_id"), col("e"), col("w").as("wa")), "a_id")
+      .join(tf.select(col("doc_id").as("b_id"), col("e"), col("w").as("wb")),
+        Seq("b_id", "e"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("wa"), col("wb"))).as("n_min"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("tw").as("tw_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("tw").as("tw_b")), "b_id")
+      .withColumn("jw", col("n_min").cast("double") /
+        (col("tw_a") + col("tw_b") - col("n_min")).cast("double"))
+      .filter(col("jw") >= minJw)
+      .select("a_id", "b_id", "n_min", "tw_a", "tw_b", "jw")
+  }
+
   /** Asymmetric containment pairs — `|A∩B| / |A|` (and `/ |B|`) over
     * shingle sets: detects SUBSET duplication (one document quoted or
     * embedded inside another), which symmetric Jaccard under-scores when

@@ -393,4 +393,23 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(again === pairs)
   }
+
+  test("weighted minhash sees repetition that plain set-Jaccard hides") {
+    // docs 1 and 2 have the SAME bigram set {«x y», «y x»} ∪ {«x y»}:
+    // plain set Jaccard(1,2) = 0.5, but the capped tf vectors are
+    // {xy:3, yx:2} vs {xy:1} -> J_w = 1/(5+1-1) = 0.2 — the repeated
+    // boilerplate dilutes the weighted score below the 0.5 link bar.
+    // Docs 1 and 3 are identical -> J_w = 1 exactly, always published.
+    val d = Seq(
+      (1L, "x y x y x y"),
+      (2L, "x y"),
+      (3L, "x y x y x y")).toDF("doc_id", "text")
+    val out = Dedup.weightedMinhashPairs(d, minJw = 0.5)
+      .select("a_id", "b_id", "jw").as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 3L, 1.0)),
+      "identical docs link at exactly 1.0; the repetition-diluted pair must not")
+    val rep = Dedup.weightedMinhashPairs(d.repartition(5), minJw = 0.5)
+      .select("a_id", "b_id", "jw").as[(Long, Long, Double)].collect().toSet
+    assert(rep === out)
+  }
 }
