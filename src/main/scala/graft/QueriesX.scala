@@ -772,6 +772,85 @@ object QueriesX {
       |FROM phr JOIN ps USING (doc_id, pid)
       |GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50""".stripMargin
 
+  // ---- CM-sketch join-size estimation (inner product, min over seeds):
+  //      an FK join (collision-dominated at w=512 — the BOUND is the
+  //      guarantee) and a dimension join (collision-free — est = exact) ----
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketch
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("token"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey").as("token"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("token"))
+    val supp = t(s, dir, "supplier")
+      .select(col("s_nationkey").cast("long").as("token"))
+    Sketch.cmsJoinSizeEstimate(li, ord).withColumn("pair", lit("order_fk"))
+      .unionByName(Sketch.cmsJoinSizeEstimate(cust, supp)
+        .withColumn("pair", lit("nation_dim")))
+  }
+
+  val oJoinSizeEst: String = {
+    def half(tag: String, aSel: String, bSel: String) =
+      s"""a_$tag AS ($aSel),
+         |b_$tag AS ($bSel),
+         |sa_$tag AS (
+         |  SELECT seed,
+         |    ('0x' || substr(md5(seed::VARCHAR || '#' || token::VARCHAR), 1, 8))::BIGINT % 512 AS bucket,
+         |    count(*) AS ca
+         |  FROM a_$tag CROSS JOIN sd GROUP BY 1, 2),
+         |sb_$tag AS (
+         |  SELECT seed,
+         |    ('0x' || substr(md5(seed::VARCHAR || '#' || token::VARCHAR), 1, 8))::BIGINT % 512 AS bucket,
+         |    count(*) AS cb
+         |  FROM b_$tag CROSS JOIN sd GROUP BY 1, 2),
+         |dot_$tag AS (
+         |  SELECT seed, CAST(sum(ca * cb) AS BIGINT) AS dot
+         |  FROM sa_$tag JOIN sb_$tag USING (seed, bucket) GROUP BY 1),
+         |est_$tag AS (SELECT min(dot) AS est_join FROM dot_$tag),
+         |ex_$tag AS (
+         |  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_join
+         |  FROM (SELECT token, count(*) AS na FROM a_$tag GROUP BY 1) x
+         |  JOIN (SELECT token, count(*) AS nb FROM b_$tag GROUP BY 1) y
+         |    USING (token)),
+         |sz_$tag AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a_$tag) AS n_a,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM b_$tag) AS n_b),
+         |r_$tag AS (
+         |  SELECT est_join, exact_join, n_a, n_b,
+         |    est_join - exact_join AS overest,
+         |    est_join >= exact_join AS never_under,
+         |    est_join <= exact_join + (3 * n_a * n_b) // 512 AS bound_ok,
+         |    '$tag' AS pair
+         |  FROM est_$tag, ex_$tag, sz_$tag)"""
+    s"""WITH sd AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+       |${half("order_fk", "SELECT l_orderkey AS token FROM lineitem",
+                "SELECT o_orderkey AS token FROM orders")},
+       |${half("nation_dim",
+                "SELECT CAST(c_nationkey AS BIGINT) AS token FROM customer",
+                "SELECT CAST(s_nationkey AS BIGINT) AS token FROM supplier")}
+       |SELECT * FROM r_order_fk UNION ALL SELECT * FROM r_nation_dim""".stripMargin
+  }
+
+  // ---- distinct l-diversity: groups with < 3 distinct wealth bands get
+  //      their quasi-identifiers suppressed (homogeneity-attack guard) ----
+  def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.lDiversity(t(s, dir, "customer"),
+      idCol = "c_custkey", qi1 = "c_nationkey", qi2 = "c_mktsegment",
+      sensitive = floor(col("c_acctbal") / 4000).cast("long"), l = 3)
+
+  val oLDiversity: String =
+    """WITH d AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 4000) AS BIGINT) AS sv
+      |  FROM customer),
+      |g AS (SELECT c_nationkey, c_mktsegment,
+      |        CAST(count(DISTINCT sv) AS BIGINT) AS ldiv
+      |      FROM d GROUP BY 1, 2)
+      |SELECT c_custkey,
+      |  CASE WHEN ldiv >= 3 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS gen_q1,
+      |  CASE WHEN ldiv >= 3 THEN c_mktsegment ELSE '*' END AS gen_q2,
+      |  CAST(ldiv >= 3 AS INT) AS released, ldiv
+      |FROM d JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin
+
   // ---- tf-weighted MinHash near-dup pairs (bigram weights capped at 3,
   //      16 hashes in 4 bands; banding candidates verified by EXACT
   //      weighted Jaccard — the oracle replays both halves) ----

@@ -589,6 +589,36 @@ object TrainPrep {
       .filter(col("noisy_n") >= threshold)
   }
 
+  /** Distinct l-diversity guard (Machanavajjhala et al., ICDE 2006 —
+    * "l-Diversity: Privacy Beyond k-Anonymity"). k-anonymity bounds GROUP
+    * SIZE but a group of 50 rows that all share one sensitive value still
+    * discloses that value for everyone in it (the homogeneity attack);
+    * l-diversity additionally requires ≥ l DISTINCT sensitive values per
+    * published quasi-identifier group. Groups below the bar have their
+    * quasi-identifiers suppressed to '*' (rows are kept — the sensitive
+    * column itself is the payload being studied, the QIs are what
+    * re-identify). Completes the privacy trio with [[kAnonymize]]
+    * (microdata group size) and [[dpCounts]] (aggregate release).
+    *
+    * Scale shape: one hash agg over the quasi-identifier domain (count
+    * distinct of the sensitive value per group — Spark plans the standard
+    * two-phase Expand+agg, still bounded by |QI domain| × |sensitive
+    * domain|) broadcast back onto the rows; per-row scalar decision, no
+    * window, no sort.
+    */
+  def lDiversity(df: DataFrame, idCol: String, qi1: String, qi2: String,
+                 sensitive: Column, l: Int): DataFrame = {
+    val d = df.select(col(idCol), col(qi1), col(qi2), sensitive.as("sv"))
+    val g = d.groupBy(col(qi1), col(qi2))
+      .agg(countDistinct(col("sv")).as("ldiv"))
+    d.join(broadcast(g), Seq(qi1, qi2))
+      .select(col(idCol),
+        when(col("ldiv") >= l, col(qi1).cast("string")).otherwise("*").as("gen_q1"),
+        when(col("ldiv") >= l, col(qi2).cast("string")).otherwise("*").as("gen_q2"),
+        (col("ldiv") >= l).cast("int").as("released"),
+        col("ldiv"))
+  }
+
   /** Deterministic global training-order shuffle. Every epoch of LLM
     * training wants the corpus in a fresh pseudo-random order; at 100 TB
     * "shuffle the rows" must mean a DERIVED SORT KEY, not an RNG — the

@@ -515,11 +515,17 @@ class PlanSpec extends SparkSpec {
     // all four are equi-join / hash-agg routed — nothing may go cartesian
     // or nested-loop (no 1-row broadcast dims anywhere in these)
     for (q <- Seq("q_label_prop", "q_dp_counts", "q_rake", "q_record_linkage",
-      "q_shard_shuffle", "q_dedup_minhash_weighted")) {
+      "q_shard_shuffle", "q_dedup_minhash_weighted", "q_l_diversity")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+    // join-size estimator: the sketches meet in a (seed,bucket) equi-join;
+    // the only nested loops are the 1-row scalar broadcasts (est × exact ×
+    // sizes, twice — one per graded pair)
+    val pj = plan("q_join_size_est")
+    assert(!pj.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pj).size <= 6)
     // epoch-shuffle summary: the assignment is a pure projection, so the
     // whole query is scan -> partial agg -> ONE shard-keyed exchange
     val px = plan("q_shard_shuffle")

@@ -190,6 +190,33 @@ class SketchSpec extends SparkSpec {
     assert(repart === sliding)
   }
 
+  test("cms join-size estimate never underestimates and honors the inner-product bound") {
+    import graft.operators.Sketch
+    import spark.implicits._
+    // heavy-collision regime: 5000 distinct keys vs 512 buckets, zipf-ish
+    // fan-out on the b side
+    val a = spark.range(0, 5000).select(col("id").as("token"))
+    val b = spark.range(0, 20000).select((col("id") % 5000).as("token"))
+    val r = Sketch.cmsJoinSizeEstimate(a, b)
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].collect()(0)
+    val (est, exact, na, nb, over, neverUnder, boundOk) = r
+    assert(exact === 20000L) // every a key matches its 4 b copies
+    assert(neverUnder && est >= exact, s"est=$est < exact=$exact")
+    assert(boundOk, s"est=$est exceeded exact + 3*na*nb/w (na=$na nb=$nb)")
+    assert(over === est - exact)
+    // collision-free regime: 20 keys in 512 buckets -> the cross terms
+    // vanish with these hash seeds and the estimate is exact
+    val a2 = spark.range(0, 20).select(col("id").as("token"))
+    val b2 = spark.range(0, 200).select((col("id") % 20).as("token"))
+    val r2 = Sketch.cmsJoinSizeEstimate(a2, b2)
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].collect()(0)
+    assert(r2._1 === r2._2, s"tiny key domain must estimate exactly: $r2")
+    // partition invariance
+    val rp = Sketch.cmsJoinSizeEstimate(a.repartition(7), b.repartition(5))
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)].collect()(0)
+    assert(rp === r)
+  }
+
   test("percentile_approx brackets the exact median") {
     val r = li.agg(
       expr("percentile(l_quantity, 0.5)").as("exact"),

@@ -367,6 +367,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("lDiversity suppresses homogeneous groups and releases diverse ones") {
+    // group (A,x): 4 rows, sensitive values {1,2,3} -> l=3 released;
+    // group (B,y): 5 rows all sensitive 7 -> homogeneity attack -> masked
+    val rows = Seq(
+      (1L, "A", "x", 1L), (2L, "A", "x", 2L), (3L, "A", "x", 3L), (4L, "A", "x", 1L),
+      (5L, "B", "y", 7L), (6L, "B", "y", 7L), (7L, "B", "y", 7L),
+      (8L, "B", "y", 7L), (9L, "B", "y", 7L))
+    val d = rows.toDF("id", "q1", "q2", "sv")
+    val r = TrainPrep.lDiversity(d, "id", "q1", "q2", col("sv"), l = 3)
+      .as[(Long, String, String, Int, Long)].collect()
+    assert(r.length === 9, "every row stays — only the QIs are masked")
+    val released = r.filter(_._4 === 1)
+    val masked = r.filter(_._4 === 0)
+    assert(released.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    assert(released.forall(x => x._2 == "A" && x._3 == "x" && x._5 == 3L))
+    assert(masked.map(_._1).toSet === Set(5L, 6L, 7L, 8L, 9L))
+    assert(masked.forall(x => x._2 == "*" && x._3 == "*" && x._5 == 1L))
+  }
+
   test("epoch shuffle: assignment is a shuffle-free projection; writer emits the global order") {
     val d = docs(500)
     val assigned = TrainPrep.shuffleShards(d, "doc_id", nShards = 8, epoch = 3)
