@@ -772,6 +772,73 @@ object QueriesX {
       |FROM phr JOIN ps USING (doc_id, pid)
       |GROUP BY phrase ORDER BY score DESC, phrase LIMIT 50""".stripMargin
 
+  // ---- greedy k-center coreset (farthest-point traversal, k=5, seed =
+  //      min vec_id; oracle unrolls all four argmax rounds) ----
+  def qKcenterCoreset(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kCenterCoreset(t(s, dir, "embeddings"), k = 5)
+
+  val oKcenterCoreset: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    def cosd(x: String, y: String) =
+      s"(1.0::DOUBLE - ${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)})))"
+    def round(i: Int) =
+      s"""s$i AS (SELECT vec_id, embedding, mind FROM m${i - 1}
+         |       ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$i AS (SELECT m.vec_id, m.embedding,
+         |         least(m.mind, ${cosd("m.embedding", "s.embedding")}) AS mind
+         |       FROM m${i - 1} m, s$i s)"""
+    s"""WITH c1 AS (SELECT vec_id, embedding FROM embeddings
+       |            ORDER BY vec_id LIMIT 1),
+       |m1 AS (SELECT e.vec_id, e.embedding,
+       |         ${cosd("e.embedding", "c.embedding")} AS mind
+       |       FROM embeddings e, c1 c),
+       |${round(2)},
+       |${round(3)},
+       |${round(4)},
+       |${round(5)}
+       |SELECT 1 AS round, vec_id, 0.0::DOUBLE AS radius FROM c1
+       |UNION ALL SELECT 2, vec_id, mind FROM s2
+       |UNION ALL SELECT 3, vec_id, mind FROM s3
+       |UNION ALL SELECT 4, vec_id, mind FROM s4
+       |UNION ALL SELECT 5, vec_id, mind FROM s5""".stripMargin
+  }
+
+  // ---- T5 span corruption: hash-seeded masks, contiguous runs collapse
+  //      to sentinels; input/target pair per document ----
+  def qSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.spanCorruption(t(s, dir, "documents"))
+
+  val oSpanCorruption: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+      |        FROM toks),
+      |m0 AS (SELECT doc_id, pos, tok,
+      |  ('0x' || substr(md5(doc_id || '#' || pos), 1, 8))::BIGINT % 100 < 15 AS m
+      |  FROM tok),
+      |r0 AS (SELECT *, m AND NOT coalesce(lag(m) OVER w, false) AS run_start
+      |       FROM m0 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |r1 AS (SELECT *,
+      |  CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS rid
+      |  FROM r0),
+      |e AS (SELECT doc_id, pos, m, rid,
+      |  CASE WHEN NOT m THEN tok
+      |       WHEN run_start THEN '<X' || rid || '>' END AS ein,
+      |  CASE WHEN m AND run_start THEN '<X' || rid || '> ' || tok
+      |       WHEN m THEN tok END AS etgt
+      |  FROM r1)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  coalesce(max(CASE WHEN m THEN rid END), 0) AS n_spans,
+      |  coalesce(string_agg(ein, ' ' ORDER BY pos) FILTER (ein IS NOT NULL), '')
+      |    AS input_text,
+      |  coalesce(string_agg(etgt, ' ' ORDER BY pos) FILTER (etgt IS NOT NULL), '')
+      |    AS target_text
+      |FROM e GROUP BY doc_id""".stripMargin
+
   // ---- CM-sketch join-size estimation (inner product, min over seeds):
   //      an FK join (collision-dominated at w=512 — the BOUND is the
   //      guarantee) and a dimension join (collision-free — est = exact) ----

@@ -818,4 +818,53 @@ object Similarity {
       .distinct()
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 — the farthest-
+    * point traversal, a 2-approximation to the metric k-center optimum).
+    * Training-data use: pick k maximally-spread exemplars per corpus
+    * slice (diverse few-shot pools, eval subset selection, cluster
+    * seeding that — unlike random init — cannot collapse onto one dense
+    * region).
+    *
+    * Deterministic by construction: the seed is the smallest vec_id, and
+    * each round selects the point with MAXIMUM distance to its nearest
+    * chosen center, ties toward the smaller vec_id. Distance is
+    * 1 − cosine with [[graft.functions.Portable.cosine]]'s exact
+    * left-fold — the same arithmetic the oracle replays, so argmax
+    * comparisons agree bit-for-bit across engines.
+    *
+    * Scale shape: k−1 rounds of {distributed TakeOrdered(1) argmax →
+    * 1-ROW driver collect → fold the new center back as a LITERAL into
+    * a `least(mind, dist)` projection}. The collect is k rows total over
+    * the whole call (the [[Graph.hits]] scalar-normalizer precedent, not
+    * a data collect); the corpus itself is only ever scanned and
+    * projected — no shuffle at all beyond each round's top-1 reduction.
+    *
+    * Output: one row per selected center (round 1..k, vec_id, radius =
+    * the point's min-distance at selection; 0 for the seed). The
+    * radius column is the classic k-center coverage certificate — after
+    * round r, every point lies within radius_r of some chosen center.
+    */
+  def kCenterCoreset(vecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = vecs.sparkSession
+    require(k >= 1)
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    def distTo(c: Seq[Float]): Column =
+      lit(1.0) - graft.functions.Portable.cosine(col("embedding"),
+        array(c.map(lit(_)): _*))
+    val seed = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    val picked = scala.collection.mutable.ListBuffer[(Int, Long, Double)](
+      (1, seed.getLong(0), 0.0))
+    var state = base.withColumn("mind", distTo(seed.getSeq[Float](1)))
+    for (r <- 2 to k) {
+      val next = state.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picked += ((r, next.getLong(0), next.getDouble(2)))
+      state = state.withColumn("mind",
+        least(col("mind"), distTo(next.getSeq[Float](1))))
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("round", "vec_id", "radius")
+  }
 }

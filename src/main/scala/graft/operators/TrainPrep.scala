@@ -619,6 +619,47 @@ object TrainPrep {
         col("ldiv"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, JMLR 21 §3.1.4) —
+    * the denoising objective's data side: ~maskPct% of token positions
+    * are masked, CONTIGUOUS masked runs collapse to one sentinel in the
+    * input, and the target spells each span out behind its sentinel
+    * (`input: "a <X1> d"  target: "<X1> b c"`). Deciding masks by the
+    * portable hash of (doc, position) instead of an RNG makes the
+    * corruption a pure function of the document — rebuild the corpus on
+    * any cluster and byte-identical training pairs come out, and a
+    * checkpoint-resumed epoch sees the same masks it saw before.
+    *
+    * Scale shape: posexplode → per-DOCUMENT window (lag + prefix sum
+    * number the masked runs; key = doc_id, never corpus-wide) → one
+    * doc-keyed agg assembling both sequences with order-pinned sorted
+    * collects. Masks are per-position scalars; nothing iterates.
+    */
+  def spanCorruption(docs: DataFrame, textCol: String = "text",
+                     maskPct: Int = 15): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val m = Portable.hash32(concat_ws("#", col("doc_id"), col("pos"))) % 100 < maskPct
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val winRun = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks
+      .withColumn("m", m)
+      .withColumn("run_start", col("m") && !lag(col("m"), 1, false).over(win))
+      .withColumn("rid", sum(col("run_start").cast("long")).over(winRun))
+    val emitIn = when(!col("m"), col("tok"))
+      .when(col("run_start"), concat(lit("<X"), col("rid"), lit(">")))
+    val emitTgt = when(col("m") && col("run_start"),
+        concat(lit("<X"), col("rid"), lit("> "), col("tok")))
+      .when(col("m"), col("tok"))
+    def joined(emit: Column) = array_join(transform(
+      array_sort(collect_list(when(emit.isNotNull, struct(col("pos"), emit.as("t"))))),
+      x => x.getField("t")), " ")
+    marked.groupBy(col("doc_id"))
+      .agg(sum(col("m").cast("long")).as("n_masked"),
+        coalesce(max(when(col("m"), col("rid"))), lit(0L)).as("n_spans"),
+        joined(emitIn).as("input_text"),
+        joined(emitTgt).as("target_text"))
+  }
+
   /** Deterministic global training-order shuffle. Every epoch of LLM
     * training wants the corpus in a fresh pseudo-random order; at 100 TB
     * "shuffle the rows" must mean a DERIVED SORT KEY, not an RNG — the

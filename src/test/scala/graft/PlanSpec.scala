@@ -515,7 +515,8 @@ class PlanSpec extends SparkSpec {
     // all four are equi-join / hash-agg routed — nothing may go cartesian
     // or nested-loop (no 1-row broadcast dims anywhere in these)
     for (q <- Seq("q_label_prop", "q_dp_counts", "q_rake", "q_record_linkage",
-      "q_shard_shuffle", "q_dedup_minhash_weighted", "q_l_diversity")) {
+      "q_shard_shuffle", "q_dedup_minhash_weighted", "q_l_diversity",
+      "q_span_corruption")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

@@ -285,4 +285,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.10,
       f"IVF-PQ recall collapsed below the ranking floor: $recall%.3f")
   }
+
+  test("k-center coreset spreads across clusters with non-increasing radii") {
+    // three axis-aligned cosine clusters; the farthest-point traversal
+    // must pick one exemplar per cluster (random sampling could collapse
+    // onto the dense first cluster)
+    def v(axis: Int, eps: Float) =
+      Array.tabulate(4)(i => (if (i == axis) 1f else 0f) + (if (i == 3) eps else 0f))
+    val d = Seq(
+      (1L, v(0, 0.00f)), (2L, v(0, 0.01f)), (3L, v(0, 0.02f)),
+      (10L, v(1, 0.00f)), (11L, v(1, 0.01f)),
+      (20L, v(2, 0.00f)), (21L, v(2, 0.015f))).toDF("vec_id", "embedding")
+    val r = Similarity.kCenterCoreset(d, 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(r(0)._2 === 1L, "seed is the smallest vec_id")
+    assert(r.map(_._2 / 10).distinct.length === 3,
+      s"centers must span all three clusters: ${r.toList}")
+    assert(r(1)._3 >= r(2)._3, "farthest-point radii are non-increasing")
+    val again = Similarity.kCenterCoreset(d.repartition(5), 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(again === r)
+  }
 }

@@ -386,6 +386,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(masked.forall(x => x._2 == "*" && x._3 == "*" && x._5 == 1L))
   }
 
+  test("span corruption round-trips: splicing targets back yields the original") {
+    val d = (1 to 50).map(i =>
+      (i.toLong, (1 to 30).map(j => s"w${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val orig = d.as[(Long, String)].collect().toMap
+    val r = TrainPrep.spanCorruption(d)
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(r.length === 50)
+    var sawMask = false
+    r.foreach { case (id, nMasked, nSpans, in, tgt) =>
+      assert(nMasked >= nSpans, "every span holds at least one masked token")
+      if (nSpans > 0) sawMask = true
+      val spans: Map[Int, String] = tgt.split("<X").filter(_.nonEmpty).map { p =>
+        val i = p.indexOf('>'); (p.take(i).toInt, p.drop(i + 1).trim)
+      }.toMap
+      assert(spans.size.toLong === nSpans)
+      val rebuilt = in.split(" ").flatMap { t =>
+        if (t.startsWith("<X"))
+          spans(t.stripPrefix("<X").stripSuffix(">").toInt).split(" ")
+        else Array(t)
+      }.mkString(" ")
+      assert(rebuilt === orig(id), s"doc $id failed to round-trip")
+    }
+    assert(sawMask, "15% masking over 1500 tokens must mask something")
+    // partition invariance
+    val again = TrainPrep.spanCorruption(d.repartition(7))
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(again === r.toSet)
+  }
+
   test("epoch shuffle: assignment is a shuffle-free projection; writer emits the global order") {
     val d = docs(500)
     val assigned = TrainPrep.shuffleShards(d, "doc_id", nShards = 8, epoch = 3)
