@@ -1875,6 +1875,29 @@ object QueriesExt {
        |SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
        |FROM pred GROUP BY 1, 2""".stripMargin
 
+  // ---- Cohen's kappa of the lang-id heuristic vs gold labels ----
+  def qKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cohensKappa(
+      TextAnalysis.langId(t(s, dir, "documents"), truthCol = Some("lang"))
+        .select(col("lang_true"), col("lang_pred")),
+      "lang_true", "lang_pred")
+
+  val oKappa: String =
+    s"""WITH pred AS ($oLangId),
+       |conf AS (SELECT lang_true AS a, lang_pred AS b, count(*) AS cnt
+       |         FROM pred GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM conf),
+       |diag AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS agree
+       |         FROM conf WHERE a = b),
+       |rm AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS na FROM conf GROUP BY 1),
+       |cm AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS nb FROM conf GROUP BY 1),
+       |rc AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS rowcol
+       |       FROM rm JOIN cm ON a = b)
+       |SELECT nn AS n, agree, rowcol,
+       |  CAST(nn * agree - rowcol AS DOUBLE) / CAST(nn * nn - rowcol AS DOUBLE)
+       |    AS kappa
+       |FROM tot, diag, rc""".stripMargin
+
   // ---- quality-weighted deterministic sampling ----
   def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     TrainPrep.weightedSample(

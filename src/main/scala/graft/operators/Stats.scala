@@ -40,4 +40,38 @@ object Stats {
             sqrt((col("n") * col("_syy") - col("_sy") * col("_sy")).cast("double"))))
           .as("corr"): _*)
   }
+
+  /** Cohen's kappa (Cohen 1960, Educ. Psychol. Meas. 20) — chance-
+    * corrected agreement between two categorical labelings: the QA
+    * metric for comparing a cheap heuristic labeler against gold labels
+    * (or two annotators / two model versions) before trusting it to
+    * filter a corpus. Raw accuracy rewards majority-class parroting;
+    * kappa subtracts the agreement two independent labelers with these
+    * marginals would reach by chance.
+    *
+    * Exact arithmetic: with N rows, A agreeing rows, and
+    * R = Σ_class rowMarginal·colMarginal,
+    * kappa = (N·A − R) / (N² − R) — one division of exact 64-bit
+    * integers, so the double is bit-identical across engines (the
+    * textbook (p_o − p_e)/(1 − p_e) divides twice and would not be).
+    *
+    * Scale shape: one (a,b)-keyed confusion hash agg (bounded by the
+    * label-domain square), then marginal aggs and 1-row scalar
+    * cross-joins over that tiny table. One corpus shuffle total.
+    */
+  def cohensKappa(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val conf = pairs.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = conf.agg(sum(col("cnt")).as("nn"))
+    val diag = conf.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("agree"))
+    val rowm = conf.groupBy(col("a")).agg(sum(col("cnt")).as("na"))
+    val colm = conf.groupBy(col("b")).agg(sum(col("cnt")).as("nb"))
+    val rc = rowm.join(colm, col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("rowcol"))
+    total.crossJoin(broadcast(diag)).crossJoin(broadcast(rc))
+      .select(col("nn").as("n"), col("agree"), col("rowcol"),
+        ((col("nn") * col("agree") - col("rowcol")).cast("double") /
+          (col("nn") * col("nn") - col("rowcol")).cast("double")).as("kappa"))
+  }
 }

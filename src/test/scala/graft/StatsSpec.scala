@@ -47,4 +47,26 @@ class StatsSpec extends SparkSpec {
       (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert(math.abs(a - expected) < 1e-12)
   }
+
+  test("cohensKappa: textbook value, perfect agreement, chance-level labels") {
+    // classic worked example: N=50, agree=35 (20 yes-yes + 15 no-no),
+    // yes-margins 25/30, no-margins 25/20 -> R = 25*30 + 25*20 = 1250
+    // kappa = (50*35 - 1250)/(50*50 - 1250) = 500/1250 = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((50L, 35L, 1250L, 0.4)))
+    // perfect agreement -> kappa exactly 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohensKappa(perfect, "a", "b")
+      .select("kappa").as[Double].head() === 1.0)
+    // one labeler constant while truth is split: agreement equals chance
+    // -> kappa exactly 0
+    val chance = Seq(("x", "x"), ("y", "x"), ("x", "x"), ("y", "x"))
+      .toDF("a", "b")
+    assert(Stats.cohensKappa(chance, "a", "b")
+      .select("kappa").as[Double].head() === 0.0)
+  }
 }
