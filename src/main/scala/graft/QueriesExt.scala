@@ -1898,6 +1898,28 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- deterministic subsample-bootstrap CI for the mean doc length ----
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.bootstrapCi(t(s, dir, "documents"),
+      idCol = "doc_id", valueCol = "n_chars")
+
+  val oBootstrapCi: String =
+    """WITH bs AS (SELECT unnest(range(0, 50)) AS b),
+      |sub AS (
+      |  SELECT d.doc_id, d.n_chars, bs.b FROM documents d CROSS JOIN bs
+      |  WHERE ('0x' || substr(md5(bs.b || '#' || d.doc_id), 1, 8))::BIGINT
+      |    % 100 < 63),
+      |means AS (SELECT b, CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |            AS m
+      |          FROM sub GROUP BY 1),
+      |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+      |pt AS (SELECT CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |         AS point_mean
+      |       FROM documents)
+      |SELECT point_mean, lo.m AS lo, hi.m AS hi, 50 AS n_resamples
+      |FROM pt, (SELECT m FROM rk WHERE rk = 2) lo,
+      |     (SELECT m FROM rk WHERE rk = 49) hi""".stripMargin
+
   // ---- quality-weighted deterministic sampling ----
   def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     TrainPrep.weightedSample(

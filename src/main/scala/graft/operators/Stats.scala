@@ -41,6 +41,53 @@ object Stats {
           .as("corr"): _*)
   }
 
+  /** Deterministic subsample-bootstrap confidence interval for a corpus
+    * mean (Politis–Romano–Wolf subsampling; the hash-seeded kin of the
+    * Poisson bootstrap used for big-data CIs). Every corpus-level number
+    * a pipeline reports — mean length, dedup rate, quality mean — needs
+    * an uncertainty band before two corpus versions can be compared
+    * honestly; the bootstrap gives it without distributional assumptions.
+    *
+    * Each of the B resamples keeps a document iff the portable hash of
+    * (resample, id) clears the subsample rate — no RNG, so the interval
+    * is reproducible across clusters and reruns (a resampled CI that
+    * moved on every rerun would defeat its regression-test purpose). The
+    * metric is an INTEGER column: resample means are one exact-long sum
+    * ÷ one exact count — a single double division, no float fold order.
+    *
+    * Scale shape: one explode by B (bounded constant) → one (resample)-
+    * keyed hash agg → a B-row rank window (single partition over B rows,
+    * a bounded constant — never corpus-sized) → 1-row broadcasts. The
+    * corpus is scanned once.
+    *
+    * Output: (point_mean, lo, hi, n_resamples) with lo/hi the
+    * ⌈0.025·B⌉-th and ⌈0.975·B⌉-th order statistics of the resample
+    * means.
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+                  resamples: Int = 50, keepPct: Int = 63): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val loRank = math.ceil(0.025 * resamples).toInt.max(1)
+    val hiRank = math.ceil(0.975 * resamples).toInt
+    val base = df.select(col(idCol).as("_id"), col(valueCol).cast("long").as("_v"))
+    val sub = base
+      .select(col("_id"), col("_v"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("b"))
+      .filter(graft.functions.Portable.hash32(
+        concat_ws("#", col("b"), col("_id"))) % 100 < keepPct)
+    val means = sub.groupBy(col("b"))
+      .agg((sum(col("_v")).cast("double") / count(lit(1)).cast("double")).as("m"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val lo = ranked.filter(col("rk") === loRank).select(col("m").as("lo"))
+    val hi = ranked.filter(col("rk") === hiRank).select(col("m").as("hi"))
+    val point = base.agg(
+      (sum(col("_v")).cast("double") / count(lit(1)).cast("double"))
+        .as("point_mean"))
+    point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .withColumn("n_resamples", lit(resamples))
+  }
+
   /** Cohen's kappa (Cohen 1960, Educ. Psychol. Meas. 20) — chance-
     * corrected agreement between two categorical labelings: the QA
     * metric for comparing a cheap heuristic labeler against gold labels

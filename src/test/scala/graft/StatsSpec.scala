@@ -69,4 +69,21 @@ class StatsSpec extends SparkSpec {
     assert(Stats.cohensKappa(chance, "a", "b")
       .select("kappa").as[Double].head() === 0.0)
   }
+
+  test("bootstrapCi brackets the point estimate and is partition-invariant") {
+    val d = (1L to 2000L).map(i => (i, (i % 97) * 3 + 10)).toDF("id", "v")
+    val r = Stats.bootstrapCi(d, "id", "v")
+      .as[(Double, Double, Double, Int)].head()
+    val (point, lo, hi, b) = r
+    assert(b === 50)
+    assert(lo < hi, s"degenerate interval: $r")
+    assert(lo <= point && point <= hi,
+      s"point estimate outside its own CI: $r")
+    // a 63% subsample of 2000 near-uniform values cannot move the mean
+    // far: the band must be tight relative to the value range (~300)
+    assert(hi - lo < 30, s"implausibly wide CI: $r")
+    val again = Stats.bootstrapCi(d.repartition(7), "id", "v")
+      .as[(Double, Double, Double, Int)].head()
+    assert(again === r, "hash-seeded resampling must be reproducible")
+  }
 }
