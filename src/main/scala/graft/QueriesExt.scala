@@ -1898,6 +1898,74 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- grouped exact-OLS: extended price (cents) against quantity per
+  //      return flag — Σy² of a cents metric overflows BIGINT, so both
+  //      engines carry 128-bit sums (DECIMAL(38,0) / HUGEINT) ----
+  def qLinreg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    graft.operators.Stats.linregExact(li, Seq("l_returnflag"), "x", "y")
+  }
+
+  val oLinreg: String =
+    """WITH v AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(y * y) AS HUGEINT) AS syy,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy
+      |  FROM v GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+      |  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) /
+      |    (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    AS r2
+      |FROM s""".stripMargin
+
+  // ---- χ² term–label selection: top domain-indicative terms per lang ----
+  def qChi2Terms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chi2Terms(t(s, dir, "documents"), minDf = 5L, topK = 10)
+
+  val oChi2Terms: String =
+    """WITH occ AS (
+      |  SELECT doc_id, lang AS label,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |pres AS (SELECT DISTINCT doc_id, label, term FROM occ),
+      |tl AS (SELECT term, label, CAST(count(*) AS BIGINT) AS a
+      |       FROM pres GROUP BY 1, 2),
+      |tm AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t
+      |       FROM pres GROUP BY 1 HAVING count(*) >= 5),
+      |lm AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_l
+      |       FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |cells AS (
+      |  SELECT term, label, a, n_t - a AS b, n_l - a AS c,
+      |    nn - n_t - n_l + a AS d, nn
+      |  FROM tl JOIN tm USING (term) JOIN lm USING (label) CROSS JOIN tot
+      |  WHERE n_t < nn),
+      |scored AS (
+      |  SELECT term, label, a,
+      |    CAST(CAST(nn AS HUGEINT) *
+      |         (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) *
+      |         (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE) /
+      |    CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+      |      AS chi2
+      |  FROM cells)
+      |SELECT term, label, a, chi2, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT term, label, a, chi2,
+      |    row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term) AS rk
+      |  FROM scored)
+      |WHERE rk <= 10""".stripMargin
+
   // ---- deterministic subsample-bootstrap CI for the mean doc length ----
   def qBootstrapCi(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.bootstrapCi(t(s, dir, "documents"),

@@ -121,4 +121,52 @@ object Stats {
         ((col("nn") * col("agree") - col("rowcol")).cast("double") /
           (col("nn") * col("nn") - col("rowcol")).cast("double")).as("kappa"))
   }
+
+  /** Grouped ordinary-least-squares fit over two INTEGER-VALUED columns
+    * (quantize first, the [[corrExact]] contract) — the trend-line of a
+    * metric against a driver per segment: bytes vs docs per crawl,
+    * quality vs length per domain, price vs quantity per flag. Spark's
+    * built-in `regr_slope` folds doubles and its last bits depend on
+    * partition layout; this variant carries the moment sums exactly.
+    *
+    * Five per-group sums held as DECIMAL(38,0) (Σy² of a cents-quantized
+    * metric overflows a long at ~10⁶ rows; 128-bit decimals stay exact
+    * and associative so map-side partials stay partition-independent).
+    * Closed forms with ONE double division each — never the two-step
+    * `intercept = ȳ − slope·x̄`, which would compound rounding:
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *   r²        = cov² / (varx·vary), each factor exact-cast to double
+    * DuckDB replays bit-for-bit via HUGEINT sums.
+    *
+    * Scale shape: one hash agg with map-side partials (the exchange
+    * carries one 5-sum row per group per map partition), then scalar
+    * projection. One corpus shuffle total, no window.
+    */
+  def linregExact(df: DataFrame, groupCols: Seq[String],
+                  xCol: String, yCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.select(g :+ x.as("_x") :+ y.as("_y"): _*)
+    val sums = base.groupBy(g: _*).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("_x").cast(dec)).as("sx"),
+      sum(col("_y").cast(dec)).as("sy"),
+      sum((col("_x") * col("_x")).cast(dec)).as("sxx"),
+      sum(col("_y").cast(dec) * col("_y").cast(dec)).as("syy"),
+      sum((col("_x") * col("_y")).cast(dec)).as("sxy"))
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(g :+ col("n").cast("long").as("n") :+
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("slope") :+
+      ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("intercept") :+
+      ((cov * cov) / (varx * vary)).as("r2"): _*)
+  }
 }

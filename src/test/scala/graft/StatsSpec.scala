@@ -70,6 +70,36 @@ class StatsSpec extends SparkSpec {
       .select("kappa").as[Double].head() === 0.0)
   }
 
+  test("linregExact: exact line recovered, hand-checked fit, partition invariance") {
+    // exact line y = 3x + 7 -> slope/intercept/r2 recovered exactly
+    val line = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Stats.linregExact(line, Seq("g"), "x", "y")
+      .select("n", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r === ((4L, 3.0, 7.0, 1.0)))
+    // hand-checked non-exact fit: points (0,0),(1,1),(2,1)
+    // n=3 sx=3 sy=2 sxx=5 sxy=3 -> slope=(9-6)/(15-9)=0.5
+    // intercept=(2*5-3*3)/(15-9)=1/6; r2=9/(6*(3*2-4))=0.75
+    val fit = Seq((0L, 0L), (1L, 1L), (2L, 1L))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val f = Stats.linregExact(fit, Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(f._1 === 0.5)
+    assert(f._2 === 1.0 / 6.0)
+    assert(f._3 === 0.75)
+    // large cents-scale values whose sum-of-squares exceeds Long range
+    // stay exact, and the result is bit-identical across partitionings
+    val big = (1L to 4000L).map(i => ("g", i % 97, (i % 97) * 4000000L + i % 13))
+      .toDF("g", "x", "y")
+    val a = Stats.linregExact(big.repartition(1), Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    val b = Stats.linregExact(big.repartition(17), Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(a === b)
+    assert(math.abs(a._1 - 4000000.0) < 1.0)
+  }
+
   test("bootstrapCi brackets the point estimate and is partition-invariant") {
     val d = (1L to 2000L).map(i => (i, (i % 97) * 3 + 10)).toDF("id", "v")
     val r = Stats.bootstrapCi(d, "id", "v")

@@ -319,4 +319,31 @@ class TextSpec extends SparkSpec {
     // only "v w" remains; its words score deg/freq = 2/1 exactly
     assert(rl === List(("v w", 1L, 2L * 2097152L)))
   }
+
+  test("chi2Terms: hand-computed 2x2 cells, full-corpus cut, partition invariance") {
+    // 4 docs, 2 labels; 'the' appears in every doc (must be cut),
+    // 'apple' is a perfect X-indicator, 'banana' carries no signal
+    val docs = Seq(
+      (1L, "the apple banana", "X"), (2L, "the apple cherry", "X"),
+      (3L, "the dog banana", "Y"), (4L, "the dog cherry", "Y"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.chi2Terms(docs, minDf = 1L, topK = 10)
+      .select("term", "label", "a", "chi2")
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // apple@X: a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4.0
+    assert(r(("apple", "X")) === ((2L, 4.0)))
+    // banana@X: a=1 b=1 c=1 d=1 -> det=0 -> chi2 = 0
+    assert(r(("banana", "X")) === ((1L, 0.0)))
+    // 'the' is in all docs: (c+d)=0 would divide by zero -> excluded
+    assert(!r.keySet.exists(_._1 == "the"))
+    // only presence pairs (a>0) are emitted
+    assert(!r.contains(("apple", "Y")))
+    // partition invariance of the full ranked output
+    val a17 = TextAnalysis.chi2Terms(docs.repartition(17), minDf = 1L, topK = 10)
+      .orderBy("label", "rk").collect().toSeq
+    val a1 = TextAnalysis.chi2Terms(docs.repartition(1), minDf = 1L, topK = 10)
+      .orderBy("label", "rk").collect().toSeq
+    assert(a17 === a1)
+  }
 }
