@@ -1898,6 +1898,56 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- C4-style blocklist filter: per (lang, blocked) survival census;
+  //      the flag is a narrow codegen'd arrays_overlap — no shuffle
+  //      before the census agg ----
+  private val BlockedWords = Seq("spark", "merge", "dup")
+
+  def qBlocklistFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistFlag(t(s, dir, "documents"), BlockedWords)
+      .groupBy(col("lang"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+
+  val oBlocklistFilter: String =
+    """SELECT lang,
+      |  list_has_any(string_split(text, ' '),
+      |    ['spark', 'merge', 'dup']) AS blocked,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // ---- MRR@10: where does the first same-label neighbour land? ----
+  def qMrr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mrrAtK(t(s, dir, "embeddings"), col("vec_id") < 20, k = 10)
+
+  val oMrr: String = {
+    val cos = cosineSql("qe", "embedding")
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 20),
+       |s AS (SELECT q_id, q_label, vec_id, label, $cos AS cosine
+       |      FROM embeddings, q WHERE vec_id <> q_id),
+       |topk AS (
+       |  SELECT q_id, q_label, label, rank FROM (
+       |    SELECT q_id, q_label, label, cosine,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+       |        AS rank
+       |    FROM s)
+       |  WHERE rank <= 10),
+       |fr AS (SELECT q_id, CAST(min(rank) AS BIGINT) AS fr FROM topk
+       |       WHERE label = q_label GROUP BY 1),
+       |perq AS (
+       |  SELECT q.q_id, COALESCE(fr.fr, 0) AS first_rank,
+       |    CASE WHEN fr.fr IS NULL THEN 0
+       |         ELSE 27720 // fr.fr END AS rr_scaled
+       |  FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN fr USING (q_id)),
+       |g AS (SELECT CAST(sum(rr_scaled) AS BIGINT) AS srr,
+       |             CAST(count(*) AS BIGINT) AS nq FROM perq)
+       |SELECT q_id, first_rank,
+       |  CAST(rr_scaled AS DOUBLE) / 27720.0 AS rr,
+       |  CAST(srr AS DOUBLE) / CAST(27720 * nq AS DOUBLE) AS mrr
+       |FROM perq CROSS JOIN g""".stripMargin
+  }
+
   // ---- grouped exact-OLS: extended price (cents) against quantity per
   //      return flag — Σy² of a cents metric overflows BIGINT, so both
   //      engines carry 128-bit sums (DECIMAL(38,0) / HUGEINT) ----

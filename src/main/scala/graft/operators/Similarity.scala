@@ -379,6 +379,55 @@ object Similarity {
           col("idcg_i").cast("double")).as("ndcg_h"))
   }
 
+  /** Mean reciprocal rank @ k — the retrieval-eval companion to recall
+    * (did we find a relevant item?) and NDCG (how well is the whole list
+    * ordered?): MRR grades only WHERE THE FIRST relevant result lands,
+    * the metric of record for known-item search and RAG context hit-rate.
+    * Relevance = same `label` as the query (the labeled-corpus
+    * convention annRecall's ground truth also leans on).
+    *
+    * Exact arithmetic: reciprocal ranks are folded as 27720 DIV r (27720
+    * = lcm(1..12), so every 1/r with r ≤ k ≤ 12 is an exact integer
+    * multiple of 1/27720 — the [[annNdcg]] discount-table discipline);
+    * both the per-query rr and the corpus MRR are then ONE double
+    * division of exact longs, bit-identical across engines and
+    * partitionings. A float Σ(1/r) would be fold-order-dependent.
+    *
+    * Output: one row per query — (q_id, first_rank, rr) with first_rank
+    * = 0 / rr = 0.0 when no relevant item makes the top-k — plus the
+    * corpus-level `mrr` repeated per row (1-row broadcast; per-query
+    * detail and the headline number in one graded table).
+    *
+    * Scale shape: ranking comes from [[bruteTopK]] (tiny-query-side
+    * BNLJ; swap in an ANN candidate set at large |Q|); relevance is a
+    * broadcast join of the k·|Q|-row top-k table against labels; the
+    * rest is |Q|-sized aggs.
+    */
+  def mrrAtK(vecs: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    require(k <= 12, "27720 = lcm(1..12): reciprocal table exact for k <= 12")
+    val ranked = bruteTopK(vecs, queryPred, k)
+    val labels = vecs.select(col("vec_id"), col("label"))
+    val qlab = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val firstRel = ranked.join(labels, Seq("vec_id"))
+      .join(broadcast(qlab), Seq("q_id"))
+      .filter(col("label") === col("q_label"))
+      .groupBy(col("q_id")).agg(min(col("rank")).as("fr"))
+    val perq = qlab.select(col("q_id")).join(firstRel, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("fr"), lit(0L)).as("first_rank"))
+      .withColumn("rr_scaled",
+        when(col("first_rank") === 0L, lit(0L))
+          .otherwise(expr("CAST(27720 AS BIGINT) DIV first_rank")))
+    val global = perq.agg(count(lit(1)).as("nq"), sum(col("rr_scaled")).as("srr"))
+      .select(col("nq"),
+        (col("srr").cast("double") / (lit(27720L) * col("nq")).cast("double"))
+          .as("mrr"))
+    perq
+      .select(col("q_id"), col("first_rank"),
+        (col("rr_scaled").cast("double") / lit(27720.0)).as("rr"))
+      .crossJoin(broadcast(global.select(col("mrr"))))
+  }
+
   /** Multi-probe LSH pairs: candidates whose signatures agree exactly OR
     * differ in one plane — the standard recall/table-count trade (Lv et
     * al. 2007, "Multi-Probe LSH"): instead of building more hash tables

@@ -618,4 +618,23 @@ object TextAnalysis {
         .orderBy(col("chi2").desc, col("term"))))
       .filter(col("rk") <= topK)
   }
+
+  /** Blocklist document filter — the C4 recipe (Raffel et al. 2020,
+    * §2.2: drop any page containing a word on the "List of Dirty, Naughty
+    * … Words"): a document is flagged iff ANY of its whitespace tokens is
+    * on the blocklist. The list rides as a literal array into codegen
+    * (`arrays_overlap` over the token split), so the flag is a NARROW
+    * per-row projection — no explode, no join, no shuffle; at 100 TB this
+    * is a pure map over the corpus scan, and the flag column composes
+    * with any downstream filter/agg. For lists too large for a literal
+    * (millions of phrases), the same shape becomes a broadcast left-semi
+    * join on exploded tokens — flagged here for deployers; token lists
+    * the size of C4's (~400 words) belong in the literal form.
+    */
+  def blocklistFlag(docs: DataFrame, blocked: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist flags nothing")
+    docs.withColumn("blocked",
+      arrays_overlap(split(col(textCol), " "), array(blocked.map(lit): _*)))
+  }
 }

@@ -306,4 +306,25 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Double)].collect().sortBy(_._1)
     assert(again === r)
   }
+
+  test("mrrAtK: hand-placed first-relevant ranks, miss rows, exact mean") {
+    // 2 queries + 4 corpus vectors on axes; labels chosen so that
+    //   q0 (label A): nearest = v2 (A) at rank 1            -> rr = 1
+    //   q1 (label B): rank1 = v2 (A), rank2 = v3 (B)        -> rr = 1/2
+    //   q10 (label C): no other C vector exists             -> rr = 0
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val d = Seq(
+      (0L, v(1f, 0f, 0f), "A"), (1L, v(0f, 1f, 0f), "B"),
+      (2L, v(0.9f, 0.1f, 0f), "A"), (3L, v(0.1f, 0.9f, 0f), "B"),
+      (10L, v(0f, 0f, 1f), "C")).toDF("vec_id", "embedding", "label")
+    val r = Similarity.mrrAtK(d, col("vec_id") === 0L || col("vec_id") === 1L
+        || col("vec_id") === 10L, k = 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    // q1's top-3 by cosine: v3 (.9 axis match) rank 1 -> actually check:
+    // cos(q1, v3) = 0.9/|v3| ~ 0.994; cos(q1, v2) ~ 0.110 -> first B at 1
+    assert(r.map(t => (t._1, t._2)) === List((0L, 1L), (1L, 1L), (10L, 0L)))
+    assert(r.map(_._3) === List(1.0, 1.0, 0.0))
+    // mrr = (27720 + 27720 + 0) / (27720 * 3) = 2/3, same on every row
+    assert(r.map(_._4).distinct === List(2.0 / 3.0))
+  }
 }

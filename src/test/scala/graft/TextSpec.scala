@@ -346,4 +346,22 @@ class TextSpec extends SparkSpec {
       .orderBy("label", "rk").collect().toSeq
     assert(a17 === a1)
   }
+
+  test("blocklistFlag: any-token membership, whole-word only, narrow plan") {
+    val docs = Seq(
+      (1L, "clean words only"), (2L, "has a bad word"),
+      (3L, "badword is not the word bad"), (4L, "bad")).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistFlag(docs, Seq("bad", "evil"))
+      .select("doc_id", "blocked").as[(Long, Boolean)].collect().toMap
+    // whole-token match: 'badword' alone must NOT flag (doc 3 flags via
+    // its standalone 'bad'), substring semantics would be a different op
+    assert(r === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    val only = Seq((1L, "badword compound")).toDF("doc_id", "text")
+    assert(!TextAnalysis.blocklistFlag(only, Seq("bad"))
+      .select("blocked").as[Boolean].head())
+    // the flag is a narrow projection: no exchange in the plan
+    val plan = TextAnalysis.blocklistFlag(docs, Seq("bad"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist flag must not shuffle:\n$plan")
+  }
 }
