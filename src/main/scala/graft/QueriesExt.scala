@@ -1898,6 +1898,64 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- skyline: parts on the (size, price) pareto frontier — bucket
+  //      prefilter + exact residual; the oracle replays the textbook
+  //      NOT EXISTS over the full table ----
+  def qSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.skyline2D(
+      t(s, dir, "part").select(col("p_partkey"),
+        col("p_size"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c")),
+      "p_partkey", "p_size", "price_c")
+
+  val oSkyline: String =
+    """WITH v AS (
+      |  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+      |    CAST(floor(p_retailprice * 100) AS BIGINT) AS y
+      |  FROM part)
+      |SELECT id, x, y FROM v p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM v q
+      |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin
+
+  // ---- CUSUM changepoint: most likely upward level-shift day of each
+  //      event type's daily volume (Page's statistic as two windows) ----
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("day_num"))
+      .groupBy(col("event_type"), col("day_num"))
+      .agg(count(lit(1)).as("n"))
+    Temporal.cusumChangepoint(daily, "event_type", "day_num", "n")
+  }
+
+  val oCusum: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+      |          CAST(count(*) AS BIGINT) AS n_days
+      |        FROM daily GROUP BY 1),
+      |path AS (
+      |  SELECT d.event_type, day_num, n * n_days - tot AS dd, n_days
+      |  FROM daily d JOIN tot USING (event_type)),
+      |pp AS (
+      |  SELECT event_type, day_num, n_days,
+      |    CAST(sum(dd) OVER (PARTITION BY event_type ORDER BY day_num)
+      |      AS BIGINT) AS p
+      |  FROM path),
+      |ss AS (
+      |  SELECT event_type, day_num, n_days,
+      |    p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day_num))
+      |      AS cusum_i
+      |  FROM pp)
+      |SELECT event_type, CAST(day_num AS BIGINT) AS cp_day,
+      |  CAST(cusum_i AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum, n_days
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type ORDER BY cusum_i DESC, day_num) AS rk
+      |      FROM ss)
+      |WHERE rk = 1""".stripMargin
+
   // ---- C4-style blocklist filter: per (lang, blocked) survival census;
   //      the flag is a narrow codegen'd arrays_overlap — no shuffle
   //      before the census agg ----

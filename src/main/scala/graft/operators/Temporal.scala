@@ -206,4 +206,52 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** CUSUM changepoint estimation (Page 1954, Biometrika — the control-
+    * chart statistic): per series, the day on which an upward level shift
+    * in a daily count is most likely — the monitor for "did ingest volume
+    * / error rate / event mix change, and when?". Page's clamped
+    * recursion S_t = max(0, S_{t−1} + (c_t − μ)) LOOKS inherently
+    * sequential, but the textbook identity
+    *   S_t = P_t − min(0, min_{i≤t} P_i),  P_t = Σ_{i≤t}(c_i − μ)
+    * turns it into TWO ordinary windows (prefix sum + running min) over
+    * the per-series day order — fully parallel across series, bounded by
+    * days-per-series within one.
+    *
+    * Exact arithmetic: subtracting the float mean would poison every
+    * prefix; instead each deviation is scaled by the series' day count,
+    * d_t = c_t·D − T (both exact longs), so prefixes, running minima,
+    * and the final argmax all compare exact integers. The reported
+    * `cusum` is the single division scaled/D at the end.
+    *
+    * Output: one row per series — (key, cp_day, cusum, n_days), cp_day
+    * the argmax day of the CUSUM path (ties to the earliest day, the
+    * canonical first-hit estimator).
+    *
+    * Scale shape: one (key, day)-keyed count agg, one key-keyed totals
+    * agg joined back on the same key exchange, two windows partitioned
+    * by key (series-bounded, never corpus-wide), and a per-key max_by.
+    * No global-order window anywhere.
+    */
+  def cusumChangepoint(daily: DataFrame, keyCol: String, dayCol: String,
+                       cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = daily.groupBy(col(keyCol))
+      .agg(sum(col(cntCol)).as("_tot"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val path = daily.join(totals, Seq(keyCol))
+      .withColumn("_d", col(cntCol) * col("n_days") - col("_tot"))
+      .withColumn("_p", sum(col("_d")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_s", col("_p") - least(lit(0L), min(col("_p")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    path.groupBy(col(keyCol))
+      .agg(max_by(struct(col(dayCol).as("d"), col("_s"), col("n_days")),
+        // argmax with earliest-day tie-break: order by (s, -day)
+        struct(col("_s"), (-col(dayCol)).cast("long"))).as("_m"))
+      .select(col(keyCol), col("_m.d").as("cp_day"),
+        (col("_m._s").cast("double") / col("_m.n_days").cast("double"))
+          .as("cusum"),
+        col("_m.n_days").as("n_days"))
+  }
 }

@@ -151,4 +151,32 @@ class TemporalSpec extends SparkSpec {
     assert(m(21L) === Some(20L)) // simultaneous click attributes
     assert(m(31L) === None)      // never clicked
   }
+
+  test("cusumChangepoint finds a planted level shift at its onset day") {
+    // series A: 10/day for days 0-9, then 30/day for days 10-14; Page's
+    // CUSUM path peaks on the LAST day of the elevated run (day 14) —
+    // the maximum cumulative exceedance over the series mean
+    val a = (0L to 9L).map(d => ("A", d, 10L)) ++
+      (10L to 14L).map(d => ("A", d, 30L))
+    // series B: flat -> every scaled deviation is 0, path never rises;
+    // earliest-day tie-break pins cp_day = first day
+    val b = (0L to 9L).map(d => ("B", d, 5L))
+    val daily = (a ++ b).toDF("k", "day", "n")
+    val r = Temporal.cusumChangepoint(daily, "k", "day", "n")
+      .as[(String, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    // A: mean = 250/15; scaled dev on elevated days = 30*15-250 = 200,
+    // on base days 10*15-250 = -100; prefix peaks at day 14 with
+    // 10*(-100) + 5*200 = 0 -> hmm prefix at 14 = 0; path max is at the
+    // point of largest positive excursion over the running min:
+    // runmin = -1000 (after day 9), so S_14 = 0 - (-1000) = 1000
+    assert(r("A")._2 === 14L)
+    assert(r("A")._3 === 1000.0 / 15.0)
+    assert(r("A")._4 === 15L)
+    assert(r("B")._2 === 0L)
+    assert(r("B")._3 === 0.0)
+    // partition invariance
+    val again = Temporal.cusumChangepoint(daily.repartition(7), "k", "day", "n")
+      .as[(String, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    assert(again === r)
+  }
 }
