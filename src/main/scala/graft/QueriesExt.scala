@@ -1898,6 +1898,59 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- rendezvous (HRW) sharding census: stable shard map computed as
+  //      a pure narrow projection (no shuffle before the census agg) ----
+  def qRendezvousShards(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.rendezvousShard(t(s, dir, "documents"), "doc_id", numShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  val oRendezvousShards: String =
+    """WITH l AS (
+      |  SELECT doc_id, list_transform(range(0, 16), s ->
+      |    ('0x' || substr(md5(CAST(s AS VARCHAR) || '#' ||
+      |       CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS w
+      |  FROM documents),
+      |a AS (
+      |  SELECT doc_id,
+      |    CAST(list_indexof(w, list_aggregate(w, 'max')) - 1 AS INTEGER)
+      |      AS shard
+      |  FROM l)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM a GROUP BY 1""".stripMargin
+
+  // ---- seasonal z-anomalies: days whose hourly event volume leaves the
+  //      (event_type, hour-of-day) cell's ±2sigma band — square-free exact
+  //      flag (v*D - T)^2 > 4*(D*sum(v^2) - T^2) ----
+  def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(col("event_type"),
+        expr("(ts DIV 3600000000000) % 24").as("hour"),
+        expr("ts DIV 86400000000000").as("day_num"))
+      .groupBy(col("event_type"), col("hour"), col("day_num"))
+      .agg(count(lit(1)).as("n"))
+    Temporal.seasonalAnomaly(cells, Seq("event_type", "hour"),
+      "day_num", "n", zsq = 4)
+  }
+
+  val oSeasonalAnomaly: String =
+    """WITH cells AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hour,
+      |    epoch_us(ts) // 86400000000 AS day_num,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |prof AS (
+      |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS d,
+      |    CAST(sum(n) AS BIGINT) AS t, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT c.event_type, c.hour, c.day_num, c.n AS value,
+      |  CAST((c.n * d - t) * (c.n * d - t) AS DOUBLE) /
+      |    CAST(d * s2 - t * t AS DOUBLE) AS zsq
+      |FROM cells c JOIN prof USING (event_type, hour)
+      |WHERE (c.n * d - t) * (c.n * d - t) > 4 * (d * s2 - t * t)""".stripMargin
+
   // ---- skyline: parts on the (size, price) pareto frontier — bucket
   //      prefilter + exact residual; the oracle replays the textbook
   //      NOT EXISTS over the full table ----

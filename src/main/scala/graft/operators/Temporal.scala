@@ -254,4 +254,39 @@ object Temporal {
           .as("cusum"),
         col("_m.n_days").as("n_days"))
   }
+
+  /** Seasonal z-score anomalies — flag the samples of each seasonal cell
+    * (e.g. (event_type, hour-of-day)) that sit more than z₀ standard
+    * deviations from THAT CELL's mean: the time-series monitor that a
+    * global outlier fence ([[graft.QueriesCore.qOutliers]]'s IQR) gets
+    * wrong, because 3 a.m. traffic is only anomalous relative to other
+    * 3 a.m. samples.
+    *
+    * Square-free exact test: with D samples per cell, total T and Σv²,
+    *   |v − μ| > z₀σ  ⇔  (v·D − T)² > z₀²·(D·Σv² − T²)
+    * — every quantity an exact long, so the FLAG is bit-identical across
+    * engines and partitionings (a sqrt-based z would round). The
+    * reported zsq = (v·D−T)²/(D·Σv²−T²) is one double division.
+    * Zero-variance cells (D·Σv² = T²) flag nothing by construction.
+    *
+    * Scale shape: one cell-keyed moment agg (map-side partials), joined
+    * back to the samples on the same cell key, then a narrow filter.
+    * No window at all — the seasonal profile is an agg, not an order.
+    */
+  def seasonalAnomaly(samples: DataFrame, keyCols: Seq[String],
+                      sampleCol: String, valCol: String,
+                      zsq: Int = 4): DataFrame = {
+    val g = keyCols.map(col)
+    val v = col(valCol).cast("long")
+    val base = samples.select(g :+ col(sampleCol) :+ v.as("_v"): _*)
+    val prof = base.groupBy(g: _*).agg(
+      count(lit(1)).as("_d"), sum(col("_v")).as("_t"),
+      sum(col("_v") * col("_v")).as("_s2"))
+    val dev = col("_v") * col("_d") - col("_t")
+    val varI = col("_d") * col("_s2") - col("_t") * col("_t")
+    base.join(prof, keyCols)
+      .filter(dev * dev > lit(zsq.toLong) * varI)
+      .select(g :+ col(sampleCol) :+ col("_v").as("value") :+
+        ((dev * dev).cast("double") / varI.cast("double")).as("zsq"): _*)
+  }
 }

@@ -700,4 +700,26 @@ object TrainPrep {
       .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998: key k goes to argmax_s hash(s, k). Unlike
+    * `hash(k) % S`, resizing S → S+1 relocates only ~1/(S+1) of keys
+    * (each key moves only if the NEW shard wins its rendezvous), which
+    * is what makes it the assignment of record for shard maps that grow:
+    * embedding-index shards, per-worker corpus splits, cache placement.
+    *
+    * All-narrow evaluation: the S candidate weights are a LITERAL-sized
+    * array built per row ([[graft.functions.Portable.hash32]] of
+    * "s#key"), argmax via array_position(arr, array_max(arr)) — first
+    * max wins, a deterministic tie-break both engines share. No explode,
+    * no join, NO SHUFFLE: shard assignment at 100 TB is a pure map over
+    * the scan, composable with any downstream write partitioning.
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0 && numShards <= 1024, "literal-array regime")
+    val weights = array((0 until numShards).map(s =>
+      graft.functions.Portable.hash32(col(idCol), s)): _*)
+    df.withColumn("shard",
+      (array_position(weights, array_max(weights)) - 1L).cast("int"))
+  }
 }

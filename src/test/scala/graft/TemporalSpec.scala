@@ -179,4 +179,22 @@ class TemporalSpec extends SparkSpec {
       .as[(String, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
     assert(again === r)
   }
+
+  test("seasonalAnomaly flags per-cell deviants exactly; zero-variance cells stay silent") {
+    // one deviant among D samples can reach z^2 at most D-1 (it inflates
+    // the variance it is judged against), so use D=10: nine 10s + one 50
+    //   T=140 S2=3400; varI = 10*3400 - 19600 = 14400
+    //   dev(50) = 500-140 = 360 -> 129600 > 4*14400 flags, zsq = 9
+    //   dev(10) = -40 -> 1600 stays
+    // cell Y: constant 7s -> varI = 0, nothing can flag (not even NaN rows)
+    val rows = ((1L to 9L).map(d => ("X", d, 10L)) :+ ("X", 10L, 50L)) ++
+      Seq(("Y", 1L, 7L), ("Y", 2L, 7L), ("Y", 3L, 7L))
+    val df = rows.toDF("k", "day", "v")
+    val r = Temporal.seasonalAnomaly(df, Seq("k"), "day", "v", zsq = 4)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(r === List(("X", 10L, 50L, 9.0)))
+    // tightening the threshold beyond the deviant's z^2 silences it
+    assert(Temporal.seasonalAnomaly(df, Seq("k"), "day", "v", zsq = 9)
+      .count() === 0L)
+  }
 }

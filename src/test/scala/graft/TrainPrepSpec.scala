@@ -447,4 +447,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(seq.length === 500)
     assert(seq === seq.sorted, "concatenated part files must be globally ordered")
   }
+
+  test("rendezvousShard: stable, shuffle-free, and minimally relocating on grow") {
+    val ids = (1L to 2000L).toDF("doc_id")
+    val s16 = TrainPrep.rendezvousShard(ids, "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    // all shards in range and populated (2000 keys over 16 shards)
+    assert(s16.values.forall(s => s >= 0 && s < 16))
+    assert(s16.values.toSet.size === 16)
+    // growing 16 -> 17: keys move ONLY to the new shard (the HRW
+    // property `hash(s,k)` is unchanged for existing s — a key moves iff
+    // shard 16 wins its rendezvous), and only a small fraction
+    val s17 = TrainPrep.rendezvousShard(ids, "doc_id", 17)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val moved = s16.keys.filter(k => s16(k) != s17(k)).toSeq
+    assert(moved.forall(k => s17(k) === 16), "relocations must target the new shard")
+    assert(moved.size < 2000 / 17 * 2, s"moved ${moved.size}, expected ~1/17")
+    // narrow plan: no exchange before assignment
+    val plan = TrainPrep.rendezvousShard(ids, "doc_id", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shard assignment must not shuffle:\n$plan")
+    // partition invariance
+    val again = TrainPrep.rendezvousShard(ids.repartition(9), "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(again === s16)
+  }
 }
