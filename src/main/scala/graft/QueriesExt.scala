@@ -1898,6 +1898,49 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- Benford first-digit audit of l_extendedprice: per-digit counts
+  //      vs the 2^40-scaled fixed expectations (no engine runs log10) ----
+  def qBenford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.benfordDigits(t(s, dir, "lineitem"),
+      "l_extendedprice")
+
+  val oBenford: String =
+    """WITH c(digit, c_scaled) AS (VALUES
+      |  (1, 330985980541), (2, 193614386881), (3, 137371593660),
+      |  (4, 106553686150), (5, 87060700731), (6, 73608773641),
+      |  (7, 63762820019), (8, 56242793220), (9, 50310892929)),
+      |d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM lineitem WHERE l_extendedprice >= 1),
+      |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM o)
+      |SELECT o.digit, o.n_obs,
+      |  CAST(CAST(nn AS HUGEINT) * c_scaled AS DOUBLE) / 1099511627776.0
+      |    AS expected,
+      |  CAST((CAST(n_obs AS HUGEINT) * 1099511627776 -
+      |        CAST(nn AS HUGEINT) * c_scaled) *
+      |       (CAST(n_obs AS HUGEINT) * 1099511627776 -
+      |        CAST(nn AS HUGEINT) * c_scaled) AS DOUBLE) /
+      |  CAST(CAST(1099511627776 AS HUGEINT) * nn * c_scaled AS DOUBLE)
+      |    AS contrib
+      |FROM o JOIN c USING (digit) CROSS JOIN tot""".stripMargin
+
+  // ---- Gini-Simpson lexical diversity per document (log-free) ----
+  def qSimpson(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.simpsonDiversity(t(s, dir, "documents"))
+
+  val oSimpson: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+      |        FROM occ GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(c) * sum(c) - sum(c * c) AS DOUBLE) /
+      |    CAST(sum(c) * sum(c) AS DOUBLE) AS simpson
+      |FROM cnt GROUP BY 1""".stripMargin
+
   // ---- rendezvous (HRW) sharding census: stable shard map computed as
   //      a pure narrow projection (no shuffle before the census agg) ----
   def qRendezvousShards(s: SparkSession, dir: String): DataFrame =

@@ -169,4 +169,55 @@ object Stats {
         .as("intercept") :+
       ((cov * cov) / (varx * vary)).as("r2"): _*)
   }
+
+  /** Scaled Benford first-digit probabilities: floor(log10(1+1/d)·2⁴⁰)
+    * for d = 1..9 — FIXED literals shared verbatim with the oracle, so
+    * no engine ever evaluates a log. */
+  private[graft] val BenfordScaled: Seq[(Int, Long)] = Seq(
+    1 -> 330985980541L, 2 -> 193614386881L, 3 -> 137371593660L,
+    4 -> 106553686150L, 5 -> 87060700731L, 6 -> 73608773641L,
+    7 -> 63762820019L, 8 -> 56242793220L, 9 -> 50310892929L)
+
+  /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938; the
+    * forensic-accounting screen): naturally-occurring magnitudes spread
+    * over several orders have first-digit frequencies log10(1+1/d);
+    * fabricated, truncated, capped, or default-filled numeric columns do
+    * not. Per digit, observed count vs Benford expectation plus the χ²
+    * contribution — the data-quality probe for "is this metric column
+    * organic?".
+    *
+    * Log-free determinism: the nine Benford probabilities enter as the
+    * FIXED 2⁴⁰-scaled integer literals [[BenfordScaled]] (identical in
+    * the oracle SQL — neither engine evaluates log10, whose last ulp
+    * differs between libm and the JVM). With O observed, N total, C the
+    * scaled probability: expected = N·C / 2⁴⁰ and
+    * contrib = (O·2⁴⁰ − N·C)² / (2⁴⁰·N·C), numerator/denominator exact
+    * DECIMAL(38,0) (the squared diff tops 10³⁴ at corpus scale), ONE
+    * double division each.
+    *
+    * Scale shape: a narrow first-digit projection, one 9-ary hash agg,
+    * a 1-row N broadcast, and a 9-row literal join. One corpus shuffle.
+    */
+  def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val two40 = lit(1099511627776L) // 2^40
+    val sess = df.sparkSession
+    import sess.implicits._
+    val bench = broadcast(BenfordScaled.toDF("digit", "c_scaled"))
+    val digits = df
+      .filter(col(valCol) >= 1)
+      .select(substring(floor(col(valCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("nn"))
+    val diff = (col("n_obs").cast(dec) * two40.cast(dec) -
+      col("nn").cast(dec) * col("c_scaled").cast(dec))
+    digits.join(bench, Seq("digit")).crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        ((col("nn").cast(dec) * col("c_scaled").cast(dec)).cast("double") /
+          two40.cast("double")).as("expected"),
+        ((diff * diff).cast("double") /
+          (two40.cast(dec) * col("nn").cast(dec) * col("c_scaled").cast(dec))
+            .cast("double")).as("contrib"))
+  }
 }

@@ -637,4 +637,35 @@ object TextAnalysis {
     docs.withColumn("blocked",
       arrays_overlap(split(col(textCol), " "), array(blocked.map(lit): _*)))
   }
+
+  /** Gini–Simpson lexical diversity — 1 − Σ p_t² over a document's token
+    * distribution (the probability two random tokens differ): the
+    * LOG-FREE concentration metric this repo prefers over Shannon
+    * entropy (whose ln differs by 1 ulp between libm and the JVM).
+    * Near 0 = one token repeated (template/boilerplate/spam); near 1 =
+    * all tokens distinct. The repetition screen that [[textStats]]'s
+    * type-token ratio under-weights: TTR treats "a a a a b c" and
+    * "a b a b c a" alike, Simpson sees the concentration.
+    *
+    * Exact rational: simpson = (T² − Σc²)/T² — numerator/denominator
+    * exact longs, ONE double division per document.
+    *
+    * Scale shape: token explode → (doc, term) hash agg → doc-keyed
+    * moment agg (both map-side foldable). Per-document token counts stay
+    * distributed; nothing is corpus-global. The in-row quadratic
+    * alternative (count each token's occurrences inside the array) would
+    * be O(len²) per document — explode+agg is linear.
+    */
+  def simpsonDiversity(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("_s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        ((col("n_tokens") * col("n_tokens") - col("_s2")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+  }
 }

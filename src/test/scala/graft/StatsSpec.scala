@@ -100,6 +100,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(a._1 - 4000000.0) < 1.0)
   }
 
+  test("benfordDigits: BigInt-replayed contribs, sub-1 exclusion, digit census") {
+    // digits: 1 (from 1.5), 1 (from 199.0), 2, 9; 0.4 excluded (< 1)
+    val vals = Seq(1.5, 199.0, 25.0, 900.0, 0.4).toDF("v")
+    val r = Stats.benfordDigits(vals, "v")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet === Set(1, 2, 9))
+    assert(r(1)._2 === 2L)
+    // replay expected/contrib with independent BigInt arithmetic
+    val two40 = BigInt(1) << 40
+    val c = Stats.BenfordScaled.toMap
+    for ((d, (_, obs, expd, contrib)) <- r) {
+      val n = BigInt(4); val cd = BigInt(c(d))
+      assert(expd === (n * cd).toDouble / two40.toDouble)
+      val diff = BigInt(obs) * two40 - n * cd
+      assert(contrib === (diff * diff).toDouble / (two40 * n * cd).toDouble)
+    }
+    // a perfectly Benford-ish heavy-1 sample scores digit 1 near zero:
+    // 30 of 100 values lead with 1 -> (O*2^40 - N*C1) is small
+    val many = ((1 to 30).map(_ => 10.0) ++ (31 to 100).map(i => 200.0 + i))
+      .toDF("v")
+    val m = Stats.benfordDigits(many, "v")
+      .as[(Int, Long, Double, Double)].collect().map(t => t._1 -> t._4).toMap
+    assert(m(1) < 0.01, s"digit-1 contrib should be tiny, got ${m(1)}")
+  }
+
   test("bootstrapCi brackets the point estimate and is partition-invariant") {
     val d = (1L to 2000L).map(i => (i, (i % 97) * 3 + 10)).toDF("id", "v")
     val r = Stats.bootstrapCi(d, "id", "v")

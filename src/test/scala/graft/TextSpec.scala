@@ -364,4 +364,19 @@ class TextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"blocklist flag must not shuffle:\n$plan")
   }
+
+  test("simpsonDiversity: exact rationals from hand-counted token distributions") {
+    val docs = Seq(
+      (1L, "a a a b"),   // T=4 c={3,1} s2=10 -> (16-10)/16 = 0.375
+      (2L, "a b c"),     // all distinct      -> (9-3)/9 = 2/3
+      (3L, "x"),         // single token      -> 0
+      (4L, "y y y y")    // pure repetition   -> 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.simpsonDiversity(docs)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) === ((1L, 4L, 2L, 0.375)))
+    assert(r(2L) === ((2L, 3L, 3L, 2.0 / 3.0)))
+    assert(r(3L) === ((3L, 1L, 1L, 0.0)))
+    assert(r(4L) === ((4L, 4L, 1L, 0.0)))
+  }
 }
