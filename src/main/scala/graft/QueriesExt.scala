@@ -1898,6 +1898,77 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- recency-decayed engagement per event type: whole-halving exact
+  //      decay (half-life 7 days, 40-halving cutoff) ----
+  def qDecayedSum(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day_num"),
+      floor(col("value") * 1000).cast("long").as("mills"))
+    val maxd = e.agg(max(col("day_num")).as("maxd"))
+    val aged = e.crossJoin(broadcast(maxd))
+      .withColumn("age", col("maxd") - col("day_num"))
+    Temporal.decayedSum(aged, Seq("event_type"), "age", "mills",
+      halfLife = 7L, maxHalvings = 40)
+  }
+
+  val oDecayedSum: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
+      |    CAST(floor(value * 1000) AS BIGINT) AS mills
+      |  FROM events),
+      |mx AS (SELECT max(day_num) AS maxd FROM e),
+      |c AS (
+      |  SELECT event_type,
+      |    CASE WHEN (maxd - day_num) // 7 <= 40
+      |      THEN CAST(mills * (CAST(1 AS BIGINT) <<
+      |             CAST(40 - (maxd - day_num) // 7 AS INTEGER)) AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END AS contrib
+      |  FROM e CROSS JOIN mx)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(contrib) AS DOUBLE) / 1099511627776.0 AS decayed
+      |FROM c GROUP BY 1""".stripMargin
+
+  // ---- one-pass correlation matrix over three lineitem measures ----
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_discount") * 1000).cast("long").as("disc_m"),
+      floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    graft.operators.Stats.corrMatrix(li, Seq("qty", "disc_m", "price_c"))
+  }
+
+  val oCorrMatrix: String =
+    """WITH v AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l_discount * 1000) AS BIGINT) AS disc_m,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(qty) AS HUGEINT) AS s_q, CAST(sum(disc_m) AS HUGEINT) AS s_d,
+      |    CAST(sum(price_c) AS HUGEINT) AS s_p,
+      |    CAST(sum(qty * qty) AS HUGEINT) AS p_qq,
+      |    CAST(sum(qty * disc_m) AS HUGEINT) AS p_qd,
+      |    CAST(sum(qty * price_c) AS HUGEINT) AS p_qp,
+      |    CAST(sum(disc_m * disc_m) AS HUGEINT) AS p_dd,
+      |    CAST(sum(disc_m * price_c) AS HUGEINT) AS p_dp,
+      |    CAST(sum(price_c * price_c) AS HUGEINT) AS p_pp
+      |  FROM v)
+      |SELECT 'qty' AS x, 'disc_m' AS y, CAST(n AS BIGINT) AS n,
+      |  CAST(n * p_qd - s_q * s_d AS DOUBLE) /
+      |    (sqrt(CAST(n * p_qq - s_q * s_q AS DOUBLE)) *
+      |     sqrt(CAST(n * p_dd - s_d * s_d AS DOUBLE))) AS corr FROM m
+      |UNION ALL
+      |SELECT 'qty', 'price_c', CAST(n AS BIGINT),
+      |  CAST(n * p_qp - s_q * s_p AS DOUBLE) /
+      |    (sqrt(CAST(n * p_qq - s_q * s_q AS DOUBLE)) *
+      |     sqrt(CAST(n * p_pp - s_p * s_p AS DOUBLE))) FROM m
+      |UNION ALL
+      |SELECT 'disc_m', 'price_c', CAST(n AS BIGINT),
+      |  CAST(n * p_dp - s_d * s_p AS DOUBLE) /
+      |    (sqrt(CAST(n * p_dd - s_d * s_d AS DOUBLE)) *
+      |     sqrt(CAST(n * p_pp - s_p * s_p AS DOUBLE))) FROM m""".stripMargin
+
   // ---- Benford first-digit audit of l_extendedprice: per-digit counts
   //      vs the 2^40-scaled fixed expectations (no engine runs log10) ----
   def qBenford(s: SparkSession, dir: String): DataFrame =

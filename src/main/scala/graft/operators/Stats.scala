@@ -178,6 +178,47 @@ object Stats {
     4 -> 106553686150L, 5 -> 87060700731L, 6 -> 73608773641L,
     7 -> 63762820019L, 8 -> 56242793220L, 9 -> 50310892929L)
 
+  /** One-pass correlation matrix — every pairwise Pearson correlation of
+    * k INTEGER-VALUED columns from a SINGLE aggregation over a SINGLE
+    * scan: the profiling step before feature selection / redundancy
+    * pruning, where the naive approach (one [[corrExact]] per pair)
+    * costs k²/2 scans. All k + k(k+1)/2 moment sums ride in one
+    * map-side-partial hash agg as DECIMAL(38,0) (Σxy of two cents-scale
+    * columns overflows a long); the pair rows then assemble from the
+    * 1-row result with the [[corrExact]] closed form — exact products,
+    * one division + two IEEE sqrts per pair.
+    *
+    * Scale shape: one corpus scan, one 1-row aggregate (the exchange
+    * carries one (k²/2)-sum row per map partition), then k²/2 1-row
+    * projections unioned — constant-sized downstream of the scan.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val sums =
+      cols.map(c => sum(col(c).cast(dec)).as(s"_s_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i <= j }
+        yield sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec))
+          .as(s"_p_${cols(i)}_${cols(j)}"))
+    val m = base.agg(count(lit(1)).cast(dec).as("_n"), sums: _*)
+    // all pair rows explode out of the SAME 1-row aggregate — a union of
+    // per-pair selects would replan (and rescan) the corpus once per pair
+    val pairStructs = pairs.map { case (a, b) =>
+      val (sa, sb) = (col(s"_s_$a"), col(s"_s_$b"))
+      val (saa, sbb, sab) =
+        (col(s"_p_${a}_$a"), col(s"_p_${b}_$b"), col(s"_p_${a}_$b"))
+      struct(lit(a).as("x"), lit(b).as("y"),
+        col("_n").cast("long").as("n"),
+        ((col("_n") * sab - sa * sb).cast("double") /
+          (sqrt((col("_n") * saa - sa * sa).cast("double")) *
+            sqrt((col("_n") * sbb - sb * sb).cast("double")))).as("corr"))
+    }
+    m.select(explode(array(pairStructs: _*)).as("_pair")).select(col("_pair.*"))
+  }
+
   /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938; the
     * forensic-accounting screen): naturally-occurring magnitudes spread
     * over several orders have first-digit frequencies log10(1+1/d);

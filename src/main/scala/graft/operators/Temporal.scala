@@ -289,4 +289,46 @@ object Temporal {
       .select(g :+ col(sampleCol) :+ col("_v").as("value") :+
         ((dev * dev).cast("double") / varI.cast("double")).as("zsq"): _*)
   }
+
+  /** Exponentially time-decayed sum per key — the recency weighting
+    * behind "hot" domain mixing, trending-content scores, and decayed
+    * engagement counters: each value contributes v·2^(−age/h). Generic
+    * float decay (pow/exp per row, float fold) is neither associative
+    * nor engine-stable; this variant keeps the whole aggregation EXACT
+    * by quantizing the decay to WHOLE HALVINGS — k = age DIV h half-
+    * lives — so a contribution is the integer v·2^(K−k), summed as
+    * DECIMAL(38,0) with map-side partials, and the ONLY float op is the
+    * final ÷2^K·scale. Values older than K half-lives contribute 0 (at
+    * K = 40 that is a 10¹²-fold decay — noise floor by construction).
+    *
+    * The step-wise decay is a documented approximation trade: within a
+    * half-life bucket all values weigh equally. For ranking/mixing use
+    * cases the ordering error is bounded by one halving (≤2×) and the
+    * determinism is what makes the score reusable as a regression gate.
+    *
+    * Scale shape: a 1-row max-age broadcast onto the scan, a narrow
+    * shift/multiply, one key-keyed hash agg. One corpus shuffle.
+    */
+  def decayedSum(df: DataFrame, keyCols: Seq[String], ageCol: String,
+                 valCol: String, halfLife: Long, maxHalvings: Int = 40)
+      : DataFrame = {
+    require(halfLife > 0 && maxHalvings > 0 && maxHalvings <= 62)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = keyCols.map(col)
+    // DIV, not `/` (which widens longs to DOUBLE); ages are >= 0 by the
+    // caller's age = maxAge - age construction. valCol is INTEGER-VALUED
+    // (quantize first — the Stats.corrExact contract).
+    val k = expr(s"CAST($ageCol AS BIGINT) DIV $halfLife")
+    val contrib = when(k <= maxHalvings,
+      col(valCol).cast("long").cast(dec) *
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxHalvings - " +
+          s"(CAST($ageCol AS BIGINT) DIV $halfLife) AS INT))").cast(dec))
+      .otherwise(lit(0L).cast(dec))
+    df.select(g :+ contrib.as("_c") :+ lit(1L).as("_one"): _*)
+      .groupBy(g: _*)
+      .agg(sum(col("_c")).as("_s"), count(lit(1)).as("n"))
+      .select(g :+ col("n") :+
+        (col("_s").cast("double") /
+          lit(math.pow(2.0, maxHalvings)).cast("double")).as("decayed"): _*)
+  }
 }

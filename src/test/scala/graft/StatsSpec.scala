@@ -126,6 +126,25 @@ class StatsSpec extends SparkSpec {
     assert(m(1) < 0.01, s"digit-1 contrib should be tiny, got ${m(1)}")
   }
 
+  test("corrMatrix agrees bit-for-bit with pairwise corrExact, any partitioning") {
+    val rows = (1L to 500L).map(i =>
+      ("g", i % 37, (i % 37) * 3 + i % 11, (i * 7919) % 101))
+      .toDF("g", "a", "b", "c")
+    val mat = Stats.corrMatrix(rows.repartition(9), Seq("a", "b", "c"))
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(mat.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    for (((x, y), (n, corr)) <- mat) {
+      val single = Stats.corrExact(rows, Seq("g"), x, y)
+        .select("n", "corr").as[(Long, Double)].head()
+      assert(n === single._1)
+      assert(corr === single._2, s"pair ($x,$y)")
+    }
+    // strong positive dependence a->b shows up; a vs pseudo-random c is weak
+    assert(mat(("a", "b"))._2 > 0.9)
+    assert(math.abs(mat(("a", "c"))._2) < 0.2)
+  }
+
   test("bootstrapCi brackets the point estimate and is partition-invariant") {
     val d = (1L to 2000L).map(i => (i, (i % 97) * 3 + 10)).toDF("id", "v")
     val r = Stats.bootstrapCi(d, "id", "v")

@@ -197,4 +197,26 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.seasonalAnomaly(df, Seq("k"), "day", "v", zsq = 9)
       .count() === 0L)
   }
+
+  test("decayedSum: whole-halving weights, cutoff, partition invariance") {
+    // halfLife=1, K=2: weights by age = 1, 1/2, 1/4, then hard 0
+    val rows = Seq(("A", 0L, 8L), ("A", 1L, 8L), ("A", 2L, 8L), ("A", 3L, 8L),
+      ("B", 0L, 5L)).toDF("k", "age", "v")
+    val r = Temporal.decayedSum(rows, Seq("k"), "age", "v",
+      halfLife = 1L, maxHalvings = 2)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r("A") === (("A", 4L, 8.0 + 4.0 + 2.0))) // age-3 row cut to 0
+    assert(r("B") === (("B", 1L, 5.0)))
+    // half-life bucketing: ages 0 and 6 with halfLife=7 share weight 1
+    val bucket = Seq(("C", 0L, 3L), ("C", 6L, 3L), ("C", 7L, 4L))
+      .toDF("k", "age", "v")
+    val rb = Temporal.decayedSum(bucket, Seq("k"), "age", "v",
+      halfLife = 7L, maxHalvings = 10)
+      .as[(String, Long, Double)].collect().head
+    assert(rb === (("C", 3L, 3.0 + 3.0 + 2.0)))
+    val again = Temporal.decayedSum(rows.repartition(7), Seq("k"), "age", "v",
+      halfLife = 1L, maxHalvings = 2)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(again === r)
+  }
 }
