@@ -1898,6 +1898,71 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- exact tie-aware ROC-AUC: does doc length separate lang=en? ----
+  def qAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.aucExact(
+      t(s, dir, "documents").select(col("n_chars").as("score"),
+        (col("lang") === "en").as("y")),
+      "score", "y")
+
+  val oAuc: String =
+    """WITH h AS (
+      |  SELECT n_chars AS s,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |sc AS (
+      |  SELECT p, n, COALESCE(sum(n) OVER (ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM h)
+      |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+      |  CAST(sum(2 * p * cb + p * n) AS BIGINT) AS concordant2,
+      |  CAST(sum(2 * p * cb + p * n) AS DOUBLE) /
+      |    CAST(2 * sum(p) * sum(n) AS DOUBLE) AS auc
+      |FROM sc""".stripMargin
+
+  // ---- link prediction on the order-supplier graph: distance-2 pairs
+  //      ranked by common-neighbor Jaccard (hub centers capped) ----
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.linkPredictJaccard(li,
+      maxCenterDegree = 50L, minCommon = 3L)
+  }
+
+  val oLinkPredict: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src AS a, dst AS b FROM e0
+      |    UNION ALL SELECT dst, src FROM e0)
+      |  WHERE a <> b),
+      |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+      |        FROM und GROUP BY 1),
+      |centers AS (
+      |  SELECT und.a, und.b FROM und
+      |  SEMI JOIN (SELECT node FROM deg WHERE degree <= 50) d
+      |    ON und.a = d.node),
+      |wedges AS (
+      |  SELECT x.b AS u, y.b AS w
+      |  FROM centers x JOIN centers y ON x.a = y.a AND x.b < y.b),
+      |cn AS (
+      |  SELECT u, w, CAST(count(*) AS BIGINT) AS cn FROM wedges
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |nonedge AS (
+      |  SELECT cn.* FROM cn
+      |  ANTI JOIN (SELECT a AS u, b AS w FROM und WHERE a < b) ex
+      |    ON cn.u = ex.u AND cn.w = ex.w)
+      |SELECT u, w, cn, du.degree AS deg_u, dw.degree AS deg_w,
+      |  CAST(cn AS DOUBLE) / CAST(du.degree + dw.degree - cn AS DOUBLE)
+      |    AS jaccard
+      |FROM nonedge
+      |JOIN deg du ON du.node = u
+      |JOIN deg dw ON dw.node = w""".stripMargin
+
   // ---- recency-decayed engagement per event type: whole-halving exact
   //      decay (half-life 7 days, 40-halving cutoff) ----
   def qDecayedSum(s: SparkSession, dir: String): DataFrame = {

@@ -178,6 +178,44 @@ object Stats {
     4 -> 106553686150L, 5 -> 87060700731L, 6 -> 73608773641L,
     7 -> 63762820019L, 8 -> 56242793220L, 9 -> 50310892929L)
 
+  /** Exact ROC-AUC over an INTEGER-VALUED score (quantize first — the
+    * [[corrExact]] contract): the probability a random positive outranks
+    * a random negative, tie-aware (Mann–Whitney U) — the metric of
+    * record for "does this cheap signal actually separate the classes?"
+    * before promoting a quality score or classifier to a corpus filter.
+    *
+    * Pair-counting form, not rank windows over rows: with per-score
+    * positives p_s and negatives n_s,
+    *   AUC = (2·Σ_s p_s·N(<s) + Σ_s p_s·n_s) / (2·P·N)
+    * (concordant pairs + half the ties) — all exact longs, ONE double
+    * division. A row-level rank window would be a corpus-wide
+    * single-partition sort; here the corpus collapses FIRST into the
+    * score histogram (one hash agg), and the only ordered window runs
+    * over that histogram — bounded by the score's quantization domain,
+    * the [[bootstrapCi]] B-row precedent, never corpus-sized.
+    *
+    * Output: one row — (n_pos, n_neg, concordant2 = 2C+T, auc).
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = hist
+      .withColumn("cum_n_below", coalesce(sum(col("n")).over(w), lit(0L)))
+    scored.agg(
+        sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(lit(2L) * col("p") * col("cum_n_below") + col("p") * col("n"))
+          .as("concordant2"))
+      .select(col("n_pos"), col("n_neg"), col("concordant2"),
+        (col("concordant2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   /** One-pass correlation matrix — every pairwise Pearson correlation of
     * k INTEGER-VALUED columns from a SINGLE aggregation over a SINGLE
     * scan: the profiling step before feature selection / redundancy

@@ -171,4 +171,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(l === rep) // counts are longs, argmax is min_by — no float order
   }
+
+  test("linkPredictJaccard: square graph, existing-edge exclusion, hub cap") {
+    import org.apache.spark.sql.functions.col
+    // square 1-2-4-3-1: the two diagonals (2,3) and (1,4) are the only
+    // distance-2 pairs; each has 2 common neighbours, all degrees 2
+    // -> jaccard = 2/(2+2-2) = 1.0
+    val sq = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.linkPredictJaccard(sq, maxCenterDegree = 10L, minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toList === List((1L, 4L, 2L, 2L, 2L, 1.0), (2L, 3L, 2L, 2L, 2L, 1.0)))
+    // an existing edge never surfaces as a prediction: close the (2,3)
+    // diagonal and only (1,4) remains (now with cn=2 still, deg 3)
+    val closed = sq.union(Seq((2L, 3L)).toDF("src", "dst"))
+    val rc = Graph.linkPredictJaccard(closed, maxCenterDegree = 10L, minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rc.map(t => (t._1, t._2)).toSet === Set((1L, 4L)))
+    // hub cap: a center above maxCenterDegree emits no wedges, but still
+    // counts in the degree denominator of pairs witnessed elsewhere
+    val hub = sq.union((1L to 6L).map(i => (100L, i * 10L + 1000L))
+      .toDF("src", "dst"))
+    val rh = Graph.linkPredictJaccard(hub, maxCenterDegree = 5L, minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // hub 100 (degree 6) is not a center -> its leaf pairs never appear
+    assert(rh.forall(t => t._1 < 1000L && t._2 < 1000L))
+  }
 }

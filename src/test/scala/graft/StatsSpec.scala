@@ -145,6 +145,33 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(mat(("a", "c"))._2) < 0.2)
   }
 
+  test("aucExact: tie-aware hand example, perfect and inverted separation") {
+    // pos scores {3,2}, neg {1,2}: 3 concordant pairs + 1 tie
+    // -> concordant2 = 7, auc = 7/8
+    val d = Seq((3L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("score", "y")
+    val r = Stats.aucExact(d, "score", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r === ((2L, 2L, 7L, 0.875)))
+    // perfect separation -> exactly 1; inverted labels -> exactly 0
+    val sep = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("score", "y")
+    assert(Stats.aucExact(sep, "score", "y")
+      .select("auc").as[Double].head() === 1.0)
+    val inv = sep.withColumn("y",
+      !org.apache.spark.sql.functions.col("y"))
+    assert(Stats.aucExact(inv, "score", "y")
+      .select("auc").as[Double].head() === 0.0)
+    // partition invariance (histogram collapse is the corpus boundary)
+    val big = (1L to 3000L).map(i => ((i * 31) % 97, (i * 7919) % 3 == 0))
+      .toDF("score", "y")
+    val x1 = Stats.aucExact(big.repartition(1), "score", "y")
+      .as[(Long, Long, Long, Double)].head()
+    val x17 = Stats.aucExact(big.repartition(17), "score", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert(x1 === x17)
+  }
+
   test("bootstrapCi brackets the point estimate and is partition-invariant") {
     val d = (1L to 2000L).map(i => (i, (i % 97) * 3 + 10)).toDF("id", "v")
     val r = Stats.bootstrapCi(d, "id", "v")
