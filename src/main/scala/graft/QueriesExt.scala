@@ -1898,6 +1898,26 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- Flesch readability per document (narrow codegen'd projection) ----
+  def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"))
+
+  val oReadability: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |    AS n_sentences,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+      |    AS n_syllables,
+      |  206.835 -
+      |    1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+      |      CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) -
+      |    84.6 * (CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE) /
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE)) AS flesch
+      |FROM documents""".stripMargin
+
   // ---- exact tie-aware ROC-AUC: does doc length separate lang=en? ----
   def qAuc(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.aucExact(

@@ -638,6 +638,42 @@ object TextAnalysis {
       arrays_overlap(split(col(textCol), " "), array(blocked.map(lit): _*)))
   }
 
+  /** Flesch reading ease (Flesch 1948; the curriculum-ordering /
+    * audience-targeting complexity score): 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W) over words, sentences, and syllables. Syllables use
+    * the standard vowel-group approximation (maximal [aeiou]+ runs —
+    * spaces break runs, so one corpus-wide regexp count equals the
+    * per-word sum); sentences are maximal [.!?]+ runs, floored at 1 so
+    * unpunctuated fragments don't divide by zero.
+    *
+    * Determinism: counts are exact longs; each ratio is ONE double
+    * division; the score is then three literal-coefficient flops in
+    * fixed left-to-right order — every step IEEE-identical across
+    * engines (no pow, no log). The Flesch coefficients are literals,
+    * not data.
+    *
+    * Scale shape: pure narrow per-row projection — regexp counts +
+    * arithmetic inside codegen, no explode, no shuffle.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = size(split(col(textCol), " ")).cast("long")
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syls = size(regexp_extract_all(col(textCol), lit("[aeiou]+"), lit(0)))
+      .cast("long")
+    docs
+      .withColumn("n_words", words)
+      .withColumn("n_sentences", sents)
+      .withColumn("n_syllables", syls)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")))
+  }
+
   /** Gini–Simpson lexical diversity — 1 − Σ p_t² over a document's token
     * distribution (the probability two random tokens differ): the
     * LOG-FREE concentration metric this repo prefers over Shannon

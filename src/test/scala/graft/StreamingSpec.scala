@@ -506,4 +506,39 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.head.numRowsTotal === 6L)
     } finally q.stop()
   }
+
+  test("streaming CUSUM replays the exact batch path and alarms past the threshold") {
+    import graft.streaming.CusumStream
+    import graft.streaming.CusumStream.Sample
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sample]
+    // commissioned reference rate 10 (num/den = 10/1); alarm above 60
+    val q = CusumStream.runningCusum(input.toDS(), refNum = 10L, refDen = 1L,
+        threshold = 60L)
+      .writeStream.format("memory").queryName("cusum_s")
+      .outputMode("update").start()
+    try {
+      // key a: ten on-rate days then a +20 shift; key b stays on-rate
+      val batch1 = (1L to 10L).map(d => Sample("a", d, d, 10L)) ++
+        Seq(Sample("b", 1L, 100L, 10L))
+      val batch2 = (11L to 14L).map(d => Sample("a", d, d, 30L)) ++
+        Seq(Sample("b", 2L, 101L, 9L))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("cusum_s").as[(String, Long, Long, Boolean)]
+        .collect().filter(_._1 == "a").maxBy(_._2)
+      assert(mid === (("a", 10L, 0L, false)), "on-rate prefix never rises")
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // exact direct fold over the full prefix: S_t = P_t - min(0, min P)
+      val all = spark.table("cusum_s").as[(String, Long, Long, Boolean)]
+        .collect().groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      // a: four +20 deviations -> S = 80 > 60 alarms
+      assert(all("a") === (("a", 14L, 80L, true)))
+      // b: 10, 9 -> prefix dips to -1, S = 0 after the min clamp
+      assert(all("b") === (("b", 2L, 0L, false)))
+      // state is O(1) per key: one (n, prefix, runMin) row each
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
+    } finally q.stop()
+  }
 }

@@ -379,4 +379,22 @@ class TextSpec extends SparkSpec {
     assert(r(3L) === ((3L, 1L, 1L, 0.0)))
     assert(r(4L) === ((4L, 4L, 1L, 0.0)))
   }
+
+  test("readability: hand-counted Flesch terms, sentence floor, narrow plan") {
+    // "the cat sat. it ran!" -> words=5 (split incl. punct-attached),
+    // sentences=2 ([.] and [!]), vowel groups: e,a,a,i,a = 5
+    val d = Seq((1L, "the cat sat. it ran!"), (2L, "no punctuation here"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(d)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+      .as[(Long, Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 === 5L); assert(r(1L)._3 === 2L); assert(r(1L)._4 === 5L)
+    assert(r(1L)._5 === 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0))
+    // unpunctuated doc: sentence count floors at 1 (no div-by-zero)
+    assert(r(2L)._3 === 1L)
+    // vowel groups never span words ("no punctuation here": o,u,ua,io,e,e)
+    assert(r(2L)._4 === 6L)
+    val plan = TextAnalysis.readability(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability must not shuffle:\n$plan")
+  }
 }
