@@ -1898,6 +1898,46 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- radius-bounded nearest neighbor: closest supplier site to each
+  //      lineitem point within r=8 (3x3-ring cell equi-join + exact
+  //      integer d^2 residual; ties to the smaller supplier) ----
+  def qSpatialNn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SpatialJoin
+    val pts = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      (col("l_partkey") * 7 % 360 - 180).as("px"),
+      (col("l_suppkey") * 13 % 180 - 90).as("py"))
+    val refs = t(s, dir, "supplier").select(
+      col("s_suppkey").as("rid"),
+      (col("s_suppkey") * 41 % 360 - 180).as("qx"),
+      (col("s_suppkey") * 29 % 180 - 90).as("qy"))
+    SpatialJoin.nearestNeighborBinned(pts, refs, radius = 8L)
+  }
+
+  val oSpatialNn: String =
+    """WITH p AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS id,
+      |    l_partkey * 7 % 360 - 180 AS px,
+      |    l_suppkey * 13 % 180 - 90 AS py
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT s_suppkey AS rid, s_suppkey * 41 % 360 - 180 AS qx,
+      |    s_suppkey * 29 % 180 - 90 AS qy
+      |  FROM supplier),
+      |cand AS (
+      |  SELECT id, px, py, rid,
+      |    (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+      |  FROM p CROSS JOIN r
+      |  WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy) <= 64)
+      |SELECT id, px, py, rid, CAST(d2 AS BIGINT) AS d2 FROM (
+      |  SELECT id, px, py, rid, d2,
+      |    -- the query-point identity is (id, px, py): the synthetic
+      |    -- lineitem can repeat (orderkey, linenumber), so distinct
+      |    -- coordinate rows sharing an id are distinct query points
+      |    row_number() OVER (PARTITION BY id, px, py ORDER BY d2, rid) AS rk
+      |  FROM cand)
+      |WHERE rk = 1""".stripMargin
+
   // ---- Flesch readability per document (narrow codegen'd projection) ----
   def qReadability(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.readability(t(s, dir, "documents"))

@@ -85,4 +85,46 @@ object SpatialJoin {
         col("py") >= col("y0") && col("py") <= col("y1"))
       .drop("_bx", "_by")
   }
+
+  /** Radius-bounded nearest-neighbor join — for each query point the
+    * closest reference point within `radius` ("nearest store/station/
+    * POI"): the spatial primitive the intersection joins above can't
+    * express. Same binned discipline: with cell size = radius, every
+    * reference within `radius` of a query lies in the query cell's 3×3
+    * NEIGHBORHOOD, so the probe side explodes ×9 into a cell EQUI-join
+    * (never a distance cross-join), the exact residual compares the
+    * exact-integer squared distance (coords are integer-valued — the
+    * quantize-first contract), and the per-query argmin is a map-side-
+    * foldable struct-min with (d², rid) ordering — ties break toward the
+    * smaller reference id, deterministically. Queries with no reference
+    * in radius are absent from the output (the radius IS the contract;
+    * an unbounded nearest would degenerate to all-pairs).
+    *
+    * Scale: probe ×9 explode → cell equi-join (candidate volume = ring
+    * populations) → one query-keyed min agg. No window, no cartesian.
+    */
+  def nearestNeighborBinned(queries: DataFrame, refs: DataFrame,
+                            radius: Long): DataFrame = {
+    require(radius > 0)
+    val cellQ = queries
+      .withColumn("_dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("_dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("_bx", floor(col("px") / radius).cast("long") + col("_dx"))
+      .withColumn("_by", floor(col("py") / radius).cast("long") + col("_dy"))
+      .drop("_dx", "_dy")
+    val cellR = refs
+      .withColumn("_bx", floor(col("qx") / radius).cast("long"))
+      .withColumn("_by", floor(col("qy") / radius).cast("long"))
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    cellQ.join(cellR, Seq("_bx", "_by"))
+      .filter(d2 <= lit(radius * radius))
+      .select(col("id"), col("px"), col("py"),
+        struct(d2.cast("long").as("d2"), col("rid"),
+          col("qx"), col("qy")).as("_c"))
+      .groupBy(col("id"), col("px"), col("py"))
+      .agg(min(col("_c")).as("_m"))
+      .select(col("id"), col("px"), col("py"), col("_m.rid").as("rid"),
+        col("_m.d2").as("d2"))
+  }
 }

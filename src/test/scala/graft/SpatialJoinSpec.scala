@@ -94,4 +94,40 @@ class SpatialJoinSpec extends SparkSpec {
     assert(pNaive.contains("BroadcastNestedLoopJoin") ||
       pNaive.contains("CartesianProduct"))
   }
+
+  test("nearestNeighborBinned: naive-oracle agreement, ties, radius cut, equi-join plan") {
+    import spark.implicits._
+    val qs = (1L to 200L).map(i => (i, (i * 37) % 100, (i * 53) % 100))
+      .toDF("id", "px", "py")
+    val rs = (1L to 20L).map(j => (j, (j * 31) % 100, (j * 17) % 100))
+      .toDF("rid", "qx", "qy")
+    val fast = SpatialJoin.nearestNeighborBinned(qs.repartition(7), rs, radius = 12L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    // naive oracle: min (d2, rid) per query among refs within radius
+    val rlist = (1L to 20L).map(j => (j, (j * 31) % 100, (j * 17) % 100))
+    val naive = (1L to 200L).flatMap { i =>
+      val (px, py) = ((i * 37) % 100, (i * 53) % 100)
+      val within = rlist.map { case (rid, qx, qy) =>
+        (rid, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+        .filter(_._2 <= 144)
+      if (within.isEmpty) None
+      else {
+        val (rid, d2) = within.minBy { case (rid, d2) => (d2, rid) }
+        Some((i, px, py, rid, d2))
+      }
+    }.toList
+    assert(fast === naive)
+    assert(fast.nonEmpty && fast.size < 200, "radius must cut some queries")
+    // ties break toward the smaller rid: two refs equidistant from (0,0)
+    val tq = Seq((1L, 0L, 0L)).toDF("id", "px", "py")
+    val tr = Seq((9L, 3L, 0L), (4L, 0L, 3L), (7L, -3L, 0L)).toDF("rid", "qx", "qy")
+    val t = SpatialJoin.nearestNeighborBinned(tq, tr, radius = 5L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(t === ((1L, 0L, 0L, 4L, 9L)))
+    // scale shape: cell equi-join, never a distance cross-join
+    val plan = SpatialJoin.nearestNeighborBinned(qs, rs, radius = 12L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"must stay an equi-join:\n$plan")
+  }
 }
