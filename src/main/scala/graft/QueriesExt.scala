@@ -1898,6 +1898,53 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- empirical-Bayes shrinkage of per-source en-rate (m = 20) ----
+  def qRateShrinkage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rateShrinkage(
+      t(s, dir, "documents").select(col("source"),
+        (col("lang") === "en").as("hit")),
+      Seq("source"), "hit", priorStrength = 20L)
+
+  val oRateShrinkage: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS tt
+      |      FROM per)
+      |SELECT source, n, x,
+      |  CAST(x * nn + 20 * tt AS DOUBLE) /
+      |    CAST(nn * (n + 20) AS DOUBLE) AS shrunk_rate
+      |FROM per CROSS JOIN g""".stripMargin
+
+  // ---- two-proportion z-test: purchase rate, user cohort 0 vs 1 ----
+  def qAbZtest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.twoProportionZ(
+      events(s, dir).select((col("user_id") % 2).as("cohort"),
+        (col("event_type") === "purchase").as("hit")),
+      "cohort", "hit")
+
+  val oAbZtest: String =
+    """WITH a AS (
+      |  SELECT CAST(user_id % 2 AS VARCHAR) AS c,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT
+      |    (SELECT n FROM a WHERE c = '0') AS n1,
+      |    (SELECT x FROM a WHERE c = '0') AS x1,
+      |    (SELECT n FROM a WHERE c = '1') AS n2,
+      |    (SELECT x FROM a WHERE c = '1') AS x2)
+      |SELECT n1, x1, n2, x2,
+      |  ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+      |   (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+      |  sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+      |       (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+      |       (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+      |FROM r""".stripMargin
+
   // ---- radius-bounded nearest neighbor: closest supplier site to each
   //      lineitem point within r=8 (3x3-ring cell equi-join + exact
   //      integer d^2 residual; ties to the smaller supplier) ----

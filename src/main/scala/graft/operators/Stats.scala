@@ -178,6 +178,73 @@ object Stats {
     4 -> 106553686150L, 5 -> 87060700731L, 6 -> 73608773641L,
     7 -> 63762820019L, 8 -> 56242793220L, 9 -> 50310892929L)
 
+  /** Empirical-Bayes rate shrinkage (additive/m-estimate smoothing —
+    * the Laplace/Dirichlet posterior mean): per-key success rates pulled
+    * toward the global rate with prior strength m,
+    *   shrunk_k = (x_k + m·(T/N)) / (n_k + m)
+    * — the fix for small-sample league tables ("this domain is 2/2 =
+    * 100% quality!") before using per-key rates to gate or mix a corpus.
+    * Keys with few trials land near the global rate; data-rich keys keep
+    * their own.
+    *
+    * Exact form: shrunk_k = (x_k·N + m·T) / (N·(n_k + m)) — cross-
+    * multiplied so both sides are exact longs, ONE double division per
+    * key (the naive two-division form would compound rounding).
+    *
+    * Scale shape: one key-keyed (n, x) hash agg + a 1-row (N, T) global
+    * broadcast. One corpus shuffle.
+    */
+  def rateShrinkage(df: DataFrame, keyCols: Seq[String], hitCol: String,
+                    priorStrength: Long): DataFrame = {
+    require(priorStrength >= 0)
+    val g = keyCols.map(col)
+    val hit = col(hitCol).cast("boolean").cast("long")
+    val per = df.select(g :+ hit.as("_x"): _*)
+      .groupBy(g: _*).agg(count(lit(1)).as("n"), sum(col("_x")).as("x"))
+    val global = per.agg(sum(col("n")).as("nn"), sum(col("x")).as("tt"))
+    per.crossJoin(broadcast(global))
+      .select(g :+ col("n") :+ col("x") :+
+        ((col("x") * col("nn") + lit(priorStrength) * col("tt")).cast("double") /
+          (col("nn") * (col("n") + lit(priorStrength))).cast("double"))
+          .as("shrunk_rate"): _*)
+  }
+
+  /** Two-proportion z-test (the A/B-test primitive): did cohorts A and B
+    * convert at different rates, or is the gap noise? Pooled-variance z,
+    *   z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),
+    * evaluated in a FIXED operation order over exact counts so both
+    * engines produce the identical double: each pᵢ is one exact
+    * division, the pooled p̂ likewise, and the two final flops (divide,
+    * IEEE-correctly-rounded sqrt) are order-pinned. |z| > 1.96 ⇒ 95%
+    * significance — reported as the exact-integer-safe z² vs a literal
+    * threshold is left to callers; z itself is the deliverable.
+    *
+    * Scale shape: one 2-group hash agg (map-side partials) pivoted into
+    * a single row. One corpus shuffle, constant-size downstream.
+    */
+  def twoProportionZ(df: DataFrame, cohortCol: String, hitCol: String)
+      : DataFrame = {
+    val hit = col(hitCol).cast("boolean").cast("long")
+    val agg = df.select(col(cohortCol).cast("string").as("_c"), hit.as("_x"))
+      .groupBy(col("_c")).agg(count(lit(1)).as("n"), sum(col("_x")).as("x"))
+    val keys = agg.select(col("_c")).orderBy(col("_c")).limit(2)
+    val row = agg.join(broadcast(keys), Seq("_c"), "left_semi")
+      .agg(
+        min_by(struct(col("n"), col("x")), col("_c")).as("_a"),
+        max_by(struct(col("n"), col("x")), col("_c")).as("_b"))
+      .select(col("_a.n").as("n1"), col("_a.x").as("x1"),
+        col("_b.n").as("n2"), col("_b.x").as("x2"))
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val p2 = col("x2").cast("double") / col("n2").cast("double")
+    val pp = (col("x1") + col("x2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    row.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      ((p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double")))).as("z"))
+  }
+
   /** Exact ROC-AUC over an INTEGER-VALUED score (quantize first — the
     * [[corrExact]] contract): the probability a random positive outranks
     * a random negative, tie-aware (Mann–Whitney U) — the metric of

@@ -172,6 +172,43 @@ class StatsSpec extends SparkSpec {
     assert(x1 === x17)
   }
 
+  test("rateShrinkage pulls small samples to the global rate, leaves big ones") {
+    // global: 50/100 = 0.5; key small: 2/2 raw 1.0; key big: 48/98
+    val rows = Seq.fill(2)(("small", true)) ++
+      Seq.fill(48)(("big", true)) ++ Seq.fill(50)(("big", false))
+    val r = Stats.rateShrinkage(rows.toDF("k", "hit"), Seq("k"), "hit",
+        priorStrength = 20L)
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // small: (2*100 + 20*50) / (100*(2+20)) = 1200/2200 = 6/11
+    assert(r("small") === (("small", 2L, 2L, 1200.0 / 2200.0)))
+    // big: (48*100 + 20*50)/(100*118) = 5800/11800
+    assert(r("big") === (("big", 98L, 48L, 5800.0 / 11800.0)))
+    // m = 0 degenerates to the raw rate
+    val raw = Stats.rateShrinkage(rows.toDF("k", "hit"), Seq("k"), "hit", 0L)
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t._4).toMap
+    assert(raw("small") === 1.0)
+  }
+
+  test("twoProportionZ: textbook value, zero on identical cohorts, sign") {
+    // cohort a: 40/100, cohort b: 30/100 -> pooled 0.35
+    // z = 0.1 / sqrt(0.35*0.65*(0.02)) = 0.1/sqrt(0.004550)
+    val rows = (Seq.fill(40)(("a", true)) ++ Seq.fill(60)(("a", false)) ++
+      Seq.fill(30)(("b", true)) ++ Seq.fill(70)(("b", false)))
+    val r = Stats.twoProportionZ(rows.toDF("c", "hit"), "c", "hit")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r._1 === 100L && r._2 === 40L && r._3 === 100L && r._4 === 30L)
+    val expected = (0.4 - 0.3) /
+      math.sqrt(0.35 * (1.0 - 0.35) * (1.0 / 100 + 1.0 / 100))
+    assert(r._5 === expected)
+    // identical cohorts -> z exactly 0; swapped rates flip the sign
+    val same = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+    assert(Stats.twoProportionZ(same.toDF("c", "hit"), "c", "hit")
+      .select("z").as[Double].head() === 0.0)
+    val flipped = rows.map { case (c, h) => (if (c == "a") "b" else "a", h) }
+    assert(Stats.twoProportionZ(flipped.toDF("c", "hit"), "c", "hit")
+      .select("z").as[Double].head() === -r._5)
+  }
+
   test("bootstrapCi brackets the point estimate and is partition-invariant") {
     val d = (1L to 2000L).map(i => (i, (i % 97) * 3 + 10)).toDF("id", "v")
     val r = Stats.bootstrapCi(d, "id", "v")
