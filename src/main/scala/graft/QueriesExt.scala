@@ -1898,6 +1898,99 @@ object QueriesExt {
        |    AS kappa
        |FROM tot, diag, rc""".stripMargin
 
+  // ---- TPC-H Q3 (shipping-priority shape, adapted to this schema):
+  //      top-10 open-order revenue for one segment. Revenue folds as the
+  //      exact integer cents*(100 - disc_pct) — units of 10^-4 dollars —
+  //      so the top-10 ORDER BY compares exact longs, and the final
+  //      dollar figure is one double division ----
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-07-01").cast("timestamp")
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("rev_u"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev_u")).as("rev_units"))
+      .orderBy(col("rev_units").desc, col("l_orderkey")).limit(10)
+      .select(col("l_orderkey"), col("o_date"), col("o_orderpriority"),
+        (col("rev_units").cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  val oTpchQ3: String =
+    """SELECT l_orderkey, o_date, o_orderpriority,
+      |  CAST(rev_units AS DOUBLE) / 10000.0 AS revenue
+      |FROM (
+      |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |    o_orderpriority,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |      AS rev_units
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-07-01'
+      |    AND l_shipdate > TIMESTAMP '1998-07-01'
+      |  GROUP BY 1, 2, 3
+      |  ORDER BY rev_units DESC, l_orderkey LIMIT 10)""".stripMargin
+
+  // ---- TPC-H Q5 (local-supplier-volume shape): revenue by nation for
+  //      one region and one order-year, customer and supplier in the
+  //      SAME nation; dims broadcast, fact streamed ----
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1999-01-01").cast("timestamp")
+    val hi = lit("2000-01-01").cast("timestamp")
+    val nat = broadcast(t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      (floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_u")).as("rev_units"), count(lit(1)).as("n_items"))
+      .select(col("n_name"), col("n_items"),
+        (col("rev_units").cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  val oTpchQ5: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01'
+      |GROUP BY 1""".stripMargin
+
   // ---- empirical-Bayes shrinkage of per-source en-rate (m = 20) ----
   def qRateShrinkage(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.rateShrinkage(

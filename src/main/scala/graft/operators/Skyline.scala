@@ -52,9 +52,16 @@ object Skyline {
     val suff = bmax.as("lo")
       .join(bmax.as("hi"), col("hi.b") > col("lo.b"))
       .groupBy(col("lo.b").as("b")).agg(max(col("hi.maxy")).as("suffy"))
-    val cand = withB.join(broadcast(suff), Seq("b"), "left")
+    val cand0 = withB.join(broadcast(suff), Seq("b"), "left")
       .filter(col("suffy").isNull || col("y") > col("suffy"))
       .select(col("id"), col("x"), col("y"))
+    // the residual references the candidate set TWICE (both sides of the
+    // domination anti-join): without truncation the whole scan + pruning
+    // pipeline replans per side (9 nested-loop nodes, repeated corpus
+    // scans — caught by PlanSpec). Candidates are frontier-sized, so
+    // materializing them is cheap; the residual then runs over stored
+    // blocks only.
+    val cand = graft.util.Checkpoints.truncate(cand0)
     cand.as("p").join(cand.as("q"),
         col("q.x") >= col("p.x") && col("q.y") >= col("p.y") &&
           (col("q.x") > col("p.x") || col("q.y") > col("p.y")),

@@ -550,4 +550,29 @@ class PlanSpec extends SparkSpec {
     val pl = plan("q_record_linkage")
     assert(pl.contains("BroadcastHashJoin") || pl.contains("SortMergeJoin"))
   }
+
+  test("r12 additions keep their scale shapes") {
+    for (q <- Seq("q_chi2_terms", "q_cusum", "q_seasonal_anomaly",
+      "q_simpson", "q_decayed_sum", "q_auc", "q_link_predict",
+      "q_rate_shrinkage", "q_ab_ztest", "q_spatial_nn", "q_tpch_q5")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    // TPC-H Q5: the three dims (supplier, nation⋈region, and the
+    // broadcast-hinted sides) hash-join broadcast; the fact side never
+    // nested-loops
+    val p5 = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3,
+      "Q5 dims must broadcast")
+    assert(!p5.contains("BroadcastNestedLoopJoin"))
+    // skyline: the ONLY nested loop is the domination residual over the
+    // pruned candidate set (plus the 1-row range broadcast)
+    val ps = plan("q_skyline")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ps).size <= 2)
+    // benford/corr-matrix/auc: single corpus scan each
+    for (q <- Seq("q_benford", "q_corr_matrix", "q_auc")) {
+      val n = "Scan parquet".r.findAllIn(plan(q)).size
+      assert(n <= 2, s"$q rescans the corpus: $n scans")
+    }
+  }
 }
