@@ -1944,6 +1944,61 @@ object QueriesExt {
       |  GROUP BY 1, 2, 3
       |  ORDER BY rev_units DESC, l_orderkey LIMIT 10)""".stripMargin
 
+  // ---- TPC-H Q1 (pricing summary): the canonical partial-aggregation
+  //      benchmark — one scan, one 4-group hash agg, map-side combine
+  //      carrying six exact sums; money folds in integer cents /
+  //      cents·(100−d) / cents·(100−d)·(100+t) units, averages are one
+  //      final division each ----
+  def qTpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2001-09-01").cast("timestamp")
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") <= cutoff)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        floor(col("l_discount") * 100).cast("long").as("disc"),
+        floor(col("l_tax") * 100).cast("long").as("tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).as("sum_qty"),
+        sum(col("cents")).as("sum_base_c"),
+        sum((col("cents") * (lit(100L) - col("disc")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_disc_u"),
+        sum((col("cents") * (lit(100L) - col("disc")) * (lit(100L) + col("tax")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_chg_u"),
+        sum(col("disc")).as("_disc_sum"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("sum_base_c").cast("double") / lit(100.0)).as("sum_base"),
+        (col("_disc_u").cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (col("_chg_u").cast("double") / lit(1000000.0)).as("sum_charge"),
+        (col("sum_qty").cast("double") / col("n_rows").cast("double"))
+          .as("avg_qty"),
+        (col("_disc_sum").cast("double") / (lit(100L) * col("n_rows"))
+          .cast("double")).as("avg_disc"),
+        col("n_rows"))
+  }
+
+  val oTpchQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS sum_base,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS sum_disc_price,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(floor(l_discount * 100) AS BIGINT)) *
+      |    (100 + CAST(floor(l_tax * 100) AS BIGINT))) AS DOUBLE)
+      |    / 1000000.0 AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS avg_qty,
+      |  CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS DOUBLE) /
+      |    CAST(100 * count(*) AS DOUBLE) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- TPC-H Q5 (local-supplier-volume shape): revenue by nation for
   //      one region and one order-year, customer and supplier in the
   //      SAME nation; dims broadcast, fact streamed ----

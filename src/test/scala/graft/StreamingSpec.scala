@@ -541,4 +541,37 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
     } finally q.stop()
   }
+
+  test("streaming ingest dedup: cross-batch duplicates drop inside the watermark") {
+    // the streaming face of exact dedup (q_dedup_exact):
+    // dropDuplicatesWithinWatermark keys on the content hash, so a
+    // re-delivered document (at-least-once ingest) is dropped as long
+    // as it arrives within the watermark delay — and, unlike plain
+    // dropDuplicates, the key's state EXPIRES afterward: bounded state
+    // on an unbounded stream, the only shape that survives 100 TB/day
+    import org.apache.spark.sql.functions.{col, md5, window => _}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_sec)
+    val deduped = input.toDF().toDF("doc_id", "text", "ts_sec")
+      .withColumn("ts", col("ts_sec").cast("timestamp"))
+      .withColumn("content_key", md5(col("text")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("content_key")
+    val q = deduped.writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha", 100L), (2L, "beta", 101L),
+        (3L, "alpha", 102L)) // in-batch duplicate of doc 1
+      q.processAllAvailable()
+      input.addData((4L, "alpha", 105L), (5L, "gamma", 106L)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select("doc_id")
+        .as[Long].collect().toSet
+      // both the in-batch and the cross-batch re-delivery of "alpha"
+      // are dropped; distinct contents all survive
+      assert(ids === Set(1L, 2L, 5L))
+      // state is keyed by content hash, not by row: 3 distinct contents
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 3L)
+    } finally q.stop()
+  }
 }
