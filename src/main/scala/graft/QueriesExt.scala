@@ -1944,6 +1944,67 @@ object QueriesExt {
       |  GROUP BY 1, 2, 3
       |  ORDER BY rev_units DESC, l_orderkey LIMIT 10)""".stripMargin
 
+  // ---- grid-density spatial clustering (DBSCAN's grid cousin): cells
+  //      with >= minPts points, 4-connected into clusters via the EXACT
+  //      star-contraction CC labeler, then per-cluster census. The
+  //      composition story: Contiguity.labelCells is the same operator
+  //      that powers the reference's raster->polygon regions ----
+  def qDensityClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Contiguity
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(s, dir, "lineitem")
+      .select((((col("l_partkey") * 7 % 360) + 360) % 360).as("gx"),
+        (((col("l_suppkey") * 13 % 180) + 180) % 180).as("gy"))
+      // DIV, not `/`+cast: Spark's long `/` widens to DOUBLE and the INT
+      // cast truncates while DuckDB's CAST rounds — integer division is
+      // the only bin rule both engines share
+      .select(expr("CAST(gx DIV 4 AS INT)").as("r"),
+        expr("CAST(gy DIV 4 AS INT)").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_pts"))
+      .filter(col("n_pts") >= 25)
+    // labelCells joins on its key columns — a constant key gives the
+    // single-layer clustering (its empty-keys reduce is not defined)
+    val keyed = cells.select(lit("all").as("k"), col("r"), col("c"))
+    Contiguity.labelCells(keyed, Seq("k"), "r", "c")
+      .join(cells, Seq("r", "c"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_pts")).as("n_points"),
+        min(col("r")).as("r_min"), max(col("r")).as("r_max"),
+        min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+      .withColumn("cluster_id",
+        dense_rank().over(Window.orderBy(col("comp"))).cast("long"))
+      .select(col("cluster_id"), col("n_cells"), col("n_points"),
+        col("r_min"), col("r_max"), col("c_min"), col("c_max"))
+  }
+
+  val oDensityClusters: String =
+    """WITH RECURSIVE
+      |pts AS (
+      |  SELECT CAST(((l_partkey * 7 % 360) + 360) % 360 // 4 AS INT) AS r,
+      |    CAST(((l_suppkey * 13 % 180) + 180) % 180 // 4 AS INT) AS c
+      |  FROM lineitem),
+      |dense_c AS (
+      |  SELECT r, c, CAST(count(*) AS BIGINT) AS n_pts FROM pts
+      |  GROUP BY 1, 2 HAVING count(*) >= 25),
+      |nodes AS (SELECT r, c, n_pts, r * 4294967296 + c AS id FROM dense_c),
+      |edges AS (
+      |  SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b
+      |  ON (b.r = a.r AND b.c = a.c + 1) OR (b.r = a.r + 1 AND b.c = a.c)),
+      |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      |reach(id, rid) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.u, r.rid FROM sym s JOIN reach r ON r.id = s.v),
+      |comp AS (SELECT id, min(rid) AS comp FROM reach GROUP BY 1),
+      |agg AS (
+      |  SELECT comp, CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(sum(n_pts) AS BIGINT) AS n_points,
+      |    min(r) AS r_min, max(r) AS r_max, min(c) AS c_min, max(c) AS c_max
+      |  FROM nodes n JOIN comp ON n.id = comp.id GROUP BY 1)
+      |SELECT CAST(dense_rank() OVER (ORDER BY comp) AS BIGINT) AS cluster_id,
+      |  n_cells, n_points, r_min, r_max, c_min, c_max
+      |FROM agg""".stripMargin
+
   // ---- TPC-H Q1 (pricing summary): the canonical partial-aggregation
   //      benchmark — one scan, one 4-group hash agg, map-side combine
   //      carrying six exact sums; money folds in integer cents /
