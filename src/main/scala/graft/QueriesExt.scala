@@ -1944,6 +1944,94 @@ object QueriesExt {
       |  GROUP BY 1, 2, 3
       |  ORDER BY rev_units DESC, l_orderkey LIMIT 10)""".stripMargin
 
+  // ---- HLL set-intersection estimate by inclusion-exclusion: the
+  //      sketch-algebra answer to "how much do sources overlap?" without
+  //      a distinct-join; exact intersection alongside for the error ----
+  def qHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketch
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(col("source") === "src0")
+    val b = docs.filter(col("source") === "src1")
+    def est(d: DataFrame, name: String) =
+      Sketch.hllEstimate(Sketch.hllRegisters(d, Nil, "text"), Nil)
+        .select(col("hll_est").as(name))
+    val ab = est(a.unionByName(b), "est_union")
+    val exact = a.select(col("text")).intersect(b.select(col("text")))
+      .agg(count(lit(1)).as("n_exact_common"))
+    est(a, "est_a").crossJoin(est(b, "est_b")).crossJoin(ab).crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_common"),
+        col("n_exact_common"))
+  }
+
+  val oHllIntersect: String = {
+    def estSql(regCte: String) =
+      s"""SELECT (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE))
+         |    * 65536.0::DOUBLE * 33554432.0::DOUBLE
+         |    / CAST((256 - count(*)) * 33554432
+         |           + CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT) AS DOUBLE) AS est
+         |  FROM $regCte""".stripMargin
+    def regs(pred: String, name: String) =
+      s"""$name AS (
+         |  SELECT h // 16777216 AS j,
+         |    max(CASE WHEN h % 16777216 = 0 THEN 25
+         |             ELSE 25 - length(bin(h % 16777216)) END) AS mj
+         |  FROM (SELECT ${H32.format("text")} AS h FROM documents
+         |        WHERE $pred)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ${regs("source = 'src0'", "ra")},
+       |${regs("source = 'src1'", "rb")},
+       |${regs("source = 'src0' OR source = 'src1'", "rab")},
+       |ea AS (${estSql("ra")}), eb AS (${estSql("rb")}),
+       |eab AS (${estSql("rab")}),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_exact_common FROM (
+       |    SELECT text FROM documents WHERE source = 'src0'
+       |    INTERSECT
+       |    SELECT text FROM documents WHERE source = 'src1'))
+       |SELECT ea.est AS est_a, eb.est AS est_b, eab.est AS est_union,
+       |  ea.est + eb.est - eab.est AS est_common, n_exact_common
+       |FROM ea, eb, eab, ex""".stripMargin
+  }
+
+  // ---- seasonal-naive forecast evaluation (MASE, Hyndman-Koehler
+  //      2006): is day-of-week seasonality real signal? Scored as
+  //      sum|e_seasonal| / sum|e_naive| over exact long counts ----
+  def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    val lag7 = daily.select(col("event_type"), (col("d") + 7).as("d"),
+      col("n").as("n_lag7"))
+    val lag1 = daily.select(col("event_type"), (col("d") + 1).as("d"),
+      col("n").as("n_lag1"))
+    daily.join(lag7, Seq("event_type", "d"))
+      .join(lag1, Seq("event_type", "d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("n_lag7"))).as("sae_seasonal"),
+        sum(abs(col("n") - col("n_lag1"))).as("sae_naive"))
+      .select(col("event_type"), col("n_days"), col("sae_seasonal"),
+        col("sae_naive"),
+        (col("sae_seasonal").cast("double") / col("sae_naive").cast("double"))
+          .as("mase"))
+  }
+
+  val oForecastEval: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(abs(a.n - l7.n)) AS BIGINT) AS sae_seasonal,
+      |  CAST(sum(abs(a.n - l1.n)) AS BIGINT) AS sae_naive,
+      |  CAST(sum(abs(a.n - l7.n)) AS DOUBLE) /
+      |    CAST(sum(abs(a.n - l1.n)) AS DOUBLE) AS mase
+      |FROM daily a
+      |JOIN daily l7 ON a.event_type = l7.event_type AND l7.d = a.d - 7
+      |JOIN daily l1 ON a.event_type = l1.event_type AND l1.d = a.d - 1
+      |GROUP BY 1""".stripMargin
+
   // ---- grid-density spatial clustering (DBSCAN's grid cousin): cells
   //      with >= minPts points, 4-connected into clusters via the EXACT
   //      star-contraction CC labeler, then per-cluster census. The
