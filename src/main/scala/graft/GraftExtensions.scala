@@ -45,7 +45,8 @@ object GraftFunctions {
     "simhash64"     -> (es => SimHash64Expr(es(0))),
     "char_ngrams"   -> (es => CharNgramsExpr(es(0), intArg(es(1), "char_ngrams"))),
     "array_jaccard" -> (es => ArrayJaccardExpr(es(0), es(1))),
-    "ngram_dup_frac" -> (es => NgramDupFrac(es(0), intArg(es(1), "ngram_dup_frac"))))
+    "ngram_dup_frac" -> (es => NgramDupFrac(es(0), intArg(es(1), "ngram_dup_frac"))),
+    "token_moments" -> (es => TokenMoments(es(0))))
 
   /** Runtime registration on an existing session (idempotent). */
   def registerAll(spark: SparkSession): Unit =

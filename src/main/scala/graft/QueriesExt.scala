@@ -1944,6 +1944,39 @@ object QueriesExt {
       |  GROUP BY 1, 2, 3
       |  ORDER BY rev_units DESC, l_orderkey LIMIT 10)""".stripMargin
 
+  // ---- tokenizer fertility per language: pieces-per-word under the
+  //      trained BPE — the metric that drives multilingual mix ratios
+  //      (a language at 2x fertility pays 2x tokens per word) ----
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val seg = graft.operators.Bpe.bpeMerges(docs, rounds = 3)
+      .select(col("word"), col("n_pieces"))
+    val wc = docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    wc.join(seg, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n") * col("n_pieces")).as("total_pieces"),
+        sum(col("n")).as("total_words"))
+      .select(col("lang"), col("total_pieces"), col("total_words"),
+        (col("total_pieces").cast("double") / col("total_words").cast("double"))
+          .as("fertility"))
+  }
+
+  val oBpeFertility: String =
+    s"""WITH $bpeDictCtes,
+       |seg AS (SELECT word, CAST(len(t) AS BIGINT) AS n_pieces FROM t3),
+       |wc AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(sum(n * n_pieces) AS BIGINT) AS total_pieces,
+       |  CAST(sum(n) AS BIGINT) AS total_words,
+       |  CAST(sum(n * n_pieces) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+       |    AS fertility
+       |FROM wc JOIN seg USING (word) GROUP BY 1""".stripMargin
+
   // ---- HLL set-intersection estimate by inclusion-exclusion: the
   //      sketch-algebra answer to "how much do sources overlap?" without
   //      a distinct-join; exact intersection alongside for the error ----

@@ -686,22 +686,25 @@ object TextAnalysis {
     * Exact rational: simpson = (T² − Σc²)/T² — numerator/denominator
     * exact longs, ONE double division per document.
     *
-    * Scale shape: token explode → (doc, term) hash agg → doc-keyed
-    * moment agg (both map-side foldable). Per-document token counts stay
-    * distributed; nothing is corpus-global. The in-row quadratic
-    * alternative (count each token's occurrences inside the array) would
-    * be O(len²) per document — explode+agg is linear.
+    * Scale shape: a pure NARROW projection — the per-document moments
+    * (T, types, Σc²) come from the native [[graft.plans.TokenMoments]]
+    * expression in one in-row pass (document-vocabulary-sized hash map),
+    * so the corpus is never exploded and NOTHING SHUFFLES. The original
+    * explode → (doc,term) agg → doc agg formulation shuffled every token
+    * of the corpus twice to compute a per-document quantity — the same
+    * plan upgrade NgramDupFrac bought the repetition filter.
     */
   def simpsonDiversity(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val counts = docs
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-    counts.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(col("c") * col("c")).as("_s2"))
-      .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        ((col("n_tokens") * col("n_tokens") - col("_s2")).cast("double") /
-          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+    val m = graft.plans.TokenMoments(docs.sparkSession,
+      split(col(textCol), " "))
+    docs
+      .select(col(idCol).as("doc_id"), m.as("_m"))
+      .select(col("doc_id"), col("_m.n_tokens").as("n_tokens"),
+        col("_m.n_types").as("n_types"),
+        ((col("_m.n_tokens") * col("_m.n_tokens") - col("_m.sum_c2"))
+          .cast("double") /
+          (col("_m.n_tokens") * col("_m.n_tokens")).cast("double"))
+          .as("simpson"))
   }
 }

@@ -38,6 +38,6 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; same builders list
     assert(GraftFunctions.builders.map(_._1).toSet ===
       Set("dot_fold", "word_shingles", "minhash_sig", "simhash64",
-        "char_ngrams", "array_jaccard", "ngram_dup_frac"))
+        "char_ngrams", "array_jaccard", "ngram_dup_frac", "token_moments"))
   }
 }

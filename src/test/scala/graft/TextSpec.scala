@@ -378,6 +378,11 @@ class TextSpec extends SparkSpec {
     assert(r(2L) === ((2L, 3L, 3L, 2.0 / 3.0)))
     assert(r(3L) === ((3L, 1L, 1L, 0.0)))
     assert(r(4L) === ((4L, 4L, 1L, 0.0)))
+    // the TokenMoments rewrite makes this a pure narrow projection
+    val plan = TextAnalysis.simpsonDiversity(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"simpson must not shuffle (token_moments is in-row):\n$plan")
   }
 
   test("readability: hand-counted Flesch terms, sentence floor, narrow plan") {
