@@ -2247,6 +2247,47 @@ object QueriesExt {
       |    CAST(nn * (n + 20) AS DOUBLE) AS shrunk_rate
       |FROM per CROSS JOIN g""".stripMargin
 
+  // ---- CUPED-adjusted cohort means: post-period event volume adjusted
+  //      by each user's pre-period volume (split day 19738) ----
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("ts DIV 86400000000000").as("d"))
+    val units = e.groupBy(col("user_id"))
+      .agg(sum(when(col("d") < 19738L, 1L).otherwise(0L)).as("x"),
+        sum(when(col("d") >= 19738L, 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("cohort"), col("x"), col("y"))
+    graft.operators.Stats.cuped(units, "cohort", "x", "y")
+  }
+
+  val oCuped: String =
+    """WITH units AS (
+      |  SELECT user_id % 2 AS cohort,
+      |    CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS gn,
+      |    CAST(sum(x) AS HUGEINT) AS gsx, CAST(sum(y) AS HUGEINT) AS gsy,
+      |    CAST(sum(x * x) AS HUGEINT) AS gsxx,
+      |    CAST(sum(x * y) AS HUGEINT) AS gsxy
+      |  FROM units),
+      |per AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS csx, CAST(sum(y) AS BIGINT) AS csy
+      |  FROM units GROUP BY 1)
+      |SELECT cohort, n,
+      |  CAST(csy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+      |  CAST(csy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |    (CAST(gn * gsxy - gsx * gsy AS DOUBLE) /
+      |     CAST(gn * gsxx - gsx * gsx AS DOUBLE)) *
+      |    (CAST(csx AS DOUBLE) / CAST(n AS DOUBLE) -
+      |     CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)) AS mean_y_adj,
+      |  CAST(gn * gsxy - gsx * gsy AS DOUBLE) /
+      |    CAST(gn * gsxx - gsx * gsx AS DOUBLE) AS theta
+      |FROM per CROSS JOIN g""".stripMargin
+
   // ---- two-proportion z-test: purchase rate, user cohort 0 vs 1 ----
   def qAbZtest(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.twoProportionZ(

@@ -209,6 +209,49 @@ object Stats {
           .as("shrunk_rate"): _*)
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, WSDM — "Improving the
+    * Sensitivity of Online Controlled Experiments"): adjust each unit's
+    * experiment metric y by its PRE-EXPERIMENT covariate x,
+    *   y' = y − θ·(x − x̄),  θ = cov(x,y)/var(x),
+    * so cohort means keep their expectations but shed the variance x
+    * explains — the industry-standard way to detect smaller effects with
+    * the same traffic. θ is exactly the pooled OLS slope, computed like
+    * [[linregExact]] from DECIMAL(38,0) moment sums with ONE double
+    * division; cohort-mean adjustments are then fixed-order flops, so
+    * the whole table is bit-identical across engines and partitionings.
+    *
+    * Output: one row per cohort — (cohort, n, mean_y, mean_y_adj) plus
+    * the shared θ (broadcast back onto the cohort rows).
+    *
+    * Scale shape: one global 1-row moment agg + one cohort-keyed agg
+    * over the same scan shape, met by a 1-row broadcast. Two corpus
+    * shuffles of unit-level rows (the unit table is already one row per
+    * experiment unit — aggregate events to units first).
+    */
+  def cuped(units: DataFrame, cohortCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = units.select(col(cohortCol).as("cohort"),
+      col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+    val g = base.agg(count(lit(1)).cast(dec).as("gn"),
+      sum(col("_x").cast(dec)).as("gsx"), sum(col("_y").cast(dec)).as("gsy"),
+      sum((col("_x") * col("_x")).cast(dec)).as("gsxx"),
+      sum((col("_x") * col("_y")).cast(dec)).as("gsxy"))
+    val theta = (col("gn") * col("gsxy") - col("gsx") * col("gsy"))
+      .cast("double") /
+      (col("gn") * col("gsxx") - col("gsx") * col("gsx")).cast("double")
+    val per = base.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("csx"),
+        sum(col("_y")).as("csy"))
+    val meanY = col("csy").cast("double") / col("n").cast("double")
+    val meanXc = col("csx").cast("double") / col("n").cast("double")
+    val meanXg = col("gsx").cast("double") / col("gn").cast("double")
+    per.crossJoin(broadcast(g))
+      .select(col("cohort"), col("n"), meanY.as("mean_y"),
+        (meanY - theta * (meanXc - meanXg)).as("mean_y_adj"),
+        theta.as("theta"))
+  }
+
   /** Two-proportion z-test (the A/B-test primitive): did cohorts A and B
     * convert at different rates, or is the gap noise? Pooled-variance z,
     *   z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),

@@ -189,6 +189,35 @@ class StatsSpec extends SparkSpec {
     assert(raw("small") === 1.0)
   }
 
+  test("cuped: expectation preserved, variance-explaining covariate nulls out") {
+    // y = 2x exactly -> theta = 2, adjusted means all collapse to the
+    // GLOBAL mean of y (the covariate explains everything)
+    val perfect = Seq(("a", 1L, 2L), ("a", 3L, 6L), ("b", 2L, 4L), ("b", 4L, 8L))
+      .toDF("cohort", "x", "y")
+    val r = Stats.cuped(perfect, "cohort", "x", "y")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("a")._5 === 2.0) // theta = slope
+    assert(r("a")._4 === 5.0) // global mean y = 20/4
+    assert(r("b")._4 === 5.0)
+    // x uncorrelated with y (x constant) -> theta undefined guard not
+    // needed here; use x with zero covariance instead: theta = 0 and
+    // adjusted = raw means
+    val zero = Seq(("a", 1L, 7L), ("a", 3L, 7L), ("b", 1L, 9L), ("b", 3L, 9L))
+      .toDF("cohort", "x", "y")
+    val rz = Stats.cuped(zero, "cohort", "x", "y")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(rz("a")._5 === 0.0)
+    assert(rz("a")._3 === rz("a")._4)
+    assert(rz("b")._3 === 9.0 && rz("b")._4 === 9.0)
+    // partition invariance
+    val again = Stats.cuped(perfect.repartition(5), "cohort", "x", "y")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(again === r)
+  }
+
   test("twoProportionZ: textbook value, zero on identical cohorts, sign") {
     // cohort a: 40/100, cohort b: 30/100 -> pooled 0.35
     // z = 0.1 / sqrt(0.35*0.65*(0.02)) = 0.1/sqrt(0.004550)
