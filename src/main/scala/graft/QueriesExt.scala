@@ -2247,6 +2247,67 @@ object QueriesExt {
       |    CAST(nn * (n + 20) AS DOUBLE) AS shrunk_rate
       |FROM per CROSS JOIN g""".stripMargin
 
+  // ---- two-sample KS drift: does src0's length distribution match the
+  //      rest of the corpus? Exact scaled-gap argmax, one division ----
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ksTwoSample(
+      t(s, dir, "documents").select(col("n_chars").as("v"),
+        (col("source") === "src0").as("g")),
+      "v", "g")
+
+  val oKsDrift: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS v,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS c2
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |               CAST(sum(c2) AS BIGINT) AS n2 FROM hist),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+      |  FROM hist),
+      |gaps AS (
+      |  SELECT n1, n2, v, abs(cum1 * n2 - cum2 * n1) AS gap
+      |  FROM cum CROSS JOIN tot)
+      |SELECT n1, n2, v AS d_at_value, CAST(gap AS BIGINT) AS d_num,
+      |  CAST(gap AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+      |FROM (SELECT *, row_number() OVER (ORDER BY gap DESC, v) AS rk
+      |      FROM gaps)
+      |WHERE rk = 1""".stripMargin
+
+  // ---- TPC-H Q18 (large-volume customers): orders whose total quantity
+  //      clears a HAVING threshold, enriched and top-k'd on exact longs ----
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 55L)
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_qty").desc, col("l_orderkey")).limit(10)
+      .select(col("c_name"), col("o_custkey"), col("l_orderkey"),
+        col("o_date"), col("total_qty"))
+  }
+
+  val oTpchQ18: String =
+    """SELECT c_name, o_custkey, l_orderkey, o_date, total_qty FROM (
+      |  SELECT c_name, o_custkey, l_orderkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS o_date, total_qty
+      |  FROM (
+      |    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |      AS total_qty
+      |    FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 55)
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  ORDER BY total_qty DESC, l_orderkey LIMIT 10)""".stripMargin
+
   // ---- CUPED-adjusted cohort means: post-period event volume adjusted
   //      by each user's pre-period volume (split day 19738) ----
   def qCuped(s: SparkSession, dir: String): DataFrame = {

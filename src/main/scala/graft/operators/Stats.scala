@@ -209,6 +209,51 @@ object Stats {
           .as("shrunk_rate"): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over an INTEGER-VALUED
+    * metric — D = max_v |F₁(v) − F₂(v)|, the distribution-drift test
+    * that compares WHOLE CDFs where a mean/variance check sees nothing
+    * (and log-free where PSI would import engine-variant ln): "does
+    * this week's length distribution still look like last week's?"
+    * before a corpus version ships.
+    *
+    * Exact arithmetic: with per-value counts (c₁, c₂) and totals
+    * (n₁, n₂), the scaled gap |cum₁·n₂ − cum₂·n₁| is an exact long, so
+    * the argmax is an exact-integer comparison and D itself is ONE
+    * double division at the end. Ties in the gap break toward the
+    * smallest value (max_by on (gap, −v)).
+    *
+    * Scale shape: the corpus collapses FIRST into the per-value
+    * histogram (one hash agg); cumulative sums run over the histogram —
+    * bounded by the metric's quantization domain, the [[aucExact]]
+    * precedent — never over rows. Output: one row
+    * (n1, n2, d_at_value, d_num, d).
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(valueCol).cast("long").as("v"),
+        col(groupCol).cast("boolean").as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), col("v"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("gap"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max_by(struct(col("v"), col("gap")),
+        struct(col("gap"), (-col("v")).cast("long"))).as("_m"))
+      .select(col("n1"), col("n2"), col("_m.v").as("d_at_value"),
+        col("_m.gap").as("d_num"),
+        (col("_m.gap").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("d"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013, WSDM — "Improving the
     * Sensitivity of Online Controlled Experiments"): adjust each unit's
     * experiment metric y by its PRE-EXPERIMENT covariate x,

@@ -189,6 +189,26 @@ class StatsSpec extends SparkSpec {
     assert(raw("small") === 1.0)
   }
 
+  test("ksTwoSample: hand-computed D, identical distributions give 0, shift detected") {
+    // sample 1: {1,2}; sample 2: {2,3}. CDF gaps (scaled by n1*n2=4):
+    // v=1: |1*2-0*2|=2; v=2: |2*2-1*2|=2; v=3: 0 -> D=2/4=0.5 at v=1
+    val d = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "g")
+    val r = Stats.ksTwoSample(d, "v", "g")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r === ((2L, 2L, 1L, 2L, 0.5)))
+    // identical samples -> D exactly 0
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "g")
+    assert(Stats.ksTwoSample(same, "v", "g")
+      .select("d").as[Double].head() === 0.0)
+    // a pure location shift is fully detected: disjoint supports -> D = 1
+    val shift = ((1L to 50L).map(v => (v, true)) ++
+      (101L to 150L).map(v => (v, false))).toDF("v", "g")
+    assert(Stats.ksTwoSample(shift, "v", "g")
+      .select("d").as[Double].head() === 1.0)
+  }
+
   test("cuped: expectation preserved, variance-explaining covariate nulls out") {
     // y = 2x exactly -> theta = 2, adjusted means all collapse to the
     // GLOBAL mean of y (the covariate explains everything)
