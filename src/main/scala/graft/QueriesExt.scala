@@ -2279,6 +2279,33 @@ object QueriesExt {
       |      FROM gaps)
       |WHERE rk = 1""".stripMargin
 
+  // ---- TPC-H Q6 (forecast revenue change): the pure filter-agg shape —
+  //      predicates push to the scan, one 1-row exact-cents aggregate ----
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1999-01-01").cast("timestamp")
+    val hi = lit("2000-01-01").cast("timestamp")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_quantity") < 24 &&
+        floor(col("l_discount") * 100).between(5, 7))
+      .select((floor(col("l_extendedprice") * 100).cast("long") *
+        floor(col("l_discount") * 100).cast("long")).as("rev_u"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("rev_u")).as("rev_units"))
+      .select(col("n_rows"),
+        (col("rev_units").cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  val oTpchQ6: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |           CAST(floor(l_discount * 100) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      |  AND l_shipdate < TIMESTAMP '2000-01-01'
+      |  AND l_quantity < 24
+      |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
+
   // ---- TPC-H Q18 (large-volume customers): orders whose total quantity
   //      clears a HAVING threshold, enriched and top-k'd on exact longs ----
   def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
