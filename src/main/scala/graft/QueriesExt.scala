@@ -2247,6 +2247,33 @@ object QueriesExt {
       |    CAST(nn * (n + 20) AS DOUBLE) AS shrunk_rate
       |FROM per CROSS JOIN g""".stripMargin
 
+  // ---- exact Gini of orders-per-customer concentration ----
+  def qGini(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniExact(
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders")),
+      "n_orders")
+
+  val oGini: String =
+    """WITH units AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v FROM orders GROUP BY o_custkey),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM units GROUP BY 1),
+      |cum AS (
+      |  SELECT v, c,
+      |    COALESCE(CAST(sum(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS cbelow
+      |  FROM hist),
+      |agg AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_units,
+      |    CAST(sum(v * c) AS BIGINT) AS total,
+      |    CAST(sum(v * (2 * c * cbelow + c * c + c)) AS BIGINT) AS two_six
+      |  FROM cum)
+      |SELECT n_units, total,
+      |  CAST(two_six - (n_units + 1) * total AS DOUBLE) /
+      |    CAST(n_units * total AS DOUBLE) AS gini
+      |FROM agg""".stripMargin
+
   // ---- two-sample KS drift: does src0's length distribution match the
   //      rest of the corpus? Exact scaled-gap argmax, one division ----
   def qKsDrift(s: SparkSession, dir: String): DataFrame =

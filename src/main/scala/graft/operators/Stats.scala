@@ -209,6 +209,38 @@ object Stats {
           .as("shrunk_rate"): _*)
   }
 
+  /** Exact Gini coefficient of an INTEGER-VALUED quantity — the
+    * concentration number behind "is the corpus dominated by a few
+    * domains?" / "do 1% of users produce 90% of events?": 0 = perfectly
+    * even, →1 = all mass on one unit.
+    *
+    * The textbook formula G = (2Σᵢ i·x₍ᵢ₎ − (N+1)Σx) / (N·Σx) needs the
+    * values SORTED — a corpus-wide single-partition sort. This version
+    * collapses the corpus into the value histogram first (one hash agg)
+    * and uses the rank-block identity for a run of c equal values v with
+    * C values below: Σranks·x = v·(c·C + c(c+1)/2), so
+    *   2Σᵢi·x₍ᵢ₎ = Σ_v v·(2cC + c² + c)
+    * — every term an exact long off cumulative sums OVER THE HISTOGRAM
+    * (quantization-bounded, the [[aucExact]] precedent). ONE double
+    * division at the end. Output: (n_units, total, gini).
+    */
+  def giniExact(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cbelow", coalesce(sum(col("c")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("c")).as("n_units"),
+        sum(col("v") * col("c")).as("total"),
+        sum(col("v") * (lit(2L) * col("c") * col("cbelow") +
+          col("c") * col("c") + col("c"))).as("_two_six"))
+      .select(col("n_units"), col("total"),
+        ((col("_two_six") - (col("n_units") + 1L) * col("total")).cast("double") /
+          (col("n_units") * col("total")).cast("double")).as("gini"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over an INTEGER-VALUED
     * metric — D = max_v |F₁(v) − F₂(v)|, the distribution-drift test
     * that compares WHOLE CDFs where a mean/variance check sees nothing

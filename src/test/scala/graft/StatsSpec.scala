@@ -189,6 +189,29 @@ class StatsSpec extends SparkSpec {
     assert(raw("small") === 1.0)
   }
 
+  test("giniExact: textbook values without any global sort") {
+    // perfectly even distribution -> gini exactly 0
+    val even = Seq(5L, 5L, 5L, 5L).toDF("v")
+    assert(Stats.giniExact(even, "v").select("gini").as[Double].head() === 0.0)
+    // all mass on one unit of n: G = (n-1)/n
+    val one = (Seq(10L) ++ Seq.fill(9)(0L)).toDF("v")
+    assert(Stats.giniExact(one, "v").select("gini").as[Double].head() === 0.9)
+    // hand example {1,2,3,4}: sorted ranks sum 2*(1+4+9+16)=60,
+    // G = (60 - 5*10)/(4*10) = 0.25
+    val h = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val r = Stats.giniExact(h, "v").as[(Long, Long, Double)].head()
+    assert(r === ((4L, 10L, 0.25)))
+    // ties handled by the rank-block identity: {1,1,4} ->
+    // 2*(1*1+1*2+4*3) = 30; G = (30 - 4*6)/(3*6) = 1/3
+    val t = Seq(1L, 1L, 4L).toDF("v")
+    assert(Stats.giniExact(t, "v").select("gini").as[Double].head() === 1.0 / 3.0)
+    // partition invariance
+    val big = (1L to 2000L).map(i => (i * 7919) % 50).toDF("v")
+    val a = Stats.giniExact(big.repartition(1), "v").as[(Long, Long, Double)].head()
+    val b = Stats.giniExact(big.repartition(13), "v").as[(Long, Long, Double)].head()
+    assert(a === b)
+  }
+
   test("ksTwoSample: hand-computed D, identical distributions give 0, shift detected") {
     // sample 1: {1,2}; sample 2: {2,3}. CDF gaps (scaled by n1*n2=4):
     // v=1: |1*2-0*2|=2; v=2: |2*2-1*2|=2; v=3: 0 -> D=2/4=0.5 at v=1
