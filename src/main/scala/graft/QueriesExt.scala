@@ -2247,6 +2247,34 @@ object QueriesExt {
       |    CAST(nn * (n + 20) AS DOUBLE) AS shrunk_rate
       |FROM per CROSS JOIN g""".stripMargin
 
+  // ---- A-priori pair rules: suppliers co-occurring in the same order,
+  //      with confidence and lift over exact supports ----
+  def qBasketRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.pairRules(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+      "l_orderkey", "l_suppkey",
+      minItemSupport = 300L, minPairSupport = 30L)
+
+  val oBasketRules: String =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS bid, l_suppkey AS item FROM lineitem),
+      |supp AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b
+      |  GROUP BY 1 HAVING count(*) >= 300),
+      |f AS (SELECT b.bid, b.item FROM b SEMI JOIN supp ON b.item = supp.item),
+      |p AS (
+      |  SELECT x.item AS a, y.item AS b2, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM f x JOIN f y ON x.bid = y.bid AND x.item < y.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 30),
+      |tot AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n_baskets FROM b)
+      |SELECT a, b2 AS b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+      |  CAST(n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE) AS conf_a_to_b,
+      |  CAST(n_ab AS DOUBLE) / CAST(sb.n_item AS DOUBLE) AS conf_b_to_a,
+      |  CAST(n_ab * n_baskets AS DOUBLE) /
+      |    CAST(sa.n_item * sb.n_item AS DOUBLE) AS lift
+      |FROM p JOIN supp sa ON sa.item = a JOIN supp sb ON sb.item = b2
+      |CROSS JOIN tot""".stripMargin
+
   // ---- exact Gini of orders-per-customer concentration ----
   def qGini(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.giniExact(
