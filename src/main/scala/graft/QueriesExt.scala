@@ -2247,6 +2247,57 @@ object QueriesExt {
       |    CAST(nn * (n + 20) AS DOUBLE) AS shrunk_rate
       |FROM per CROSS JOIN g""".stripMargin
 
+  // ---- quantile normalization: map each source's doc-length
+  //      distribution onto the pooled one (exact integer midrank rule) ----
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantileNormalize(
+      t(s, dir, "documents").select(col("source"), col("n_chars")),
+      "source", "n_chars")
+
+  val oQuantileNorm: String =
+    """WITH base AS (SELECT source AS g, n_chars AS v FROM documents),
+      |gh AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+      |gcum AS (
+      |  SELECT g, v, c,
+      |    COALESCE(CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS cbelow
+      |  FROM gh),
+      |gn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM gh GROUP BY 1),
+      |pool AS (SELECT v, CAST(count(*) AS BIGINT) AS cp FROM base GROUP BY 1),
+      |pcum AS (SELECT v AS t, CAST(sum(cp) OVER (ORDER BY v) AS BIGINT)
+      |           AS cum_pool FROM pool),
+      |np AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pool FROM pool)
+      |SELECT g, v, c, CAST(min(t) AS BIGINT) AS target
+      |FROM gcum JOIN gn USING (g) CROSS JOIN np
+      |JOIN pcum ON 2 * cum_pool * n_g >= (2 * cbelow + c) * n_pool
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- TPC-H Q4 (order-priority checking): orders with at least one
+  //      late lineitem, counted per priority — the semi-join classic ----
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1999-01-01").cast("timestamp")
+    val hi = lit("1999-07-01").cast("timestamp")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    ord.join(t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lo)
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val oTpchQ4: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > TIMESTAMP '1999-01-01')
+      |GROUP BY 1""".stripMargin
+
   // ---- A-priori pair rules: suppliers co-occurring in the same order,
   //      with confidence and lift over exact supports ----
   def qBasketRules(s: SparkSession, dir: String): DataFrame =

@@ -209,6 +209,53 @@ object Stats {
           .as("shrunk_rate"): _*)
   }
 
+  /** Quantile normalization (the micro-array/batch-effect classic,
+    * Bolstad 2003): map each group's value distribution onto the POOLED
+    * distribution so downstream comparisons see identical marginals —
+    * the fix when two crawls/labs/sources measured the same quantity
+    * with different systematic stretch. Output: the per-(group, value)
+    * mapping (group, v, c, target) — appliable to rows by an equi-join
+    * on (group, v).
+    *
+    * Exact integer rule (no float quantiles anywhere): a value v in
+    * group g with c ties and C below sits at the scaled BLOCK MIDPOINT
+    * pos2 = 2C + c (of 2n_g — the symmetric (k−½)/n convention, so the
+    * first and last values sit ½/n in from the pooled extremes); its
+    * target is the SMALLEST pooled value t with 2·cumPool(t)·n_g ≥
+    * pos2·N — every comparison a product of exact longs, so the mapping
+    * is bit-identical across engines and partitionings, and a group that
+    * IS the pool maps onto itself.
+    *
+    * Scale shape: the corpus collapses into per-group and pooled VALUE
+    * HISTOGRAMS first (two hash aggs); ordered windows and the
+    * least-upper-bound lookup run over histograms only (quantization-
+    * bounded, the [[aucExact]] precedent) — the lookup is a min_by over
+    * the histogram-×-histogram candidate join, never row-level.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val gh = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gcum = gh
+      .withColumn("cbelow", coalesce(sum(col("c")).over(wg), lit(0L)))
+    val gn = gh.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val pool = base.groupBy(col("v")).agg(count(lit(1)).as("cp"))
+    val wp = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pcum = pool.withColumn("cum_pool", sum(col("cp")).over(wp))
+      .select(col("v").as("t"), col("cum_pool"))
+    val nPool = pool.agg(sum(col("cp")).as("n_pool"))
+    gcum.join(gn, Seq("g")).crossJoin(broadcast(nPool))
+      .withColumn("pos2", lit(2L) * col("cbelow") + col("c"))
+      .join(broadcast(pcum),
+        lit(2L) * col("cum_pool") * col("n_g") >= col("pos2") * col("n_pool"))
+      .groupBy(col("g"), col("v"), col("c"))
+      .agg(min(col("t")).as("target"))
+  }
+
   /** Exact Gini coefficient of an INTEGER-VALUED quantity — the
     * concentration number behind "is the corpus dominated by a few
     * domains?" / "do 1% of users produce 90% of events?": 0 = perfectly

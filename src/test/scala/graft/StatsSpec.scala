@@ -189,6 +189,41 @@ class StatsSpec extends SparkSpec {
     assert(raw("small") === 1.0)
   }
 
+  test("quantileNormalize: identical-marginal mapping, monotone, identity on pooled") {
+    // two groups measuring the same latent ranks with different stretch:
+    // a = {10, 20, 30}, b = {100, 200, 300} -> pooled sorted
+    // {10,20,30,100,200,300}; midranks map a/b's 1st/2nd/3rd values to
+    // the pooled values at quantiles 1/6, 3/6, 5/6
+    val d = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 100L), ("b", 200L), ("b", 300L)).toDF("g", "v")
+    val m = Stats.quantileNormalize(d, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    // block midpoint: pos2 of the k-th of 3 = 2k-1 of 6; target =
+    // smallest pooled t with 6*cum >= pos2*6 -> cum>=1,3,5 -> 10,30,200
+    assert(m(("a", 10L)) === 10L && m(("b", 100L)) === 10L)
+    assert(m(("a", 20L)) === 30L && m(("b", 200L)) === 30L)
+    assert(m(("a", 30L)) === 200L && m(("b", 300L)) === 200L)
+    // monotone within each group
+    val byG = Stats.quantileNormalize(d, "g", "v")
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    for ((_, rows) <- byG) {
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted === sorted.sorted)
+    }
+    // a single group IS the pool: midrank of each distinct value lands
+    // back on itself when counts are symmetric
+    val solo = Seq(("x", 1L), ("x", 2L), ("x", 3L)).toDF("g", "v")
+    val sm = Stats.quantileNormalize(solo, "g", "v")
+      .as[(String, Long, Long, Long)].collect().map(t => t._2 -> t._4).toMap
+    assert(sm === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // partition invariance
+    val again = Stats.quantileNormalize(d.repartition(7), "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(again === m)
+  }
+
   test("giniExact: textbook values without any global sort") {
     // perfectly even distribution -> gini exactly 0
     val even = Seq(5L, 5L, 5L, 5L).toDF("v")
