@@ -460,6 +460,34 @@ object QueriesExt {
       |SELECT doc_id, score, CASE WHEN score >= 0 THEN 1 ELSE 0 END AS label
       |FROM s""".stripMargin
 
+  // ---- DPO preference pairs: per source, best-vs-worst classifier
+  //      score with deterministic ties; zero-margin groups dropped ----
+  def qPreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.linearClassifier(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    TrainPrep.preferencePairs(scored, "source", "doc_id", "score")
+  }
+
+  val oPreferencePairs: String =
+    s"""WITH sc AS ($oQualityClassifier),
+       |j AS (SELECT d.source AS grp, sc.doc_id AS id, sc.score AS sc
+       |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT grp, id AS chosen_id, sc AS chosen_score FROM (
+       |    SELECT grp, id, sc, row_number() OVER (
+       |      PARTITION BY grp ORDER BY sc DESC, id) AS rk FROM j)
+       |  WHERE rk = 1),
+       |r AS (
+       |  SELECT grp, id AS rejected_id, sc AS rejected_score FROM (
+       |    SELECT grp, id, sc, row_number() OVER (
+       |      PARTITION BY grp ORDER BY sc, id) AS rk FROM j)
+       |  WHERE rk = 1)
+       |SELECT grp, chosen_id, chosen_score, rejected_id, rejected_score,
+       |  CAST(chosen_score - rejected_score AS BIGINT) AS margin
+       |FROM c JOIN r USING (grp)
+       |WHERE chosen_score > rejected_score""".stripMargin
+
   // ---- language-ID (marker-token heuristic) ----
   def qLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(s, dir, "documents"), truthCol = Some("lang"))

@@ -715,6 +715,39 @@ object TrainPrep {
     * no join, NO SHUFFLE: shard assignment at 100 TB is a pure map over
     * the scan, composable with any downstream write partitioning.
     */
+  /** Preference-pair construction — the DPO/RLHF data-prep step: per
+    * group (prompt cluster / source / topic), pair the highest-scored
+    * response with the lowest as (chosen, rejected). The score is an
+    * INTEGER column (a classifier logit, a quality rank — the
+    * [[graft.operators.Stats.corrExact]] quantize-first contract) so the
+    * argmax/argmin are exact struct-orderings with deterministic ties:
+    * chosen breaks toward the SMALLER id at equal score (max_by on
+    * (score, −id)), rejected likewise (min_by on (score, id)). Groups
+    * whose best and worst tie (no signal) are dropped — a pair with zero
+    * margin teaches nothing and its orientation would be arbitrary.
+    *
+    * Scale shape: ONE group-keyed hash agg (max_by + min_by, both
+    * map-side foldable) — no window, no self-join; the corpus is
+    * scanned once.
+    */
+  def preferencePairs(scored: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    scored.select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        s.as("sc"))
+      .groupBy(col("grp"))
+      .agg(
+        max_by(struct(col("id"), col("sc")),
+          struct(col("sc"), (-col("id")).cast("long"))).as("_c"),
+        min_by(struct(col("id"), col("sc")),
+          struct(col("sc"), col("id"))).as("_r"))
+      .filter(col("_c.sc") > col("_r.sc"))
+      .select(col("grp"), col("_c.id").as("chosen_id"),
+        col("_c.sc").as("chosen_score"),
+        col("_r.id").as("rejected_id"), col("_r.sc").as("rejected_score"),
+        (col("_c.sc") - col("_r.sc")).as("margin"))
+  }
+
   def rendezvousShard(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0 && numShards <= 1024, "literal-array regime")
     val weights = array((0 until numShards).map(s =>

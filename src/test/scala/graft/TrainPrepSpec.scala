@@ -448,6 +448,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(seq === seq.sorted, "concatenated part files must be globally ordered")
   }
 
+  test("preferencePairs: argmax/argmin with deterministic ties, zero-margin drop") {
+    val scored = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, -5L),
+      ("s2", 10L, 7L), ("s2", 11L, 7L), // all-equal -> dropped
+      ("s3", 20L, 0L)                   // singleton  -> dropped
+    ).toDF("src", "doc", "score")
+    val r = TrainPrep.preferencePairs(scored, "src", "doc", "score")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r.length === 1)
+    // chosen: max score 30, tie (2,3) -> smaller id 2; rejected: -5 @ 4
+    assert(r.head === (("s1", 2L, 30L, 4L, -5L, 35L)))
+    val again = TrainPrep.preferencePairs(scored.repartition(7),
+      "src", "doc", "score")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(again.toSeq === r.toSeq)
+  }
+
   test("rendezvousShard: stable, shuffle-free, and minimally relocating on grow") {
     val ids = (1L to 2000L).toDF("doc_id")
     val s16 = TrainPrep.rendezvousShard(ids, "doc_id", 16)
