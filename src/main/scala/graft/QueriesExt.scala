@@ -2469,6 +2469,60 @@ object QueriesExt {
       |  JOIN customer ON o_custkey = c_custkey
       |  ORDER BY total_qty DESC, l_orderkey LIMIT 10)""".stripMargin
 
+  // ---- Kaplan-Meier time-to-ship survival with administrative
+  //      censoring at the analysis date: lineitems not yet shipped by
+  //      the cutoff are censored at their age, not treated as shipped ----
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .select(
+        expr("CAST(o_orderdate AS DATE)").as("od"),
+        expr("CAST(l_shipdate AS DATE)").as("sd"),
+        (col("l_shipdate") < cutoff).as("ev"))
+      .select(
+        when(col("ev"), datediff(col("sd"), col("od")) + 1)
+          .otherwise(datediff(lit("2000-01-01").cast("date"), col("od")) + 1)
+          .cast("long").as("dur"),
+        col("ev"))
+    Temporal.kaplanMeier(li, "dur", "ev")
+  }
+
+  val oKaplanMeier: String =
+    """WITH units AS (
+      |  SELECT CASE WHEN l_shipdate < TIMESTAMP '2000-01-01'
+      |    THEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                   CAST(l_shipdate AS DATE)) + 1
+      |    ELSE date_diff('day', CAST(o_orderdate AS DATE),
+      |                   DATE '2000-01-01') + 1 END AS t,
+      |    CASE WHEN l_shipdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END
+      |      AS ev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      |hist AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS leaving
+      |  FROM units GROUP BY 1),
+      |risk AS (
+      |  SELECT t, d, CAST(sum(leaving) OVER (ORDER BY t
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+      |  FROM hist),
+      |ranked AS (
+      |  SELECT t, d, n, row_number() OVER (ORDER BY t) AS k
+      |  FROM risk WHERE d > 0),
+      |arr AS (
+      |  SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS a
+      |  FROM ranked)
+      |SELECT t, n AS n_at_risk, d AS d_events,
+      |  list_reduce(
+      |    list_prepend(1.0::DOUBLE,
+      |      list_transform(a[1:k],
+      |        x -> 1.0::DOUBLE - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+      |    (acc, v) -> acc * v) AS survival
+      |FROM ranked CROSS JOIN arr""".stripMargin
+
   // ---- CUPED-adjusted cohort means: post-period event volume adjusted
   //      by each user's pre-period volume (split day 19738) ----
   def qCuped(s: SparkSession, dir: String): DataFrame = {

@@ -290,6 +290,60 @@ object Temporal {
         ((dev * dev).cast("double") / varI.cast("double")).as("zsq"): _*)
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) — the
+    * right-censoring-correct answer to "how long do users/documents/
+    * connections survive?": a plain duration CDF treats still-active
+    * units as churned at their last observation and BIASES survival
+    * down; KM keeps censored units in the at-risk denominator until
+    * they leave. S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event times u,
+    * with d the deaths at u and n the units still at risk.
+    *
+    * Determinism without logs: the factors (1 − d_u/n_u) are single
+    * divisions of exact longs; the cumulative product is a LEFT FOLD in
+    * ascending-time order over the COLLECTED event-time table — legal
+    * to collect because the table is duration-histogram-sized (the
+    * quantization-bounded regime, NOT corpus rows), and the fold order
+    * is pinned so every multiplication is the same IEEE op in both
+    * engines (DuckDB replays via list_reduce over the same ordering).
+    *
+    * Scale shape: unit durations → duration histogram (one hash agg);
+    * at-risk counts are SUFFIX sums over the histogram (bounded
+    * window); the 1-row ordered array broadcasts back onto the
+    * histogram rows for the prefix folds. Corpus scanned once.
+    *
+    * Input: one row per unit — (durationCol, eventCol) with eventCol
+    * true = observed terminal event, false = right-censored.
+    * Output: one row per distinct duration with ≥1 death —
+    * (t, n_at_risk, d_events, survival).
+    */
+  def kaplanMeier(units: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = units.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("e"))
+    val hist = base.groupBy(col("t"))
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leaving"))
+    // at risk at t = all units with duration >= t: suffix sum
+    val wSuf = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = hist.withColumn("n", sum(col("leaving")).over(wSuf))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), col("n"))
+    val wRank = Window.orderBy(col("t"))
+    val ranked = risk.withColumn("k", row_number().over(wRank))
+    val arr = ranked
+      .agg(array_sort(collect_list(struct(col("t"), col("d"), col("n"))))
+        .as("_arr"))
+    ranked.crossJoin(broadcast(arr))
+      .withColumn("survival",
+        aggregate(slice(col("_arr"), lit(1), col("k")), lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n").cast("double"))))
+      .select(col("t"), col("n").as("n_at_risk"), col("d").as("d_events"),
+        col("survival"))
+  }
+
   /** Exponentially time-decayed sum per key — the recency weighting
     * behind "hot" domain mixing, trending-content scores, and decayed
     * engagement counters: each value contributes v·2^(−age/h). Generic

@@ -575,4 +575,32 @@ class PlanSpec extends SparkSpec {
       assert(n <= 2, s"$q rescans the corpus: $n scans")
     }
   }
+
+  test("r12 late additions keep their scale shapes") {
+    // cartesian-free across the closing batch
+    for (q <- Seq("q_density_clusters", "q_hll_intersect", "q_forecast_eval",
+      "q_gini", "q_ks_drift", "q_basket_rules", "q_quantile_norm",
+      "q_preference_pairs", "q_bpe_fertility", "q_tpch_q1", "q_tpch_q3",
+      "q_tpch_q4", "q_tpch_q6", "q_tpch_q18", "q_cuped",
+      "q_rendezvous_shards", "q_benford")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    // preference pairs: ONE group-keyed agg, no window, no self-join
+    val pp = plan("q_preference_pairs")
+    assert(!pp.contains("Window"), "preference pairs must not window")
+    // gini & ks: the only ordered windows run over histograms — assert
+    // the window input is an AGGREGATED (hash-agg) subtree, not the scan
+    for (q <- Seq("q_gini", "q_ks_drift")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q expected a bounded window")
+      assert(p.contains("HashAggregate"), s"$q window must ride a histogram")
+    }
+    // Q1/Q6: pure scan -> partial/final agg, no join anywhere
+    for (q <- Seq("q_tpch_q1", "q_tpch_q6"))
+      assert(!plan(q).contains("Join"), s"$q must be join-free")
+    // Q4: the EXISTS is a LeftSemi hash join, never a nested loop
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), "Q4 EXISTS must plan as left-semi")
+    assert(!p4.contains("BroadcastNestedLoopJoin"))
+  }
 }

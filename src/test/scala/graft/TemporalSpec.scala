@@ -198,6 +198,27 @@ class TemporalSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("kaplanMeier: textbook worked example with censoring, monotone, exact factors") {
+    // classic: durations (t, event): 6+,6,6,6,7,9+,10,10+ (+ = censored)
+    //   t=6: n=8 d=3  -> S = 1 - 3/8 = 0.625
+    //   t=7: n=4 d=1  -> S = 0.625 * 3/4 = 0.46875
+    //   t=10: n=2 d=1 -> S = 0.46875 * 1/2 = 0.234375
+    // (9 is censor-only: no row; censored units still held the n=4 at 7)
+    val units = Seq((6L, false), (6L, true), (6L, true), (6L, true),
+      (7L, true), (9L, false), (10L, true), (10L, false))
+      .toDF("dur", "ev")
+    val r = Temporal.kaplanMeier(units, "dur", "ev")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(r === List((6L, 8L, 3L, 0.625), (7L, 4L, 1L, 0.46875),
+      (10L, 2L, 1L, 0.234375)))
+    // survival is non-increasing and censor-only times never emit rows
+    assert(r.map(_._4) === r.map(_._4).sorted.reverse)
+    // partition invariance (the fold order is pinned by the sorted array)
+    val again = Temporal.kaplanMeier(units.repartition(7), "dur", "ev")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(again === r)
+  }
+
   test("decayedSum: whole-halving weights, cutoff, partition invariance") {
     // halfLife=1, K=2: weights by age = 1, 1/2, 1/4, then hard 0
     val rows = Seq(("A", 0L, 8L), ("A", 1L, 8L), ("A", 2L, 8L), ("A", 3L, 8L),
