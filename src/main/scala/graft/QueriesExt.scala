@@ -2523,6 +2523,74 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- log-rank test: do return-flag R lineitems ship on a different
+  //      schedule? (the hypothesis test that goes with q_kaplan_meier) ----
+  def qLogrank(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .select(
+        when(col("l_shipdate") < cutoff,
+          datediff(expr("CAST(l_shipdate AS DATE)"),
+            expr("CAST(o_orderdate AS DATE)")) + 1)
+          .otherwise(datediff(lit("2000-01-01").cast("date"),
+            expr("CAST(o_orderdate AS DATE)")) + 1)
+          .cast("long").as("dur"),
+        (col("l_shipdate") < cutoff).as("ev"),
+        (col("l_returnflag") === "R").as("grp"))
+    Temporal.logRank(li, "dur", "ev", "grp")
+  }
+
+  val oLogrank: String =
+    """WITH units AS (
+      |  SELECT CASE WHEN l_shipdate < TIMESTAMP '2000-01-01'
+      |    THEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                   CAST(l_shipdate AS DATE)) + 1
+      |    ELSE date_diff('day', CAST(o_orderdate AS DATE),
+      |                   DATE '2000-01-01') + 1 END AS t,
+      |    CASE WHEN l_shipdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END
+      |      AS e,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      |hist AS (
+      |  SELECT t, CAST(sum(e) AS BIGINT) AS d,
+      |    CAST(sum(e * g) AS BIGINT) AS d1,
+      |    CAST(count(*) AS BIGINT) AS leaving,
+      |    CAST(sum(g) AS BIGINT) AS leaving1
+      |  FROM units GROUP BY 1),
+      |risk AS (
+      |  SELECT t, d, d1,
+      |    CAST(sum(leaving) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+      |    CAST(sum(leaving1) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1
+      |  FROM hist),
+      |ev AS (SELECT * FROM risk WHERE d > 0),
+      |arr AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_times,
+      |    list(struct_pack(t := t, d := d, d1 := d1, n := n, n1 := n1)
+      |         ORDER BY t) AS a
+      |  FROM ev),
+      |folded AS (
+      |  SELECT n_times,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(a, x ->
+      |      CAST(x.d1 AS DOUBLE) -
+      |        CAST(x.n1 AS DOUBLE) * CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+      |      (acc, v) -> acc + v) AS u,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(a, x ->
+      |      CASE WHEN x.n > 1 THEN
+      |        (CAST(x.d AS DOUBLE) * CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE)) *
+      |        ((CAST(x.n AS DOUBLE) - CAST(x.n1 AS DOUBLE)) / CAST(x.n AS DOUBLE)) *
+      |        ((CAST(x.n AS DOUBLE) - CAST(x.d AS DOUBLE)) /
+      |         (CAST(x.n AS DOUBLE) - 1.0::DOUBLE))
+      |      ELSE 0.0::DOUBLE END)),
+      |      (acc, v) -> acc + v) AS v
+      |  FROM arr)
+      |SELECT n_times, u, v, u * u / v AS chi2 FROM folded""".stripMargin
+
   // ---- CUPED-adjusted cohort means: post-period event volume adjusted
   //      by each user's pre-period volume (split day 19738) ----
   def qCuped(s: SparkSession, dir: String): DataFrame = {

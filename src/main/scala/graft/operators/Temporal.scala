@@ -344,6 +344,61 @@ object Temporal {
         col("survival"))
   }
 
+  /** Log-rank test (Mantel 1966) — "are these two survival curves
+    * actually different?": the hypothesis test that goes with
+    * [[kaplanMeier]], comparing group 1's observed deaths at every event
+    * time against the hypergeometric expectation under equal hazards.
+    *   U = Σ_t (d1_t − n1_t·d_t/n_t)
+    *   V = Σ_t (d_t·n1_t/n_t)·((n_t−n1_t)/n_t)·((n_t−d_t)/(n_t−1))
+    *   χ² = U²/V   (1 df; χ² > 3.84 ⇒ p < 0.05)
+    * Despite its name the statistic is log-free — it survives this
+    * repo's determinism bar: every per-time term is a pinned sequence of
+    * exact-long divisions/products, and the two Σ run as LEFT FOLDS in
+    * ascending-time order over the duration-histogram-sized collected
+    * array (the [[kaplanMeier]] fold discipline; DuckDB replays the
+    * identical folds via list_reduce). Times where n_t = 1 contribute
+    * V = 0 by the (n−d)/(n−1) convention guarded to 0.
+    *
+    * Scale shape: one corpus hash agg into the per-time histogram,
+    * suffix sums over it (bounded window), one 1-row fold. Output: one
+    * row (n_times, u, v, chi2).
+    */
+  def logRank(units: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = units.select(col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").cast("long").as("e"),
+      col(groupCol).cast("boolean").cast("long").as("g"))
+    val hist = base.groupBy(col("t")).agg(
+      sum(col("e")).as("d"), sum(col("e") * col("g")).as("d1"),
+      count(lit(1)).as("leaving"), sum(col("g")).as("leaving1"))
+    val wSuf = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = hist
+      .withColumn("n", sum(col("leaving")).over(wSuf))
+      .withColumn("n1", sum(col("leaving1")).over(wSuf))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), col("d1"), col("n"), col("n1"))
+    val arr = risk
+      .agg(array_sort(collect_list(
+        struct(col("t"), col("d"), col("d1"), col("n"), col("n1"))))
+        .as("_a"),
+        count(lit(1)).as("n_times"))
+    def dd(x: org.apache.spark.sql.Column, f: String) =
+      x.getField(f).cast("double")
+    arr.select(col("n_times"),
+        aggregate(col("_a"), lit(0.0), (acc, x) =>
+          acc + (dd(x, "d1") - dd(x, "n1") * dd(x, "d") / dd(x, "n")))
+          .as("u"),
+        aggregate(col("_a"), lit(0.0), (acc, x) =>
+          acc + when(x.getField("n") > 1L,
+            (dd(x, "d") * dd(x, "n1") / dd(x, "n")) *
+              ((dd(x, "n") - dd(x, "n1")) / dd(x, "n")) *
+              ((dd(x, "n") - dd(x, "d")) / (dd(x, "n") - lit(1.0))))
+            .otherwise(lit(0.0))).as("v"))
+      .withColumn("chi2", col("u") * col("u") / col("v"))
+  }
+
   /** Exponentially time-decayed sum per key — the recency weighting
     * behind "hot" domain mixing, trending-content scores, and decayed
     * engagement counters: each value contributes v·2^(−age/h). Generic

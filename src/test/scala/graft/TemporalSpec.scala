@@ -219,6 +219,39 @@ class TemporalSpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("logRank: null case gives ~0, separated hazards give large chi2, hand math") {
+    // identical curves in both groups -> every d1 equals its expectation
+    // exactly (balanced design) -> U = 0, chi2 = 0
+    val nullCase = Seq(
+      (1L, true, true), (1L, true, false),
+      (2L, true, true), (2L, true, false),
+      (3L, false, true), (3L, false, false)).toDF("dur", "ev", "grp")
+    val r0 = Temporal.logRank(nullCase, "dur", "ev", "grp")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r0._1 === 2L)
+    assert(r0._2 === 0.0 && r0._4 === 0.0)
+    // group 1 dies strictly earlier than group 0: strong separation
+    val sep = ((1L to 20L).map(i => (i, true, true)) ++
+      (101L to 120L).map(i => (i, true, false))).toDF("dur", "ev", "grp")
+    val rs = Temporal.logRank(sep, "dur", "ev", "grp")
+      .as[(Long, Double, Double, Double)].head()
+    assert(rs._4 > 10.0, s"separated hazards must reject, chi2=${rs._4}")
+    // hand math on one event time: units (1,death,g1),(1,death,g0),
+    // (2,censor,g1): at t=1 n=3 n1=2 d=2 d1=1 -> U = 1 - 2*2/3 = -1/3;
+    // V = (2*2/3)*(1/3)*(1/2) = 2/9; chi2 = (1/9)/(2/9) = 0.5
+    val h = Seq((1L, true, true), (1L, true, false), (2L, false, true))
+      .toDF("dur", "ev", "grp")
+    val rh = Temporal.logRank(h, "dur", "ev", "grp")
+      .as[(Long, Double, Double, Double)].head()
+    assert(math.abs(rh._2 - (1.0 - 4.0 / 3.0)) < 1e-15)
+    assert(math.abs(rh._3 - 2.0 / 9.0) < 1e-15)
+    assert(math.abs(rh._4 - 0.5) < 1e-12)
+    // partition invariance (pinned fold order)
+    val again = Temporal.logRank(sep.repartition(7), "dur", "ev", "grp")
+      .as[(Long, Double, Double, Double)].head()
+    assert(again === rs)
+  }
+
   test("decayedSum: whole-halving weights, cutoff, partition invariance") {
     // halfLife=1, K=2: weights by age = 1, 1/2, 1/4, then hard 0
     val rows = Seq(("A", 0L, 8L), ("A", 1L, 8L), ("A", 2L, 8L), ("A", 3L, 8L),
