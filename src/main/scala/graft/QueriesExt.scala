@@ -2523,6 +2523,41 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- lag-7 autocorrelation of daily volume per event type: the
+  //      seasonality-strength number behind q_forecast_eval's MASE —
+  //      exact lag pairs via a (d−7) equi-join into corrExact ----
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    val lag = daily.select(col("event_type"), (col("d") + 7).as("d"),
+      col("n").as("n_lag"))
+    graft.operators.Stats.corrExact(
+      daily.join(lag, Seq("event_type", "d")),
+      Seq("event_type"), "n", "n_lag")
+  }
+
+  val oAutocorr: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type, a.n AS x, l.n AS y
+      |  FROM daily a JOIN daily l
+      |    ON a.event_type = l.event_type AND l.d = a.d - 7),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pairs GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+      |FROM s""".stripMargin
+
   // ---- log-rank test: do return-flag R lineitems ship on a different
   //      schedule? (the hypothesis test that goes with q_kaplan_meier) ----
   def qLogrank(s: SparkSession, dir: String): DataFrame = {
