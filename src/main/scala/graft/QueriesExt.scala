@@ -2523,6 +2523,36 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- t-closeness audit: acctbal-band skew per (nation, segment)
+  //      class vs the global distribution (total-variation, exact) ----
+  def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.tCloseness(t(s, dir, "customer"),
+      "c_nationkey", "c_mktsegment",
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high"))
+
+  val oTCloseness: String =
+    """WITH d AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'neg'
+      |         WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS sv
+      |  FROM customer),
+      |cs AS (SELECT c_nationkey, c_mktsegment, sv,
+      |         CAST(count(*) AS BIGINT) AS c_cs FROM d GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment,
+      |          CAST(count(*) AS BIGINT) AS n_c FROM d GROUP BY 1, 2),
+      |gdist AS (SELECT sv, CAST(count(*) AS BIGINT) AS c_g FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+      |terms AS (
+      |  SELECT cls.c_nationkey, cls.c_mktsegment, n_c, nn,
+      |    abs(COALESCE(c_cs, 0) * nn - c_g * n_c) AS term
+      |  FROM cls CROSS JOIN gdist CROSS JOIN tot
+      |  LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+      |    AND cs.c_mktsegment = cls.c_mktsegment AND cs.sv = gdist.sv)
+      |SELECT c_nationkey, c_mktsegment, n_c AS n_class,
+      |  CAST(sum(term) AS DOUBLE) / CAST(2 * n_c * nn AS DOUBLE) AS tv
+      |FROM terms GROUP BY 1, 2, n_c, nn""".stripMargin
+
   // ---- lag-7 autocorrelation of daily volume per event type: the
   //      seasonality-strength number behind q_forecast_eval's MASE —
   //      exact lag pairs via a (d−7) equi-join into corrExact ----

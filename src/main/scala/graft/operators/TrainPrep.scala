@@ -715,6 +715,44 @@ object TrainPrep {
     * no join, NO SHUFFLE: shard assignment at 100 TB is a pure map over
     * the scan, composable with any downstream write partitioning.
     */
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE) — the
+    * third rung of the anonymization ladder after [[kAnonymize]] and
+    * [[lDiversity]]: a class can be k-anonymous AND l-diverse yet still
+    * leak (90% of one class has the sensitive value vs 10% globally —
+    * skewness attack). t-closeness bounds the distance between each
+    * equivalence class's sensitive distribution and the GLOBAL one.
+    * Distance here is total variation, ½Σ|p−q| — the categorical-domain
+    * metric the paper uses when no value hierarchy exists, and the one
+    * that stays EXACT: cross-multiplied to |c_cs·N − c_g·n_c| the Σ is
+    * an exact-long sum, and tv = Σ/(2·n_c·N) is ONE double division per
+    * class. Absent (class, value) cells count as 0 via the class ×
+    * sensitive-domain expansion (both bounded by definition — QIs
+    * re-identify BECAUSE their domains are small).
+    *
+    * Scale shape: three hash aggs (class-value, class, global), the
+    * global domain broadcast, one class-keyed sum. Output: one row per
+    * class — (qi1, qi2, n_class, tv).
+    */
+  def tCloseness(df: DataFrame, qi1: String, qi2: String,
+                 sensitive: Column): DataFrame = {
+    val d = df.select(col(qi1), col(qi2), sensitive.as("sv"))
+    val cs = d.groupBy(col(qi1), col(qi2), col("sv"))
+      .agg(count(lit(1)).as("c_cs"))
+    val cls = d.groupBy(col(qi1), col(qi2)).agg(count(lit(1)).as("n_c"))
+    val glob = d.groupBy(col("sv")).agg(count(lit(1)).as("c_g"))
+    val total = d.agg(count(lit(1)).as("nn"))
+    cls.crossJoin(broadcast(glob)).crossJoin(broadcast(total))
+      .join(cs, Seq(qi1, qi2, "sv"), "left")
+      .select(col(qi1), col(qi2), col("n_c"), col("nn"),
+        abs(coalesce(col("c_cs"), lit(0L)) * col("nn") -
+          col("c_g") * col("n_c")).as("term"))
+      .groupBy(col(qi1), col(qi2), col("n_c"), col("nn"))
+      .agg(sum(col("term")).as("tv_num"))
+      .select(col(qi1), col(qi2), col("n_c").as("n_class"),
+        (col("tv_num").cast("double") /
+          (lit(2L) * col("n_c") * col("nn")).cast("double")).as("tv"))
+  }
+
   /** Preference-pair construction — the DPO/RLHF data-prep step: per
     * group (prompt cluster / source / topic), pair the highest-scored
     * response with the lowest as (chosen, rejected). The score is an

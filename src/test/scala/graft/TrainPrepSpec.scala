@@ -448,6 +448,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(seq === seq.sorted, "concatenated part files must be globally ordered")
   }
 
+  test("tCloseness: skewed class scores high, mirror-of-global scores zero") {
+    import org.apache.spark.sql.functions.{col, when}
+    // global sv distribution: a:4, b:4 (N=8). class (1,x) mirrors it ->
+    // tv = 0; class (2,y) is all-a (skewness attack) -> p=(1,0) q=(.5,.5)
+    // -> tv = 1/2
+    val rows = Seq(
+      (1, "x", "a"), (1, "x", "a"), (1, "x", "b"), (1, "x", "b"),
+      (2, "y", "a"), (2, "y", "a"),
+      (3, "z", "b"), (3, "z", "b")).toDF("q1", "q2", "sv")
+    val r = TrainPrep.tCloseness(rows, "q1", "q2", col("sv"))
+      .as[(Int, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(r((1, "x")) === ((4L, 0.0)))
+    assert(r((2, "y")) === ((2L, 0.5)))
+    assert(r((3, "z")) === ((2L, 0.5)))
+    // partition invariance
+    val again = TrainPrep.tCloseness(rows.repartition(5), "q1", "q2", col("sv"))
+      .as[(Int, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(again === r)
+  }
+
   test("preferencePairs: argmax/argmin with deterministic ties, zero-margin drop") {
     val scored = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 30L), ("s1", 4L, -5L),
