@@ -2523,6 +2523,50 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- split-conformal prediction band: the 95th-percentile absolute
+  //      residual of the global price~quantity fit, per segment — the
+  //      distribution-free interval that makes a point model shippable ----
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    val fit = graft.operators.Stats.linregExact(li, Nil, "x", "y")
+      .select(col("slope"), col("intercept"))
+    li.crossJoin(broadcast(fit))
+      .withColumn("resid",
+        abs(col("y").cast("double") -
+          (col("slope") * col("x").cast("double") + col("intercept"))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(resid, 0.95)").as("q95_resid"))
+  }
+
+  val oConformal: String =
+    """WITH v AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy
+      |  FROM v),
+      |fit AS (
+      |  SELECT CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |    CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+      |  FROM m),
+      |r AS (
+      |  SELECT l_returnflag,
+      |    abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + intercept))
+      |      AS resid
+      |  FROM v CROSS JOIN fit)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(resid, 0.95) AS q95_resid
+      |FROM r GROUP BY 1""".stripMargin
+
   // ---- t-closeness audit: acctbal-band skew per (nation, segment)
   //      class vs the global distribution (total-variation, exact) ----
   def qTCloseness(s: SparkSession, dir: String): DataFrame =
