@@ -2523,6 +2523,54 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- RFM segmentation census over event users: recency age,
+  //      frequency, monetary mills, tercile-bucketed by exact
+  //      histogram cutoffs into the 27 RFM cells ----
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("ts DIV 86400000000000").as("d"),
+      floor(col("value") * 1000).cast("long").as("mills"))
+    val maxd = e.agg(max(col("d")).as("maxd"))
+    val units = e.groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("f"),
+        sum(col("mills")).as("m"))
+      .crossJoin(broadcast(maxd))
+      .select((col("maxd") - col("last_d")).as("r_age"), col("f"), col("m"))
+    TrainPrep.rfmSegments(units, "r_age", "f", "m")
+  }
+
+  val oRfm: String = {
+    def cuts(src: String, vcol: String) =
+      s"""(SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+         |  min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS t2 FROM (
+         |  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER () AS BIGINT) AS n
+         |  FROM (SELECT $vcol AS v, CAST(count(*) AS BIGINT) AS c
+         |        FROM $src GROUP BY 1)))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+       |    CAST(floor(value * 1000) AS BIGINT) AS mills
+       |  FROM events),
+       |mx AS (SELECT max(d) AS maxd FROM e),
+       |units AS (
+       |  SELECT maxd - max(d) AS r_age, CAST(count(*) AS BIGINT) AS f,
+       |    CAST(sum(mills) AS BIGINT) AS m
+       |  FROM e CROSS JOIN mx GROUP BY user_id, maxd),
+       |rc AS ${cuts("units", "r_age")},
+       |fc AS ${cuts("units", "f")},
+       |mc AS ${cuts("units", "m")}
+       |SELECT
+       |  CAST(1 + CASE WHEN r_age > rc.t1 THEN 1 ELSE 0 END
+       |         + CASE WHEN r_age > rc.t2 THEN 1 ELSE 0 END AS INT) AS r_b,
+       |  CAST(1 + CASE WHEN f > fc.t1 THEN 1 ELSE 0 END
+       |         + CASE WHEN f > fc.t2 THEN 1 ELSE 0 END AS INT) AS f_b,
+       |  CAST(1 + CASE WHEN m > mc.t1 THEN 1 ELSE 0 END
+       |         + CASE WHEN m > mc.t2 THEN 1 ELSE 0 END AS INT) AS m_b,
+       |  CAST(count(*) AS BIGINT) AS n_units
+       |FROM units CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   // ---- split-conformal prediction band: the 95th-percentile absolute
   //      residual of the global price~quantity fit, per segment — the
   //      distribution-free interval that makes a point model shippable ----

@@ -715,6 +715,59 @@ object TrainPrep {
     * no join, NO SHUFFLE: shard assignment at 100 TB is a pure map over
     * the scan, composable with any downstream write partitioning.
     */
+  /** Tercile bucket assignment for an INTEGER-VALUED metric via the
+    * value-histogram cutoff rule (no corpus-wide NTILE sort): cutoffs
+    * are the smallest values whose cumulative count clears N/3 and
+    * 2N/3 (cross-multiplied: 3·cum ≥ N and 3·cum ≥ 2N — exact longs),
+    * and a unit's bucket (1..3) counts the cutoffs at or below its
+    * value. The building block for RFM-style segmentation.
+    * Returns the input plus `<valueCol>_b`.
+    */
+  private def tercile(units: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = units.groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+    val n = hist.agg(sum(col("_c")).as("_n"))
+    val cuts = cum.crossJoin(broadcast(n))
+      .select(
+        min(when(col("_cum") * 3 >= col("_n"), col("_v"))).as("_t1"),
+        min(when(col("_cum") * 3 >= col("_n") * 2, col("_v"))).as("_t2"))
+    units.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_b",
+        (lit(1) + when(col(valueCol) > col("_t1"), 1).otherwise(0)
+          + when(col(valueCol) > col("_t2"), 1).otherwise(0)).cast("int"))
+      .drop("_t1", "_t2")
+  }
+
+  /** RFM segmentation (Hughes 1994 — the classic behavioral customer
+    * taxonomy): each unit scored 1–3 on Recency (lower age = better,
+    * callers pass age so bucket 3 = most recent is age bucket 1
+    * INVERTED here: we report the raw tercile of the given metric —
+    * semantics of direction belong to the caller's column choice),
+    * Frequency, and Monetary value, then grouped into the 27 "RFM
+    * cells" — the segmentation marketing/retention teams actually run.
+    *
+    * Exact integer cutoffs: each metric's terciles come from its VALUE
+    * HISTOGRAM via cross-multiplied cumulative counts (no NTILE — a
+    * corpus-wide single-partition sort); buckets count cutoffs ≤ value,
+    * so ties land deterministically in the same bucket on both engines.
+    *
+    * Scale shape: three histogram aggs (each quantization-bounded) with
+    * bounded windows, three 1-row cutoff broadcasts onto the unit
+    * table, one final 27-ary census agg. The unit table is scanned
+    * once per metric plus once for the census.
+    */
+  def rfmSegments(units: DataFrame, rCol: String, fCol: String,
+                  mCol: String): DataFrame = {
+    val b = tercile(tercile(tercile(units, rCol), fCol), mCol)
+    b.groupBy(col(s"${rCol}_b").as("r_b"), col(s"${fCol}_b").as("f_b"),
+        col(s"${mCol}_b").as("m_b"))
+      .agg(count(lit(1)).as("n_units"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE) — the
     * third rung of the anonymization ladder after [[kAnonymize]] and
     * [[lDiversity]]: a class can be k-anonymous AND l-diverse yet still

@@ -448,6 +448,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(seq === seq.sorted, "concatenated part files must be globally ordered")
   }
 
+  test("rfmSegments: exact tercile cutoffs, deterministic ties, full census") {
+    // 9 units with clean terciles on every axis; r=f=m aligned so the
+    // census concentrates on the diagonal cells
+    val units = (1L to 9L).map(i => (i, i, i * 10L)).toDF("r_age", "f", "m")
+    val r = TrainPrep.rfmSegments(units, "r_age", "f", "m")
+      .as[(Int, Int, Int, Long)].collect().sortBy(t => (t._1, t._2, t._3)).toList
+    // cutoffs at cum*3 >= 9 / >= 18 -> t1 = value 3, t2 = value 6:
+    // buckets {1..3}->1, {4..6}->2, {7..9}->3, three units each
+    assert(r === List((1, 1, 1, 3L), (2, 2, 2, 3L), (3, 3, 3, 3L)))
+    // ties on a bucket boundary land in the same bucket (cutoff <= rule)
+    val tied = Seq((1L, 1L, 5L), (1L, 1L, 5L), (1L, 1L, 5L), (1L, 1L, 9L))
+      .toDF("r_age", "f", "m")
+    val rt = TrainPrep.rfmSegments(tied, "r_age", "f", "m")
+      .as[(Int, Int, Int, Long)].collect().toSet
+    // m histogram {5:3, 9:1}: cum(5)=3 clears BOTH 3cum>=4 and >=8, so
+    // t1=t2=5 -> the three 5s share bucket 1 and the 9 jumps to 3 (a
+    // dominant tie swallows the middle bucket - the documented cutoff
+    // rule, deterministic on both engines)
+    assert(rt === Set((1, 1, 1, 3L), (1, 1, 3, 1L)))
+    // partition invariance
+    val again = TrainPrep.rfmSegments(units.repartition(5), "r_age", "f", "m")
+      .as[(Int, Int, Int, Long)].collect().sortBy(t => (t._1, t._2, t._3)).toList
+    assert(again === r)
+  }
+
   test("tCloseness: skewed class scores high, mirror-of-global scores zero") {
     import org.apache.spark.sql.functions.{col, when}
     // global sv distribution: a:4, b:4 (N=8). class (1,x) mirrors it ->
