@@ -2440,6 +2440,49 @@ object QueriesExt {
       |  AND l_quantity < 24
       |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
 
+  // ---- TPC-H Q14 (promotion effect): PROMO share of one month's
+  //      revenue — conditional aggregation over the part join, the
+  //      share as a ratio of two exact-integer revenue sums ----
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1999-06-01").cast("timestamp")
+    val hi = lit("1999-07-01").cast("timestamp")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("rev_u"))
+    li.join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L))
+          .as("promo_u"),
+        sum(col("rev_u")).as("total_u"),
+        count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        (col("promo_u").cast("double") / lit(10000.0)).as("promo_revenue"),
+        (lit(100.0) * col("promo_u").cast("double") /
+          col("total_u").cast("double")).as("promo_pct"))
+  }
+
+  val oTpchQ14: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100) AS BIGINT))
+      |    ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+      |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |         (100 - CAST(floor(l_discount * 100) AS BIGINT))
+      |    ELSE 0 END) AS DOUBLE) /
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |       (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |    AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1999-06-01'
+      |  AND l_shipdate < TIMESTAMP '1999-07-01'""".stripMargin
+
   // ---- TPC-H Q18 (large-volume customers): orders whose total quantity
   //      clears a HAVING threshold, enriched and top-k'd on exact longs ----
   def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
@@ -2522,6 +2565,30 @@ object QueriesExt {
       |        x -> 1.0::DOUBLE - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
+
+  // ---- mutual nearest neighbors within label blocks: the
+  //      hub-resistant embedding-alignment matching rule ----
+  def qMutualNn(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualNearestPairs(t(s, dir, "embeddings"))
+
+  val oMutualNn: String = {
+    val cos = cosineSql("ea", "eb")
+    s"""WITH n AS (SELECT vec_id, label, embedding FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+       |  FROM (SELECT vec_id, label, embedding AS ea FROM n) a
+       |  JOIN (SELECT vec_id, label, embedding AS eb FROM n) b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |top1 AS (
+       |  SELECT a_id, b_id AS best_id, cosine FROM (
+       |    SELECT a_id, b_id, cosine, row_number() OVER (
+       |      PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1)
+       |SELECT x.a_id AS a_id, y.a_id AS b_id, x.cosine AS cosine
+       |FROM top1 x JOIN top1 y
+       |  ON x.best_id = y.a_id AND y.best_id = x.a_id AND x.a_id < y.a_id""".stripMargin
+  }
 
   // ---- RFM segmentation census over event users: recency age,
   //      frequency, monetary mills, tercile-bucketed by exact

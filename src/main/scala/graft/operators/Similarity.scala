@@ -379,6 +379,50 @@ object Similarity {
           col("idcg_i").cast("double")).as("ndcg_h"))
   }
 
+  /** Mutual nearest-neighbor pairs — the embedding-ALIGNMENT primitive
+    * (the matching rule behind unsupervised translation lexicons,
+    * cross-corpus record alignment, and high-precision near-dup seeds):
+    * keep (a, b) only when b is a's top-1 AND a is b's top-1 within the
+    * same block. One-directional top-1 matches are popularity-polluted
+    * (hubs attract everything); mutuality is the cheap symmetric filter
+    * that kills hub captures without thresholds.
+    *
+    * Determinism: per side, top-1 is a map-side-foldable max_by over
+    * (cosine, −id) — exact [[graft.plans.DotFold]] cosine with ties to
+    * the smaller neighbor id; the mutual check is an equi-join of the
+    * two argmax tables and the pair canonicalizes as a < b.
+    *
+    * Scale shape: candidate pairs come from the block equi-join (the
+    * [[graft.QueriesExt.qEmbedNearDup]] discipline — pairs exist only
+    * within a block, never corpus²); two argmax hash aggs; one (a,b)
+    * equi-join. At 100 TB swap the block join for the IVF/LSH candidate
+    * generators feeding the same argmax+mutual tail.
+    */
+  def mutualNearestPairs(vecs: DataFrame, blockCol: String = "label")
+      : DataFrame = {
+    val n = withNorm(vecs, col(blockCol).as("_blk"))
+    val a = n.select(col("_blk"), col("vec_id").as("a_id"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = n.select(col("_blk"), col("vec_id").as("b_id"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val scored = a.join(b, Seq("_blk"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (DotFold.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cosine"))
+    val top1 = scored.groupBy(col("a_id"))
+      .agg(max_by(struct(col("b_id"), col("cosine")),
+        struct(col("cosine"), (-col("b_id")).cast("long"))).as("_t"))
+      .select(col("a_id"), col("_t.b_id").as("best_id"),
+        col("_t.cosine").as("cosine"))
+    top1.as("x").join(top1.as("y"),
+        col("x.best_id") === col("y.a_id") &&
+          col("y.best_id") === col("x.a_id") &&
+          col("x.a_id") < col("y.a_id"))
+      .select(col("x.a_id").as("a_id"), col("y.a_id").as("b_id"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Mean reciprocal rank @ k — the retrieval-eval companion to recall
     * (did we find a relevant item?) and NDCG (how well is the whole list
     * ordered?): MRR grades only WHERE THE FIRST relevant result lands,

@@ -307,6 +307,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("mutualNearestPairs: mutual pairs survive, hub captures don't, blocks isolate") {
+    def v(x: Float, y: Float) = Array(x, y)
+    // block A: {0,1} are each other's top-1 (mutual); 2 points AT 1 but
+    // 1's top-1 is 0 -> (1,2) one-directional only, dropped
+    // block B: a lone mutual pair {10,11}
+    val d = Seq(
+      (0L, v(1f, 0.1f), 0), (1L, v(1f, 0.12f), 0), (2L, v(0.4f, 1f), 0),
+      (10L, v(0f, 1f), 1), (11L, v(0.05f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.mutualNearestPairs(d)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(r === Set((0L, 1L), (10L, 11L)))
+    // cross-block pairs never form even when vectors are identical
+    val xb = Seq((1L, v(1f, 0f), 0), (2L, v(1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    assert(Similarity.mutualNearestPairs(xb).count() === 0L)
+    // partition invariance
+    val again = Similarity.mutualNearestPairs(d.repartition(7))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(again === r)
+  }
+
   test("mrrAtK: hand-placed first-relevant ranks, miss rows, exact mean") {
     // 2 queries + 4 corpus vectors on axes; labels chosen so that
     //   q0 (label A): nearest = v2 (A) at rank 1            -> rr = 1
