@@ -2566,6 +2566,51 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- trending detection: per day, the top-3 event types by lift of
+  //      today's volume over the trailing-7-day baseline — the
+  //      short-horizon relative spike (CUSUM's level-shift cousin) ----
+  def qTrending(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    // trailing window per type: series-bounded, never corpus-wide
+    val wTrail = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("trail7", sum(col("n")).over(wTrail))
+      .filter(col("trail7") > 0)
+      // lift = n*7/trail7: exact cross-multiplied longs, one division
+      .withColumn("lift",
+        (col("n") * 7).cast("double") / col("trail7").cast("double"))
+    val wDay = Window.partitionBy(col("d"))
+      .orderBy(col("lift").desc, col("event_type"))
+    scored.withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= 3)
+      .select(col("d"), col("event_type"), col("n"), col("trail7"),
+        col("lift"), col("rk"))
+  }
+
+  val oTrending: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, d, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail7
+      |  FROM daily),
+      |scored AS (
+      |  SELECT event_type, d, n, trail7,
+      |    CAST(n * 7 AS DOUBLE) / CAST(trail7 AS DOUBLE) AS lift
+      |  FROM tr WHERE trail7 > 0)
+      |SELECT d, event_type, n, trail7, lift, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY d ORDER BY lift DESC, event_type) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3""".stripMargin
+
   // ---- mutual nearest neighbors within label blocks: the
   //      hub-resistant embedding-alignment matching rule ----
   def qMutualNn(s: SparkSession, dir: String): DataFrame =
