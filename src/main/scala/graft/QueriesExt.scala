@@ -2566,6 +2566,68 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- A/B power analysis: required n per arm to detect a 1pp lift
+  //      off the OBSERVED purchase rate at alpha=.05, power=.80 —
+  //      n = (z_a + z_b)^2 * 2p(1-p) / delta^2 with the z's as fixed
+  //      literals (1.959964, 0.841621), arithmetic pinned ----
+  def qPower(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"))
+    base.select(col("n_events"), col("n_purchase"),
+        (col("n_purchase").cast("double") / col("n_events").cast("double"))
+          .as("p"))
+      .withColumn("n_per_arm",
+        ceil((lit(1.959964) + lit(0.841621)) * (lit(1.959964) + lit(0.841621)) *
+          (lit(2.0) * col("p") * (lit(1.0) - col("p"))) /
+          (lit(0.01) * lit(0.01))).cast("long"))
+  }
+
+  val oPower: String =
+    """WITH b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchase
+      |  FROM events)
+      |SELECT n_events, n_purchase,
+      |  CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE) AS p,
+      |  CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621) *
+      |    (2.0 * (CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE)) *
+      |     (1.0 - CAST(n_purchase AS DOUBLE) / CAST(n_events AS DOUBLE))) /
+      |    (0.01 * 0.01)) AS BIGINT) AS n_per_arm
+      |FROM b""".stripMargin
+
+  // ---- graph reciprocity: what fraction of directed follows/links are
+  //      mutual — the first structure diagnostic on a directed graph ----
+  def qReciprocity(s: SparkSession, dir: String): DataFrame = {
+    // directed edges: orderkey-derived user pairs (same construction
+    // family as the other graph queries, but kept DIRECTED)
+    val e = t(s, dir, "lineitem")
+      .select((col("l_suppkey") % 97).as("src"), (col("l_partkey") % 97).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+      .select(col("n_edges"), col("n_recip"),
+        (col("n_recip").cast("double") / col("n_edges").cast("double"))
+          .as("reciprocity"))
+  }
+
+  val oReciprocity: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey % 97 AS src, l_partkey % 97 AS dst
+      |  FROM lineitem WHERE l_suppkey % 97 <> l_partkey % 97),
+      |r AS (SELECT e.* FROM e
+      |      SEMI JOIN (SELECT dst AS src, src AS dst FROM e) x
+      |        ON e.src = x.src AND e.dst = x.dst)
+      |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST((SELECT count(*) FROM r) AS BIGINT) AS n_recip,
+      |  CAST((SELECT count(*) FROM r) AS DOUBLE) /
+      |    CAST((SELECT count(*) FROM e) AS DOUBLE) AS reciprocity""".stripMargin
+
   // ---- trending detection: per day, the top-3 event types by lift of
   //      today's volume over the trailing-7-day baseline — the
   //      short-horizon relative spike (CUSUM's level-shift cousin) ----
