@@ -2566,6 +2566,38 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- duplicate inflation by source: which sources are dup
+  //      factories — per source, docs vs distinct contents and the
+  //      share of its docs whose content also appears ELSEWHERE ----
+  def qDupInflation(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("h"))
+    val global = d.groupBy(col("h")).agg(countDistinct(col("source")).as("nsrc"))
+    d.join(global, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(when(col("nsrc") > 1, 1L).otherwise(0L)).as("n_cross_source"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("within_dup_rate"),
+        (col("n_cross_source").cast("double") / col("n_docs").cast("double"))
+          .as("cross_source_rate"))
+  }
+
+  val oDupInflation: String =
+    """WITH d AS (SELECT source, md5(text) AS h FROM documents),
+      |g AS (SELECT h, CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+      |      FROM d GROUP BY 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT d.h) AS BIGINT) AS n_distinct,
+      |  CAST(count(*) - count(DISTINCT d.h) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS within_dup_rate,
+      |  CAST(sum(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS cross_source_rate
+      |FROM d JOIN g ON d.h = g.h
+      |GROUP BY 1""".stripMargin
+
   // ---- A/B power analysis: required n per arm to detect a 1pp lift
   //      off the OBSERVED purchase rate at alpha=.05, power=.80 —
   //      n = (z_a + z_b)^2 * 2p(1-p) / delta^2 with the z's as fixed
