@@ -2566,6 +2566,65 @@ object QueriesExt {
       |    (acc, v) -> acc * v) AS survival
       |FROM ranked CROSS JOIN arr""".stripMargin
 
+  // ---- calibration (reliability) table of the linear classifier:
+  //      5 quintile score bins by the exact histogram-cutoff rule, per
+  //      bin the observed positive rate vs the bin's mean score — the
+  //      diagnosis that precedes any Platt/isotonic recalibration ----
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.linearClassifier(docs)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      .select(col("score"), col("y").cast("long").as("y"))
+    val hist = scored.groupBy(col("score").as("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+    val n = hist.agg(sum(col("_c")).as("_n"))
+    // quintile cutoffs: smallest v with 5*cum >= k*N, k=1..4
+    val cuts = cum.crossJoin(broadcast(n)).select(
+      (1 to 4).map(k =>
+        min(when(col("_cum") * 5 >= col("_n") * k, col("_v"))).as(s"_t$k")): _*)
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (lit(1) + (1 to 4).map(k =>
+          when(col("score") > col(s"_t$k"), 1).otherwise(0)).reduce(_ + _))
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("score")).as("_ssum"))
+      .select(col("bin"), col("n"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("observed_rate"),
+        (col("_ssum").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+  }
+
+  val oCalibration: String =
+    s"""WITH sc AS ($oQualityClassifier),
+       |j AS (SELECT sc.score,
+       |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |hist AS (SELECT score AS v, CAST(count(*) AS BIGINT) AS c
+       |         FROM j GROUP BY 1),
+       |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+       |          CAST(sum(c) OVER () AS BIGINT) AS n FROM hist),
+       |cuts AS (
+       |  SELECT min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS t1,
+       |    min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS t2,
+       |    min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS t3,
+       |    min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS t4
+       |  FROM cum)
+       |SELECT CAST(1 + CASE WHEN score > t1 THEN 1 ELSE 0 END
+       |         + CASE WHEN score > t2 THEN 1 ELSE 0 END
+       |         + CASE WHEN score > t3 THEN 1 ELSE 0 END
+       |         + CASE WHEN score > t4 THEN 1 ELSE 0 END AS INT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS observed_rate,
+       |  CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score
+       |FROM j CROSS JOIN cuts GROUP BY 1""".stripMargin
+
   // ---- duplicate inflation by source: which sources are dup
   //      factories — per source, docs vs distinct contents and the
   //      share of its docs whose content also appears ELSEWHERE ----
