@@ -2440,6 +2440,66 @@ object QueriesExt {
       |  AND l_quantity < 24
       |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
 
+  // ---- TPC-H Q19 (discounted revenue, disjunctive predicates): three
+  //      OR'd brand/size/quantity bands — the predicate-pushdown and
+  //      join-residual shape; revenue in exact 10^-4-dollar units ----
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      (floor(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    val p = broadcast(t(s, dir, "part")
+      .select(col("p_partkey"), col("p_type"), col("p_size")))
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_type") === "PROMO" && col("p_size").between(1, 10) &&
+          col("qty").between(1, 11)) ||
+        (col("p_type") === "ECONOMY" && col("p_size").between(11, 20) &&
+          col("qty").between(10, 20)) ||
+        (col("p_type") === "LARGE" && col("p_size").between(21, 30) &&
+          col("qty").between(20, 30))))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("rev_u")).as("rev_units"))
+      .select(col("n_rows"),
+        (col("rev_units").cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  val oTpchQ19: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |       (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |    / 10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_type = 'ECONOMY' AND p_size BETWEEN 11 AND 20
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_type = 'LARGE' AND p_size BETWEEN 21 AND 30
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---- effective sample size of a weighted corpus: (Sum w)^2 / Sum w^2
+  //      — the importance-weighting diagnostic (how many "real" docs do
+  //      these weights amount to?); exact integer sums, one division ----
+  def qEss(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    t(s, dir, "documents").select(col("n_chars").cast("long").as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(dec)).as("_sw"),
+        sum((col("w") * col("w")).cast(dec)).as("_sw2"))
+      .select(col("n_docs"),
+        col("_sw").cast("long").as("sum_w"),
+        ((col("_sw") * col("_sw")).cast("double") / col("_sw2").cast("double"))
+          .as("ess"))
+  }
+
+  val oEss: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_w,
+      |  CAST(CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) *
+      |       CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS DOUBLE) /
+      |  CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+      |    AS DOUBLE) AS ess
+      |FROM documents""".stripMargin
+
   // ---- TPC-H Q14 (promotion effect): PROMO share of one month's
   //      revenue — conditional aggregation over the part join, the
   //      share as a ratio of two exact-integer revenue sums ----
