@@ -2440,6 +2440,54 @@ object QueriesExt {
       |  AND l_quantity < 24
       |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
 
+  // ---- Pareto (80/20) contribution: nations ranked by revenue share
+  //      with cumulative share and the pareto-head flag — the classic
+  //      contribution report (the window rides the bounded nation
+  //      domain, never the fact table) ----
+  def qParetoContribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val total = rev.agg(sum(col("rev_c")).as("tot"))
+    val w = Window.orderBy(col("rev_c").desc, col("n_name"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .withColumn("cum_c", sum(col("rev_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rk"), col("n_name"),
+        (col("rev_c").cast("double") / col("tot").cast("double")).as("share"),
+        (col("cum_c").cast("double") / col("tot").cast("double"))
+          .as("cum_share"),
+        // pareto head: smallest prefix covering 80% — exact compare
+        (col("cum_c") * 5 < col("tot") * 4).as("below_80"))
+  }
+
+  val oParetoContribution: String =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot FROM rev),
+      |r AS (
+      |  SELECT n_name, rev_c, tot,
+      |    CAST(row_number() OVER (ORDER BY rev_c DESC, n_name) AS INT) AS rk,
+      |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, n_name) AS BIGINT)
+      |      AS cum_c
+      |  FROM rev CROSS JOIN tot)
+      |SELECT rk, n_name,
+      |  CAST(rev_c AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      |  CAST(cum_c AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+      |  cum_c * 5 < tot * 4 AS below_80
+      |FROM r""".stripMargin
+
   // ---- TPC-H Q19 (discounted revenue, disjunctive predicates): three
   //      OR'd brand/size/quantity bands — the predicate-pushdown and
   //      join-residual shape; revenue in exact 10^-4-dollar units ----
