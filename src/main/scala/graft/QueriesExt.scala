@@ -2440,6 +2440,39 @@ object QueriesExt {
       |  AND l_quantity < 24
       |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
 
+  // ---- inter-event time distribution: per event type, the median and
+  //      p90 gap between a user's consecutive events — the cadence
+  //      metric behind session-timeout and churn-window choices; the
+  //      lag window is per-(user,type), bounded by a user's history ----
+  def qInterevent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"))
+    e.withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", expr("(ts_us - prev) DIV 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_s, 0.5)").as("median_gap_s"),
+        expr("percentile(gap_s, 0.9)").as("p90_gap_s"))
+  }
+
+  val oInterevent: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    (ts_us - lag(ts_us) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts_us)) // 1000000
+      |      AS gap_s
+      |  FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  quantile_cont(gap_s, 0.5) AS median_gap_s,
+      |  quantile_cont(gap_s, 0.9) AS p90_gap_s
+      |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin
+
   // ---- Pareto (80/20) contribution: nations ranked by revenue share
   //      with cumulative share and the pareto-head flag — the classic
   //      contribution report (the window rides the bounded nation
