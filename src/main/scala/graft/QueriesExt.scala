@@ -2440,6 +2440,81 @@ object QueriesExt {
       |  AND l_quantity < 24
       |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
 
+  // ---- additive day-of-week effect (STL-lite): per (type, dow), how
+  //      far that weekday's mean daily volume sits from the type's
+  //      overall mean — cross-multiplied to ONE exact division ----
+  def qDowEffect(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(d + 4) % 7")) // epoch day 0 = Thursday
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("s_dow"), count(lit(1)).as("d_dow"))
+    val byType = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s_all"), count(lit(1)).as("d_all"))
+    byDow.join(broadcast(byType), Seq("event_type"))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("d_dow"),
+        // effect = s_dow/d_dow - s_all/d_all, cross-multiplied exact
+        ((col("s_dow") * col("d_all") - col("s_all") * col("d_dow"))
+          .cast("double") /
+          (col("d_dow") * col("d_all")).cast("double")).as("dow_effect"))
+  }
+
+  val oDowEffect: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT event_type, (d + 4) % 7 AS dow, n FROM daily),
+      |bd AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS s_dow,
+      |         CAST(count(*) AS BIGINT) AS d_dow FROM dd GROUP BY 1, 2),
+      |bt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_all,
+      |         CAST(count(*) AS BIGINT) AS d_all FROM dd GROUP BY 1)
+      |SELECT bd.event_type, CAST(dow AS INT) AS dow, d_dow,
+      |  CAST(s_dow * d_all - s_all * d_dow AS DOUBLE) /
+      |    CAST(d_dow * d_all AS DOUBLE) AS dow_effect
+      |FROM bd JOIN bt USING (event_type)""".stripMargin
+
+  // ---- resurrection census: users who went quiet >= 7 days and came
+  //      back — the growth-accounting slice retention matrices miss ----
+  def qResurrection(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("user_id"),
+      expr("ts DIV 86400000000000").as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val gaps = e.withColumn("prev", lag(col("d"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("d") - col("prev")).as("max_gap"))
+    val users = e.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    gaps.agg(sum(when(col("max_gap") >= 7, 1L).otherwise(0L))
+        .as("n_resurrected"))
+      .crossJoin(broadcast(users))
+      .select(col("n_users"), col("n_resurrected"),
+        (col("n_resurrected").cast("double") / col("n_users").cast("double"))
+          .as("resurrection_rate"))
+  }
+
+  val oResurrection: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, max(d - prev) AS max_gap FROM (
+      |    SELECT user_id, d,
+      |      lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev
+      |    FROM e)
+      |  WHERE prev IS NOT NULL GROUP BY 1),
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e)
+      |SELECT n_users,
+      |  CAST(sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected,
+      |  CAST(sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(n_users AS DOUBLE) AS resurrection_rate
+      |FROM g CROSS JOIN u GROUP BY n_users""".stripMargin
+
   // ---- inter-event time distribution: per event type, the median and
   //      p90 gap between a user's consecutive events — the cadence
   //      metric behind session-timeout and churn-window choices; the
