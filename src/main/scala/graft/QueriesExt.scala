@@ -2440,6 +2440,55 @@ object QueriesExt {
       |  AND l_quantity < 24
       |  AND floor(l_discount * 100) BETWEEN 5 AND 7""".stripMargin
 
+  // ---- referential reconciliation: does o_totalprice equal the sum of
+  //      its lineitems' extended prices? The cross-table consistency
+  //      audit every warehouse runs; discrepancies censused in exact
+  //      cents with the worst offender surfaced deterministically ----
+  def qReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("li_c"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("o_c"))
+    val j = ord.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_c"),
+        coalesce(col("li_c"), lit(0L)).as("li_c"))
+      .withColumn("diff_c", abs(col("o_c") - col("li_c")))
+    j.agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff_c") > 0, 1L).otherwise(0L)).as("n_mismatched"),
+        max(col("diff_c")).as("max_diff_c"),
+        sum(col("diff_c")).as("total_abs_diff_c"),
+        max_by(col("o_orderkey"), struct(col("diff_c"), -col("o_orderkey")))
+          .as("worst_orderkey"))
+      .select(col("n_orders"), col("n_mismatched"), col("max_diff_c"),
+        col("total_abs_diff_c"), col("worst_orderkey"),
+        (col("n_mismatched").cast("double") / col("n_orders").cast("double"))
+          .as("mismatch_rate"))
+  }
+
+  val oReconciliation: String =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS li_c
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderkey,
+      |    abs(CAST(floor(o_totalprice * 100) AS BIGINT)
+      |        - COALESCE(li_c, 0)) AS diff_c
+      |  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN diff_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mismatched,
+      |  CAST(max(diff_c) AS BIGINT) AS max_diff_c,
+      |  CAST(sum(diff_c) AS BIGINT) AS total_abs_diff_c,
+      |  CAST((SELECT o_orderkey FROM j
+      |        ORDER BY diff_c DESC, o_orderkey LIMIT 1) AS BIGINT)
+      |    AS worst_orderkey,
+      |  CAST(sum(CASE WHEN diff_c > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS mismatch_rate
+      |FROM j""".stripMargin
+
   // ---- additive day-of-week effect (STL-lite): per (type, dow), how
   //      far that weekday's mean daily volume sits from the type's
   //      overall mean — cross-multiplied to ONE exact division ----
