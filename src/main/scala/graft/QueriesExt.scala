@@ -2538,9 +2538,13 @@ object QueriesExt {
       .agg(max(col("d") - col("prev")).as("max_gap"))
     val users = e.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n_users"))
-    gaps.agg(sum(when(col("max_gap") >= 7, 1L).otherwise(0L))
-        .as("n_resurrected"))
-      .crossJoin(broadcast(users))
+    // coalesce-to-0 + drive the row from the users aggregate: when NO user
+    // has >= 2 active days the gaps table is empty, and without this the
+    // Spark global agg would emit (null) while a GROUP-BY oracle emits zero
+    // rows — an empty-input parity break. Both sides now always emit one row.
+    users.crossJoin(broadcast(
+        gaps.agg(coalesce(sum(when(col("max_gap") >= 7, 1L).otherwise(0L)),
+          lit(0L)).as("n_resurrected"))))
       .select(col("n_users"), col("n_resurrected"),
         (col("n_resurrected").cast("double") / col("n_users").cast("double"))
           .as("resurrection_rate"))
@@ -2556,13 +2560,14 @@ object QueriesExt {
       |      lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev
       |    FROM e)
       |  WHERE prev IS NOT NULL GROUP BY 1),
-      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e)
-      |SELECT n_users,
-      |  CAST(sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_resurrected,
-      |  CAST(sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END) AS DOUBLE) /
-      |    CAST(n_users AS DOUBLE) AS resurrection_rate
-      |FROM g CROSS JOIN u GROUP BY n_users""".stripMargin
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
+      |r AS (SELECT CAST(coalesce(
+      |        sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |        AS n_resurrected FROM g)
+      |SELECT n_users, n_resurrected,
+      |  CAST(n_resurrected AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |    AS resurrection_rate
+      |FROM u CROSS JOIN r""".stripMargin
 
   // ---- inter-event time distribution: per event type, the median and
   //      p90 gap between a user's consecutive events — the cadence
@@ -3558,7 +3563,10 @@ object QueriesExt {
       |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
       |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
       |  FROM lineitem WHERE l_extendedprice >= 1),
-      |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+      |ob AS (SELECT digit, CAST(count(*) AS BIGINT) AS raw_obs FROM d GROUP BY 1),
+      |o AS (SELECT c.digit, c.c_scaled,
+      |        CAST(coalesce(raw_obs, 0) AS BIGINT) AS n_obs
+      |      FROM c LEFT JOIN ob ON c.digit = ob.digit),
       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM o)
       |SELECT o.digit, o.n_obs,
       |  CAST(CAST(nn AS HUGEINT) * c_scaled AS DOUBLE) / 1099511627776.0
@@ -3569,7 +3577,7 @@ object QueriesExt {
       |        CAST(nn AS HUGEINT) * c_scaled) AS DOUBLE) /
       |  CAST(CAST(1099511627776 AS HUGEINT) * nn * c_scaled AS DOUBLE)
       |    AS contrib
-      |FROM o JOIN c USING (digit) CROSS JOIN tot""".stripMargin
+      |FROM o CROSS JOIN tot""".stripMargin
 
   // ---- Gini-Simpson lexical diversity per document (log-free) ----
   def qSimpson(s: SparkSession, dir: String): DataFrame =
@@ -3630,8 +3638,9 @@ object QueriesExt {
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2, 3),
       |prof AS (
-      |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS d,
-      |    CAST(sum(n) AS BIGINT) AS t, CAST(sum(n * n) AS BIGINT) AS s2
+      |  SELECT event_type, hour, CAST(count(*) AS HUGEINT) AS d,
+      |    CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS t,
+      |    CAST(sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS HUGEINT) AS s2
       |  FROM cells GROUP BY 1, 2)
       |SELECT c.event_type, c.hour, c.day_num, c.n AS value,
       |  CAST((c.n * d - t) * (c.n * d - t) AS DOUBLE) /

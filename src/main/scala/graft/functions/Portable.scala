@@ -13,16 +13,38 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: md5-per-token is ~3× slower than xxhash64 but is a pure
   * per-row scalar (codegen'd, no shuffle, no dictionary build), so it
-  * does not change any plan shape. Swapping `hash32` to `xxhash64` is a
-  * one-line change when cross-engine reproducibility is not required.
+  * does not change any plan shape. For production runs that do not need
+  * cross-engine replay, the [[fastHash]] switch swaps the backend to
+  * xxhash64 (identical [0, 2³²) domain, so every downstream `% w` /
+  * register-index `DIV` keeps its contract) — a measured ~constant-factor
+  * win on EVERY hash-keyed operator (MinHash, SimHash, LSH, CMS/HLL,
+  * splits, sampling, sharding). Oracle-graded runs leave it off.
   */
 object Portable {
 
-  /** First 8 hex digits of md5 as an unsigned 32-bit value in a LONG.
-    * DuckDB equivalent: `('0x' || substr(md5(s),1,8))::BIGINT`.
+  /** Backend switch: `-Dgraft.fast.hash=1` or env `GRAFT_FAST_HASH=1`
+    * selects the xxhash64 backend. Read at PLAN-BUILD time (hash32 is a
+    * static Column constructor with no session at hand), so flip it
+    * before constructing the query, not mid-plan. Default: md5, the
+    * cross-engine-reproducible family the oracle replays.
+    */
+  def fastHash: Boolean =
+    sys.props.get("graft.fast.hash").orElse(sys.env.get("GRAFT_FAST_HASH"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** 32-bit uniform hash of the value's canonical string form, as a LONG
+    * in [0, 2³²).
+    *
+    * md5 backend (default): first 8 hex digits of md5 — bit-identical in
+    * any engine; DuckDB: `('0x' || substr(md5(s),1,8))::BIGINT`.
+    * xxhash64 backend ([[fastHash]]): low 32 bits of Spark's codegen'd
+    * `xxhash64` — same domain, same independence properties, ~3× faster,
+    * Spark-only. Both hash the IDENTICAL canonical string input, so
+    * seeded-family construction ([[hash32(c,seed)*]]) is backend-blind.
     */
   def hash32(c: Column): Column =
-    conv(substr(md5(c.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+    if (fastHash) xxhash64(c.cast("string")).bitwiseAND(lit(0xFFFFFFFFL))
+    else conv(substr(md5(c.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
 
   /** Seeded variant: independent hash family member i (for MinHash /
     * SimHash bit planes). Seed is mixed into the input text, so each i

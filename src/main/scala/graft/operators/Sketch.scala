@@ -165,28 +165,54 @@ object Sketch {
     * shuffle of either side.
     *
     * Emits one row with the estimate, the exact size (for grading — a
-    * production call skips it), both ℓ₁ norms, and the two guarantee
-    * bits. Scale shape: two w·d-cell hash aggs, a (seed,bucket) cell
-    * equi-join, two scalar aggs, three 1-row broadcast cross joins.
+    * production call passes gradeExact = false and gets only the
+    * estimate + ℓ₁ norms, skipping the key-level exact join entirely),
+    * both ℓ₁ norms, and the two guarantee bits.
+    *
+    * Cost shape: each side is scanned ONCE into its token-frequency
+    * table (one hash agg), which is lineage-truncated and then feeds all
+    * three consumers — the sketch (hash per DISTINCT token × d, not per
+    * occurrence × d: on an FK side with multiplicity m that is a m·d-fold
+    * reduction in hash evaluations), the exact grading join, and the ℓ₁
+    * norms — with no rescans. Downstream is w·d-cell tables, a
+    * (seed,bucket) cell equi-join, and 1-row broadcast cross joins.
     */
   def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame, d: Int = 4,
-                          w: Int = 512): DataFrame = {
-    val sa = cmsSketch(a, d, w).withColumnRenamed("cell_cnt", "ca")
-    val sb = cmsSketch(b, d, w).withColumnRenamed("cell_cnt", "cb")
-    val est = sa.join(sb, Seq("seed", "bucket"))
+                          w: Int = 512, gradeExact: Boolean = true): DataFrame = {
+    // Frequency tables are key-domain-sized (≪ input) and referenced by
+    // 2–3 consumers each — truncate so each is computed exactly once.
+    val fa = graft.util.Checkpoints.truncate(
+      a.groupBy(col("token")).agg(count(lit(1)).as("n")))
+    val fb = graft.util.Checkpoints.truncate(
+      b.groupBy(col("token")).agg(count(lit(1)).as("n")))
+    val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
+    // Sketch from the frequency table: cell_cnt = Σ n over tokens in the
+    // bucket — identical to the per-occurrence build, d× fewer hashes.
+    def sketchOf(f: DataFrame, out: String) = f
+      .select(col("token"), col("n"), seeds)
+      .select(col("seed"),
+        (Portable.hash32(col("token"), col("seed")) % w).as("bucket"),
+        col("n"))
+      .groupBy(col("seed"), col("bucket")).agg(sum(col("n")).as(out))
+    val est = sketchOf(fa, "ca").join(sketchOf(fb, "cb"), Seq("seed", "bucket"))
       .groupBy(col("seed")).agg(sum(col("ca") * col("cb")).as("dot"))
       .agg(min(col("dot")).as("est_join"))
-    val exact = a.groupBy(col("token")).agg(count(lit(1)).as("na"))
-      .join(b.groupBy(col("token")).agg(count(lit(1)).as("nb")), "token")
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join"))
-    val sizes = a.agg(count(lit(1)).as("n_a"))
-      .crossJoin(b.agg(count(lit(1)).as("n_b")))
-    est.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
-      .select(col("est_join"), col("exact_join"), col("n_a"), col("n_b"),
-        (col("est_join") - col("exact_join")).as("overest"),
-        (col("est_join") >= col("exact_join")).as("never_under"),
-        (col("est_join") <= col("exact_join") + expr(s"3 * n_a * n_b DIV $w"))
-          .as("bound_ok"))
+    val sizes = fa.agg(sum(col("n")).as("n_a"))
+      .crossJoin(fb.agg(sum(col("n")).as("n_b")))
+    if (!gradeExact)
+      est.crossJoin(broadcast(sizes))
+        .select(col("est_join"), col("n_a"), col("n_b"))
+    else {
+      val exact = fa.withColumnRenamed("n", "na")
+        .join(fb.withColumnRenamed("n", "nb"), "token")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join"))
+      est.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
+        .select(col("est_join"), col("exact_join"), col("n_a"), col("n_b"),
+          (col("est_join") - col("exact_join")).as("overest"),
+          (col("est_join") >= col("exact_join")).as("never_under"),
+          (col("est_join") <= col("exact_join") + expr(s"3 * n_a * n_b DIV $w"))
+            .as("bound_ok"))
+    }
   }
 
   def cmsHeavyHitters(tokens: DataFrame, d: Int = 4, w: Int = 512,

@@ -154,9 +154,9 @@ object Stats {
       count(lit(1)).cast(dec).as("n"),
       sum(col("_x").cast(dec)).as("sx"),
       sum(col("_y").cast(dec)).as("sy"),
-      sum((col("_x") * col("_x")).cast(dec)).as("sxx"),
+      sum(col("_x").cast(dec) * col("_x").cast(dec)).as("sxx"),
       sum(col("_y").cast(dec) * col("_y").cast(dec)).as("syy"),
-      sum((col("_x") * col("_y")).cast(dec)).as("sxy"))
+      sum(col("_x").cast(dec) * col("_y").cast(dec)).as("sxy"))
     val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val vary = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
@@ -359,8 +359,8 @@ object Stats {
       col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
     val g = base.agg(count(lit(1)).cast(dec).as("gn"),
       sum(col("_x").cast(dec)).as("gsx"), sum(col("_y").cast(dec)).as("gsy"),
-      sum((col("_x") * col("_x")).cast(dec)).as("gsxx"),
-      sum((col("_x") * col("_y")).cast(dec)).as("gsxy"))
+      sum(col("_x").cast(dec) * col("_x").cast(dec)).as("gsxx"),
+      sum(col("_x").cast(dec) * col("_y").cast(dec)).as("gsxy"))
     val theta = (col("gn") * col("gsxy") - col("gsx") * col("gsy"))
       .cast("double") /
       (col("gn") * col("gsxx") - col("gsx") * col("gsx")).cast("double")
@@ -388,6 +388,13 @@ object Stats {
     *
     * Scale shape: one 2-group hash agg (map-side partials) pivoted into
     * a single row. One corpus shuffle, constant-size downstream.
+    *
+    * Cohort-column contract: the test is defined over EXACTLY two
+    * cohorts. When the column carries more, only the two
+    * lexicographically-smallest cohort labels (as strings) are compared
+    * and the rest are DROPPED — deliberate, so a dirty dimension cannot
+    * fail the pipeline, but callers who need strictness should pre-assert
+    * the domain. `n1 + n2` < the input row count is the tell.
     */
   def twoProportionZ(df: DataFrame, cohortCol: String, hitCol: String)
       : DataFrame = {
@@ -517,15 +524,21 @@ object Stats {
     val sess = df.sparkSession
     import sess.implicits._
     val bench = broadcast(BenfordScaled.toDF("digit", "c_scaled"))
-    val digits = df
+    val observed = df
       .filter(col(valCol) >= 1)
       .select(substring(floor(col(valCol)).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val total = digits.agg(sum(col("n_obs")).as("nn"))
+    val total = observed.agg(sum(col("n_obs")).as("nn"))
+    // Drive from the 9-row literal table so a digit with ZERO observations
+    // — the most anomalous audit outcome — still emits its row (n_obs = 0,
+    // full χ² contribution) instead of vanishing from the report.
+    val digits = bench.join(observed, Seq("digit"), "left")
+      .select(col("digit"), col("c_scaled"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val diff = (col("n_obs").cast(dec) * two40.cast(dec) -
       col("nn").cast(dec) * col("c_scaled").cast(dec))
-    digits.join(bench, Seq("digit")).crossJoin(broadcast(total))
+    digits.crossJoin(broadcast(total))
       .select(col("digit"), col("n_obs"),
         ((col("nn").cast(dec) * col("c_scaled").cast(dec)).cast("double") /
           two40.cast("double")).as("expected"),

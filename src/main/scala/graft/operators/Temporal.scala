@@ -276,16 +276,21 @@ object Temporal {
   def seasonalAnomaly(samples: DataFrame, keyCols: Seq[String],
                       sampleCol: String, valCol: String,
                       zsq: Int = 4): DataFrame = {
+    // All moment sums and the squared-deviation comparison run in
+    // DECIMAL(38,0) (= the oracle's HUGEINT): Σv² and (v·D−T)² overflow a
+    // long at large counts, and Spark would wrap SILENTLY where DuckDB
+    // errors — the linregExact discipline applies here too.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = keyCols.map(col)
     val v = col(valCol).cast("long")
     val base = samples.select(g :+ col(sampleCol) :+ v.as("_v"): _*)
     val prof = base.groupBy(g: _*).agg(
-      count(lit(1)).as("_d"), sum(col("_v")).as("_t"),
-      sum(col("_v") * col("_v")).as("_s2"))
-    val dev = col("_v") * col("_d") - col("_t")
+      count(lit(1)).cast(dec).as("_d"), sum(col("_v").cast(dec)).as("_t"),
+      sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_s2"))
+    val dev = col("_v").cast(dec) * col("_d") - col("_t")
     val varI = col("_d") * col("_s2") - col("_t") * col("_t")
     base.join(prof, keyCols)
-      .filter(dev * dev > lit(zsq.toLong) * varI)
+      .filter(dev * dev > lit(zsq.toLong).cast(dec) * varI)
       .select(g :+ col(sampleCol) :+ col("_v").as("value") :+
         ((dev * dev).cast("double") / varI.cast("double")).as("zsq"): _*)
   }

@@ -47,6 +47,19 @@ object TextHashUtil {
 
   def hash32(s: String): Long = hash32(s.getBytes(StandardCharsets.UTF_8))
 
+  /** xxhash64 twin of [[hash32]] (the [[graft.functions.Portable.fastHash]]
+    * backend): low 32 bits of Spark's own XXH64 with the builtin's seed 42
+    * — bit-identical to `xxhash64(s) & 0xFFFFFFFF` at the Column level, so
+    * Column-algebra and native-expression hashes of the same canonical
+    * string agree under either backend (asserted in PortableSpec).
+    */
+  def hash32Fast(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L) & 0xFFFFFFFFL
+
+  def hash32Fast(s: String): Long = hash32Fast(s.getBytes(StandardCharsets.UTF_8))
+
   private def tokens(text: UTF8String): Array[String] =
     text.toString.split(" ", -1)
 
@@ -55,7 +68,10 @@ object TextHashUtil {
     * doc has fewer than k tokens (no shingles — the oracle filters these).
     * Duplicate shingles are harmless under min, so no dedup pass.
     */
-  def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+  def minhashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData =
+    minhashSig(text, k, numHashes, fast = false)
+
+  def minhashSig(text: UTF8String, k: Int, numHashes: Int, fast: Boolean): ArrayData = {
     val toks = tokens(text)
     if (toks.length < k) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -68,7 +84,8 @@ object TextHashUtil {
       val shingle = sb.toString
       var s = 0
       while (s < numHashes) {
-        val h = hash32(s.toString + "#" + shingle)
+        val key = s.toString + "#" + shingle
+        val h = if (fast) hash32Fast(key) else hash32(key)
         if (h < mins(s)) mins(s) = h
         s += 1
       }
@@ -120,12 +137,18 @@ object TextHashUtil {
     * population scales as N/65536 — the 8-bit-band variant degenerated to
     * ~N²/256 candidate pairs at sf0.1 and would drown a real corpus.
     */
-  def simhash64(text: UTF8String): Long = {
+  def simhash64(text: UTF8String): Long = simhash64(text, fast = false)
+
+  def simhash64(text: UTF8String, fast: Boolean): Long = {
     val toks = tokens(text)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = hash64(toks(i).getBytes(StandardCharsets.UTF_8))
+      val bs = toks(i).getBytes(StandardCharsets.UTF_8)
+      val h =
+        if (fast) org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bs, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bs.length, 42L)
+        else hash64(bs)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -199,13 +222,14 @@ abstract class TextHashExpr extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = ${staticCall(a)};")
 }
 
-case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int) extends TextHashExpr {
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int,
+                          fast: Boolean = false) extends TextHashExpr {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    TextHashUtil.minhashSig(input.asInstanceOf[UTF8String], k, numHashes)
+    TextHashUtil.minhashSig(input.asInstanceOf[UTF8String], k, numHashes, fast)
   override protected def staticCall(input: String): String =
-    s"graft.plans.TextHashUtil.minhashSig($input, $k, $numHashes)"
+    s"graft.plans.TextHashUtil.minhashSig($input, $k, $numHashes, $fast)"
   // the helper returns null for <k-token docs even on non-null input
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
@@ -228,12 +252,13 @@ case class WordShinglesExpr(child: Expression, k: Int) extends TextHashExpr {
   override def prettyName: String = "word_shingles"
 }
 
-case class SimHash64Expr(child: Expression) extends TextHashExpr {
+case class SimHash64Expr(child: Expression, fast: Boolean = false)
+    extends TextHashExpr {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
-    TextHashUtil.simhash64(input.asInstanceOf[UTF8String])
+    TextHashUtil.simhash64(input.asInstanceOf[UTF8String], fast)
   override protected def staticCall(input: String): String =
-    s"graft.plans.TextHashUtil.simhash64($input)"
+    s"graft.plans.TextHashUtil.simhash64($input, $fast)"
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
@@ -289,8 +314,11 @@ object TextHash {
   import org.apache.spark.sql.functions.call_function
 
   def minhashSig(spark: SparkSession, text: Column, k: Int, numHashes: Int): Column = {
-    val n = s"graft_minhash_sig_${k}_$numHashes"
-    reg(spark, n, es => MinHashSigExpr(es.head, k, numHashes))
+    // Backend captured at plan-build (the Portable.fastHash contract);
+    // baked into the registered name so md5- and xx-backed plans coexist.
+    val fast = graft.functions.Portable.fastHash
+    val n = s"graft_minhash_sig_${k}_${numHashes}_${if (fast) "xx" else "md5"}"
+    reg(spark, n, es => MinHashSigExpr(es.head, k, numHashes, fast))
     call_function(n, text)
   }
   def wordShingles(spark: SparkSession, text: Column, k: Int): Column = {
@@ -299,8 +327,10 @@ object TextHash {
     call_function(n, text)
   }
   def simhash64(spark: SparkSession, text: Column): Column = {
-    reg(spark, "graft_simhash64", es => SimHash64Expr(es.head))
-    call_function("graft_simhash64", text)
+    val fast = graft.functions.Portable.fastHash
+    val n = s"graft_simhash64_${if (fast) "xx" else "md5"}"
+    reg(spark, n, es => SimHash64Expr(es.head, fast))
+    call_function(n, text)
   }
   def arrayJaccard(spark: SparkSession, a: Column, b: Column): Column = {
     reg(spark, "graft_array_jaccard", es => ArrayJaccardExpr(es(0), es(1)))

@@ -25,6 +25,30 @@ class PortableSpec extends SparkSpec {
     assert(one(Portable.hash32(lit("abc"), 0)) === h0)
   }
 
+  test("fastHash backend: Column xxhash64 path == native hash32Fast, domain [0, 2^32)") {
+    import spark.implicits._
+    val samples = Seq("hello", "0#a b c", "7#", "über-doc", "", "x" * 300)
+    // Column-level fast path (what Portable.hash32 emits under the flag)
+    val colVals = samples.toDF("v")
+      .select(xxhash64(col("v")).bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+      .collect().map(_.getLong(0))
+    // Native fast path (what MinHashSigExpr/SimHash64Expr use under the flag)
+    val natVals = samples.map(graft.plans.TextHashUtil.hash32Fast)
+    assert(colVals.toSeq === natVals)
+    assert(colVals.forall(h => h >= 0L && h < 4294967296L))
+  }
+
+  test("fastHash flag routes hash32 to the xxhash64 backend (same domain)") {
+    val md5Val = one(Portable.hash32(lit("hello"))).asInstanceOf[Long]
+    sys.props("graft.fast.hash") = "1"
+    try {
+      val fastVal = one(Portable.hash32(lit("hello"))).asInstanceOf[Long]
+      assert(fastVal !== md5Val)
+      assert(fastVal === graft.plans.TextHashUtil.hash32Fast("hello"))
+    } finally sys.props.remove("graft.fast.hash")
+    assert(one(Portable.hash32(lit("hello"))) === md5Val) // back to md5
+  }
+
   test("polyFold folds left with mod 1e9+7") {
     val expected = Seq(5L, 6L, 7L).foldLeft(0L)((a, x) => (a * 31 + x) % 1000000007L)
     assert(one(Portable.polyFold(array(lit(5L), lit(6L), lit(7L)))) === expected)
