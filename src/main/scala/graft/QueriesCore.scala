@@ -1122,6 +1122,35 @@ object QueriesCore {
       |  FROM lineitem WHERE l_quantity / 50 >= 0.5)
       |GROUP BY species""".stripMargin
 
+  // ---- geodesic area beside the reference-faithful planar deg²: the same
+  // dissolve as q_geo_dissolve with Geom.stAreaKm2 (Chamberlain–Duquette
+  // spherical excess on the WGS84 authalic sphere, StrictMath trig) added.
+  // Oracle: golden VALUES derived via graft.tools.One at sf0.01 and
+  // confirmed bit-identical under shuffle.partitions=17 (no SQL engine
+  // replays JVM trig; the planar column IS replayed exactly elsewhere). ----
+  def qGeoAreaKm2(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("species"),
+      (col("l_orderkey") % 32).cast("int").as("r"),
+      (col("l_partkey") % 32).cast("int").as("c"),
+      (col("l_quantity") / 50).as("prob"))
+    Raster.dissolveGeo(
+      Raster.thresholdFilter(cells, "prob", 0.5).dropDuplicates("species", "r", "c"),
+      keys = Seq("species"), rowCol = "r", colCol = "c",
+      xll = 0.0, yll = 0.0, cellsize = 0.25, nrows = 32)
+      .select(col("species"), col("area"),
+        Geom.stAreaKm2(col("geometry")).as("area_km2"))
+  }
+
+  // golden VALUES at the grading SF (sf0.01) — re-derive with
+  // `graft.tools.One q_geo_area_km2 <sfDir>` after any geometry change
+  val oGeoAreaKm2 =
+    """SELECT * FROM (VALUES
+      |  ('A', CAST(64.0 AS DOUBLE), CAST(788749.0474228152 AS DOUBLE)),
+      |  ('N', CAST(64.0 AS DOUBLE), CAST(788749.0474228152 AS DOUBLE)),
+      |  ('R', CAST(64.0 AS DOUBLE), CAST(788749.0474228152 AS DOUBLE))
+      |) t(species, area, area_km2)""".stripMargin
+
   // ---- scalar geometry: st_area on per-row rectangles ----
   def qGeoCellArea(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")

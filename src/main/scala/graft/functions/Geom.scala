@@ -63,6 +63,49 @@ object Geom {
       xll + (col + 1) * cellsize, yll + (nrows - row) * cellsize)
 
   def area(wkb: Array[Byte]): Double = readWkb(wkb).getArea
+
+  /** Geodesic (spherical-excess) area in m² of a lon/lat-degree geometry —
+    * the km² answer a real `speciesdata` consumer eventually wants beside
+    * the reference's planar-deg² quirk (species_range_etl.py:227, preserved
+    * as [[stArea]]'s semantics).
+    *
+    * Ring area via the Chamberlain & Duquette (2007, ESRI tech. report
+    * "Some algorithms for polygons on a sphere") line-integral
+    *   A = R²/2 · |Σᵢ (λᵢ₊₁ − λᵢ)·(2 + sin φᵢ + sin φᵢ₊₁)| / 2
+    * on the WGS84 AUTHALIC sphere R = 6371007.1809 m (the equal-area
+    * radius, within ~0.1% of true spheroid area at mid latitudes — the
+    * honest trade vs a full Karney geodesic-area integration). Holes
+    * subtract; multi-polygons sum. Trig via StrictMath, so the value is
+    * bit-reproducible across JVMs/platforms (java.lang.Math may differ by
+    * ulps per libm) — which is what lets the graded query pin golden
+    * values. NOT replayable in another SQL engine's trig (libm ulps),
+    * hence golden-VALUES grading, per the determinism playbook.
+    */
+  def geodesicAreaM2(g: Geometry): Double = {
+    val R = 6371007.1809
+    def ringArea(cs: Array[Coordinate]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < cs.length - 1) {
+        val l1 = StrictMath.toRadians(cs(i).x)
+        val l2 = StrictMath.toRadians(cs(i + 1).x)
+        val p1 = StrictMath.toRadians(cs(i).y)
+        val p2 = StrictMath.toRadians(cs(i + 1).y)
+        s += (l2 - l1) * (2.0 + StrictMath.sin(p1) + StrictMath.sin(p2))
+        i += 1
+      }
+      // /2: for an axis-aligned rect this reduces to the exact spherical
+      // band area R²·Δλ·(sin φ₂ − sin φ₁) — the GeomSpec pin
+      StrictMath.abs(s * R * R / 2.0)
+    }
+    (0 until g.getNumGeometries).map(g.getGeometryN).map {
+      case p: org.locationtech.jts.geom.Polygon =>
+        ringArea(p.getExteriorRing.getCoordinates) -
+          (0 until p.getNumInteriorRing)
+            .map(k => ringArea(p.getInteriorRingN(k).getCoordinates)).sum
+      case _ => 0.0 // points/lines have zero area
+    }.sum
+  }
   def numPoints(wkb: Array[Byte]): Int = readWkb(wkb).getNumPoints
   def numGeometries(wkb: Array[Byte]): Int = readWkb(wkb).getNumGeometries
 
@@ -116,6 +159,12 @@ object Geom {
   def stUnionAgg(c: Column): Column = udaf(UnionAgg).apply(c)
   /** st_area(wkb): planar area (degrees², species_range_etl.py:227). */
   val stArea = udf((b: Array[Byte]) => if (b == null) null else java.lang.Double.valueOf(area(b)))
+  /** st_area_km2(wkb): geodesic area in km² ([[geodesicAreaM2]] / 10⁶) —
+    * the spheroid-ish option beside the reference-faithful planar deg².
+    */
+  val stAreaKm2 = udf((b: Array[Byte]) =>
+    if (b == null) null
+    else java.lang.Double.valueOf(geodesicAreaM2(readWkb(b)) / 1e6))
   /** st_npoints(wkb): total vertex count (deterministic self-check metric). */
   val stNumPoints = udf((b: Array[Byte]) => if (b == null) null else Integer.valueOf(numPoints(b)))
   /** st_ngeoms(wkb): disjoint-component count. */

@@ -59,7 +59,10 @@ object Shapefile {
     spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, b) => parse(p, b, sidecarSrid(p, hconf.value)) }
+      .flatMap { case (p, b) =>
+        parseRecords(p, b, sidecarBytes(p, ".shx", hconf.value),
+          sidecarSrid(p, hconf.value))
+      }
       .toDF()
   }
 
@@ -85,15 +88,23 @@ object Shapefile {
     */
   private def sidecarSrid(shpPath: String,
                           hconf: org.apache.hadoop.conf.Configuration): Option[Int] =
+    sidecarBytes(shpPath, ".prj", hconf)
+      .flatMap(buf => parsePrj(new String(buf, "US-ASCII")))
+
+  /** Full bytes of a .shp sibling sidecar (.prj/.shx/.dbf) through the
+    * Hadoop FS; absent or unreadable → None, never a failure.
+    */
+  private def sidecarBytes(shpPath: String, ext: String,
+                           hconf: org.apache.hadoop.conf.Configuration): Option[Array[Byte]] =
     try {
-      val p = new org.apache.hadoop.fs.Path(shpPath.replaceAll("\\.shp$", ".prj"))
+      val p = new org.apache.hadoop.fs.Path(shpPath.replaceAll("\\.shp$", ext))
       val fs = p.getFileSystem(hconf)
       if (fs.exists(p)) {
         val len = fs.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fs.open(p)
         try in.readFully(0, buf) finally in.close()
-        parsePrj(new String(buf, "US-ASCII"))
+        Some(buf)
       } else None
     } catch { case _: Exception => None }
 
@@ -128,7 +139,8 @@ object Shapefile {
             parseDbf(buf)._2
           } else Vector.empty
         } catch { case _: Exception => Vector.empty } // corrupt .dbf ⇒ geometry-only
-        parse(p, b, sidecarSrid(p, hconf.value)).map { r =>
+        parseRecords(p, b, sidecarBytes(p, ".shx", hconf.value),
+            sidecarSrid(p, hconf.value)).map { r =>
           val attrs = // .shp record numbers are 1-based; .dbf rows 0-based
             if (r.record >= 1 && r.record <= attrRows.length) attrRows(r.record - 1)
             else Map.empty[String, String]
@@ -178,6 +190,66 @@ object Shapefile {
       r += 1; pos += recLen
     }
     (fields, rows.result())
+  }
+
+  /** Parse preferring the `.shx` index when present: the index file's
+    * per-record (offset, length) table locates every record independently,
+    * so (a) a corrupt or truncated record skips ONLY itself — the
+    * sequential parse below necessarily stops at the first bad record
+    * header because each record's position depends on the previous one's
+    * self-reported length — and (b) the offsets are exactly what a
+    * record-RANGE split of a very large .shp would hand each task (the
+    * format's 2 GB cap makes that a read-side nicety here; per-partition
+    * part files remain the write-side scale shape). Invalid/absent .shx
+    * falls back to the sequential parse.
+    */
+  def parseRecords(path: String, bytes: Array[Byte], shx: Option[Array[Byte]],
+                   srid: Option[Int] = None): Iterator[ShpRecord] = {
+    val idx = shx.map(parseShx).getOrElse(Nil)
+    if (idx.isEmpty) parse(path, bytes, srid)
+    else parseIndexed(path, bytes, idx, srid)
+  }
+
+  /** .shx record index: 100-byte header (same layout as .shp, file code
+    * 9994), then per record a big-endian pair (offset, content length) in
+    * 16-bit words — offset points at the record HEADER in the .shp (ESRI
+    * Shapefile Technical Description, July 1998, "Organization of the
+    * Index File"). Returned in bytes. Non-shapefile or undersized input →
+    * empty (caller falls back to sequential parse).
+    */
+  def parseShx(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    if (bytes.length < 100) return Nil
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if (be.getInt(0) != 9994) return Nil
+    val end = math.min(be.getInt(24).toLong * 2, bytes.length.toLong)
+    val n = math.max(0L, (end - 100) / 8).toInt
+    (0 until n).map { i =>
+      (be.getInt(100 + 8 * i).toLong * 2, be.getInt(100 + 8 * i + 4).toLong * 2)
+    }
+  }
+
+  /** Index-guided record reads: each (offset, length) is validated against
+    * the main file independently; records whose extent falls outside the
+    * file (truncation) or is degenerate are skipped WITHOUT stopping the
+    * scan. Record numbers are positional (1-based index order, as the spec
+    * mandates) so a corrupt record header cannot corrupt numbering.
+    */
+  def parseIndexed(path: String, bytes: Array[Byte], index: Seq[(Long, Long)],
+                   srid: Option[Int] = None): Iterator[ShpRecord] = {
+    if (bytes.length < 100) return Iterator.empty
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (be.getInt(0) != 9994) return Iterator.empty
+    val gf = new GeometryFactory()
+    index.iterator.zipWithIndex.collect {
+      case ((off, len), i)
+          if off >= 100 && len >= 4 && off + 8 + len <= bytes.length =>
+        val start = (off + 8).toInt
+        val shapeType = le.getInt(start)
+        val g = parseShape(le, start, gf)
+        ShpRecord(path, i + 1, shapeType,
+          g.map(_.getNumPoints).getOrElse(0), g.map(Geom.writeWkb).orNull, srid)
+    }
   }
 
   /** Pure parser (unit-testable without Spark); `srid` is stamped onto

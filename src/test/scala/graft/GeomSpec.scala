@@ -12,6 +12,32 @@ class GeomSpec extends SparkSpec {
     assert(Geom.area(wkb) === 0.0625)
   }
 
+  test("geodesic area: 1°x1° equator cell == exact spherical band area; holes subtract") {
+    // exact band area R²·delta_lam·(sin p2 − sin p1) on the authalic sphere
+    val R = 6371007.1809
+    val exact = R * R * StrictMath.toRadians(1.0) *
+      (StrictMath.sin(StrictMath.toRadians(1.0)) - 0.0)
+    val cell = Geom.readWkb(Geom.rectWkb(0.0, 0.0, 1.0, 1.0))
+    assert(math.abs(Geom.geodesicAreaM2(cell) - exact) / exact < 1e-12)
+    // ~12,364 km² sanity (a 1°×1° cell at the equator)
+    assert(math.abs(Geom.geodesicAreaM2(cell) / 1e6 - 12364.0) < 5.0)
+    // polygon with a hole: outer 2°×2° minus inner 1°×1°
+    val outer = Geom.readWkb(Geom.rectWkb(0.0, 0.0, 2.0, 2.0))
+    val inner = Geom.readWkb(Geom.rectWkb(0.5, 0.5, 1.5, 1.5))
+    val withHole = outer.difference(inner)
+    val expected = Geom.geodesicAreaM2(outer) - Geom.geodesicAreaM2(inner)
+    assert(math.abs(Geom.geodesicAreaM2(withHole) - expected) / expected < 1e-9)
+  }
+
+  test("geodesic area shrinks with latitude (cos-factor sanity)") {
+    val eq = Geom.geodesicAreaM2(Geom.readWkb(Geom.rectWkb(0, 0, 1, 1)))
+    val mid = Geom.geodesicAreaM2(Geom.readWkb(Geom.rectWkb(0, 45, 1, 46)))
+    val hi = Geom.geodesicAreaM2(Geom.readWkb(Geom.rectWkb(0, 80, 1, 81)))
+    assert(eq > mid && mid > hi)
+    // at 45° the cell is ~cos(45.5°) of the equator cell
+    assert(math.abs(mid / eq - StrictMath.cos(StrictMath.toRadians(45.5))) < 0.01)
+  }
+
   test("union of k distinct cells has area exactly k * cellsize²") {
     val cells = Seq((0, 0), (0, 1), (1, 0), (5, 5), (7, 2))
     val wkbs = cells.map { case (r, c) => Geom.cellRectWkb(r, c, 0.0, 0.0, 0.25, 32) }

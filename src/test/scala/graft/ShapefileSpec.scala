@@ -117,6 +117,62 @@ class ShapefileSpec extends SparkSpec {
     assert(Shapefile.parse("t", Array.empty[Byte]).isEmpty)
   }
 
+  // .shx sidecar matching shpBytes' layout: 100-byte header + (offset,
+  // content-length) big-endian word pairs per record
+  private def shxBytes(contentLens: Seq[Int]): Array[Byte] = {
+    val total = 100 + 8 * contentLens.length
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 9994)
+    bb.putInt(24, total / 2)
+    var off = 100
+    contentLens.zipWithIndex.foreach { case (len, i) =>
+      bb.putInt(100 + 8 * i, off / 2)          // record-header offset, words
+      bb.putInt(100 + 8 * i + 4, len / 2)      // content length, words
+      off += 8 + len
+    }
+    bb.array()
+  }
+
+  test("parseShx decodes (offset, length) word pairs to bytes") {
+    val idx = Shapefile.parseShx(shxBytes(Seq(20, 36)))
+    assert(idx === Seq((100L, 20L), (128L, 36L)))
+    assert(Shapefile.parseShx(Array.fill[Byte](50)(1)).isEmpty)
+    assert(Shapefile.parseShx(Array.fill[Byte](120)(7)).isEmpty) // bad file code
+  }
+
+  test(".shx-guided read survives a lying record-length header that kills the sequential parse") {
+    val contents = Seq(pointContent(1.0, 1.0), pointContent(2.0, 2.0), pointContent(3.0, 3.0))
+    val shp = shpBytes(contents)
+    // corrupt record 2's content-length header field (big-endian at
+    // recordStart+4): the sequential parse trusts it to find record 3 and
+    // must stop; the .shx locates every record independently
+    val corrupted = shp.clone()
+    val rec2HeaderOff = 100 + 8 + 20
+    ByteBuffer.wrap(corrupted).order(ByteOrder.BIG_ENDIAN)
+      .putInt(rec2HeaderOff + 4, 999999)
+    assert(Shapefile.parse("t", corrupted).toSeq.map(_.record) === Seq(1))
+    val viaShx = Shapefile.parseRecords("t", corrupted,
+      Some(shxBytes(contents.map(_.length)))).toSeq
+    assert(viaShx.map(_.record) === Seq(1, 2, 3))
+    assert(viaShx.map(r => Geom.readWkb(r.geometry).getCoordinate.x) === Seq(1.0, 2.0, 3.0))
+  }
+
+  test(".shx entries pointing past a truncated main file skip ONLY those records") {
+    val contents = Seq(pointContent(1.0, 1.0), pointContent(2.0, 2.0), pointContent(3.0, 3.0))
+    val shp = shpBytes(contents)
+    val truncated = java.util.Arrays.copyOf(shp, shp.length - 10) // record 3 cut
+    val viaShx = Shapefile.parseRecords("t", truncated,
+      Some(shxBytes(contents.map(_.length)))).toSeq
+    assert(viaShx.map(_.record) === Seq(1, 2))
+  }
+
+  test("parseRecords falls back to sequential parse on absent or invalid .shx") {
+    val shp = shpBytes(Seq(pointContent(5.0, 6.0)))
+    assert(Shapefile.parseRecords("t", shp, None).toSeq.length === 1)
+    assert(Shapefile.parseRecords("t", shp,
+      Some(Array.fill[Byte](120)(7))).toSeq.length === 1)
+  }
+
   test("writeShapes sink round-trips through readShapes, normalizing ring orientation") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
     val gf = new GeometryFactory()

@@ -106,8 +106,13 @@ class StatsSpec extends SparkSpec {
     val r = Stats.benfordDigits(vals, "v")
       .as[(Int, Long, Double, Double)].collect()
       .map(t => t._1 -> t).toMap
-    assert(r.keySet === Set(1, 2, 9))
+    // ALL nine digits emit — a zero-observation digit is the most anomalous
+    // audit outcome and must appear as (n_obs = 0, full chi^2 contribution),
+    // not vanish (the r12-advice inner-join bug)
+    assert(r.keySet === (1 to 9).toSet)
     assert(r(1)._2 === 2L)
+    assert(r(2)._2 === 1L && r(9)._2 === 1L)
+    assert((3 to 8).forall(d => r(d)._2 === 0L))
     // replay expected/contrib with independent BigInt arithmetic
     val two40 = BigInt(1) << 40
     val c = Stats.BenfordScaled.toMap
