@@ -184,20 +184,52 @@ object Dedup {
   def containmentPairs(docs: DataFrame, k: Int, maxDf: Long,
                        minContainment: Double, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val sh = shingleRows(docs, k, idCol, textCol)
-    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfc.filter(col("df") <= maxDf), "shingle")
-    val candidates = rare.select(col("shingle"), col("doc_id").as("a_id"))
-      .join(rare.select(col("shingle"), col("doc_id").as("b_id")), "shingle")
-      .filter(col("a_id") < col("b_id")).select("a_id", "b_id").distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+    // The shingle table feeds FIVE consumers below (df counts, both sides
+    // of the rare-shingle self-join, sizes, both intersection probes);
+    // without truncation Spark re-runs the shingle explosion per consumer
+    // (r12→r13 bisect: the recomputation was most of q_containment's warm
+    // cost). One materialization, key-domain-sized, lineage-safe.
+    val sh = graft.util.Checkpoints.truncate(
+      shingleRows(docs, k, idCol, textCol))
+    // Candidate pairs straight from a per-shingle doc-id array: ONE
+    // groupBy shuffle + map-side pair expansion replaces the former
+    // rare-self-join shape (df count, join-back, self-join = three
+    // shuffles over the shingle table). The pair list per rare shingle is
+    // ≤ C(maxDf,2), bounded by construction.
+    val docsPerShingle = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(idCol))).as("_ds"))
+      .filter(size(col("_ds")).between(2, maxDf.toInt))
+    val pairsCol = flatten(transform(
+      sequence(lit(0), size(col("_ds")) - 2),
+      i => transform(slice(col("_ds"), i + 2, size(col("_ds"))),
+        b => struct(element_at(col("_ds"), i + 1).as("a_id"), b.as("b_id")))))
+    val candidates = docsPerShingle
+      .select(explode(pairsCol).as("_p"))
+      .select(col("_p.a_id"), col("_p.b_id")).distinct()
+    // Verification by per-doc sorted shingle ARRAYS + codegen'd
+    // array_intersect, not by re-exploding rows: the exploded probe shape
+    // (candidates ⨝ sh(a) ⨝ sh(b,shingle)) materializes
+    // |candidates|×|shingles(a)| intermediate rows (~4M at sf0.1, measured
+    // the dominant cost); one array row per doc is ~|doc| bytes and the
+    // candidate set is rare-shingle-bounded, so arrays crossing this join
+    // are strictly cheaper than the expansion at any corpus scale. Exact:
+    // arrays carry the shingle strings themselves, no hashing.
+    val docSets = graft.util.Checkpoints.truncate(
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("shingle"))).as("_sa")))
+    inter_from_sets(candidates, docSets, minContainment)
+  }
+
+  /** Array-verification tail of [[containmentPairs]]: join candidate pairs
+    * to both docs' shingle-set arrays, count the intersection natively. */
+  private def inter_from_sets(candidates: DataFrame, docSets: DataFrame,
+                              minContainment: Double): DataFrame = {
+    candidates
+      .join(docSets.select(col("doc_id").as("a_id"), col("_sa").as("_a")), "a_id")
+      .join(docSets.select(col("doc_id").as("b_id"), col("_sa").as("_b")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("_a"), col("_b"))).cast("long"))
+      .withColumn("sz_a", size(col("_a")).cast("long"))
+      .withColumn("sz_b", size(col("_b")).cast("long"))
       .withColumn("c_a", col("n_inter").cast("double") / col("sz_a").cast("double"))
       .withColumn("c_b", col("n_inter").cast("double") / col("sz_b").cast("double"))
       .filter(col("c_a") >= minContainment || col("c_b") >= minContainment)
