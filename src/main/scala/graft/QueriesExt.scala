@@ -919,14 +919,16 @@ object QueriesExt {
        |WHERE cosine >= 0.25""".stripMargin
   }
 
-  // ---- q-gram fuzzy string join: planted entity names with 1-edit
-  //      variants (drop last char / replace first char), candidates from
-  //      a 2-gram equi-join with STOP-GRAM pruning (the shared 'specimen'
-  //      stem would otherwise make the gram join all-pairs — the r8 bench
-  //      caught exactly that at 87 s), exact levenshtein verify. Name
-  //      classes come from doc_id DIV 50, so the class COUNT grows with
-  //      the corpus and per-class population (and thus true-pair output)
-  //      stays constant — the entity-cardinality shape of real data ----
+  // ---- fuzzy string join: planted entity names with 1-edit variants
+  //      (drop last char / replace first char), exact levenshtein ≤ 1
+  //      verify. Since r13 the maxDist=1 operator path is FastSS
+  //      deletion-variant blocking — COMPLETE (the former 2-gram +
+  //      stop-gram candidates silently dropped pairs whose shared grams
+  //      were all corpus-common: 5,379 of 72,077 true pairs surfaced at
+  //      sf0.01) and linear-scaling on digit-heavy name populations where
+  //      no q-gram is selective. Name classes come from doc_id DIV 50, so
+  //      class COUNT grows with the corpus and per-class population stays
+  //      constant — the entity-cardinality shape of real data ----
   def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val base = concat(lit("specimen"), expr("doc_id DIV 50").cast("string"))
     val name = when(col("doc_id") % 3 === 0, base)
@@ -947,22 +949,12 @@ object QueriesExt {
       |                length('specimen' || (doc_id // 50)::VARCHAR) - 1)
       |         ELSE 'z' || substring('specimen' || (doc_id // 50)::VARCHAR, 2)
       |    END AS s
-      |  FROM documents),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM nm),
-      |g0 AS (
-      |  SELECT id, s, unnest(list_distinct(list_transform(
-      |    range(1, length(s)), i -> substring(s, i, 2)))) AS g
-      |  FROM nm),
-      |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g0 GROUP BY 1),
-      |g AS (
-      |  SELECT g0.* FROM g0 JOIN dfc USING (g) CROSS JOIN n
-      |  WHERE df * 8 <= total),
-      |cand AS (
-      |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS s_a, b.s AS s_b
-      |  FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
-      |  WHERE abs(length(a.s) - length(b.s)) <= 1)
-      |SELECT a_id, b_id, CAST(levenshtein(s_a, s_b) AS INT) AS dist
-      |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin
+      |  FROM documents)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM nm a JOIN nm b
+      |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+      |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin
 
   // ---- vocab-id tokenization (encode step before packing) ----
   def qTokenizeIds(s: SparkSession, dir: String): DataFrame = {

@@ -399,7 +399,11 @@ object Dedup {
     * exact distance. The all-pairs formulation is corpus² and plans a
     * nested loop; this stays hash-join shaped.
     *
-    * STOP-GRAMS: a gram shared by a constant fraction of the corpus (a
+    * maxDist=1 short-circuits to FastSS deletion-variant blocking (see
+    * [[fastSsJoin]]) — complete and output-bounded on any population; the
+    * q-gram machinery below is the maxDist ≥ 2 path.
+    *
+    * STOP-GRAMS (gram path only): a gram shared by a constant fraction of the corpus (a
     * common stem, 'ing', 'er ') would make its join key quadratic — the
     * exact skew that kills naive similarity joins at 100 TB. Grams with
     * df · stopDenom > |corpus| are therefore dropped from candidate
@@ -419,6 +423,18 @@ object Dedup {
     */
   def fuzzyStringJoin(strings: DataFrame, q: Int, maxDist: Int,
                       stopDenom: Long = 8L): DataFrame = {
+    // maxDist=1 dispatches to FastSS deletion-variant blocking (Bocek,
+    // Hunt & Stiller 2007): every ed≤1 pair shares a single-character-
+    // deletion variant (substitution → delete the edited position from
+    // both; indel → the shorter string IS a variant of the longer), so
+    // candidates come from an equi-join on L+1 variants per string —
+    // COMPLETE with no stop-gram drop-outs, and output-bounded blocks
+    // even on low-entropy string populations. The q-gram path below is
+    // provably blind to exactly those populations: on id-like strings
+    // every bigram is a digit pair with corpus-fraction df, so no prefix
+    // is selective (measured at sf1: 388 s raw grams, still >15 min with
+    // ED-Join prefix filtering, vs linear-scaling deletion variants).
+    if (maxDist == 1) return fastSsJoin(strings)
     val grams = strings
       .select(col("id"), length(col("s")).as("_len"),
         explode(when(length(col("s")) >= q, array_distinct(
@@ -429,8 +445,24 @@ object Dedup {
     val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(total))
       .filter(col("_df") * stopDenom <= col("_n"))
-      .select(col("g"))
-    val pruned = grams.join(broadcast(rare), Seq("g"), "left_semi")
+      .select(col("g"), col("_df"))
+    // ED-Join PREFIX filtering (Xiao, Wang & Lin 2008, "Ed-Join: an
+    // efficient algorithm for similarity joins with edit distance
+    // constraints"): an edit changes ≤ q grams per side, so two strings
+    // within maxDist share a gram among the q·maxDist+1 GLOBALLY-RAREST
+    // grams of each (total order: df, then gram). Joining prefix×prefix
+    // therefore finds every true pair the any-shared-gram join finds —
+    // the verified output is IDENTICAL, proven set-cover-style — while
+    // block sizes drop from "df of every sub-stop gram" (measured
+    // quadratic on digit-heavy id strings: 388 s at sf1) to the df of
+    // each string's most distinctive grams. The per-id window is
+    // string-length-bounded, never corpus-bounded.
+    val prefixLen = q * maxDist + 1
+    val pruned = grams.join(broadcast(rare), Seq("g"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("_df"), col("g"))))
+      .filter(col("_rk") <= prefixLen)
     // the candidate distinct shuffles (a_id, b_id) ONLY — carrying the
     // string payload through this exchange (the r8 shape) moves
     // string-pair bytes for every gram co-occurrence; the strings are
@@ -447,6 +479,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** FastSS ed≤1 similarity join: emit each string plus its L
+    * single-character-deletion variants, equi-join on the variant, verify
+    * with exact levenshtein. One narrow shuffle keyed by near-full-string
+    * variants (always high-entropy), blocks sized by true neighbor
+    * density. Used by [[fuzzyStringJoin]] for maxDist=1.
+    */
+  private def fastSsJoin(strings: DataFrame): DataFrame = {
+    val vars = strings.select(col("id"), length(col("s")).as("_len"),
+      explode(array_union(
+        array(col("s")),
+        // sequence(1, 0) would DESCEND for the empty string — guard it
+        when(length(col("s")) >= 1,
+          transform(sequence(lit(1), length(col("s"))),
+            i => concat(col("s").substr(lit(1), i - 1),
+              col("s").substr(i + 1, length(col("s"))))))
+          .otherwise(array().cast("array<string>"))))
+        .as("v"))
+    val candIds = vars
+      .select(col("v"), col("id").as("a_id"), col("_len").as("_la"))
+      .join(vars.select(col("v"), col("id").as("b_id"), col("_len").as("_lb")), "v")
+      .filter(col("a_id") < col("b_id") && abs(col("_la") - col("_lb")) <= 1)
+      .select(col("a_id"), col("b_id")).distinct()
+    candIds
+      .join(strings.select(col("id").as("a_id"), col("s").as("s_a")), Seq("a_id"))
+      .join(strings.select(col("id").as("b_id"), col("s").as("s_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= 1)
   }
 
   /** Deterministic bounded id-sample: keep rows whose id divides the

@@ -51,7 +51,8 @@ object ScaleUp {
     // replica index column; cross join against a literal range
     val r = spark.range(reps).select(col("id").as("rep"))
     def rep(df: DataFrame): DataFrame = df.crossJoin(broadcast(r))
-    def off(c: String) = (col(c) + col("rep") * Stride).as(c)
+    def offE(c: String) = col(c) + col("rep") * Stride
+    def off(c: String) = offE(c).as(c)
 
     def write(df: DataFrame, name: String): Unit = {
       df.drop("rep").write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -62,10 +63,18 @@ object ScaleUp {
     write(t("region"), "region")
     write(t("nation"), "nation")
 
-    write(rep(t("customer")).select(off("c_custkey"), col("c_name"),
+    // c_name/s_name are derived re-renderings of the key ('Customer#%09d');
+    // verbatim copies would put 10 identical names in every string-identity
+    // block (edit-distance variants, linkage) and square the join products —
+    // the r13 sf1 probe measured q_edit_dist_join at 81× before this fix.
+    write(rep(t("customer")).select(off("c_custkey"),
+      concat(lit("Customer#"), lpad(offE("c_custkey").cast("string"), 9, "0"))
+        .as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("rep")),
       "customer")
-    write(rep(t("supplier")).select(off("s_suppkey"), col("s_name"),
+    write(rep(t("supplier")).select(off("s_suppkey"),
+      concat(lit("Supplier#"), lpad(offE("s_suppkey").cast("string"), 9, "0"))
+        .as("s_name"),
       col("s_nationkey"), col("s_acctbal"), col("rep")), "supplier")
     write(rep(t("part")).select(off("p_partkey"), col("p_name"), col("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice"), col("rep")), "part")

@@ -140,20 +140,22 @@ class DedupSpec extends SparkSpec {
     // behind AdaptiveSparkPlanExec — plan once with AQE off for the audit
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // the exchange under the candidate-pair distinct (a partial HashAggregate
-    // with no agg functions) must carry id-width rows only — the r8 shape
-    // shuffled the full string pair for every gram co-occurrence
-    val distinctExchanges =
-      try df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => unwrap(e.child) match {
-          case h: HashAggregateExec if h.aggregateExpressions.isEmpty => Some(e)
-          case _ => None
-        }
-      }.flatten
+    // No shuffle exchange anywhere in the plan may carry a string PAIR —
+    // the r8 regression moved (s_a, s_b) through the candidate distinct
+    // for every gram co-occurrence. Since the r13 ED-Join prefix window,
+    // the candidate distinct reuses the window's id-partitioning (no
+    // exchange of its own — one shuffle fewer), so the assertion is on
+    // every exchange: at most ONE string column (the bounded-width gram
+    // key), never the verify pair.
+    val exchanges =
+      try df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
       finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    assert(distinctExchanges.nonEmpty, "expected a shuffled distinct for candidate pairs")
-    for (e <- distinctExchanges; a <- e.output)
-      assert(a.dataType != StringType, s"candidate distinct carries string column ${a.name}")
+    assert(exchanges.nonEmpty, "expected shuffle exchanges in the gram path")
+    for (e <- exchanges) {
+      val strCols = e.output.filter(_.dataType == StringType).map(_.name)
+      assert(strCols.lengthCompare(1) <= 0,
+        s"exchange carries a string pair: ${strCols.mkString(",")}")
+    }
     // and the join still finds the real matches
     val got = df.as[(Long, Long, Int)].collect().toSet
     assert(got.contains((1L, 2L, 1)))
