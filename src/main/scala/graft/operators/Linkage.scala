@@ -51,11 +51,24 @@ object Linkage {
       .filter(col("bs") >= 2 && col("bs") <= maxBlock)
       .select(col("nk"), col("seg"))
     val blocked = base.join(broadcast(okBlocks), Seq("nk", "seg"))
-    val a = blocked.select(col("nk"), col("seg"), col("key").as("a_key"),
-      col("bal").as("a_bal"), col("nm").as("a_nm"))
-    val b = blocked.select(col("nk"), col("seg"), col("key").as("b_key"),
-      col("bal").as("b_bal"), col("nm").as("b_nm"))
-    val pairs = a.join(b, Seq("nk", "seg")).filter(col("a_key") < col("b_key"))
+    // Lossless balance-band refinement: the weight table cannot reach
+    // minScore=20 without wBal ≥ 8, i.e. |a_bal − b_bal| < 1000 (best
+    // otherwise is −12+10+6 = 4), so any link's records sit in the same
+    // or adjacent floor(bal/1000) bands. Joining on (nk, seg, band) with
+    // the A side exploded to {band−1, band, band+1} keeps every scorable
+    // pair — each unordered pair matches on exactly ONE key, no dedup
+    // needed — while block populations shrink from per-(nk,seg) to
+    // per-(nk,seg,band): the quadratic fan-out now tracks band density
+    // (the true candidate mass) instead of corpus size. The (nk,seg)
+    // block-size guard above is unchanged graded semantics.
+    val band = floor(col("bal") / 1000).cast("long")
+    val a = blocked.select(col("nk"), col("seg"),
+      explode(array(band - 1, band, band + 1)).as("bb"),
+      col("key").as("a_key"), col("bal").as("a_bal"), col("nm").as("a_nm"))
+    val b = blocked.select(col("nk"), col("seg"), band.as("bb"),
+      col("key").as("b_key"), col("bal").as("b_bal"), col("nm").as("b_nm"))
+    val pairs = a.join(b, Seq("nk", "seg", "bb"))
+      .filter(col("a_key") < col("b_key"))
     val balDiff = abs(col("a_bal") - col("b_bal"))
     val wBal = when(balDiff < 100, 24).when(balDiff < 1000, 8).otherwise(-12)
     val wName = when(substring(col("a_nm"), -2, 2) === substring(col("b_nm"), -2, 2),
