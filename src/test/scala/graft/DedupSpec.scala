@@ -332,17 +332,28 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
     assert(got === want)
     assert(want.nonEmpty, "fixture must contain 1-edit pairs")
-    // a universal stem ('stemN' for all rows) becomes stop-grams at the
-    // default denominator: the join key never goes all-pairs, and what IS
-    // reported is still a subset of the true pairs (sound, never wrong)
+    // a universal stem ('stemN' for all rows) makes EVERY gram a
+    // stop-gram — the population the q-gram path is blind to. The r13
+    // FastSS deletion-variant path (maxDist=1) must find the COMPLETE
+    // true pair set here, not a sound subset: this is the regression
+    // test for the 5,379-of-72,077 drop-out the gram path had.
     val stems = (1L to 60L).map(i => (i, s"stem${i % 20}"))
-    val pruned = Dedup.fuzzyStringJoin(stems.toDF("id", "s"), q = 2, maxDist = 1)
+    val found = Dedup.fuzzyStringJoin(stems.toDF("id", "s"), q = 2, maxDist = 1)
       .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
     val trueStem = (for {
       (ia, sa) <- stems; (ib, sb) <- stems if ia < ib
       d = lev(sa, sb) if d <= 1
     } yield (ia, ib, d)).toSet
-    assert(pruned.subsetOf(trueStem), "pruning must never create false pairs")
+    assert(found === trueStem,
+      "FastSS must be complete on an all-stop-gram population")
+    assert(trueStem.nonEmpty, "stem fixture must contain 1-edit pairs")
+    // ed<=1 across a length-0/1 boundary exercises the empty-string
+    // variant guard (sequence(1,0) would descend without it)
+    val tiny = Seq((1L, ""), (2L, "a"), (3L, "b"), (4L, "ab")).toDF("id", "s")
+    val tinyGot = Dedup.fuzzyStringJoin(tiny, q = 2, maxDist = 1)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(tinyGot === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1),
+      (2L, 4L, 1), (3L, 4L, 1)))
   }
 
   test("setSimJoin: prefix filtering is lossless vs brute-force Jaccard") {
