@@ -603,4 +603,31 @@ class PlanSpec extends SparkSpec {
     assert(p4.contains("LeftSemi"), "Q4 EXISTS must plan as left-semi")
     assert(!p4.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("r13 reworked operators keep their scale shapes") {
+    // FastSS fuzzy join: candidates from a variant equi-join — no
+    // cartesian, no nested loop, and no corpus-ordered window anywhere
+    val pf = plan("q_fuzzy_join")
+    assert(!pf.contains("CartesianProduct"), "fuzzy join went cartesian")
+    assert(!pf.contains("BroadcastNestedLoopJoin"))
+    assert(!pf.contains("Window"), "FastSS path must not window")
+    // record linkage: the pair join must key on the REFINED block
+    // (nk, seg, bb) — the balance band visible in the join key set is
+    // what keeps block populations band-density-sized at scale
+    val pl = plan("q_record_linkage")
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"))
+    assert(pl.contains("bb#") || pl.contains("bb "),
+      "linkage pair join must include the balance band key")
+    // containment: array verify — the only joins are the shingle-array
+    // groupBys and candidate/doc equi-joins; re-exploded probe joins on
+    // (b_id, shingle) would show a join key named shingle
+    val pc = plan("q_containment")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"))
+    // edit-distance join: deletion-variant equi-join, never all-pairs
+    val pe = plan("q_edit_dist_join")
+    assert(!pe.contains("CartesianProduct") &&
+      !pe.contains("BroadcastNestedLoopJoin"))
+  }
 }
