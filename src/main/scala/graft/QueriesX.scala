@@ -1011,4 +1011,112 @@ object QueriesX {
       |  FROM b x JOIN b y ON x.nk = y.nk AND x.seg = y.seg AND x.key < y.key)
       |SELECT a_key, b_key, CAST(score AS INTEGER) AS score
       |FROM p WHERE score >= 20""".stripMargin
+
+  // ---- per-source boilerplate scrub (C4/RefinedWeb cleaning): chunks
+  //      repeating across >= n_docs/20 documents of the SAME source are
+  //      boilerplate; fractional threshold, (source, chunk)-keyed aggs ----
+  def qBoilerplateScrub(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TrainPrep.boilerplateScrub(
+      t(s, dir, "documents"), k = 10, denom = 20L)
+
+  val oBoilerplateScrub: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10),
+      |ch AS (
+      |  SELECT doc_id, source,
+      |    unnest(range(0, len(t) // 10)) AS pos,
+      |    unnest(list_transform(range(0, len(t) // 10),
+      |      i -> array_to_string(t[i*10+1:i*10+10], ' '))) AS chunk
+      |  FROM toks),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM toks GROUP BY 1),
+      |dfc AS (SELECT source, chunk,
+      |          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM ch GROUP BY 1, 2),
+      |boiler AS (
+      |  SELECT source, chunk FROM dfc JOIN nd USING (source)
+      |  WHERE df * 20 >= n_docs)
+      |SELECT ch.doc_id, ch.source,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_boiler,
+      |  CAST(count(*) - sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept
+      |FROM ch LEFT JOIN boiler b
+      |  ON ch.source = b.source AND ch.chunk = b.chunk
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- TPC-H Q7 shape: bidirectional nation-pair shipping volume by
+  //      ship year. Small dims broadcast (supplier, customer, nation x2),
+  //      the fact scan carries only cents-exact units; one hash agg ----
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("vol_u"))
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_nationkey").isin(1, 2))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = t(s, dir, "customer")
+      .filter(col("c_nationkey").isin(1, 2))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(
+        concat(lit("NATION_"), col("s_nationkey").cast("string")).as("supp_nation"),
+        concat(lit("NATION_"), col("c_nationkey").cast("string")).as("cust_nation"),
+        col("l_year"))
+      .agg(sum(col("vol_u")).as("vol_units"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("vol_units").cast("double") / lit(10000.0)).as("volume"))
+  }
+
+  val oTpchQ7: String =
+    """SELECT 'NATION_' || s.s_nationkey::VARCHAR AS supp_nation,
+      |  'NATION_' || c.c_nationkey::VARCHAR AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |           (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
+      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS volume
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND s.s_nationkey IN (1, 2) AND c.c_nationkey IN (1, 2)
+      |  AND s.s_nationkey <> c.c_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- TPC-H Q13 shape: orders-per-customer distribution with a
+  //      filtered LEFT join (customers with zero qualifying orders count
+  //      at c_count = 0). Join keyed on custkey, then two integer aggs ----
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val oTpchQ13: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin
 }

@@ -846,4 +846,48 @@ object TrainPrep {
     df.withColumn("shard",
       (array_position(weights, array_max(weights)) - 1L).cast("int"))
   }
+
+  /** Per-source boilerplate scrub — the C4/RefinedWeb cleaning step that
+    * [[graft.QueriesX.qChunkDedup]]'s global chunk dedup does NOT cover:
+    * navigation menus, cookie banners, and footers repeat across many
+    * pages of the SAME source but are near-unique globally, so the
+    * detection key is (source, chunk), and the threshold is FRACTIONAL in
+    * the source's page count (an absolute df cap would rot as a source
+    * grows — the scale lesson from the fuzzy join's stop-grams). A chunk
+    * is boilerplate within a source when it appears in at least
+    * ceil(n_docs / denom) distinct documents of that source
+    * (df · denom ≥ n_docs, integer arithmetic only).
+    *
+    * Scale shape: one chunk explosion pass, two (source, chunk)-keyed hash
+    * aggs (doc-distinct df, then threshold), a broadcast-sized per-source
+    * doc count, and one left join back — all equi-keyed, partial-
+    * aggregable, no windows. A pathologically common chunk is a skew key
+    * on the join; AQE skew-split applies.
+    *
+    * Output per participating doc (≥ k tokens): n_chunks, n_boiler
+    * (chunk instances flagged), n_kept.
+    */
+  def boilerplateScrub(docs: DataFrame, k: Int, denom: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), col(srcCol), split(col(textCol), " ").as("_t"))
+      .filter(size(col("_t")) >= k)
+    val chunks = toks.select(col(idCol), col(srcCol),
+      posexplode(transform(
+        sequence(lit(0), (size(col("_t")) / k).cast("int") - 1),
+        i => array_join(slice(col("_t"), i * k + 1, lit(k)), " ")))
+        .as(Seq("pos", "chunk")))
+    val nd = toks.groupBy(col(srcCol)).agg(count(lit(1)).as("_nd"))
+    val dfc = chunks.select(col(srcCol), col("chunk"), col(idCol)).distinct()
+      .groupBy(col(srcCol), col("chunk")).agg(count(lit(1)).as("_df"))
+    val boiler = dfc.join(broadcast(nd), Seq(srcCol))
+      .filter(col("_df") * denom >= col("_nd"))
+      .select(col(srcCol), col("chunk"), lit(1).as("_b"))
+    chunks.join(boiler, Seq(srcCol, "chunk"), "left")
+      .groupBy(col(idCol), col(srcCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("n_kept", col("n_chunks") - col("n_boiler"))
+  }
 }
