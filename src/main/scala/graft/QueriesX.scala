@@ -1119,4 +1119,145 @@ object QueriesX {
       |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
       |  GROUP BY 1)
       |GROUP BY 1""".stripMargin
+
+  // ---- bounded-round k-core peeling on the order–supplier graph
+  //      (k=4, 3 rounds; oracle unrolls the identical state) ----
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.kCore(li, k = 4, rounds = 3)
+  }
+
+  val oKcore: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM lineitem)),
+      |k1 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 4),
+      |e1 AS (SELECT e0.src, e0.dst FROM e0
+      |       JOIN k1 a ON e0.src = a.src JOIN k1 b ON e0.dst = b.src),
+      |k2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 4),
+      |e2 AS (SELECT e1.src, e1.dst FROM e1
+      |       JOIN k2 a ON e1.src = a.src JOIN k2 b ON e1.dst = b.src),
+      |k3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 4),
+      |e3 AS (SELECT e2.src, e2.dst FROM e2
+      |       JOIN k3 a ON e2.src = a.src JOIN k3 b ON e2.dst = b.src)
+      |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+      |FROM e3 GROUP BY 1""".stripMargin
+
+  // ---- degree assortativity of the same graph: exact DECIMAL moments,
+  //      one final double expression (identical operation order) ----
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.assortativity(li)
+  }
+
+  val oAssortativity: String =
+    """WITH e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM lineitem)),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT dx.d AS dx, dy.d AS dy FROM e
+      |  JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m,
+      |    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT) AS syy
+      |  FROM j)
+      |SELECT CAST(m AS BIGINT) AS n_edges,
+      |  CAST(m * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+      |FROM mo""".stripMargin
+
+  // ---- domain-level vocabulary overlap: pairwise Jaccard of the
+  //      token SETS of every source pair — the dataset-curation "how
+  //      much do these domains repeat each other" matrix. Token-keyed
+  //      equi-join; the pair fan-out per token is (sources containing
+  //      it)², bounded by the SOURCE count, not the corpus — the
+  //      bounded-domain-pair regime (like corrMatrix's label pairs) ----
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sizes = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    tok.select(col("source").as("a_src"), col("token"))
+      .join(tok.select(col("source").as("b_src"), col("token")), "token")
+      .filter(col("a_src") < col("b_src"))
+      .groupBy(col("a_src"), col("b_src"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("source").as("a_src"), col("n").as("n_a")), "a_src")
+      .join(sizes.select(col("source").as("b_src"), col("n").as("n_b")), "b_src")
+      .select(col("a_src"), col("b_src"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
+  val oSourceOverlap: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT source, token FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)),
+      |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |          FROM tok GROUP BY 1),
+      |i AS (
+      |  SELECT a.source AS a_src, b.source AS b_src,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT a_src, b_src, n_inter, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+      |    AS jaccard
+      |FROM i
+      |JOIN sizes sa ON i.a_src = sa.source
+      |JOIN sizes sb ON i.b_src = sb.source""".stripMargin
+
+  // ---- TPC-H Q22 shape: "wealthy but inactive" — customers above the
+  //      global positive-balance mean (exact cents-integer mean, one
+  //      broadcast scalar) with NO orders (left-anti join), counted per
+  //      nation. The scalar mean comparison is exact: bal_cents * n_pos
+  //      > sum_cents avoids the division entirely ----
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val avgPos = cust.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+    // "inactive" = no order since 2000 (every customer has SOME order in
+    // the synthetic data; the unrestricted anti-join is empty)
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .select(col("c_nationkey"), col("numcust"),
+        (col("totacctbal_c").cast("double") / lit(100.0)).as("totacctbal"))
+  }
+
+  val oTpchQ22: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |a AS (
+      |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+      |    CAST(count(*) AS BIGINT) AS n_pos
+      |  FROM cust WHERE bal_c > 0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(bal_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS totacctbal
+      |FROM cust CROSS JOIN a
+      |WHERE bal_c * n_pos > sum_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = cust.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1""".stripMargin
 }

@@ -328,6 +328,74 @@ object Graph {
     * PageRank/CC shuffles above). Two chained hash aggs: per-node degree,
     * then nodes per degree. Both partial+final; nothing sorts.
     */
+  /** Bounded-round k-core peeling (Seidman 1983; the distributed
+    * formulation is Batagelj & Zaversnik 2003): repeatedly delete nodes of
+    * degree < k, here for a FIXED number of rounds so both engines (and
+    * the unrolled-CTE oracle) compute the identical intermediate state —
+    * the fixpoint form is the same loop driven by a convergence checksum
+    * like [[graft.operators.Contiguity]]. Training-data use: the k-core
+    * of a link/co-occurrence graph is the standard "dense interaction
+    * backbone" filter for crawl frontier prioritization and spam-farm
+    * pruning.
+    *
+    * Per round: one degree hash-agg + two semi-joins on the survivor set
+    * (node-keyed, partial-aggregable, no windows); lineage truncated per
+    * round like [[pageRank]]. Output after `rounds` peels: (node, degree)
+    * of the surviving subgraph — degrees still below k mean more rounds
+    * were needed, which the bounded form reports honestly.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            checkpoint: Boolean = true): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var e = if (checkpoint) Checkpoints.truncate(und) else und
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select(col("src").as("_k"))
+      val e2 = e.join(keep, col("src") === col("_k"), "left_semi")
+        .join(keep, col("dst") === col("_k"), "left_semi")
+      e = if (checkpoint) Checkpoints.truncate(e2, eager = false) else e2
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * undirected edge list — positive for social-style hub-to-hub mixing,
+    * negative for the hub-and-spoke shape typical of crawl and
+    * transaction graphs. One degree agg, two node-keyed joins to attach
+    * endpoint degrees, ONE moment aggregation; every moment is carried in
+    * DECIMAL(38,0) (per-operand casts BEFORE the product — the
+    * linregExact overflow discipline: edge-count × squared-degree sums
+    * exceed Long at sf0.1 already) and the ONLY floating point is the
+    * final scalar expression, ordered identically in the oracle. sqrt is
+    * IEEE-correctly-rounded, hence engine-portable.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    val m = und
+      .join(deg.select(col("src"), col("_deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("_deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).cast(dec).as("m"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"),
+        sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
+        sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"))
+    m.select(
+      col("m").cast("long").as("n_edges"),
+      ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("r"))
+  }
+
   def degreeHistogram(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst")).distinct()
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
