@@ -1260,4 +1260,222 @@ object QueriesX {
       |                  WHERE o.o_custkey = cust.c_custkey
       |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1""".stripMargin
+
+  // ---- TPC-H Q8 shape: national market share within a region for one
+  //      part type. All dims broadcast; the fact scan carries cents-exact
+  //      volume units; numerator and denominator are exact integer sums
+  //      with ONE final double division per year ----
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val asia = t(s, dir, "nation").filter(col("n_regionkey") === 2)
+      .select(col("n_nationkey"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(asia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("vol_u"))
+    li.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("s_nationkey") === 10, col("vol_u")).otherwise(0L))
+          .as("num_u"),
+        sum(col("vol_u")).as("den_u"))
+      .select(col("o_year"),
+        (col("num_u").cast("double") / col("den_u").cast("double"))
+          .as("mkt_share"),
+        (col("den_u").cast("double") / lit(10000.0)).as("total_volume"))
+  }
+
+  val oTpchQ8: String =
+    """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CASE WHEN s.s_nationkey = 10 THEN
+      |      CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)) ELSE 0 END)
+      |    AS BIGINT)::DOUBLE /
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
+      |    AS BIGINT)::DOUBLE AS mkt_share,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
+      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS total_volume
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey AND n.n_regionkey = 2
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
+  // ---- TPC-H Q10 shape: returned-item revenue per customer for one
+  //      quarter. Customer/nation dims broadcast; one hash agg keyed by
+  //      customer; acctbal carried as exact cents ----
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("vol_u"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"),
+        col("n_name"))
+      .agg(sum(col("vol_u")).as("rev_u"))
+      .select(col("c_custkey"), col("c_name"),
+        (col("acctbal_c").cast("double") / lit(100.0)).as("acctbal"),
+        col("n_name"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"))
+  }
+
+  val oTpchQ10: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(floor(c.c_acctbal * 100) AS BIGINT)::DOUBLE / 100.0::DOUBLE
+      |    AS acctbal,
+      |  n.n_name,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
+      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ---- TPC-H Q15 shape: top supplier(s) by quarterly revenue. The
+  //      per-supplier revenue aggregate is checkpointed once (the max
+  //      self-reference would otherwise replan and rescan the subtree),
+  //      then the 1-row max is broadcast back ----
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.util.Checkpoints.truncate(
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(
+          floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .as("rev_u")))
+    val top = rev.agg(max(col("rev_u")).as("max_u"))
+    rev.join(broadcast(top), col("rev_u") === col("max_u"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("total_revenue"))
+  }
+
+  val oTpchQ15: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |        (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+      |      AS BIGINT) AS rev_u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name,
+      |  r.rev_u::DOUBLE / 10000.0::DOUBLE AS total_revenue
+      |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.rev_u = (SELECT max(rev_u) FROM revenue)""".stripMargin
+
+  // ---- TPC-H Q16 shape over the lineitem-derived supplier-part pairs
+  //      (this schema ships no partsupp table): distinct suppliers per
+  //      (brand, type, size), excluding negative-balance suppliers (the
+  //      complaints stand-in). Pair distinct is one hash agg; both dims
+  //      broadcast ----
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pf = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    pairs
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val oTpchQ16: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  CAST(count(DISTINCT sp.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sp
+      |JOIN part p ON sp.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#13'
+      |  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+      |  AND sp.l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- TPC-H Q17 shape: small-quantity-order revenue for one brand.
+  //      The avg-quantity correlated subquery becomes a per-part hash agg
+  //      joined back; qty < 0.2*avg is the exact integer inequality
+  //      5*qty*cnt < sum_qty (quantities are integer-valued) ----
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(broadcast(avgq), col("l_partkey") === col("a_partkey"))
+      .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("price_c")).as("price_sum_c"))
+      .select(col("n_small"),
+        (col("price_sum_c").cast("double") / lit(700.0)).as("avg_yearly"))
+  }
+
+  val oTpchQ17: String =
+    """WITH li AS (
+      |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |    AND p.p_brand = 'Brand#13'),
+      |a AS (
+      |  SELECT l_partkey AS a_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 700.0::DOUBLE AS avg_yearly
+      |FROM li JOIN a ON li.l_partkey = a.a_partkey
+      |WHERE qty * 5 * cnt < sum_qty""".stripMargin
 }
