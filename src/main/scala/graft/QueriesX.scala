@@ -1478,4 +1478,112 @@ object QueriesX {
       |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 700.0::DOUBLE AS avg_yearly
       |FROM li JOIN a ON li.l_partkey = a.a_partkey
       |WHERE qty * 5 * cnt < sum_qty""".stripMargin
+
+  // ---- Mann–Whitney U: does the A-return cohort's quantity distribution
+  //      dominate the R-return cohort's? Histogram pair counting, exact
+  //      tie-corrected variance, one mirrored double expression ----
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mannWhitneyU(
+      t(s, dir, "lineitem"), "l_quantity", "l_returnflag", "A", "R")
+
+  val oMannWhitney: String =
+    """WITH hist AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n2
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      |sc AS (
+      |  SELECT v, n1, n2, n1 + n2 AS t,
+      |    COALESCE(CAST(sum(n1 + n2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS cum
+      |  FROM hist),
+      |a AS (
+      |  SELECT CAST(sum(n1) AS BIGINT) AS na, CAST(sum(n2) AS BIGINT) AS nb,
+      |    sum(CAST(n1 AS HUGEINT) * (2 * cum + t + 1)) AS r1x2,
+      |    sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+      |      - CAST(t AS HUGEINT)) AS tsum
+      |  FROM sc)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(r1x2 - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u1_x2,
+      |  CAST(r1x2 - CAST(na AS HUGEINT) * (na + 1)
+      |      - CAST(na AS HUGEINT) * nb AS DOUBLE) /
+      |    (2.0::DOUBLE * sqrt(
+      |      CAST(CAST(na AS HUGEINT) * nb *
+      |        (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+      |          - (na + nb) - tsum) AS DOUBLE) /
+      |      CAST(12 * CAST(na + nb AS HUGEINT) * (na + nb - 1) AS DOUBLE)))
+      |    AS z
+      |FROM a""".stripMargin
+
+  // ---- Kendall tau-b: monotone association between quantity and line
+  //      number via the joint-value histogram (cell x cell pair counting,
+  //      never corpus pairs) ----
+  def qKendallTau(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.kendallTauB(
+      t(s, dir, "lineitem"), "l_quantity", "l_linenumber")
+
+  val oKendallTau: String =
+    """WITH cells AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(l_linenumber AS BIGINT) AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+      |      ELSE 0 END) AS conc,
+      |    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+      |      ELSE 0 END) AS disc
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |xm AS (
+      |  SELECT sum(CAST(tx AS HUGEINT) * (tx - 1)) AS tiex2,
+      |    CAST(sum(tx) AS HUGEINT) AS n
+      |  FROM (SELECT CAST(sum(c) AS BIGINT) AS tx FROM cells GROUP BY x)),
+      |ym AS (
+      |  SELECT sum(CAST(ty AS HUGEINT) * (ty - 1)) AS tiey2
+      |  FROM (SELECT CAST(sum(c) AS BIGINT) AS ty FROM cells GROUP BY y))
+      |SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+      |  CAST(disc AS BIGINT) AS disc,
+      |  2.0::DOUBLE * CAST(conc - disc AS DOUBLE) /
+      |    (sqrt(CAST(n * (n - 1) - tiex2 AS DOUBLE)) *
+      |      sqrt(CAST(n * (n - 1) - tiey2 AS DOUBLE))) AS tau_b
+      |FROM p CROSS JOIN xm CROSS JOIN ym""".stripMargin
+
+  // ---- Cochran–Armitage trend: is order finality monotonically
+  //      associated with the priority tier? One bounded hash agg, exact
+  //      moments, one mirrored z expression ----
+  def qTrendTest(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      substring(col("o_orderpriority"), 1, 1).cast("int").as("w"),
+      (col("o_orderstatus") === "F").as("y"))
+    graft.operators.Stats.trendTest(base, "w", "y")
+  }
+
+  val oTrendTest: String =
+    """WITH rows0 AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |g AS (
+      |  SELECT w, CAST(sum(y) AS BIGINT) AS a,
+      |    CAST(count(*) AS BIGINT) AS ni
+      |  FROM rows0 GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(sum(a) AS HUGEINT) AS r1,
+      |    CAST(sum(ni) AS HUGEINT) AS nn,
+      |    sum(CAST(w AS HUGEINT) * a) AS swa,
+      |    sum(CAST(w AS HUGEINT) * (ni - a)) AS swb,
+      |    sum(CAST(w AS HUGEINT) * ni) AS swn,
+      |    sum(CAST(w AS HUGEINT) * w * ni) AS sw2n
+      |  FROM g)
+      |SELECT CAST(nn AS BIGINT) AS n, CAST(r1 AS BIGINT) AS r1,
+      |  CAST((nn - r1) * swa - r1 * swb AS BIGINT) AS t_stat,
+      |  CAST((nn - r1) * swa - r1 * swb AS DOUBLE) *
+      |    sqrt(CAST(nn AS DOUBLE)) /
+      |    sqrt(CAST(r1 * (nn - r1) * (nn * sw2n - swn * swn) AS DOUBLE))
+      |    AS z
+      |FROM m""".stripMargin
 }

@@ -546,4 +546,147 @@ object Stats {
           (two40.cast(dec) * col("nn").cast(dec) * col("c_scaled").cast(dec))
             .cast("double")).as("contrib"))
   }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) over an
+    * INTEGER-VALUED column with a bounded domain (the [[aucExact]]
+    * contract): does cohort A's value distribution stochastically
+    * dominate cohort B's — the nonparametric A/B read when means are
+    * skew-fragile.
+    *
+    * Pair-counting via the value histogram, never rank windows over
+    * rows: the corpus collapses FIRST into per-value cohort counts (one
+    * hash agg); the only ordered window runs over that bounded-domain
+    * histogram. With average ranks r(v) = cum(<v) + (t+1)/2 carried ×2
+    * to stay integral, 2·R1 = Σ n1(v)·(2·cum + t + 1), 2·U1 = 2·R1 −
+    * n1(n1+1), and the tie-corrected variance
+    *   Var(U) = n1·n2·(N³ − N − Σ(t³−t)) / (12·N·(N−1))
+    * rides in DECIMAL(38,0) (N³ wraps a long past N ≈ 2M). The z-score
+    * is the ONLY float step, its operand order mirrored in the oracle:
+    *   z = (2U1 − n1n2) / (2·√(Var)).
+    *
+    * Output: one row — (n_a, n_b, u1_x2 = 2·U1, z).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("n2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = hist
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cum", coalesce(sum(col("n1") + col("n2")).over(w), lit(0L)))
+    val a = scored.agg(
+      sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
+      sum(col("n1").cast(dec) *
+        (lit(2L) * col("cum") + col("t") + lit(1L)).cast(dec)).as("r1x2"),
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tsum"))
+    val nn = (col("na") + col("nb")).cast(dec)
+    val u1x2 = col("r1x2") -
+      col("na").cast(dec) * (col("na").cast(dec) + lit(1L).cast(dec))
+    val aNum = u1x2 - col("na").cast(dec) * col("nb").cast(dec)
+    val bVar = col("na").cast(dec) * col("nb").cast(dec) *
+      (nn * nn * nn - nn - col("tsum"))
+    a.select(col("na").as("n_a"), col("nb").as("n_b"),
+      u1x2.cast("long").as("u1_x2"),
+      (aNum.cast("double") /
+        (lit(2.0) * sqrt(bVar.cast("double") /
+          (lit(12L).cast(dec) * nn * (nn - lit(1L).cast(dec)))
+            .cast("double")))).as("z"))
+  }
+
+  /** Kendall τ-b rank correlation (Kendall 1938; tie-corrected τ-b per
+    * Kendall 1945) between two INTEGER-VALUED bounded-domain columns —
+    * the monotone-association read that, unlike Pearson, ignores scale
+    * and outliers entirely.
+    *
+    * Pair counting over the joint-value histogram: the corpus collapses
+    * FIRST into |X|·|Y| cells (one hash agg, checkpointed once — the
+    * concordance self-join would otherwise replan and rescan the
+    * corpus), then concordant/discordant pair counts come from the
+    * cell×cell join on x_a < x_b — bounded by the DOMAIN size squared,
+    * never the corpus. Tie terms from the marginals, everything exact:
+    *   τ-b = 2·(C − D) / (√(n(n−1) − Σtx(tx−1)) · √(n(n−1) − Σty(ty−1)))
+    * with the doubled forms kept integral and the final expression
+    * order mirrored in the oracle.
+    *
+    * Output: one row — (n, conc, disc, tau_b).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = graft.util.Checkpoints.truncate(
+      df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c")))
+    val pairs = cells.select(col("x").as("xa"), col("y").as("ya"),
+        col("c").as("ca"))
+      .join(broadcast(cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("c").as("cb"))), col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"),
+          col("ca").cast(dec) * col("cb").cast(dec)).otherwise(lit(0L).cast(dec)))
+          .as("conc"),
+        sum(when(col("ya") > col("yb"),
+          col("ca").cast(dec) * col("cb").cast(dec)).otherwise(lit(0L).cast(dec)))
+          .as("disc"))
+    val xm = cells.groupBy(col("x")).agg(sum(col("c")).as("tx"))
+      .agg(sum(col("tx").cast(dec) * (col("tx") - 1L).cast(dec)).as("tiex2"),
+        sum(col("tx")).cast(dec).as("n"))
+    val ym = cells.groupBy(col("y")).agg(sum(col("c")).as("ty"))
+      .agg(sum(col("ty").cast(dec) * (col("ty") - 1L).cast(dec)).as("tiey2"))
+    val dx2 = col("n") * (col("n") - lit(1L).cast(dec)) - col("tiex2")
+    val dy2 = col("n") * (col("n") - lit(1L).cast(dec)) - col("tiey2")
+    pairs.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
+      .select(col("n").cast("long").as("n"),
+        col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"),
+        (lit(2.0) * (col("conc") - col("disc")).cast("double") /
+          (sqrt(dx2.cast("double")) * sqrt(dy2.cast("double"))))
+          .as("tau_b"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): is a
+    * binary outcome monotonically associated with an ORDERED category
+    * (dose, priority tier, quality bucket)? The categorical-trend
+    * screen a plain χ² can't answer — χ² detects any association,
+    * this detects direction.
+    *
+    * With per-category successes a_i, totals n_i, integer weights w_i,
+    * R1 = Σa_i, R2 = N − R1:
+    *   T = R2·Σw_i·a_i − R1·Σw_i·(n_i − a_i)          (exact)
+    *   Var·N = R1·R2·(N·Σw_i²·n_i − (Σw_i·n_i)²)      (exact)
+    *   z = T·√N / √(R1·R2·(N·Σw_i²n_i − (Σw_i n_i)²))
+    * — one hash agg over categories (bounded), every moment in
+    * DECIMAL(38,0), the z expression order mirrored in the oracle.
+    *
+    * Output: one row — (n, r1, t_stat, z).
+    */
+  def trendTest(df: DataFrame, weightCol: String, outcomeCol: String)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(weightCol).cast("long").as("w"),
+        col(outcomeCol).cast("boolean").cast("long").as("y"))
+      .groupBy(col("w"))
+      .agg(sum(col("y")).as("a"), count(lit(1)).as("ni"))
+    val m = rows.agg(
+      sum(col("a")).cast(dec).as("r1"),
+      sum(col("ni")).cast(dec).as("nn"),
+      sum(col("w").cast(dec) * col("a").cast(dec)).as("swa"),
+      sum(col("w").cast(dec) * (col("ni") - col("a")).cast(dec)).as("swb"),
+      sum(col("w").cast(dec) * col("ni").cast(dec)).as("swn"),
+      sum(col("w").cast(dec) * col("w").cast(dec) * col("ni").cast(dec))
+        .as("sw2n"))
+    val r2 = col("nn") - col("r1")
+    val tStat = r2 * col("swa") - col("r1") * col("swb")
+    val bracket = col("nn") * col("sw2n") - col("swn") * col("swn")
+    m.select(col("nn").cast("long").as("n"), col("r1").cast("long").as("r1"),
+      tStat.cast("long").as("t_stat"),
+      (tStat.cast("double") * sqrt(col("nn").cast("double")) /
+        sqrt((col("r1") * r2 * bracket).cast("double"))).as("z"))
+  }
 }

@@ -337,4 +337,75 @@ class StatsSpec extends SparkSpec {
       .as[(Double, Double, Double, Int)].head()
     assert(again === r, "hash-seeded resampling must be reproducible")
   }
+
+  test("mannWhitneyU: hand examples, tie handling, partition invariance") {
+    // A = {1,2}, B = {3,4}: U1 = 0 (total dominance by B),
+    // z = -4 / (2·√(240/144)) — the exact double expression
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("v", "g")
+    val r = Stats.mannWhitneyU(d, "v", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert((r._1, r._2, r._3) === ((2L, 2L, 0L)))
+    assert(r._4 === -4.0 / (2.0 * math.sqrt(240.0 / 144.0)))
+    // mirrored cohorts: U1 = n1·n2 (max), z flips sign exactly
+    val m = Stats.mannWhitneyU(d, "v", "g", "b", "a")
+      .as[(Long, Long, Long, Double)].head()
+    assert(m._3 === 8L && m._4 === -r._4)
+    // A = {1,2}, B = {2,3}: average rank of the tied 2s is 2.5,
+    // R1 = 3.5 -> 2·U1 = 2·3.5 - n1(n1+1) = 1
+    val t = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")).toDF("v", "g")
+    assert(Stats.mannWhitneyU(t, "v", "g", "a", "b")
+      .select("u1_x2").as[Long].head() === 1L)
+    // histogram collapse is the corpus boundary: partition-invariant
+    val big = (1L to 4000L).map(i =>
+      ((i * 31) % 50, if ((i * 7919) % 3 == 0) "a" else "b")).toDF("v", "g")
+    val x1 = Stats.mannWhitneyU(big.repartition(1), "v", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    val x17 = Stats.mannWhitneyU(big.repartition(17), "v", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(x1 === x17)
+  }
+
+  test("kendallTauB: ±1 on monotone data, textbook tie value, invariance") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val r = Stats.kendallTauB(up, "x", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert((r._1, r._2, r._3) === ((3L, 3L, 0L)))
+    // √a·√b ≈ √(ab) slack: deterministic but 1 ulp off exact ±1
+    assert(math.abs(r._4 - 1.0) < 1e-15)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(math.abs(Stats.kendallTauB(down, "x", "y")
+      .select("tau_b").as[Double].head() + 1.0) < 1e-15)
+    // x=(1,1,2), y=(1,2,2): C=1, D=0, dx2=dy2=4 -> tau_b = 2/(√4·√4) = 0.5
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    assert(Stats.kendallTauB(tied, "x", "y")
+      .select("tau_b").as[Double].head() === 0.5)
+    val big = (1L to 3000L).map(i => ((i * 31) % 40, (i * 17) % 11))
+      .toDF("x", "y")
+    val x1 = Stats.kendallTauB(big.repartition(1), "x", "y")
+      .as[(Long, Long, Long, Double)].head()
+    val x17 = Stats.kendallTauB(big.repartition(17), "x", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert(x1 === x17)
+  }
+
+  test("trendTest: z² = 20 on a perfect staircase, zero on flat, sign flip") {
+    // w=1: 0/10, w=2: 5/10, w=3: 10/10 -> T=300, bracket=600, z=√20
+    val rows = (1 to 10).flatMap(_ => Seq((1L, false), (3L, true))) ++
+      (1 to 5).flatMap(_ => Seq((2L, true), (2L, false)))
+    val d = rows.toDF("w", "y")
+    val r = Stats.trendTest(d, "w", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert((r._1, r._2, r._3) === ((30L, 15L, 300L)))
+    assert(math.abs(r._4 - math.sqrt(20.0)) < 1e-12)
+    // flat proportions: T = 0, z = 0
+    val flat = (1 to 6).flatMap(i => Seq((i % 3 + 1L, true), (i % 3 + 1L, false)))
+      .toDF("w", "y")
+    assert(Stats.trendTest(flat, "w", "y")
+      .select("t_stat", "z").as[(Long, Double)].head() === ((0L, 0.0)))
+    // inverted outcome flips the statistic's sign exactly
+    val inv = d.withColumn("y",
+      !org.apache.spark.sql.functions.col("y"))
+    assert(Stats.trendTest(inv, "w", "y")
+      .select("t_stat").as[Long].head() === -300L)
+  }
 }
