@@ -1586,4 +1586,256 @@ object QueriesX {
       |    sqrt(CAST(r1 * (nn - r1) * (nn * sw2n - swn * swn) AS DOUBLE))
       |    AS z
       |FROM m""".stripMargin
+
+  // ---- TPC-H Q2 shape (schema ships no partsupp): per-part minimum
+  //      unit cost among one region's suppliers, ties kept. Unit cost is
+  //      exact integer division (DIV/"//" — cents DIV qty); the cost
+  //      table is checkpointed once so the min self-reference does not
+  //      rescan the corpus ----
+  def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part").filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val eur = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 3)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        floor(col("s_acctbal") * 100).cast("long").as("bal_c"))
+    val cost = graft.util.Checkpoints.truncate(
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT) DIV " +
+            "CAST(l_quantity AS BIGINT)").as("unit_c"))
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("bal_c"))
+        .agg(min(col("unit_c")).as("cost_c")))
+    val best = cost.groupBy(col("p_partkey").as("b_partkey"))
+      .agg(min(col("cost_c")).as("min_c"))
+    cost.join(broadcast(best),
+        col("p_partkey") === col("b_partkey") &&
+          col("cost_c") === col("min_c"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("cost_c"),
+        (col("bal_c").cast("double") / lit(100.0)).as("acctbal"))
+  }
+
+  val oTpchQ2: String =
+    """WITH cost AS (
+      |  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+      |    CAST(floor(s.s_acctbal * 100) AS BIGINT) AS bal_c,
+      |    min(CAST(floor(l.l_extendedprice * 100) AS BIGINT) //
+      |        CAST(l.l_quantity AS BIGINT)) AS cost_c
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 15
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |    AND n.n_regionkey = 3
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |best AS (
+      |  SELECT p_partkey AS b_partkey, min(cost_c) AS min_c
+      |  FROM cost GROUP BY 1)
+      |SELECT c.p_partkey, c.p_name, c.s_name, c.n_name, c.cost_c,
+      |  c.bal_c::DOUBLE / 100.0::DOUBLE AS acctbal
+      |FROM cost c JOIN best b
+      |  ON c.p_partkey = b.b_partkey AND c.cost_c = b.min_c""".stripMargin
+
+  // ---- TPC-H Q9 shape: profit by supplier nation and order year for a
+  //      part-name family, with p_retailprice standing in for the absent
+  //      ps_supplycost. profit units are cents x percent, exact ----
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part").filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("retail_c"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    t(s, dir, "lineitem")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(
+        floor(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100).cast("long")) -
+          lit(100L) * col("l_quantity").cast("long") * col("retail_c"))
+        .as("profit_u"))
+      .select(col("n_name"), col("o_year"),
+        (col("profit_u").cast("double") / lit(10000.0)).as("profit"))
+  }
+
+  val oTpchQ9: String =
+    """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)) -
+      |      100 * CAST(l.l_quantity AS BIGINT) *
+      |        CAST(floor(p.p_retailprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS profit
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- TPC-H Q11 shape: shipped-value concentration for one nation's
+  //      suppliers — parts whose value exceeds 1/1000 of the national
+  //      total, the fraction test done by exact integer multiplication
+  //      (value x 1000 > total), never division ----
+  def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").filter(col("s_nationkey") === 7)
+      .select(col("s_suppkey"))
+    val value = graft.util.Checkpoints.truncate(
+      t(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long") *
+          floor(col("l_extendedprice") * 100).cast("long")).as("val_u")))
+    val total = value.agg(sum(col("val_u")).as("total_u"))
+    value.crossJoin(broadcast(total))
+      .filter(col("val_u") * lit(1000L) > col("total_u"))
+      .select(col("l_partkey"),
+        (col("val_u").cast("double") / lit(100.0)).as("value"))
+  }
+
+  val oTpchQ11: String =
+    """WITH value AS (
+      |  SELECT l.l_partkey,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT) *
+      |        CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS val_u
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = 7
+      |  GROUP BY 1)
+      |SELECT l_partkey, val_u::DOUBLE / 100.0::DOUBLE AS value
+      |FROM value
+      |WHERE val_u * 1000 > (SELECT CAST(sum(val_u) AS BIGINT) FROM value)"""
+      .stripMargin
+
+  // ---- TPC-H Q12 shape (schema ships no l_shipmode): late-shipment
+  //      priority mix by line status — late = shipped more than 60 days
+  //      after the order date; priority split via exact CASE sums ----
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  val oTpchQ12: String =
+    """SELECT l.l_linestatus,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin
+
+  // ---- TPC-H Q20 shape: suppliers who shipped more of the red part
+  //      family in 1996 than a fifth of their all-years volume (the
+  //      availqty correlation recast per-supplier: 5 x qty_1996 >
+  //      qty_total, exact — above the ~1/7 uniform-year share) — one
+  //      conditional hash agg, no second scan ----
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val red = t(s, dir, "part").filter(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    t(s, dir, "lineitem")
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996,
+          col("l_quantity").cast("long")).otherwise(0L)).as("qty_1996"),
+        sum(col("l_quantity").cast("long")).as("qty_total"))
+      .filter(col("qty_1996") * lit(5L) > col("qty_total"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_name"), col("qty_1996"),
+        col("qty_total"))
+  }
+
+  val oTpchQ20: String =
+    """WITH q AS (
+      |  SELECT l.l_suppkey,
+      |    CAST(sum(CASE WHEN year(l.l_shipdate) = 1996
+      |      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS qty_1996,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+      |  GROUP BY 1)
+      |SELECT s.s_name, n.n_name, q.qty_1996, q.qty_total
+      |FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE q.qty_1996 * 5 > q.qty_total""".stripMargin
+
+  // ---- TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+  //      multi-supplier finalized order (late = shipped >90 days after
+  //      the order date; the schema ships no receipt/commit dates). The
+  //      per-(order, supplier) aggregate is checkpointed once; the
+  //      EXISTS / NOT EXISTS pair becomes integer predicates on the
+  //      per-order rollup ----
+  def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val ordF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val pairs = graft.util.Checkpoints.truncate(
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+          .as("has_late")))
+    val stats = pairs.groupBy(col("o_orderkey").as("k_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_late")).as("n_late"))
+    pairs.filter(col("has_late") === 1L)
+      .join(stats,
+        col("o_orderkey") === col("k_orderkey") &&
+          col("n_supp") > 1L && col("n_late") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+  }
+
+  val oTpchQ21: String =
+    """WITH pairs AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      |      THEN 1 ELSE 0 END) AS has_late
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    AND o.o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+      |    CAST(sum(has_late) AS BIGINT) AS n_late
+      |  FROM pairs GROUP BY 1)
+      |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM pairs p
+      |JOIN stats t ON p.l_orderkey = t.l_orderkey
+      |  AND t.n_supp > 1 AND t.n_late = 1
+      |JOIN supplier s ON p.l_suppkey = s.s_suppkey
+      |WHERE p.has_late = 1
+      |GROUP BY 1""".stripMargin
 }
