@@ -1838,4 +1838,80 @@ object QueriesX {
       |JOIN supplier s ON p.l_suppkey = s.s_suppkey
       |WHERE p.has_late = 1
       |GROUP BY 1""".stripMargin
+
+  // ---- local-peak detection: days strictly above both neighbors and
+  //      the event type's mean; integer cross-multiplied mean test ----
+  def qPeaks(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    graft.operators.Temporal.peakDetect(daily, "event_type", "d", "n")
+  }
+
+  val oPeaks: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+      |    CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, d, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n,
+      |    lead(n) OVER (PARTITION BY event_type ORDER BY d) AS next_n
+      |  FROM daily)
+      |SELECT x.event_type, x.d, x.n, x.prev_n, x.next_n,
+      |  CAST(x.n * t.n_days AS DOUBLE) / CAST(t.tot AS DOUBLE) AS lift
+      |FROM x JOIN tot t ON x.event_type = t.event_type
+      |WHERE x.prev_n IS NOT NULL AND x.next_n IS NOT NULL
+      |  AND x.n > x.prev_n AND x.n > x.next_n
+      |  AND x.n * t.n_days > t.tot""".stripMargin
+
+  // ---- rich-club coefficient of the co-purchase graph (same projection
+  //      as q_triangles): hub interconnection density per degree
+  //      threshold, evaluated against bounded histograms ----
+  def qRichClub(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("src"))
+      .join(li.select(col("k"), col("l_partkey").as("dst")), "k")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.richClub(pairs, Seq(2, 4, 8, 16))
+  }
+
+  val oRichClub: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS k, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 26),
+      |e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |und AS (SELECT u AS s, v AS d FROM e0
+      |        UNION SELECT v, u FROM e0),
+      |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg
+      |        FROM und GROUP BY 1),
+      |degh AS (SELECT dg, CAST(count(*) AS BIGINT) AS dcnt
+      |         FROM deg GROUP BY 1),
+      |ed AS (
+      |  SELECT least(dx.dg, dy.dg) AS md
+      |  FROM und u JOIN deg dx ON u.s = dx.s JOIN deg dy ON u.d = dy.s),
+      |edh AS (SELECT md, CAST(count(*) AS BIGINT) AS mcnt
+      |        FROM ed GROUP BY 1),
+      |ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+      |nr AS (
+      |  SELECT ks.k, CAST(COALESCE(sum(degh.dcnt), 0) AS BIGINT)
+      |    AS n_rich
+      |  FROM ks LEFT JOIN degh ON degh.dg > ks.k GROUP BY 1),
+      |er AS (
+      |  SELECT ks.k, CAST(COALESCE(sum(edh.mcnt), 0) AS BIGINT)
+      |    AS e_rich_x2
+      |  FROM ks LEFT JOIN edh ON edh.md > ks.k GROUP BY 1)
+      |SELECT nr.k, nr.n_rich, er.e_rich_x2,
+      |  CAST(er.e_rich_x2 AS DOUBLE) /
+      |    CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE) AS phi
+      |FROM nr JOIN er ON nr.k = er.k
+      |WHERE nr.n_rich >= 2""".stripMargin
 }

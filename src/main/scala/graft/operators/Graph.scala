@@ -401,6 +401,59 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
+  /** Rich-club coefficient (Zhou & Mondragón 2004): for each degree
+    * threshold k, the density of the subgraph induced by nodes of
+    * degree > k — φ(k) = 2·E(>k) / (N(>k)·(N(>k)−1)). A rising φ(k)
+    * means hubs preferentially interconnect (the "rich club"), the
+    * structural complement of [[assortativity]]'s single summary r.
+    *
+    * Scale shape: symmetrized-distinct edges, one degree agg, one
+    * min-endpoint-degree projection — then the corpus collapses into
+    * TWO bounded histograms (degree-value and min-degree-value), and
+    * every threshold evaluates against the histograms joined to the
+    * literal k list (broadcast, a few rows). No per-k corpus pass, no
+    * induced-subgraph materialization. All counts exact longs; φ is
+    * ONE double division per k. Thresholds with fewer than two rich
+    * nodes are dropped (φ undefined).
+    *
+    * Output: one row per viable k — (k, n_rich, e_rich_x2, phi), with
+    * e_rich_x2 counting directed (symmetrized) edges = 2·E(>k).
+    */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    // und feeds the degree agg AND the min-degree projection, deg feeds
+    // the histogram AND both endpoint joins — truncate once each or the
+    // whole edge derivation replans (and rescans) per reference
+    val und = graft.util.Checkpoints.truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val deg = graft.util.Checkpoints.truncate(
+      und.groupBy(col("src")).agg(count(lit(1)).as("_deg")))
+    val degHist = deg.groupBy(col("_deg").as("dg"))
+      .agg(count(lit(1)).as("dcnt"))
+    val mdHist = und
+      .join(deg.select(col("src"), col("_deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("_deg").as("dy")),
+        Seq("dst"))
+      .select(least(col("dx"), col("dy")).as("md"))
+      .groupBy(col("md")).agg(count(lit(1)).as("mcnt"))
+    val ksDf = edges.sparkSession.range(1)
+      .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+    val nRich = ksDf
+      .join(broadcast(degHist), col("dg") > col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("dcnt")), lit(0L)).as("n_rich"))
+    val eRich = ksDf
+      .join(broadcast(mdHist), col("md") > col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("mcnt")), lit(0L)).as("e_rich_x2"))
+    nRich.join(eRich, Seq("k"))
+      .filter(col("n_rich") >= 2L)
+      .select(col("k"), col("n_rich"), col("e_rich_x2"),
+        (col("e_rich_x2").cast("double") /
+          (col("n_rich") * (col("n_rich") - 1L)).cast("double")).as("phi"))
+  }
+
   /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
     * 2003): for node pairs at distance 2, the common-neighbor count and
     * Jaccard score cn / (deg(u)+deg(w)−cn) — "users who share many

@@ -445,4 +445,39 @@ object Temporal {
         (col("_s").cast("double") /
           lit(math.pow(2.0, maxHalvings)).cast("double")).as("decayed"): _*)
   }
+
+  /** Local-peak detection over per-key daily series: days that strictly
+    * exceed BOTH neighbors AND the key's mean — the spike-triage read
+    * ("which days actually popped for this event type?") behind
+    * incident review and burst labeling. Interior peaks only: a missing
+    * neighbor (series boundary) disqualifies, so the flag never depends
+    * on where the observation window was cut.
+    *
+    * Determinism shape: the corpus collapses FIRST into per-(key, day)
+    * counts (the caller's agg); the lag/lead window then runs over the
+    * bounded day domain per key — the [[cusumChangepoint]] precedent,
+    * never corpus rows. The above-mean test is the exact integer
+    * cross-multiplication cnt·n_days > total (no division); the
+    * reported lift = cnt·n_days / total is the ONLY float op.
+    *
+    * Output: one row per peak — (key, day, cnt, prev_n, next_n, lift).
+    */
+  def peakDetect(daily: DataFrame, keyCol: String, dayCol: String,
+                 cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val totals = daily.groupBy(col(keyCol))
+      .agg(sum(col(cntCol)).as("_tot"), count(lit(1)).as("n_days"))
+    daily
+      .withColumn("prev_n", lag(col(cntCol), 1).over(w))
+      .withColumn("next_n", lead(col(cntCol), 1).over(w))
+      .filter(col("prev_n").isNotNull && col("next_n").isNotNull &&
+        col(cntCol) > col("prev_n") && col(cntCol) > col("next_n"))
+      .join(totals, Seq(keyCol))
+      .filter(col(cntCol) * col("n_days") > col("_tot"))
+      .select(col(keyCol), col(dayCol), col(cntCol), col("prev_n"),
+        col("next_n"),
+        ((col(cntCol) * col("n_days")).cast("double") /
+          col("_tot").cast("double")).as("lift"))
+  }
 }

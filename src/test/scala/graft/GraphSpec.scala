@@ -196,4 +196,22 @@ class GraphSpec extends SparkSpec {
     // hub 100 (degree 6) is not a center -> its leaf pairs never appear
     assert(rh.forall(t => t._1 < 1000L && t._2 < 1000L))
   }
+
+  test("richClub: triangle-with-pendant gives phi=1 among the club, drops k with <2 rich nodes") {
+    // triangle {1,2,3} + pendant 4-1: degrees 1:3, 2:2, 3:2, 4:1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.richClub(e, Seq(1, 2))
+      .as[(Long, Long, Long, Double)].collect().toList
+    // k=1: club {1,2,3}, all 3 undirected edges present -> phi = 6/(3*2) = 1
+    // k=2: only node 1 qualifies -> dropped (phi undefined below 2 nodes)
+    assert(r === List((1L, 3L, 6L, 1.0)))
+    // partition invariance: histogram collapse is the corpus boundary
+    val big = (1L to 2000L).map(i => (i % 97, (i * 31) % 89 + 100))
+      .toDF("src", "dst")
+    val x1 = Graph.richClub(big.repartition(1), Seq(2, 8, 32))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    val x17 = Graph.richClub(big.repartition(17), Seq(2, 8, 32))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(x1 === x17 && x1.nonEmpty)
+  }
 }

@@ -273,4 +273,20 @@ class TemporalSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().map(t => t._1 -> t).toMap
     assert(again === r)
   }
+
+  test("peakDetect: interior strict peaks above the key mean only") {
+    // day 2 pops (5 > 1 both sides, 5*5=25 > total 9); boundaries never peak
+    val a = Seq(("a", 1L, 1L), ("a", 2L, 5L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("a", 5L, 1L)).toDF("k", "d", "n")
+    val r = Temporal.peakDetect(a, "k", "d", "n")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    assert(r === List(("a", 2L, 5L, 1L, 1L, 25.0 / 9.0)))
+    // a local bump below the mean is NOT a peak (2 > 1,1 but 2*5 < 24)
+    val b = Seq(("b", 1L, 10L), ("b", 2L, 1L), ("b", 3L, 2L), ("b", 4L, 1L),
+      ("b", 5L, 10L)).toDF("k", "d", "n")
+    assert(Temporal.peakDetect(b, "k", "d", "n").count() === 0L)
+    // boundary maxima (no neighbor on one side) are disqualified
+    val c = Seq(("c", 1L, 9L), ("c", 2L, 1L), ("c", 3L, 1L)).toDF("k", "d", "n")
+    assert(Temporal.peakDetect(c, "k", "d", "n").count() === 0L)
+  }
 }
