@@ -1914,4 +1914,60 @@ object QueriesX {
       |    CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE) AS phi
       |FROM nr JOIN er ON nr.k = er.k
       |WHERE nr.n_rich >= 2""".stripMargin
+
+  // ---- blocking-quality audit for the record-linkage blocking key:
+  //      per-block candidate pairs, work share, global reduction ratio ----
+  def qBlockingQuality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.blockingQuality(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"))
+
+  val oBlockingQuality: String =
+    """WITH blocks AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT)
+      |    AS n_rows
+      |  FROM customer GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(sum(n_rows) AS HUGEINT) AS nn,
+      |    sum(CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS cand_x2
+      |  FROM blocks)
+      |SELECT b.c_nationkey, b.c_mktsegment, b.n_rows,
+      |  CAST(b.n_rows * (b.n_rows - 1) AS BIGINT) AS pairs_x2,
+      |  CAST(CAST(b.n_rows AS HUGEINT) * (b.n_rows - 1) AS DOUBLE) /
+      |    CAST(t.cand_x2 AS DOUBLE) AS pair_share,
+      |  1.0::DOUBLE - CAST(t.cand_x2 AS DOUBLE) /
+      |    CAST(t.nn * (t.nn - 1) AS DOUBLE) AS reduction_ratio
+      |FROM blocks b CROSS JOIN t""".stripMargin
+
+  // ---- landmark harmonic closeness on the order-supplier graph:
+  //      multi-source bounded BFS from 5 deterministic supplier
+  //      landmarks; reciprocal distances fold via lcm(1..3)=6 scaling ----
+  def qLandmarkCloseness(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val edges = li.select((col("l_orderkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val lms = li.filter(col("l_suppkey") < 5)
+      .select((col("l_suppkey") * 2 + 1).as("lm")).distinct()
+    graft.operators.Graph.landmarkCloseness(edges, lms, rounds = 3)
+  }
+
+  val oLandmarkCloseness: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |    FROM lineitem
+      |    UNION ALL
+      |    SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM lineitem)),
+      |lm AS (
+      |  SELECT DISTINCT l_suppkey * 2 + 1 AS lm FROM lineitem
+      |  WHERE l_suppkey < 5),
+      |bfs(lm, node, d) AS (
+      |  SELECT lm, lm, CAST(0 AS BIGINT) FROM lm
+      |  UNION
+      |  SELECT bfs.lm, e.dst, bfs.d + 1 FROM bfs
+      |  JOIN e ON e.src = bfs.node WHERE bfs.d < 3),
+      |md AS (SELECT lm, node, min(d) AS d FROM bfs GROUP BY 1, 2)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_lm,
+      |  CAST(sum(6 // d) AS BIGINT) AS h_scaled,
+      |  CAST(sum(6 // d) AS BIGINT)::DOUBLE / 6.0::DOUBLE AS harmonic
+      |FROM md WHERE d > 0 GROUP BY 1""".stripMargin
 }

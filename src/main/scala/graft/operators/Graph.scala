@@ -361,6 +361,53 @@ object Graph {
       .select(col("src").as("node"), col("degree"))
   }
 
+  /** Landmark harmonic closeness (the Eppstein–Wang 2004 sampling idea
+    * with deterministic landmarks): for every node, Σ over landmarks of
+    * 1/d(landmark, node) within `rounds` hops — the scale substitute
+    * for exact closeness centrality, whose all-pairs BFS is unrunnable
+    * past small graphs. Callers pass a small deterministic landmark
+    * frame (a literal or filtered id set, never a sample-by-random).
+    *
+    * Determinism: reciprocal distances fold via the lcm scaling rule —
+    * Σ(lcm/d) is an exact integer sum (lcm(1..rounds)); harmonic is ONE
+    * final double division. Multi-source BFS carries (landmark, node)
+    * labels so one unrolled loop serves every landmark at once; the
+    * frontier dedups per round and the edge list is checkpointed once.
+    * Unreached (landmark, node) pairs contribute nothing — exactly the
+    * harmonic-centrality convention for disconnected pairs (1/∞ = 0).
+    *
+    * Output: one row per reached node — (node, n_lm, h_scaled,
+    * harmonic), landmarks' own rows keep d=0 pairs EXCLUDED.
+    */
+  def landmarkCloseness(edges: DataFrame, landmarks: DataFrame,
+                        rounds: Int, checkpoint: Boolean = true)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 12, "rounds in [1,12]")
+    val lcm = (1 to rounds).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val e = if (checkpoint) Checkpoints.truncate(und) else und
+    var frontier = landmarks.select(col("lm"), col("lm").as("node"),
+      lit(0L).as("d"))
+    var reached = frontier
+    for (i <- 1 to rounds) {
+      frontier = frontier.as("f")
+        .join(e.as("g"), col("f.node") === col("g.src"))
+        .select(col("f.lm"), col("g.dst").as("node"), lit(i.toLong).as("d"))
+        .distinct()
+      reached = reached.union(frontier)
+    }
+    reached.groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
+      .filter(col("d") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_lm"),
+        sum(expr(s"$lcm DIV d")).as("h_scaled"))
+      .select(col("node"), col("n_lm"), col("h_scaled"),
+        (col("h_scaled").cast("double") / lit(lcm.toDouble)).as("harmonic"))
+  }
+
   /** Degree assortativity (Newman 2002, "Assortative mixing in
     * networks"): the Pearson correlation of endpoint degrees over the
     * undirected edge list — positive for social-style hub-to-hub mixing,

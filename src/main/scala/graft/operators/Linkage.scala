@@ -80,4 +80,39 @@ object Linkage {
         (wBal + wName + wBand).cast("int").as("score"))
       .filter(col("score") >= minScore)
   }
+
+  /** Blocking-quality audit (the Christen 2012 evaluation step that
+    * belongs BEFORE [[scoredPairs]] runs): per blocking key, the block
+    * size and candidate-pair count, each block's share of the total
+    * comparison work, and the global reduction ratio
+    * 1 − Σn_b(n_b−1) / N(N−1) — "is this blocking key cheap enough, and
+    * which blocks dominate the bill?". A skewed share column is the
+    * early warning that one oversized block will own the linkage
+    * runtime at 100 TB.
+    *
+    * Shape: one hash agg collapses the corpus into blocks (checkpointed
+    * — the totals rollup reuses it), a 1-row totals broadcast, then
+    * per-block arithmetic. Pair counts stay in the doubled integral
+    * form n(n−1); the two ratios are the only float ops, operand order
+    * mirrored in the oracle.
+    */
+  def blockingQuality(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = keyCols.map(col)
+    val blocks = graft.util.Checkpoints.truncate(
+      df.groupBy(g: _*).agg(count(lit(1)).as("n_rows")))
+    val totals = blocks.agg(
+      sum(col("n_rows")).cast(dec).as("_nn"),
+      sum(col("n_rows").cast(dec) * (col("n_rows") - 1L).cast(dec))
+        .as("_cand_x2"))
+    blocks.crossJoin(broadcast(totals))
+      .select(g ++ Seq(
+        col("n_rows"),
+        (col("n_rows") * (col("n_rows") - 1L)).as("pairs_x2"),
+        ((col("n_rows").cast(dec) * (col("n_rows") - 1L).cast(dec))
+          .cast("double") / col("_cand_x2").cast("double")).as("pair_share"),
+        (lit(1.0) - col("_cand_x2").cast("double") /
+          (col("_nn") * (col("_nn") - lit(1L).cast(dec))).cast("double"))
+          .as("reduction_ratio")): _*)
+  }
 }

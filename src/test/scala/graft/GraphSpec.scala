@@ -214,4 +214,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
     assert(x1 === x17 && x1.nonEmpty)
   }
+
+  test("landmarkCloseness: exact lcm-scaled reciprocals on a path graph") {
+    // path 1-2-3-4-5, landmark {1}, 3 rounds: node 5 is out of reach
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val lm = Seq(Tuple1(1L)).toDF("lm")
+    val r = Graph.landmarkCloseness(e, lm, rounds = 3)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet === Set(2L, 3L, 4L))
+    assert(r(2L) === ((2L, 1L, 6L, 1.0)))
+    assert(r(3L) === ((3L, 1L, 3L, 0.5)))
+    assert(r(4L) === ((4L, 1L, 2L, 2.0 / 6.0)))
+    // two landmarks: contributions sum; shortest distance wins per pair
+    val lm2 = Seq(Tuple1(1L), Tuple1(5L)).toDF("lm")
+    val r2 = Graph.landmarkCloseness(e, lm2, rounds = 3)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // node 3: d=2 from both ends -> 3+3 = 6; node 2: 6 (from 1) + 2 (from 5)
+    assert(r2(3L) === ((3L, 2L, 6L, 1.0)))
+    assert(r2(2L) === ((2L, 2L, 8L, 8.0 / 6.0)))
+  }
 }

@@ -50,4 +50,19 @@ class LinkageSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty, "the fixture must actually produce links")
   }
+
+  test("blockingQuality: exact pair accounting and reduction ratio") {
+    // blocks: a=3 rows, b=2 rows -> cand_x2 = 6+2 = 8, N(N-1) = 20
+    val d = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5))
+      .toDF("blk", "id")
+    val r = Linkage.blockingQuality(d, Seq("blk"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("a") === (("a", 3L, 6L, 6.0 / 8.0, 1.0 - 8.0 / 20.0)))
+    assert(r("b") === (("b", 2L, 2L, 2.0 / 8.0, 1.0 - 8.0 / 20.0)))
+    val again = Linkage.blockingQuality(d.repartition(7), Seq("blk"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(again === r)
+  }
 }
