@@ -1970,4 +1970,69 @@ object QueriesX {
       |  CAST(sum(6 // d) AS BIGINT) AS h_scaled,
       |  CAST(sum(6 // d) AS BIGINT)::DOUBLE / 6.0::DOUBLE AS harmonic
       |FROM md WHERE d > 0 GROUP BY 1""".stripMargin
+
+  // ---- functional-dependency discovery over candidate pairs: one
+  //      melted scan, per-group rhs cardinality, per-pair rollup ----
+  def qFdCheck(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.fdProfile(t(s, dir, "orders"), Seq(
+      ("o_orderkey", "o_orderstatus"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderpriority", "o_orderstatus")))
+
+  val oFdCheck: String =
+    """WITH m AS (
+      |  SELECT 'o_orderkey->o_orderstatus' AS fd,
+      |    CAST(o_orderkey AS VARCHAR) AS lhs, o_orderstatus AS rhs
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey->o_orderpriority',
+      |    CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority->o_orderstatus',
+      |    o_orderpriority, o_orderstatus FROM orders),
+      |g AS (
+      |  SELECT fd, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS card,
+      |    CAST(count(*) AS BIGINT) AS nr
+      |  FROM m GROUP BY 1, 2)
+      |SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  max(card) AS max_card,
+      |  CAST(sum(nr) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN card <= 1 THEN nr ELSE 0 END) AS BIGINT)::DOUBLE
+      |    / CAST(sum(nr) AS BIGINT)::DOUBLE AS clean_frac
+      |FROM g GROUP BY 1""".stripMargin
+
+  // ---- split-balance chi^2: is source composition independent of the
+  //      content-hash train/val/test assignment? Exact per-cell
+  //      contributions, Benford discipline ----
+  def qSplitBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.TrainPrep.deterministicSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+    graft.operators.Profiling.splitBalance(docs, "source", "split")
+  }
+
+  val oSplitBalance: String =
+    s"""WITH s0 AS (
+       |  SELECT source,
+       |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM (SELECT source,
+       |          ${H32.format("CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |        FROM documents)),
+       |cells AS (
+       |  SELECT source, split, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM s0 GROUP BY 1, 2),
+       |r AS (SELECT source, CAST(sum(n_obs) AS HUGEINT) AS r
+       |      FROM cells GROUP BY 1),
+       |c AS (SELECT split, CAST(sum(n_obs) AS HUGEINT) AS c
+       |      FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_obs) AS HUGEINT) AS nn FROM cells)
+       |SELECT cells.source, cells.split, cells.n_obs,
+       |  CAST(r.r * c.c AS DOUBLE) / CAST(t.nn AS DOUBLE) AS expected,
+       |  CAST((CAST(cells.n_obs AS HUGEINT) * t.nn - r.r * c.c) *
+       |       (CAST(cells.n_obs AS HUGEINT) * t.nn - r.r * c.c) AS DOUBLE)
+       |    / CAST(t.nn * r.r * c.c AS DOUBLE) AS contrib
+       |FROM cells JOIN r ON cells.source = r.source
+       |JOIN c ON cells.split = c.split CROSS JOIN t""".stripMargin
 }
