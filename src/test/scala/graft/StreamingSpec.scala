@@ -574,4 +574,37 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.head.numRowsTotal === 3L)
     } finally q.stop()
   }
+
+  test("streaming peak confirmation replays the batch peak set across micro-batches") {
+    import graft.streaming.PeakStream
+    import graft.streaming.PeakStream.Sample
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sample]
+    // series a: 1,5,1,1,6,1,6 -> total 21 over 7 days, mean exactly 3/1
+    val series = Seq(1L, 5L, 1L, 1L, 6L, 1L, 6L).zipWithIndex
+      .map { case (v, i) => Sample("a", i + 1L, v) }
+    val q = PeakStream.confirmedPeaks(input.toDS(), refNum = 3L, refDen = 1L)
+      .writeStream.format("memory").queryName("peaks_s")
+      .outputMode("append").start()
+    try {
+      // split MID-series: confirmation of day 2 needs day 3 from batch 2
+      input.addData(series.take(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("peaks_s").count() === 0L, "no successor yet")
+      input.addData(series.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("peaks_s")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      // batch twin on the same series with the same (whole-series) mean
+      val daily = series.map(s => (s.key, s.seq, s.value)).toDF("k", "d", "n")
+      val batch = graft.operators.Temporal.peakDetect(daily, "k", "d", "n")
+        .select("k", "d", "n", "prev_n", "next_n")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch, "streamed peak set must equal the batch fold")
+      assert(streamed === Set(("a", 2L, 5L, 1L, 1L), ("a", 5L, 6L, 1L, 1L)),
+        "days 2 and 5 pop; the trailing day-7 maximum is never confirmable")
+      // state is O(1) per key: one (n, last-two) row
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 1L)
+    } finally q.stop()
+  }
 }
