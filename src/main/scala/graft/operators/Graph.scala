@@ -393,10 +393,12 @@ object Graph {
       lit(0L).as("d"))
     var reached = frontier
     for (i <- 1 to rounds) {
-      frontier = frontier.as("f")
+      val step = frontier.as("f")
         .join(e.as("g"), col("f.node") === col("g.src"))
         .select(col("f.lm"), col("g.dst").as("node"), lit(i.toLong).as("d"))
-        .distinct()
+      // dedup bounds the NEXT round's join fan-out; the last round feeds
+      // only the min-d aggregate, which dedups anyway — skip the shuffle
+      frontier = if (i < rounds) step.distinct() else step
       reached = reached.union(frontier)
     }
     reached.groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
