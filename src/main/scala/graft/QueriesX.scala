@@ -2035,4 +2035,73 @@ object QueriesX {
        |    / CAST(t.nn * r.r * c.c AS DOUBLE) AS contrib
        |FROM cells JOIN r ON cells.source = r.source
        |JOIN c ON cells.split = c.split CROSS JOIN t""".stripMargin
+
+  // ---- growth accounting: weekly active-user ledger decomposed into
+  //      new / retained / resurrected / churned via a shifted
+  //      full-outer self-join on the (user, week) activity grid ----
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val weekly = events(s, dir)
+      .select(col("user_id"), expr("ts DIV 604800000000000").as("w"))
+    graft.operators.Sessions.growthAccounting(weekly, "user_id", "w")
+  }
+
+  val oGrowthAccounting: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w
+      |  FROM events),
+      |f AS (SELECT u, min(w) AS fw FROM weekly GROUP BY 1),
+      |cur AS (SELECT u, w, 1 AS c FROM weekly),
+      |prv AS (SELECT u, w + 1 AS w, 1 AS p FROM weekly),
+      |j AS (
+      |  SELECT COALESCE(cur.u, prv.u) AS u, COALESCE(cur.w, prv.w) AS w,
+      |    cur.c, prv.p
+      |  FROM cur FULL JOIN prv ON cur.u = prv.u AND cur.w = prv.w)
+      |SELECT j.w,
+      |  CAST(sum(CASE WHEN j.c = 1 AND j.w = f.fw THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN j.c = 1 AND j.p = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_retained,
+      |  CAST(sum(CASE WHEN j.c = 1 AND j.p IS NULL AND j.w > f.fw
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |  CAST(sum(CASE WHEN j.c IS NULL AND j.p = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_churned
+      |FROM j JOIN f ON j.u = f.u GROUP BY 1""".stripMargin
+
+  // ---- bipartite audit: parity 2-coloring of the co-purchase graph's
+  //      4-hop ball; any same-parity edge witnesses an odd cycle ----
+  def qBipartiteCheck(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("src"))
+      .join(li.select(col("k"), col("l_partkey").as("dst")), "k")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.bipartiteCheck(pairs, sourceNode = 1L, rounds = 4)
+  }
+
+  val oBipartiteCheck: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT l_orderkey AS k, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 26),
+      |e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b ON a.k = b.k AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT u AS src, v AS dst FROM e0
+      |      UNION SELECT v, u FROM e0),
+      |bfs(node, d) AS (
+      |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION
+      |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+      |  WHERE bfs.d < 4),
+      |dep AS (SELECT node, min(d) AS d FROM bfs GROUP BY 1),
+      |chk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_edges_x2,
+      |    CAST(sum(CASE WHEN (du.d + dv.d) % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_conflicts_x2
+      |  FROM e JOIN dep du ON e.src = du.node
+      |  JOIN dep dv ON e.dst = dv.node)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM dep) AS n_reached,
+      |  chk.n_edges_x2, chk.n_conflicts_x2,
+      |  chk.n_conflicts_x2 = 0 AS is_bipartite_ball
+      |FROM chk""".stripMargin
 }

@@ -450,6 +450,56 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
+  /** Bipartite (2-colorability) audit within a bounded BFS ball: color
+    * every node reached from `sourceNode` within `rounds` hops by depth
+    * parity, then count edges whose endpoints share a parity — each one
+    * witnesses an odd cycle, so n_conflicts_x2 = 0 certifies the ball is
+    * bipartite and n_conflicts_x2 > 0 disproves bipartiteness globally
+    * (an odd cycle anywhere is final; the zero answer is only as wide as
+    * the ball — the documented bounded-round caveat, same as [[kCore]]'s
+    * bounded peeling).
+    *
+    * Shape: the [[landmarkCloseness]] single-source BFS (frontier dedup
+    * per round, edges checkpointed), a min-depth aggregate (checkpointed
+    * — the conflict join uses it twice), then one edge-to-depths
+    * equi-join pair and a 1-row exact rollup.
+    *
+    * Output: one row — (n_reached, n_edges_x2, n_conflicts_x2,
+    * is_bipartite_ball), edge counts in the symmetrized directed form.
+    */
+  def bipartiteCheck(edges: DataFrame, sourceNode: Long, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 12, "rounds in [1,12]")
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val e = Checkpoints.truncate(und)
+    var frontier: DataFrame = edges.sparkSession.range(1)
+      .select(lit(sourceNode).as("node"), lit(0L).as("d"))
+    var reached = frontier
+    for (i <- 1 to rounds) {
+      val step = frontier.as("f")
+        .join(e.as("g"), col("f.node") === col("g.src"))
+        .select(col("g.dst").as("node"), lit(i.toLong).as("d"))
+      frontier = if (i < rounds) step.distinct() else step
+      reached = reached.union(frontier)
+    }
+    val depth = Checkpoints.truncate(
+      reached.groupBy(col("node")).agg(min(col("d")).as("d")))
+    val checked = e
+      .join(depth.select(col("node").as("src"), col("d").as("du")),
+        Seq("src"))
+      .join(depth.select(col("node").as("dst"), col("d").as("dv")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("n_edges_x2"),
+        sum(when((col("du") + col("dv")) % 2 === 0L, 1L).otherwise(0L))
+          .as("n_conflicts_x2"))
+    checked.crossJoin(broadcast(
+        depth.agg(count(lit(1)).as("n_reached"))))
+      .select(col("n_reached"), col("n_edges_x2"), col("n_conflicts_x2"),
+        (col("n_conflicts_x2") === 0L).as("is_bipartite_ball"))
+  }
+
   /** Rich-club coefficient (Zhou & Mondragón 2004): for each degree
     * threshold k, the density of the subgraph induced by nodes of
     * degree > k — φ(k) = 2·E(>k) / (N(>k)·(N(>k)−1)). A rising φ(k)

@@ -87,4 +87,43 @@ object Sessions {
       .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Growth accounting (the SaaS-metrics ledger popularized by Social
+    * Capital): per period, decompose the active-user delta into new
+    * (first-ever period), retained (also active the period before),
+    * resurrected (active before a gap, back now), and churned (active
+    * last period, gone this one — attributed to the period they went
+    * missing). n_active(w) = new + retained + resurrected, and
+    * n_active(w) − n_active(w−1) = new + resurrected − churned — the
+    * identity GrowthSpec asserts.
+    *
+    * Shape: the corpus collapses FIRST into the distinct (user, period)
+    * activity grid (one hash agg, checkpointed — three derivations
+    * reuse it), a per-user first-period agg, one shifted full-outer
+    * self-equi-join on (user, period), and a per-period exact rollup.
+    * No window at all — the lifecycle classification is a join, not an
+    * order.
+    */
+  def growthAccounting(activity: DataFrame, userCol: String,
+                       periodCol: String): DataFrame = {
+    val weekly = graft.util.Checkpoints.truncate(
+      activity.select(col(userCol).as("u"), col(periodCol).as("w"))
+        .distinct())
+    val first = weekly.groupBy(col("u")).agg(min(col("w")).as("fw"))
+    val cur = weekly.select(col("u"), col("w"), lit(1L).as("c"))
+    val prv = weekly.select(col("u"), (col("w") + 1L).as("w"),
+      lit(1L).as("p"))
+    cur.join(prv, Seq("u", "w"), "full")
+      .join(first, Seq("u"))
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("c") === 1L && col("w") === col("fw"), 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("c") === 1L && col("p") === 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("c") === 1L && col("p").isNull && col("w") > col("fw"),
+          1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("c").isNull && col("p") === 1L, 1L).otherwise(0L))
+          .as("n_churned"))
+  }
 }

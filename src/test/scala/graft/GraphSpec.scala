@@ -233,4 +233,17 @@ class GraphSpec extends SparkSpec {
     assert(r2(3L) === ((3L, 2L, 6L, 1.0)))
     assert(r2(2L) === ((2L, 2L, 8L, 8.0 / 6.0)))
   }
+
+  test("bipartiteCheck: clean on an even cycle, odd-cycle witnesses on a triangle") {
+    // C4: parity coloring works -> zero conflicts within the ball
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r4 = Graph.bipartiteCheck(c4, sourceNode = 1L, rounds = 3)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(r4 === ((4L, 8L, 0L, true)))
+    // triangle: depths 0,1,1 -> the (2,3) edge shares parity, both ways
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val rt = Graph.bipartiteCheck(tri, sourceNode = 1L, rounds = 3)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(rt === ((3L, 6L, 2L, false)))
+  }
 }
