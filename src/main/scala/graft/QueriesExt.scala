@@ -4129,6 +4129,34 @@ object QueriesExt {
       |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
       |LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  // ---- time-windowed funnel: each transition must land within 7 days
+  //      of the previous step (exact microsecond bound) ----
+  def qFunnelWindowed(s: SparkSession, dir: String): DataFrame =
+    Sessions.windowedFunnel(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us")),
+      steps = Seq("view", "click", "purchase"),
+      windowMicros = 604800000000L)
+
+  val oFunnelWindowed: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > t1
+      |         AND ts_us <= t1 + 604800000000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t2
+      |         AND ts_us <= t2 + 604800000000 GROUP BY 1)
+      |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+      |  CAST(CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)""".stripMargin
+
   // ---- cohort retention (first-active-day cohorts × day offset) ----
   def qRetention(s: SparkSession, dir: String): DataFrame =
     Sessions.retention(
@@ -4598,6 +4626,22 @@ object QueriesExt {
   //      8×8 NN grid and confirmed via GRAFT_SHOW at two partitionings ----
   def qImageAhash(s: SparkSession, dir: String): DataFrame =
     Multimodal.imageNearDups(fixtureMedia(s), maxHamming = 3)
+
+  // ---- dHash gradient signatures over the same fixtures: uniform fills
+  //      of ANY brightness hash to 0 (dHash keys on gradients, not
+  //      level), the 4×1 checker's 0->765 transitions set bits {2,6} in
+  //      every row; golden VALUES derived via GRAFT_SHOW at two
+  //      partitionings ----
+  def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHashes(fixtureMedia(s)).toDF()
+      .select(col("doc_id"), col("dhash"))
+
+  val oImageDhash: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dhash AS BIGINT) AS dhash
+      |FROM (VALUES
+      |  (1, 0), (3, 0), (4, 0),
+      |  (2, 4919131752989213764)
+      |) t(doc_id, dhash)""".stripMargin
 
   val oImageAhash: String =
     """SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,

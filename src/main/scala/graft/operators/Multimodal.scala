@@ -212,6 +212,49 @@ object Multimodal {
     }
   }
 
+  /** Difference hash (dHash, Krawetz 2013): sample a 9×8 grayscale grid
+    * (nearest-neighbor, the [[aHash]] convention) and set bit (y·8+x)
+    * when the right neighbor is strictly brighter — a GRADIENT
+    * signature, unlike [[aHash]]'s mean-threshold one, so uniform fills
+    * of ANY brightness hash to 0 and only structure separates images.
+    * Integer-only: the bit is g(x+1,y) > g(x,y) on summed-RGB values,
+    * no mean, no division — deterministic by construction.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      def g(x: Int, y: Int): Long = {
+        val rgb = img.getRGB(x * sw / 9, y * sh / 8)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(x + 1, y) > g(x, y)) h |= (1L << (y * 8 + x))
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
+    }
+  }
+
+  final case class ImageDHash(doc_id: Long, dhash: Long)
+
+  def imageDHashes(media: Dataset[MediaRow]): Dataset[ImageDHash] = {
+    implicit val enc = Encoders.product[ImageDHash]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(r => dHash(r.payload).map(ImageDHash(r.doc_id, _)))
+    }
+  }
+
   final case class ImageHash(doc_id: Long, ahash: Long)
 
   def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {

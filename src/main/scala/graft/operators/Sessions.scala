@@ -74,6 +74,38 @@ object Sessions {
         .reduce(_ + _))
   }
 
+  /** Conversion funnel with a per-transition time window: step i+1
+    * counts only if it happens AFTER step i and WITHIN `windowMicros`
+    * of it — the product-analytics semantics ("purchased within 7 days
+    * of the first click"), where the unbounded [[funnel]] over-credits
+    * conversions that took a quarter. Same shape as [[funnel]] — one
+    * filtered scan + user-keyed min-agg + equi-join per step, no window
+    * function — with the extra exact timestamp bound `ts ≤ t_prev + W`.
+    */
+  def windowedFunnel(events: DataFrame, steps: Seq[String],
+                     windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty && windowMicros > 0)
+    var acc = events.select(col("user_id")).distinct()
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val cname = s"t${i + 1}"
+      val candidates =
+        if (i == 0) events.filter(col("event_type") === step)
+        else {
+          val prev = s"t$i"
+          events.filter(col("event_type") === step)
+            .join(acc.select(col("user_id"), col(prev))
+              .filter(col(prev).isNotNull), "user_id")
+            .filter(col("ts_us") > col(prev) &&
+              col("ts_us") <= col(prev) + lit(windowMicros))
+        }
+      val mins = candidates.groupBy(col("user_id")).agg(min(col("ts_us")).as(cname))
+      acc = acc.join(mins, Seq("user_id"), "left")
+    }
+    acc.withColumn("stage",
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
+  }
+
   /** Cohort retention: users belong to the cohort of their first active
     * day; the output counts distinct active users per (cohort,
     * day_offset) — the table every retention curve is drawn from.
