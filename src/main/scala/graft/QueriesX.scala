@@ -2104,4 +2104,36 @@ object QueriesX {
       |  chk.n_edges_x2, chk.n_conflicts_x2,
       |  chk.n_conflicts_x2 = 0 AS is_bipartite_ball
       |FROM chk""".stripMargin
+
+  // ---- Hampel filter: trailing-7-day median/MAD spike flags, exact
+  //      order statistics of integer lists (odd window, no floats) ----
+  def qHampel(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    graft.operators.Temporal.hampelFilter(daily, "event_type", "d", "n")
+  }
+
+  val oHampel: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT event_type, d, n,
+      |    list(n) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS lst
+      |  FROM daily),
+      |y AS (
+      |  SELECT event_type, d, n, lst,
+      |    CAST(list_sort(lst)[4] AS BIGINT) AS med
+      |  FROM x WHERE len(lst) = 7),
+      |z AS (
+      |  SELECT event_type, d, n, med, abs(n - med) AS dev,
+      |    CAST(list_sort(list_transform(lst, v -> abs(v - med)))[4]
+      |      AS BIGINT) AS mad
+      |  FROM y)
+      |SELECT event_type, d, n, med, dev, mad,
+      |  dev > 3 * mad AS is_outlier
+      |FROM z""".stripMargin
 }

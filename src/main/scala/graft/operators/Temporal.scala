@@ -462,6 +462,44 @@ object Temporal {
     *
     * Output: one row per peak — (key, day, cnt, prev_n, next_n, lift).
     */
+  /** Hampel filter (Hampel 1974; the robust spike detector): flag days
+    * whose count sits more than k MADs from the TRAILING window's
+    * median — the outlier rule a mean/σ fence gets wrong because the
+    * spike itself inflates σ. Trailing (not centered) window = the
+    * online semantics; only full windows emit, so a flag never depends
+    * on where the series was cut.
+    *
+    * Exactness by construction: `window` must be ODD, so the median of
+    * the window values and the median of their absolute deviations are
+    * BOTH order statistics of integer lists — exact integers, no
+    * interpolation, no float anywhere (the flag compare is
+    * dev > k·mad on longs). The window's value list is array_sort-ed
+    * before indexing, so collect_list's nondeterministic order never
+    * reaches the result; windows run over the bounded per-key day
+    * domain (the [[peakDetect]]/[[cusumChangepoint]] precedent).
+    *
+    * Output: one row per full-window day — (key, day, cnt, med, dev,
+    * mad, is_outlier).
+    */
+  def hampelFilter(daily: DataFrame, keyCol: String, dayCol: String,
+                   cntCol: String, window: Int = 7, k: Long = 3L)
+      : DataFrame = {
+    require(window >= 3 && window % 2 == 1, "window must be odd >= 3")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(-window, -1)
+    val mid = (window + 1) / 2
+    daily
+      .withColumn("_lst", collect_list(col(cntCol)).over(w))
+      .filter(size(col("_lst")) === window)
+      .withColumn("med", element_at(array_sort(col("_lst")), mid))
+      .withColumn("dev", abs(col(cntCol) - col("med")))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("_lst"), x => abs(x - col("med")))), mid))
+      .select(col(keyCol), col(dayCol), col(cntCol), col("med"), col("dev"),
+        col("mad"), (col("dev") > lit(k) * col("mad")).as("is_outlier"))
+  }
+
   def peakDetect(daily: DataFrame, keyCol: String, dayCol: String,
                  cntCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

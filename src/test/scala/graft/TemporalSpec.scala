@@ -289,4 +289,24 @@ class TemporalSpec extends SparkSpec {
     val c = Seq(("c", 1L, 9L), ("c", 2L, 1L), ("c", 3L, 1L)).toDF("k", "d", "n")
     assert(Temporal.peakDetect(c, "k", "d", "n").count() === 0L)
   }
+
+  test("hampelFilter: exact order-statistic median/MAD, trailing windows only") {
+    // days 1..7 = 1,3,5,7,9,11,13; day 8 spikes to 20, day 9 at 18
+    val vals = Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L, 20L, 18L)
+    val d = vals.zipWithIndex.map { case (v, i) => ("a", i + 1L, v) }
+      .toDF("k", "d", "n")
+    val r = Temporal.hampelFilter(d, "k", "d", "n")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(t => t._2 -> t).toMap
+    // only full 7-windows emit: days 8 and 9
+    assert(r.keySet === Set(8L, 9L))
+    // day 8: window [1..13] -> med 7, dev 13, mad 4 -> 13 > 12 flags
+    assert(r(8L) === (("a", 8L, 20L, 7L, 13L, 4L, true)))
+    // day 9: window [3..13,20] -> med 9, dev 9, mad 4 -> 9 <= 12 clean
+    assert(r(9L) === (("a", 9L, 18L, 9L, 9L, 4L, false)))
+    val again = Temporal.hampelFilter(d.repartition(5), "k", "d", "n")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(t => t._2 -> t).toMap
+    assert(again === r)
+  }
 }
