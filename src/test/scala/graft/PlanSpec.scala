@@ -630,4 +630,44 @@ class PlanSpec extends SparkSpec {
     assert(!pe.contains("CartesianProduct") &&
       !pe.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("r13 late additions keep their scale shapes") {
+    // the TPC-H completions: dims broadcast, fact streamed, no
+    // cartesian anywhere; Q9's four dims are all broadcast-hash
+    for (q <- Seq("q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+      "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q17",
+      "q_tpch_q20", "q_tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert("BroadcastHashJoin".r.findAllIn(plan("q_tpch_q9")).size >= 3,
+      "Q9 star dims must broadcast")
+    // rank statistics never window over corpus rows: the only Window
+    // runs AFTER the histogram hash agg (bounded domain)
+    for (q <- Seq("q_mann_whitney", "q_kendall_tau", "q_trend_test")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") || q == "q_kendall_tau",
+        s"$q has an unexpected cartesian")
+    }
+    // FD melt is ONE scan: a single parquet scan of orders feeds all
+    // candidate pairs (the per-pair union shape would scan 3x)
+    val pf = plan("q_fd_check")
+    assert("FileScan parquet".r.findAllIn(pf).size === 1,
+      "fd melt must scan orders exactly once")
+    // growth accounting: the lifecycle classification is a join, not a
+    // window — no Window operator in the plan at all
+    assert(!plan("q_growth_accounting").contains("Window"),
+      "growth ledger must not window")
+    // hampel: the ONLY window runs over the per-key day domain AFTER
+    // the daily hash agg — the scan side shows the agg below the window
+    val ph = plan("q_hampel")
+    assert(ph.contains("Window"), "hampel needs its bounded window")
+    assert(!ph.contains("CartesianProduct"))
+    // blocking quality / split balance: 1-row totals broadcast back —
+    // nested loops only for broadcast of the 1-row frame
+    for (q <- Seq("q_blocking_quality", "q_split_balance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+  }
 }
