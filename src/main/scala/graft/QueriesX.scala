@@ -2136,4 +2136,50 @@ object QueriesX {
       |SELECT event_type, d, n, med, dev, mad,
       |  dev > 3 * mad AS is_outlier
       |FROM z""".stripMargin
+
+  // ---- global transitivity of the co-purchase graph (same projection
+  //      as q_triangles): 6 x triangles / sum d(d-1), exact counts ----
+  def qTransitivity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("a"))
+      .join(li.select(col("k"), col("l_partkey").as("b")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    graft.operators.Graph.transitivity(pairs)
+  }
+
+  val oTransitivity: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_quantity >= 26 AND b.l_quantity >= 26),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.u ELSE e0.v END AS src,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.v ELSE e0.u END AS dst,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN dv.d ELSE du.d END AS ddst
+      |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+      |w AS (
+      |  SELECT e1.dst AS y, e2.dst AS z
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+      |t AS (
+      |  -- each wedge row matches at most one oriented (y,z) edge, and
+      |  -- wedges with the same (y,z) but different centers each count
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM w JOIN o ON w.y = o.src AND w.z = o.dst),
+      |wd AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) AS wedges_x2 FROM deg)
+      |SELECT t.n_triangles, wd.wedges_x2,
+      |  CAST(6 * t.n_triangles AS DOUBLE) / CAST(wd.wedges_x2 AS DOUBLE)
+      |    AS transitivity
+      |FROM t CROSS JOIN wd""".stripMargin
 }

@@ -273,6 +273,50 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Global transitivity (Newman 2003): 3·triangles / wedges — the
+    * one-number "how cliquish is this graph" summary that complements
+    * [[triangleCounts]]'s per-node view and [[richClub]]'s per-threshold
+    * curve. Same degree-ordered wedge enumeration as [[triangleCounts]]
+    * (each triangle closes exactly one ordered wedge, so the count is
+    * exact with no /3 correction on the wedge side), with the edge and
+    * degree tables checkpointed once (both feed multiple joins). Wedge
+    * total rides the doubled integral form Σd(d−1); the coefficient
+    * 6·T / Σd(d−1) is the ONLY float op, mirrored in the oracle.
+    *
+    * Output: one row — (n_triangles, wedges_x2, transitivity).
+    */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val und = Checkpoints.truncate(
+      edges.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = Checkpoints.truncate(
+      und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedges = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      .join(oriented.select(col("src"), col("dst").as("z"), col("ddst").as("dz")), "src")
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("y"), col("z"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"), "left_semi")
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(deg.agg(
+        sum(col("d") * (col("d") - 1L)).as("wedges_x2"))))
+      .select(col("n_triangles"), col("wedges_x2"),
+        ((lit(6L) * col("n_triangles")).cast("double") /
+          col("wedges_x2").cast("double")).as("transitivity"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E 76)
     * — community detection, the grouping signal BETWEEN connected
     * components (which only see reachability) and modularity methods

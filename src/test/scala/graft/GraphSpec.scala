@@ -246,4 +246,14 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].head()
     assert(rt === ((3L, 6L, 2L, false)))
   }
+
+  test("transitivity: 1 on a clique, 0 on a path, exact wedge accounting") {
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)).toDF("a","b")
+    val r = Graph.transitivity(k4).as[(Long, Long, Double)].head()
+    // K4: 4 triangles, every node degree 3 -> wedges_x2 = 24, phi = 1
+    assert(r === ((4L, 24L, 1.0)))
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.transitivity(path).as[(Long, Long, Double)].head()
+      === ((0L, 2L, 0.0)))
+  }
 }
