@@ -2182,4 +2182,44 @@ object QueriesX {
       |  CAST(6 * t.n_triangles AS DOUBLE) / CAST(wd.wedges_x2 AS DOUBLE)
       |    AS transitivity
       |FROM t CROSS JOIN wd""".stripMargin
+
+  // ---- dedup threshold sweep: the "how much would we delete at
+  //      threshold theta" curve every curation decision needs - pair
+  //      counts and flagged-doc counts at four Jaccard cutoffs from ONE
+  //      pair computation (explode a literal theta list, no re-scan) ----
+  def qDedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.ngramJaccardSample(
+      t(s, dir, "documents"), n = 3, targetSample = 60,
+      minJaccard = 0.2, hashedIds = true)
+    pairs.select(col("a_id"), col("b_id"), col("jaccard"),
+        explode(array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)).as("theta"))
+      .filter(col("jaccard") >= col("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("b_id")).as("n_docs_flagged"))
+  }
+
+  val oDedupSweep: String =
+    """WITH m AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) / 60.0) AS BIGINT)) AS mod
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g
+      |  FROM documents, m
+      |  WHERE ('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |          ::BIGINT % m.mod = 0),
+      |p AS (
+      |  SELECT a_id, b_id, jaccard FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |      CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |        len(list_distinct(a.g || b.g)) AS jaccard
+      |    FROM g a, g b WHERE a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.2)
+      |SELECT theta, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT b_id) AS BIGINT) AS n_docs_flagged
+      |FROM p, (SELECT unnest([0.2, 0.4, 0.6, 0.8]::DOUBLE[]) AS theta) t
+      |WHERE p.jaccard >= t.theta
+      |GROUP BY 1""".stripMargin
 }
