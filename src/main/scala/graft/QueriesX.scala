@@ -2222,4 +2222,97 @@ object QueriesX {
       |FROM p, (SELECT unnest([0.2, 0.4, 0.6, 0.8]::DOUBLE[]) AS theta) t
       |WHERE p.jaccard >= t.theta
       |GROUP BY 1""".stripMargin
+
+  // ---- cohort LTV: cumulative revenue per first-order-month cohort by
+  //      month offset - the revenue-weighted companion to retention.
+  //      Cents-exact sums; the cumulative window runs over the bounded
+  //      month-offset domain per cohort ----
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val first = graft.util.Checkpoints.truncate(
+      ord.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m")))
+    val sizes = first.groupBy(col("cohort_m")).agg(count(lit(1)).as("n_cohort"))
+    val cells = ord.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("offset"))
+      .agg(sum(col("price_c")).as("rev_c"),
+        countDistinct(col("o_custkey")).as("n_active"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+      .join(broadcast(sizes), Seq("cohort_m"))
+      .select(col("cohort_m"), col("offset"), col("n_active"),
+        col("n_cohort"),
+        (col("cum_rev_c").cast("double") / lit(100.0)).as("cum_rev"),
+        (col("cum_rev_c").cast("double") /
+          (lit(100L) * col("n_cohort")).cast("double")).as("ltv_per_customer"))
+  }
+
+  val oCohortLtv: String =
+    """WITH ord AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS cohort_m FROM ord GROUP BY 1),
+      |sz AS (SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_cohort
+      |       FROM f GROUP BY 1),
+      |cells AS (
+      |  SELECT f.cohort_m, ord.m - f.cohort_m AS "offset",
+      |    CAST(sum(price_c) AS BIGINT) AS rev_c,
+      |    CAST(count(DISTINCT ord.o_custkey) AS BIGINT) AS n_active
+      |  FROM ord JOIN f ON ord.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_m, "offset", n_active,
+      |    CAST(sum(rev_c) OVER (PARTITION BY cohort_m ORDER BY "offset"
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_rev_c
+      |  FROM cells)
+      |SELECT c.cohort_m, c."offset", c.n_active, sz.n_cohort,
+      |  c.cum_rev_c::DOUBLE / 100.0::DOUBLE AS cum_rev,
+      |  c.cum_rev_c::DOUBLE / CAST(100 * sz.n_cohort AS DOUBLE)
+      |    AS ltv_per_customer
+      |FROM cum c JOIN sz ON c.cohort_m = sz.cohort_m""".stripMargin
+
+  // ---- duplicate-payment audit: same customer, same amount bucket
+  //      (nearest $100 - this synthetic price domain never repeats to
+  //      the cent), different order, within 90 days - the classic AP
+  //      double-charge screen as a (customer, amount) equi-join ----
+  def qDupInvoices(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT) DIV 10000")
+        .as("amt_b"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("ts_us"))
+    o.select(col("o_custkey"), col("amt_b"),
+        col("o_orderkey").as("a_key"), col("ts_us").as("a_ts"))
+      .join(o.select(col("o_custkey"), col("amt_b"),
+        col("o_orderkey").as("b_key"), col("ts_us").as("b_ts")),
+        Seq("o_custkey", "amt_b"))
+      .filter(col("a_key") < col("b_key") &&
+        abs(col("a_ts") - col("b_ts")) <= lit(90L * 86400000000L))
+      .select(col("o_custkey"), col("a_key"), col("b_key"),
+        (col("amt_b") * lit(100L)).as("amount_bucket"),
+        // DIV, not `/` (which widens longs to DOUBLE and then truncates
+        // differently than integer floor) — the binning discipline
+        expr("abs(a_ts - b_ts) DIV 86400000000").as("day_gap"))
+  }
+
+  val oDupInvoices: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) // 10000 AS amt_b,
+      |    epoch_us(o_orderdate) AS ts_us
+      |  FROM orders)
+      |SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+      |  CAST(a.amt_b * 100 AS BIGINT) AS amount_bucket,
+      |  CAST(abs(a.ts_us - b.ts_us) // 86400000000 AS BIGINT) AS day_gap
+      |FROM o a JOIN o b
+      |  ON a.o_custkey = b.o_custkey AND a.amt_b = b.amt_b
+      |  AND a.o_orderkey < b.o_orderkey
+      |  AND abs(a.ts_us - b.ts_us) <= 90 * 86400000000""".stripMargin
 }
