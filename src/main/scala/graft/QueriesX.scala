@@ -2315,4 +2315,68 @@ object QueriesX {
       |  ON a.o_custkey = b.o_custkey AND a.amt_b = b.amt_b
       |  AND a.o_orderkey < b.o_orderkey
       |  AND abs(a.ts_us - b.ts_us) <= 90 * 86400000000""".stripMargin
+
+  // ---- sample-ratio mismatch: the experimentation guardrail - a
+  //      hash-based 50/50 assignment whose observed split drifts is a
+  //      broken experiment, not a treatment effect. Exact integer flag
+  //      (na-nb)^2 > 4(na+nb) = |z| > 2; z itself is the one float ----
+  def qAbSrm(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (graft.functions.Portable.hash32(col("user_id"), 11) % 2)
+          .as("variant"))
+    users.agg(
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          lit(4L) * (col("n_a") + col("n_b"))).as("srm_flag"),
+        ((col("n_a") - col("n_b")).cast("double") /
+          sqrt((col("n_a") + col("n_b")).cast("double"))).as("z"))
+  }
+
+  val oAbSrm: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |v AS (
+       |  SELECT ${H32.format("'11#' || CAST(user_id AS VARCHAR)")} % 2
+       |    AS variant
+       |  FROM u),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM v)
+       |SELECT n_a, n_b,
+       |  (n_a - n_b) * (n_a - n_b) > 4 * (n_a + n_b) AS srm_flag,
+       |  CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)) AS z
+       |FROM a""".stripMargin
+
+  // ---- funnel conversion-latency histogram: days from first view to
+  //      the (windowed) purchase for fully converting users ----
+  def qFunnelLatency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.windowedFunnel(
+        events(s, dir).select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us")),
+        steps = Seq("view", "click", "purchase"),
+        windowMicros = 604800000000L)
+      .filter(col("stage") === 3L)
+      .groupBy(expr("(t3 - t1) DIV 86400000000").as("day_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+
+  val oFunnelLatency: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > t1
+      |         AND ts_us <= t1 + 604800000000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t2
+      |         AND ts_us <= t2 + 604800000000 GROUP BY 1)
+      |SELECT (s3.t3 - s1.t1) // 86400000000 AS day_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM s3 JOIN s1 USING (user_id) GROUP BY 1""".stripMargin
 }
