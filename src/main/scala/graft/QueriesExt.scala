@@ -629,6 +629,23 @@ object QueriesExt {
       Similarity.nearDupByBlock(emb, "label", minCosine = 0.3), emb, "vec_id")
   }
 
+  // ---- dedup impact report: the near-dup cluster SIZE distribution -
+  //      "how much mass sits in how-big duplicate families" is the
+  //      number a curation review asks for before approving a delete ----
+  def qDupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    qNearDupClusters(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  // lazy: oNearDupClusters is declared later in the file; a strict val
+  // would interpolate null at object init
+  lazy val oDupClusterSizes: String =
+    s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM ($oNearDupClusters) c GROUP BY 1) g
+       |GROUP BY 1""".stripMargin
+
   val oNearDupClusters: String =
     s"""WITH RECURSIVE
        |pairs AS ($oEmbedNearDup),
