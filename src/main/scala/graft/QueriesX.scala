@@ -2379,4 +2379,79 @@ object QueriesX {
       |SELECT (s3.t3 - s1.t1) // 86400000000 AS day_bucket,
       |  CAST(count(*) AS BIGINT) AS n_users
       |FROM s3 JOIN s1 USING (user_id) GROUP BY 1""".stripMargin
+
+  // ---- new-vs-returning revenue split: per month, revenue from
+  //      customers in their FIRST month vs returning customers - the
+  //      growth-accounting ledger weighted by money. Cents-exact ----
+  def qRevSplit(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val first = ord.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
+    ord.join(first, Seq("o_custkey"))
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("m") === col("fm"), col("price_c")).otherwise(0L))
+          .as("rev_new_c"),
+        sum(when(col("m") =!= col("fm"), col("price_c")).otherwise(0L))
+          .as("rev_ret_c"),
+        sum(when(col("m") === col("fm"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("m") =!= col("fm"), 1L).otherwise(0L)).as("n_ret"))
+      .select(col("m"), col("n_new"), col("n_ret"),
+        (col("rev_new_c").cast("double") / lit(100.0)).as("rev_new"),
+        (col("rev_ret_c").cast("double") / lit(100.0)).as("rev_returning"))
+  }
+
+  val oRevSplit: String =
+    """WITH ord AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS fm FROM ord GROUP BY 1)
+      |SELECT ord.m,
+      |  CAST(sum(CASE WHEN ord.m = f.fm THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN ord.m <> f.fm THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ret,
+      |  CAST(sum(CASE WHEN ord.m = f.fm THEN price_c ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS rev_new,
+      |  CAST(sum(CASE WHEN ord.m <> f.fm THEN price_c ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS rev_returning
+      |FROM ord JOIN f ON ord.o_custkey = f.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- shipping SLA attainment: share of orders whose FIRST shipment
+  //      left within 30 days, by priority - exact interval compare,
+  //      one mirrored division ----
+  def qSlaAttainment(s: SparkSession, dir: String): DataFrame = {
+    val firstShip = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship0"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("ship0") <=
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"), 1L).otherwise(0L))
+          .as("n_within_sla"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_within_sla"),
+        (col("n_within_sla").cast("double") /
+          col("n_orders").cast("double")).as("attainment"))
+  }
+
+  val oSlaAttainment: String =
+    """WITH fs AS (
+      |  SELECT l_orderkey, min(l_shipdate) AS ship0
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN fs.ship0 <= o.o_orderdate + INTERVAL 30 DAY
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+      |  CAST(sum(CASE WHEN fs.ship0 <= o.o_orderdate + INTERVAL 30 DAY
+      |    THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS attainment
+      |FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+      |GROUP BY 1""".stripMargin
 }
