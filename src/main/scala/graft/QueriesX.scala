@@ -2454,4 +2454,87 @@ object QueriesX {
       |    CAST(count(*) AS BIGINT)::DOUBLE AS attainment
       |FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
       |GROUP BY 1""".stripMargin
+
+  // ---- peak concurrency: max simultaneous (30-min-gap) sessions per
+  //      day at hour granularity - each session explodes into its
+  //      covered hour buckets (fan-out bounded by session duration),
+  //      one hour-keyed count, one day-keyed max. No sweep-line sort ----
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessions.sessionize(
+      events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("ts_us")),
+      gapMicros = 1800000000L)
+    sess
+      .select(explode(sequence(expr("start_us DIV 3600000000"),
+        expr("end_us DIV 3600000000"))).as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n_concurrent"))
+      .groupBy(expr("hr DIV 24").as("day"))
+      .agg(max(col("n_concurrent")).as("peak_concurrent"),
+        count(lit(1)).as("n_active_hours"))
+  }
+
+  val oPeakConcurrency: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+      |      AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, session_idx, min(ts_us) AS start_us,
+      |    max(ts_us) AS end_us
+      |  FROM (SELECT user_id, event_id, ts_us,
+      |          sum(is_new) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS session_idx
+      |        FROM flagged)
+      |  GROUP BY 1, 2),
+      |hours AS (
+      |  SELECT unnest(range(start_us // 3600000000,
+      |    end_us // 3600000000 + 1)) AS hr
+      |  FROM sess),
+      |hc AS (SELECT hr, CAST(count(*) AS BIGINT) AS n_concurrent
+      |       FROM hours GROUP BY 1)
+      |SELECT hr // 24 AS day,
+      |  CAST(max(n_concurrent) AS BIGINT) AS peak_concurrent,
+      |  CAST(count(*) AS BIGINT) AS n_active_hours
+      |FROM hc GROUP BY 1""".stripMargin
+
+  // ---- brand markup: sold value vs catalog value per brand - the
+  //      ratio of two exact integer sums, never per-row division ----
+  def qBrandMarkup(s: SparkSession, dir: String): DataFrame = {
+    val pf = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100).cast("long").as("retail_c"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("price_c")).as("sold_c"),
+        sum(col("qty") * col("retail_c")).as("catalog_c"),
+        count(lit(1)).as("n_lines"))
+      .select(col("p_brand"), col("n_lines"),
+        (col("sold_c").cast("double") / lit(100.0)).as("sold_value"),
+        (col("catalog_c").cast("double") / lit(100.0)).as("catalog_value"),
+        (col("sold_c").cast("double") / col("catalog_c").cast("double"))
+          .as("markup_ratio"))
+  }
+
+  val oBrandMarkup: String =
+    """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS sold_value,
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT) *
+      |    CAST(floor(p.p_retailprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS catalog_value,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE /
+      |  CAST(sum(CAST(l.l_quantity AS BIGINT) *
+      |    CAST(floor(p.p_retailprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE AS markup_ratio
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1""".stripMargin
 }
