@@ -2537,4 +2537,289 @@ object QueriesX {
       |    AS BIGINT)::DOUBLE AS markup_ratio
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1""".stripMargin
+
+  // ---- type-token ratio by document-length bucket: the lexical-
+  //      diversity curve corpus curation reads before length-filtering.
+  //      Per-doc distinct is a two-phase (partial-aggregable) count;
+  //      the bucket ratio is the ONLY float op, a ratio of exact sums ----
+  def qTtr(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("token")).as("n_typ"))
+    per.groupBy(expr("n_tok DIV 20").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"), sum(col("n_typ")).as("types"))
+      .select(col("len_bucket"), col("n_docs"), col("tokens"), col("types"),
+        (col("types").cast("double") / col("tokens").cast("double")).as("ttr"))
+  }
+
+  val oTtr: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(count(DISTINCT token) AS BIGINT) AS n_typ
+      |  FROM tok GROUP BY 1)
+      |SELECT n_tok // 20 AS len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+      |  CAST(sum(n_typ) AS BIGINT) AS types,
+      |  CAST(sum(n_typ) AS BIGINT)::DOUBLE /
+      |    CAST(sum(n_tok) AS BIGINT)::DOUBLE AS ttr
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- hapax legomena share per source: fraction of each source's
+  //      vocabulary occurring exactly once — the classic "how much
+  //      long-tail noise does this domain carry" curation signal ----
+  def qHapax(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+    tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"))
+  }
+
+  val oHapax: String =
+    """WITH tf AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS f FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS hapax_share
+      |FROM tf GROUP BY 1""".stripMargin
+
+  // ---- token document-frequency histogram: for each df value, how many
+  //      distinct tokens carry it — the cost planner every shingle-keyed
+  //      dedup/join reads first (the df≤10 rare-shingle cutoffs, stop-gram
+  //      caps, and CMS widths all come from this curve). Two hash aggs ----
+  def qTokenDfHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_tokens"))
+
+  val oTokenDfHist: String =
+    """WITH d AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+      |       FROM d GROUP BY 1)
+      |SELECT df, CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM df GROUP BY 1""".stripMargin
+
+  // ---- vocabulary-growth (Heaps' law) curve: cumulative distinct-type
+  //      count at doc-id checkpoints, over word BIGRAMS (the unigram
+  //      vocabulary saturates in the first few docs — bigrams carry the
+  //      growth signal). Each type contributes at its FIRST doc (one
+  //      min-agg); buckets cumulate over the bounded checkpoint domain
+  //      (n_docs/25 rows) — the window-discipline regime. Bigram rows
+  //      come from arrays_zip of the two shifted slices (codegen-friendly,
+  //      the collocations idiom) ----
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val toksP = split(col("text"), " ")
+    val nP = size(toksP) - 1
+    val firstDoc = t(s, dir, "documents")
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toksP, lit(1), nP), slice(toksP, lit(2), nP))).as("p"))
+      .select(col("doc_id"),
+        concat(col("p.0"), lit(" "), col("p.1")).as("bigram"))
+      .groupBy(col("bigram")).agg(min(col("doc_id")).as("fd"))
+    val perBucket = firstDoc
+      .groupBy(expr("fd DIV 25").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    perBucket.select(col("bucket"), col("new_types"),
+      sum(col("new_types")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("vocab"))
+  }
+
+  val oVocabGrowth: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |fd AS (
+      |  SELECT bigram, min(doc_id) AS fd FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |    FROM toks)
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT fd // 25 AS bucket, CAST(count(*) AS BIGINT) AS new_types
+      |  FROM fd GROUP BY 1)
+      |SELECT bucket, new_types,
+      |  CAST(sum(new_types) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS vocab
+      |FROM b""".stripMargin
+
+  // ---- return rate per supplier nation and ship year: the supplier
+  //      quality scorecard — exact counts, one broadcast dim join, one
+  //      mirrored division ----
+  def qReturnRate(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_returnflag"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("yr"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+      .select(col("s_nationkey"), col("yr"), col("n_lines"), col("n_returned"),
+        (col("n_returned").cast("double") / col("n_lines").cast("double"))
+          .as("return_rate"))
+  }
+
+  val oReturnRate: String =
+    """SELECT s.s_nationkey, CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_returned,
+      |  CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+      |    AS return_rate
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- repeat-purchase rate per market segment: share of customers
+  //      with >= 2 orders — includes order-less customers via the left
+  //      join + coalesce(0) (the empty-cohort parity discipline) ----
+  def qRepeatRate(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"))
+    t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_ord") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_repeat"),
+        (col("n_repeat").cast("double") / col("n_customers").cast("double"))
+          .as("repeat_rate"))
+  }
+
+  val oRepeatRate: String =
+    """WITH cnt AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT c_mktsegment, coalesce(cnt.n_ord, 0) AS n_ord
+      |  FROM customer LEFT JOIN cnt ON c_custkey = o_custkey)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat,
+      |  CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+      |    / CAST(count(*) AS BIGINT)::DOUBLE AS repeat_rate
+      |FROM c GROUP BY 1""".stripMargin
+
+  // ---- mean local clustering coefficient by degree (the C(d) curve;
+  //      Watts-Strogatz per node, aggregated): same co-purchase
+  //      projection as q_triangles/q_transitivity, per-node triangle
+  //      counts from the degree-ordered wedge enumeration. Within a
+  //      degree class the denominator d(d-1)/2 is constant, so the
+  //      ratio of exact sums IS the exact mean of per-node ratios ----
+  def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("a"))
+      .join(li.select(col("k"), col("l_partkey").as("b")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val und = pairs.distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.join(graft.operators.Graph.triangleCounts(pairs), Seq("node"), "left")
+      .select(col("d"), coalesce(col("n_triangles"), lit(0L)).as("tri"))
+      .filter(col("d") >= 2L)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("tri_sum"))
+      .select(col("d"), col("n_nodes"), col("tri_sum"),
+        ((lit(2L) * col("tri_sum")).cast("double") /
+          (col("n_nodes") * col("d") * (col("d") - 1L)).cast("double"))
+          .as("mean_cc"))
+  }
+
+  val oLocalClustering: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_quantity >= 26 AND b.l_quantity >= 26),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.u ELSE e0.v END AS src,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.v ELSE e0.u END AS dst,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN dv.d ELSE du.d END AS ddst
+      |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+      |w AS (
+      |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+      |tri AS (
+      |  SELECT w.x, w.y, w.z
+      |  FROM w JOIN o ON w.y = o.src AND w.z = o.dst),
+      |pern AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY 1),
+      |nd AS (
+      |  SELECT deg.d, coalesce(pern.tri, 0) AS tri
+      |  FROM deg LEFT JOIN pern ON deg.node = pern.node
+      |  WHERE deg.d >= 2)
+      |SELECT d, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(tri) AS BIGINT) AS tri_sum,
+      |  CAST(2 * sum(tri) AS DOUBLE) /
+      |    CAST(count(*) * d * (d - 1) AS DOUBLE) AS mean_cc
+      |FROM nd GROUP BY 1""".stripMargin
+
+  // ---- per-user burstiness: Fano factor (variance/mean) of hourly
+  //      event counts over the user's ACTIVE hours — 1.0 = Poisson,
+  //      higher = bursty. Three exact long moments, one mirrored
+  //      division: fano = (n*s2 - s1^2) / (n*s1) ----
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir)
+      .select(col("user_id"), expr("ts DIV 1000 DIV 3600000000").as("hr"))
+      .groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("user_id"), col("n_hours"), col("n_events"),
+        ((col("n_hours") * col("s2") - col("n_events") * col("n_events"))
+          .cast("double") /
+          (col("n_hours") * col("n_events")).cast("double")).as("fano"))
+  }
+
+  val oBurstiness: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(c) AS BIGINT) AS n_events,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, n_hours, n_events,
+      |  CAST(n_hours * s2 - n_events * n_events AS DOUBLE) /
+      |    CAST(n_hours * n_events AS DOUBLE) AS fano
+      |FROM p""".stripMargin
 }
