@@ -2822,4 +2822,147 @@ object QueriesX {
       |  CAST(n_hours * s2 - n_events * n_events AS DOUBLE) /
       |    CAST(n_hours * n_events AS DOUBLE) AS fano
       |FROM p""".stripMargin
+
+  // ---- session-depth histogram: for each session size (events per
+  //      30-min-gap session), how many sessions and their mean duration
+  //      — the engagement-shape profile. Depth domain is bounded, the
+  //      mean is a ratio of exact long sums ----
+  def qSessionDepthHist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.sessionize(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us")),
+        gapMicros = 1800000000L)
+      .groupBy(col("n_events").as("depth"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("duration_us")).as("dur_sum_us"))
+      .select(col("depth"), col("n_sessions"),
+        (col("dur_sum_us").cast("double") /
+          col("n_sessions").cast("double")).as("mean_duration_us"))
+
+  val oSessionDepthHist: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+      |      AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+      |    max(ts_us) - min(ts_us) AS dur
+      |  FROM (SELECT user_id, event_id, ts_us,
+      |          sum(is_new) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS session_idx
+      |        FROM flagged)
+      |  GROUP BY 1, 2)
+      |SELECT n_events AS depth, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(dur) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_duration_us
+      |FROM sess GROUP BY 1""".stripMargin
+
+  // ---- local-trade share per order year: revenue where the supplier
+  //      and the ordering customer sit in the SAME nation vs cross-
+  //      border — two broadcast dim joins onto the fact stream, exact
+  //      cents, one mirrored division ----
+  def qLocalTrade(s: SparkSession, dir: String): DataFrame = {
+    val custNation = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"), col("c_nationkey"))
+    val supNation = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("yr"))
+      .agg(
+        sum(when(col("c_nationkey") === col("s_nationkey"), col("price_c"))
+          .otherwise(0L)).as("local_c"),
+        sum(col("price_c")).as("total_c"),
+        count(lit(1)).as("n_lines"))
+      .select(col("yr"), col("n_lines"),
+        (col("local_c").cast("double") / lit(100.0)).as("local_rev"),
+        (col("total_c").cast("double") / lit(100.0)).as("total_rev"),
+        (col("local_c").cast("double") / col("total_c").cast("double"))
+          .as("local_share"))
+  }
+
+  val oLocalTrade: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |j AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    CASE WHEN c.c_nationkey = s.s_nationkey THEN li.price_c
+      |         ELSE 0 END AS local_c,
+      |    li.price_c
+      |  FROM li
+      |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(local_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS local_rev,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS total_rev,
+      |  CAST(sum(local_c) AS BIGINT)::DOUBLE /
+      |    CAST(sum(price_c) AS BIGINT)::DOUBLE AS local_share
+      |FROM j GROUP BY 1""".stripMargin
+
+  // ---- order-size histogram: lines-per-order distribution plus the
+  //      mean order value at each size — two hash aggs, exact cents ----
+  def qOrderSizeHist(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("val_c"))
+    per.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("val_c")).as("sum_c"))
+      .select(col("n_lines"), col("n_orders"),
+        (col("sum_c").cast("double") /
+          (col("n_orders") * lit(100L)).cast("double")).as("mean_order_value"))
+  }
+
+  val oOrderSizeHist: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS val_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(val_c) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) * 100 AS BIGINT)::DOUBLE AS mean_order_value
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- discount-band lift: mean quantity and revenue per discount
+  //      percent band — the "does a deeper discount move volume" curve.
+  //      Quantity is integer-valued in the data; the band mean is a
+  //      ratio of exact sums ----
+  def qDiscountLift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("qty_sum"),
+        sum(col("price_c")).as("rev_c"))
+      .select(col("disc_pct"), col("n_lines"),
+        (col("qty_sum").cast("double") / col("n_lines").cast("double"))
+          .as("mean_qty"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"))
+
+  val oDiscountLift: String =
+    """SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM lineitem GROUP BY 1""".stripMargin
 }
