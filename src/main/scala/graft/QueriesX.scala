@@ -2965,4 +2965,135 @@ object QueriesX {
       |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
       |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue
       |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ---- embedding normalization-error histogram: buckets of 1e-7 in
+  //      (norm² − 1) — the "are these vectors EXACTLY unit-normalized"
+  //      sanity profile before cosine = dot-product shortcuts. The fold
+  //      runs in ARRAY ORDER with per-element double casts on both
+  //      engines (the identical-operand-order float discipline), so the
+  //      bucket edge is deterministic ----
+  def qEmbedNormHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(expr(
+        """CAST(floor((aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) - 1.0)
+          |* 10000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+        .as("err_1e7"))
+      .groupBy(col("err_1e7")).agg(count(lit(1)).as("n_vectors"))
+
+  val oEmbedNormHist: String =
+    """SELECT CAST(floor((list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (a, b) -> a + b) - 1.0) * 10000000.0) AS BIGINT) AS err_1e7,
+      |  CAST(count(*) AS BIGINT) AS n_vectors
+      |FROM embeddings GROUP BY 1""".stripMargin
+
+  // ---- prefix-duplication audit: how many docs share their first 32
+  //      chars with how many others — the cheap "templated boilerplate"
+  //      detector run before any shingle-level dedup. Two hash aggs ----
+  def qPrefixDup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(substring(col("text"), 1, 32).as("prefix"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        (count(lit(1)) * col("group_size")).as("n_docs"))
+
+  val oPrefixDup: String =
+    """WITH g AS (
+      |  SELECT substr(text, 1, 32) AS prefix,
+      |    CAST(count(*) AS BIGINT) AS group_size
+      |  FROM documents GROUP BY 1)
+      |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(count(*) * group_size AS BIGINT) AS n_docs
+      |FROM g GROUP BY 1""".stripMargin
+
+  // ---- bigram coverage by frequency threshold: what share of all
+  //      bigram OCCURRENCES is covered by types with freq >= F, for a
+  //      literal threshold ladder — the vocabulary-truncation planning
+  //      curve (how much text a top-of-the-distribution vocab explains).
+  //      One freq agg; thresholds evaluate against the bounded type
+  //      table, never re-scanning the corpus ----
+  def qNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toksP = split(col("text"), " ")
+    val nP = size(toksP) - 1
+    val freq = t(s, dir, "documents")
+      .select(explode(arrays_zip(
+        slice(toksP, lit(1), nP), slice(toksP, lit(2), nP))).as("p"))
+      .select(concat(col("p.0"), lit(" "), col("p.1")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("f"))
+    freq
+      .select(col("f"),
+        explode(array(Seq(2L, 5L, 10L, 20L).map(lit): _*)).as("f_min"))
+      .groupBy(col("f_min"))
+      .agg(sum(when(col("f") >= col("f_min"), 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("f") >= col("f_min"), col("f")).otherwise(0L))
+          .as("covered"),
+        sum(col("f")).as("total"))
+      .select(col("f_min"), col("n_types"), col("covered"), col("total"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
+  val oNgramCoverage: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents),
+      |f AS (
+      |  SELECT bigram, CAST(count(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts)),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      |    FROM toks)
+      |  GROUP BY 1),
+      |x AS (
+      |  SELECT f.f, t.f_min
+      |  FROM f CROSS JOIN
+      |    (SELECT unnest([2, 5, 10, 20]::BIGINT[]) AS f_min) t)
+      |SELECT f_min,
+      |  CAST(sum(CASE WHEN f >= f_min THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_types,
+      |  CAST(sum(CASE WHEN f >= f_min THEN f ELSE 0 END) AS BIGINT)
+      |    AS covered,
+      |  CAST(sum(f) AS BIGINT) AS total,
+      |  CAST(sum(CASE WHEN f >= f_min THEN f ELSE 0 END) AS BIGINT)::DOUBLE
+      |    / CAST(sum(f) AS BIGINT)::DOUBLE AS coverage
+      |FROM x GROUP BY 1""".stripMargin
+
+  // ---- DAU/MAU stickiness per 30-day bucket: mean daily active share
+  //      of the bucket's active users — the engagement ratio every
+  //      product ledger tracks. Two distinct aggs, exact counts, one
+  //      mirrored division ----
+  def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .distinct()
+    val daily = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .groupBy(expr("day DIV 30").as("m"))
+      .agg(sum(col("dau")).as("dau_sum"), count(lit(1)).as("n_days"))
+    val monthly = du.select(expr("day DIV 30").as("m"), col("user_id"))
+      .distinct()
+      .groupBy(col("m")).agg(count(lit(1)).as("mau"))
+    daily.join(monthly, Seq("m"))
+      .select(col("m"), col("n_days"), col("dau_sum"), col("mau"),
+        (col("dau_sum").cast("double") /
+          (col("n_days") * col("mau")).cast("double")).as("stickiness"))
+  }
+
+  val oStickiness: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |daily AS (
+      |  SELECT day // 30 AS m, CAST(sum(dau) AS BIGINT) AS dau_sum,
+      |    CAST(count(*) AS BIGINT) AS n_days
+      |  FROM (SELECT day, CAST(count(*) AS BIGINT) AS dau
+      |        FROM du GROUP BY 1)
+      |  GROUP BY 1),
+      |monthly AS (
+      |  SELECT m, CAST(count(*) AS BIGINT) AS mau FROM (
+      |    SELECT DISTINCT day // 30 AS m, user_id FROM du)
+      |  GROUP BY 1)
+      |SELECT daily.m, n_days, dau_sum, mau,
+      |  CAST(dau_sum AS DOUBLE) / CAST(n_days * mau AS DOUBLE)
+      |    AS stickiness
+      |FROM daily JOIN monthly ON daily.m = monthly.m""".stripMargin
 }
