@@ -2865,12 +2865,13 @@ object QueriesX {
 
   // ---- local-trade share per order year: revenue where the supplier
   //      and the ordering customer sit in the SAME nation vs cross-
-  //      border — two broadcast dim joins onto the fact stream, exact
-  //      cents, one mirrored division ----
+  //      border — supplier broadcasts (a true dim); customer⋈orders
+  //      stays a key-partitioned hash join (customer is fact-sized at
+  //      scale, NOT broadcastable). Exact cents, one mirrored division ----
   def qLocalTrade(s: SparkSession, dir: String): DataFrame = {
     val custNation = t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+      .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("yr"), col("c_nationkey"))
@@ -3096,4 +3097,174 @@ object QueriesX {
       |  CAST(dau_sum AS DOUBLE) / CAST(n_days * mau AS DOUBLE)
       |    AS stickiness
       |FROM daily JOIN monthly ON daily.m = monthly.m""".stripMargin
+
+  // ---- cross-language near-dup matrix: sampled char-3-gram Jaccard
+  //      pairs (the q_dedup_sweep sampling shape) whose two docs carry
+  //      DIFFERENT lang tags, counted per (lang_a, lang_b) — the
+  //      machine-translation-contamination detector. Pair stage is the
+  //      documented bounded-sample regime; lang attachment is two
+  //      id-keyed equi-joins ----
+  def qCrossLangDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lang = docs.select(col("doc_id"), col("lang"))
+    graft.operators.Dedup.ngramJaccardSample(
+        docs, n = 3, targetSample = 60, minJaccard = 0.2, hashedIds = true)
+      .join(lang.select(col("doc_id").as("a_id"), col("lang").as("lang_a")),
+        Seq("a_id"))
+      .join(lang.select(col("doc_id").as("b_id"), col("lang").as("lang_b")),
+        Seq("b_id"))
+      .filter(col("lang_a") =!= col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val oCrossLangDup: String =
+    """WITH m AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) / 60.0) AS BIGINT)) AS mod
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g
+      |  FROM documents, m
+      |  WHERE ('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |          ::BIGINT % m.mod = 0)
+      |SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM g a, g b
+      |WHERE a.doc_id < b.doc_id AND a.lang <> b.lang
+      |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |      len(list_distinct(a.g || b.g)) >= 0.2
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- order backlog by month: open orders (placed, not yet fully
+  //      shipped) at each month boundary — each order explodes into its
+  //      open months (fan-out bounded by order lifetime), one month-
+  //      keyed count. The q_peak_concurrency interval shape on the
+  //      commerce ledger ----
+  def qOrderBacklog(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m0"))
+    val ls = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(col("l_orderkey"),
+        (year(col("last_ship")) * 12 + month(col("last_ship")) - 1)
+          .cast("long").as("m1"))
+    o.join(ls, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("m1") > col("m0"))
+      .select(explode(sequence(col("m0"), col("m1") - 1L)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_open"))
+  }
+
+  val oOrderBacklog: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m0
+      |  FROM orders),
+      |ls AS (
+      |  SELECT l_orderkey,
+      |    CAST(year(max(l_shipdate)) * 12 + month(max(l_shipdate)) - 1
+      |      AS BIGINT) AS m1
+      |  FROM lineitem GROUP BY 1),
+      |x AS (
+      |  SELECT unnest(range(o.m0, ls.m1)) AS m
+      |  FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey)
+      |SELECT m, CAST(count(*) AS BIGINT) AS n_open
+      |FROM x GROUP BY 1""".stripMargin
+
+  // ---- supplier concentration (HHI) per nation: Σ share² of supplier
+  //      revenue — the antitrust-style "is this nation's supply chain
+  //      one vendor" audit. Revenue squares ride DECIMAL(38,0) (the
+  //      linregExact overflow discipline); hhi = Σr²/(Σr)² is the one
+  //      mirrored float op ----
+  def qSupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    // HHI over basis-point-TRUNCATED shares: share_bp = (rev·1e4) DIV S
+    // per supplier, hhi = Σ share_bp² / 1e8. Pure long arithmetic until
+    // one division by a CONSTANT — a big exact decimal cast to double
+    // rounds differently in the two engines (ulp drift, observed), so
+    // no corpus-derived integer ever crosses 2^53 here: share_bp ≤ 1e4,
+    // Σbp² ≤ 1e8, and rev·1e4 fits a long to ~9e14 dollars/nation
+    val rev = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sum(col("price_c")).as("rev"))
+    val tot = rev.groupBy(col("s_nationkey")).agg(sum(col("rev")).as("s1"))
+    rev.join(tot, Seq("s_nationkey"))
+      .select(col("s_nationkey"),
+        expr("(rev * 10000) DIV s1").as("share_bp"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("share_bp") * col("share_bp")).as("ss_bp"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("ss_bp"),
+        (col("ss_bp").cast("double") / lit(1.0e8)).as("hhi"))
+  }
+
+  val oSupplierHhi: String =
+    """WITH r AS (
+      |  SELECT s.s_nationkey, l.l_suppkey,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT s_nationkey, CAST(sum(rev) AS BIGINT) AS s1
+      |  FROM r GROUP BY 1),
+      |sh AS (
+      |  SELECT r.s_nationkey, (r.rev * 10000) // tot.s1 AS share_bp
+      |  FROM r JOIN tot ON r.s_nationkey = tot.s_nationkey)
+      |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(share_bp * share_bp) AS BIGINT) AS ss_bp,
+      |  CAST(sum(share_bp * share_bp) AS BIGINT)::DOUBLE /
+      |    100000000.0::DOUBLE AS hhi
+      |FROM sh GROUP BY 1""".stripMargin
+
+  // ---- per-dimension embedding moments: mean and variance of every
+  //      coordinate in 1e-7 fixed point — the "is a dimension dead or
+  //      exploding" feature-health audit. Scaled longs sum exactly;
+  //      squares ride DECIMAL(38,0); the two closing expressions are
+  //      the only float ops, mirrored ----
+  def qDimMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)")
+          .as("xs"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xs").cast(dec)).as("s1"),
+        sum(col("xs").cast(dec) * col("xs").cast(dec)).as("s2"))
+      .select(col("pos"), col("n"),
+        (col("s1").cast("double") /
+          (col("n").cast("double") * lit(1.0e7))).as("mean"),
+        ((col("n").cast(dec) * col("s2") - col("s1") * col("s1"))
+          .cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1.0e14))).as("variance"))
+  }
+
+  val oDimMoments: String =
+    """WITH e AS (
+      |  SELECT generate_subscripts(embedding, 1) AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000.0)
+      |      AS BIGINT) AS xs
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(xs AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+      |    CAST(sum(CAST(xs AS DECIMAL(38,0)) * CAST(xs AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS s2
+      |  FROM e GROUP BY 1)
+      |SELECT pos, n,
+      |  CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000000.0::DOUBLE)
+      |    AS mean,
+      |  CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) /
+      |    (CAST(n * n AS DOUBLE) * 100000000000000.0::DOUBLE) AS variance
+      |FROM p""".stripMargin
 }

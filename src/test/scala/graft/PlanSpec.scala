@@ -670,4 +670,44 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
     }
   }
+
+  test("r13 profile curves keep the bounded-shuffle discipline") {
+    for (q <- Seq("q_ttr", "q_hapax", "q_token_df_hist", "q_vocab_growth",
+      "q_return_rate", "q_repeat_rate", "q_local_clustering", "q_burstiness",
+      "q_session_depth_hist", "q_local_trade", "q_order_size_hist",
+      "q_discount_lift", "q_embed_norm_hist", "q_prefix_dup",
+      "q_ngram_coverage", "q_stickiness")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+    for (q <- Seq("q_order_backlog", "q_supplier_hhi", "q_dim_moments")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    // q_cross_lang_dup inherits ngramJaccardSample's documented
+    // bounded-sample BNLJ; its lang joins must still be hash equi-joins
+    assert(plan("q_cross_lang_dup").contains("BroadcastHashJoin"),
+      "lang attachment should be a hash join")
+    // true dims broadcast; the fact-sized customer⋈orders side must NOT
+    assert(plan("q_return_rate").contains("BroadcastHashJoin"),
+      "supplier dim should broadcast")
+    val plt = plan("q_local_trade")
+    assert(plt.contains("BroadcastHashJoin"), "supplier dim should broadcast")
+    assert(!plt.contains("BroadcastHashJoin [c_custkey"),
+      "customer is fact-sized — must not broadcast")
+    // hash-agg-only curves: no corpus-wide window anywhere; the two
+    // windowed shapes are bounded (vocab_growth: checkpoint domain;
+    // session_depth_hist: per-user sessionize ordering)
+    for (q <- Seq("q_ttr", "q_hapax", "q_token_df_hist", "q_return_rate",
+      "q_repeat_rate", "q_burstiness", "q_order_size_hist",
+      "q_discount_lift", "q_embed_norm_hist", "q_prefix_dup",
+      "q_ngram_coverage", "q_stickiness", "q_local_trade",
+      "q_local_clustering"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+  }
 }
