@@ -3267,4 +3267,156 @@ object QueriesX {
       |  CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) /
       |    (CAST(n * n AS DOUBLE) * 100000000000000.0::DOUBLE) AS variance
       |FROM p""".stripMargin
+
+  // ---- user-lifespan histogram: active span (last − first active
+  //      day) per user, bucketed — the tenure distribution behind
+  //      every retention model. Two hash aggs, exact day arithmetic ----
+  def qUserLifespan(s: SparkSession, dir: String): DataFrame = {
+    val span = events(s, dir)
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).cast("long")
+        .as("span_days"), count(lit(1)).as("n_events"))
+    span.groupBy(col("span_days"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("events"))
+      .select(col("span_days"), col("n_users"), col("events"),
+        (col("events").cast("double") / col("n_users").cast("double"))
+          .as("mean_events"))
+  }
+
+  val oUserLifespan: String =
+    """WITH span AS (
+      |  SELECT user_id,
+      |    max(epoch_us(ts) // 86400000000) -
+      |     min(epoch_us(ts) // 86400000000) AS span_days,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT span_days, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(n_events) AS BIGINT) AS events,
+      |  CAST(sum(n_events) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_events
+      |FROM span GROUP BY 1""".stripMargin
+
+  // ---- nation trade balance: export value (as supplier nation) vs
+  //      import value (as ordering customer's nation) per nation — two
+  //      fact aggregates full-outer-joined on the bounded nation domain,
+  //      exact cents ----
+  def qTradeBalance(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val exp = li
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"))
+      .agg(sum(col("price_c")).as("export_c"))
+    val imp = li
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(sum(col("price_c")).as("import_c"))
+    exp.join(imp, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        (coalesce(col("export_c"), lit(0L)).cast("double") / lit(100.0))
+          .as("exports"),
+        (coalesce(col("import_c"), lit(0L)).cast("double") / lit(100.0))
+          .as("imports"),
+        ((coalesce(col("export_c"), lit(0L)) -
+          coalesce(col("import_c"), lit(0L))).cast("double") / lit(100.0))
+          .as("balance"))
+  }
+
+  val oTradeBalance: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |exp AS (
+      |  SELECT s.s_nationkey AS nation,
+      |    CAST(sum(li.price_c) AS BIGINT) AS export_c
+      |  FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      |  GROUP BY 1),
+      |imp AS (
+      |  SELECT c.c_nationkey AS nation,
+      |    CAST(sum(li.price_c) AS BIGINT) AS import_c
+      |  FROM li
+      |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1)
+      |SELECT coalesce(exp.nation, imp.nation) AS nation,
+      |  coalesce(export_c, 0)::DOUBLE / 100.0::DOUBLE AS exports,
+      |  coalesce(import_c, 0)::DOUBLE / 100.0::DOUBLE AS imports,
+      |  (coalesce(export_c, 0) - coalesce(import_c, 0))::DOUBLE /
+      |    100.0::DOUBLE AS balance
+      |FROM exp FULL OUTER JOIN imp ON exp.nation = imp.nation""".stripMargin
+
+  // ---- basket brand diversity: mean distinct brands per order, by
+  //      order size — "do bigger baskets spread across brands". The
+  //      per-order distinct is partial-aggregable; the bucket mean is
+  //      a ratio of exact sums ----
+  def qBasketDiversity(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("p_brand")).as("n_brands"))
+    per.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_brands")).as("brands"))
+      .select(col("n_lines"), col("n_orders"),
+        (col("brands").cast("double") / col("n_orders").cast("double"))
+          .as("mean_brands"))
+  }
+
+  val oBasketDiversity: String =
+    """WITH per AS (
+      |  SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1)
+      |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_brands) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_brands
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- return-value impact per brand: value-weighted return share —
+  //      which brands LOSE the most revenue to returns (complements
+  //      q_return_rate's count view by nation/year). Exact cents ----
+  def qReturnImpact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("price_c")).otherwise(0L))
+          .as("returned_c"),
+        sum(col("price_c")).as("total_c"))
+      .select(col("p_brand"),
+        (col("returned_c").cast("double") / lit(100.0)).as("returned_value"),
+        (col("total_c").cast("double") / lit(100.0)).as("total_value"),
+        (col("returned_c").cast("double") / col("total_c").cast("double"))
+          .as("return_share"))
+
+  val oReturnImpact: String =
+    """SELECT p.p_brand,
+      |  CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |    THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS returned_value,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS total_value,
+      |  CAST(sum(CASE WHEN l.l_returnflag = 'R'
+      |    THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT)::DOUBLE /
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE AS return_share
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1""".stripMargin
 }

@@ -682,7 +682,9 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested-loop join")
     }
-    for (q <- Seq("q_order_backlog", "q_supplier_hhi", "q_dim_moments")) {
+    for (q <- Seq("q_order_backlog", "q_supplier_hhi", "q_dim_moments",
+      "q_user_lifespan", "q_trade_balance", "q_basket_diversity",
+      "q_return_impact")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"),
