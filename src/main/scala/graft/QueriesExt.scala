@@ -5387,4 +5387,98 @@ object QueriesExt {
       |UNION ALL
       |SELECT c_custkey, '*', '*', CAST(2 AS INT)
       |FROM rem r JOIN g1 USING (c_nationkey) WHERE cnt1 < 10""".stripMargin
+
+  // ---- kNN label purity: for every query vector's exact top-10
+  //      neighbours, the share carrying the SAME label — the
+  //      embedding-quality eval (high purity = the space separates the
+  //      labels) aggregated per query label. The q_similar_topk brute
+  //      regime (small broadcast query set); exact counts, one mirrored
+  //      division ----
+  def qKnnPurity(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lab = emb.select(col("vec_id"), col("label"))
+    Similarity.bruteTopK(emb, col("vec_id") < 50, k = 10)
+      .join(broadcast(lab.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))), Seq("q_id"))
+      .join(lab.select(col("vec_id"), col("label").as("n_label")),
+        Seq("vec_id"))
+      .groupBy(col("q_label"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("q_label"), col("n_queries"), col("n_neighbors"),
+        col("n_match"),
+        (col("n_match").cast("double") / col("n_neighbors").cast("double"))
+          .as("purity"))
+  }
+
+  val oKnnPurity: String = {
+    val cos = cosineSql("qe", "embedding")
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 50),
+       |s AS (SELECT q_id, q_label, vec_id, label AS n_label, $cos AS cosine
+       |      FROM embeddings, q WHERE vec_id <> q_id),
+       |nn AS (
+       |  SELECT q_id, q_label, n_label FROM (
+       |    SELECT q_id, q_label, n_label,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM s)
+       |  WHERE rank <= 10)
+       |SELECT q_label, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_neighbors,
+       |  CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_match,
+       |  CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+       |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE AS purity
+       |FROM nn GROUP BY 1""".stripMargin
+  }
+
+  // ---- near-dup impact by source: which sources would LOSE the most
+  //      docs at Jaccard >= 0.4 — the q_dedup_sweep sampled-pair regime
+  //      with the flagged (higher-id) doc attributed to its source ----
+  def qDedupSourceImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sampled = graft.operators.Dedup.ngramJaccardSample(
+      docs, n = 3, targetSample = 60, minJaccard = 0.4, hashedIds = true)
+    val flagged = sampled.select(col("b_id").as("doc_id")).distinct()
+    val src = docs.select(col("doc_id"), col("source"))
+    // sample membership mirrors the operator's hash-mod rule
+    val sampleSrc = graft.operators.Dedup.boundedHashSample(
+        docs, "doc_id", 60).select(col("doc_id"), col("source"))
+    sampleSrc
+      .join(flagged.withColumn("is_flagged", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(coalesce(col("is_flagged"), lit(0L))).as("n_flagged"))
+      .select(col("source"), col("n_sampled"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_sampled").cast("double"))
+          .as("flagged_share"))
+  }
+
+  val oDedupSourceImpact: String =
+    """WITH m AS (
+      |  SELECT greatest(1, CAST(ceil(count(*) / 60.0) AS BIGINT)) AS mod
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g
+      |  FROM documents, m
+      |  WHERE ('0x' || substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |          ::BIGINT % m.mod = 0),
+      |fl AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM g a, g b WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      |        len(list_distinct(a.g || b.g)) >= 0.4)
+      |SELECT g.source, CAST(count(*) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END)
+      |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+      |    AS flagged_share
+      |FROM g LEFT JOIN fl ON g.doc_id = fl.doc_id
+      |GROUP BY 1""".stripMargin
 }
