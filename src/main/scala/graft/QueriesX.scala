@@ -3419,4 +3419,106 @@ object QueriesX {
       |    AS BIGINT)::DOUBLE AS return_share
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1""".stripMargin
+
+  // ---- effective tax take per ship year: gross, tax, and the
+  //      value-weighted effective rate — per-row tax cents floor the
+  //      same double product in both engines, then exact sums ----
+  def qTaxImpact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(year(col("l_shipdate")).cast("long").as("yr"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        floor(col("l_extendedprice") * col("l_tax") * 100).cast("long")
+          .as("tax_c"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("gross_c"),
+        sum(col("tax_c")).as("tax_sum_c"))
+      .select(col("yr"), col("n_lines"),
+        (col("gross_c").cast("double") / lit(100.0)).as("gross"),
+        (col("tax_sum_c").cast("double") / lit(100.0)).as("tax_take"),
+        (col("tax_sum_c").cast("double") / col("gross_c").cast("double"))
+          .as("effective_rate"))
+
+  val oTaxImpact: String =
+    """WITH li AS (
+      |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(floor(l_extendedprice * l_tax * 100) AS BIGINT) AS tax_c
+      |  FROM lineitem)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS gross,
+      |  CAST(sum(tax_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS tax_take,
+      |  CAST(sum(tax_c) AS BIGINT)::DOUBLE /
+      |    CAST(sum(price_c) AS BIGINT)::DOUBLE AS effective_rate
+      |FROM li GROUP BY 1""".stripMargin
+
+  // ---- nation part-set overlap: pairwise Jaccard of the part sets
+  //      each nation's suppliers ship — the q_source_overlap shape on
+  //      the commerce graph; pair fan-out per part bounded by the
+  //      25-nation domain ----
+  def qNationPartOverlap(s: SparkSession, dir: String): DataFrame = {
+    val np = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nation"), col("l_partkey").as("part"))
+      .distinct()
+    val sizes = np.groupBy(col("nation")).agg(count(lit(1)).as("n"))
+    np.select(col("nation").as("a_nat"), col("part"))
+      .join(np.select(col("nation").as("b_nat"), col("part")), "part")
+      .filter(col("a_nat") < col("b_nat"))
+      .groupBy(col("a_nat"), col("b_nat"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("nation").as("a_nat"), col("n").as("n_a")), "a_nat")
+      .join(sizes.select(col("nation").as("b_nat"), col("n").as("n_b")), "b_nat")
+      .select(col("a_nat"), col("b_nat"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val oNationPartOverlap: String =
+    """WITH np AS (
+      |  SELECT DISTINCT s.s_nationkey AS nation, l.l_partkey AS part
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |sizes AS (SELECT nation, CAST(count(*) AS BIGINT) AS n
+      |          FROM np GROUP BY 1),
+      |i AS (
+      |  SELECT a.nation AS a_nat, b.nation AS b_nat,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM np a JOIN np b ON a.part = b.part AND a.nation < b.nation
+      |  GROUP BY 1, 2)
+      |SELECT a_nat, b_nat, n_inter,
+      |  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+      |    AS jaccard
+      |FROM i
+      |JOIN sizes sa ON i.a_nat = sa.nation
+      |JOIN sizes sb ON i.b_nat = sb.nation""".stripMargin
+
+  // ---- hour-of-day activity profile: events and active-user share per
+  //      hour 0-23 — q_dow_effect's intra-day sibling. Exact counts
+  //      over the bounded 24-hour domain ----
+  def qHourProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("(ts DIV 1000 DIV 3600000000) % 24").as("hour"))
+    val tot = e.agg(count(lit(1)).as("n_all"))
+    e.groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("hour"), col("n_events"), col("n_users"),
+        (col("n_events").cast("double") / col("n_all").cast("double"))
+          .as("share"))
+  }
+
+  val oHourProfile: String =
+    """WITH e AS (
+      |  SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hour
+      |  FROM events),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM e)
+      |SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT)::DOUBLE / CAST(n_all AS BIGINT)::DOUBLE
+      |    AS share
+      |FROM e CROSS JOIN tot GROUP BY hour, n_all""".stripMargin
 }

@@ -450,6 +450,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Fano over completed hours equals the batch moments exactly") {
+    import graft.streaming.BurstStream
+    import graft.streaming.BurstStream.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = BurstStream.runningFano(input.toDS())
+      .writeStream.format("memory").queryName("fano_s")
+      .outputMode("update").start()
+    try {
+      // user 1: hours 10(×3), 11(×1), 12(×2), 13 open; user 2: 10(×2), 11 open
+      val batch1 = Seq(Ev(1L, 10L, 3L), Ev(1L, 10L, 1L), Ev(1L, 10L, 2L),
+        Ev(1L, 11L, 4L), Ev(2L, 10L, 8L), Ev(2L, 10L, 9L))
+      val batch2 = Seq(Ev(1L, 12L, 6L), Ev(1L, 12L, 5L), Ev(1L, 13L, 7L),
+        Ev(2L, 11L, 10L))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val streamed = spark.table("fano_s")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_hours"), col("n_events"), col("fano"))).as("f"))
+        .select(col("user_id"), col("f.n_hours"), col("f.n_events"), col("f.fano"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // batch twin: the q_burstiness moments over COMPLETED hours (strictly
+      // before each user's open = max hour), same mirrored closing division
+      val all = (batch1 ++ batch2).toDF()
+      val openHr = all.groupBy(col("user_id")).agg(max(col("hr")).as("open_hr"))
+      val c = all.join(openHr, Seq("user_id"))
+        .filter(col("hr") < col("open_hr"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(org.apache.spark.sql.functions.count(col("event_id")).as("c"))
+      val batch = c.groupBy(col("user_id"))
+        .agg(org.apache.spark.sql.functions.count(col("hr")).as("n_hours"),
+          org.apache.spark.sql.functions.sum(col("c")).as("n_events"),
+          org.apache.spark.sql.functions.sum(col("c") * col("c")).as("s2"))
+        .select(col("user_id"), col("n_hours"), col("n_events"),
+          ((col("n_hours") * col("s2") - col("n_events") * col("n_events"))
+            .cast("double") /
+            (col("n_hours") * col("n_events")).cast("double")).as("fano"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        "completed-hour moments must equal the batch fold exactly")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L,
+        "state is one 5-long row per user")
+    } finally q.stop()
+  }
+
   test("streaming OHLC keeps one state row per (key, open window)") {
     import graft.streaming.BarStream
     import graft.streaming.BarStream.Tick
