@@ -3521,4 +3521,137 @@ object QueriesX {
       |  CAST(count(*) AS BIGINT)::DOUBLE / CAST(n_all AS BIGINT)::DOUBLE
       |    AS share
       |FROM e CROSS JOIN tot GROUP BY hour, n_all""".stripMargin
+
+  // ---- time-decay attribution: every view/click touch in the 7 days
+  //      before a purchase earns weight 2^(7−days_before) — EXACT long
+  //      weights (dyadic, so no float sum anywhere), credit shares per
+  //      channel are ratios of exact Σw and Σ(value_cents·w). The
+  //      q_attribution_linear rangeJoinBinned shape at a day bin ----
+  def qAttributionDecay(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Temporal
+    val horizonUs = 7L * 86400L * 1000000L
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts_us") - horizonUs).as("start_us"), col("ts_us").as("end_us"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"), col("ts_us"),
+        col("event_type").as("channel"))
+    val pairs = Temporal.rangeJoinBinned(touches, purchases,
+        keys = Seq("user_id"), tsCol = "ts_us",
+        startCol = "start_us", endCol = "end_us",
+        binMicros = 86400L * 1000000L)
+      .select(col("channel"), col("value_c"),
+        expr("(end_us - ts_us) DIV 86400000000").as("k"))
+      .select(col("channel"), col("value_c"),
+        expr("CAST(shiftleft(1L, CAST(7 - k AS INT)) AS BIGINT)").as("w"))
+    val tot = pairs.agg(sum(col("w")).as("w_all"),
+      sum(col("value_c") * col("w")).as("vw_all"))
+    pairs.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("w")).as("w_sum"),
+        sum(col("value_c") * col("w")).as("vw_sum"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_touches"), col("w_sum"),
+        (col("w_sum").cast("double") / col("w_all").cast("double"))
+          .as("credit_share"),
+        (col("vw_sum").cast("double") / col("vw_all").cast("double"))
+          .as("value_share"))
+  }
+
+  val oAttributionDecay: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    ts_us - 604800000000 AS start_us, ts_us AS end_us,
+      |    CAST(floor(value * 100) AS BIGINT) AS value_c
+      |  FROM e WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT user_id, event_id AS touch_id, ts_us, event_type AS channel
+      |  FROM e WHERE event_type IN ('view', 'click')),
+      |pairs AS (
+      |  SELECT tch.channel, p.value_c,
+      |    1 << CAST(7 - (p.end_us - tch.ts_us) // 86400000000 AS INT) AS w
+      |  FROM tch JOIN p ON tch.user_id = p.user_id
+      |    AND tch.ts_us BETWEEN p.start_us AND p.end_us),
+      |tot AS (
+      |  SELECT CAST(sum(w) AS BIGINT) AS w_all,
+      |    CAST(sum(value_c * w) AS BIGINT) AS vw_all
+      |  FROM pairs)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(w) AS BIGINT) AS w_sum,
+      |  CAST(sum(w) AS BIGINT)::DOUBLE / CAST(w_all AS BIGINT)::DOUBLE
+      |    AS credit_share,
+      |  CAST(sum(value_c * w) AS BIGINT)::DOUBLE /
+      |    CAST(vw_all AS BIGINT)::DOUBLE AS value_share
+      |FROM pairs CROSS JOIN tot GROUP BY channel, w_all, vw_all""".stripMargin
+
+  // ---- monthly seasonality index: each calendar month's revenue share
+  //      vs the uniform 1/12 — the "is December real" decomposition on
+  //      the commerce ledger (q_dow_effect's calendar sibling). Exact
+  //      cents over the bounded 12-month domain ----
+  def qSeasonalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .select(month(col("o_orderdate")).cast("long").as("cal_month"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val tot = m.agg(sum(col("price_c")).as("total_c"))
+    m.groupBy(col("cal_month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+      .crossJoin(broadcast(tot))
+      .select(col("cal_month"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        ((col("rev_c") * lit(12L)).cast("double") /
+          col("total_c").cast("double")).as("seasonality_index"))
+  }
+
+  val oSeasonalRevenue: String =
+    """WITH m AS (
+      |  SELECT CAST(month(o_orderdate) AS BIGINT) AS cal_month,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |tot AS (SELECT CAST(sum(price_c) AS BIGINT) AS total_c FROM m)
+      |SELECT cal_month, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(sum(price_c) * 12 AS BIGINT)::DOUBLE /
+      |    CAST(total_c AS BIGINT)::DOUBLE AS seasonality_index
+      |FROM m CROSS JOIN tot GROUP BY cal_month, total_c""".stripMargin
+
+  // ---- week-over-week revenue growth: weekly totals + the growth vs
+  //      the PREVIOUS week via a shifted self-equi-join on the bounded
+  //      week domain (the growth-accounting join-not-window rule) ----
+  def qWowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "orders")
+      .select(expr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)" +
+          " DIV 7").as("wk"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+    wk.join(wk.select((col("wk") + 1L).as("wk"),
+        col("rev_c").as("prev_rev_c")), Seq("wk"), "left")
+      .select(col("wk"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        (col("rev_c") - coalesce(col("prev_rev_c"), lit(0L))).cast("double")
+          ./(lit(100.0)).as("delta"),
+        when(col("prev_rev_c").isNotNull,
+          col("rev_c").cast("double") / col("prev_rev_c").cast("double"))
+          .as("wow_ratio"))
+  }
+
+  val oWowGrowth: String =
+    """WITH wk AS (
+      |  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 // 7 AS wk,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT a.wk, a.n_orders,
+      |  a.rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  (a.rev_c - coalesce(b.rev_c, 0))::DOUBLE / 100.0::DOUBLE AS delta,
+      |  CASE WHEN b.rev_c IS NOT NULL
+      |    THEN a.rev_c::DOUBLE / b.rev_c::DOUBLE END AS wow_ratio
+      |FROM wk a LEFT JOIN wk b ON a.wk = b.wk + 1""".stripMargin
 }
