@@ -3654,4 +3654,134 @@ object QueriesX {
       |  CASE WHEN b.rev_c IS NOT NULL
       |    THEN a.rev_c::DOUBLE / b.rev_c::DOUBLE END AS wow_ratio
       |FROM wk a LEFT JOIN wk b ON a.wk = b.wk + 1""".stripMargin
+
+  // ---- z-score outlier census per event type: |z| > 3 flags via the
+  //      EXACT integer cross-multiply (n·x − s1)² > 9·(n·s2 − s1²) — no
+  //      float mean/stdev ever computed (the q_peaks/linregExact
+  //      discipline); moments ride DECIMAL(38,0), one mirrored closing
+  //      division for the flag rate ----
+  def qZscoreFlags(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = events(s, dir).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("v_c"))
+    val mom = v.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_c").cast(dec)).as("s1"),
+        sum(col("v_c").cast(dec) * col("v_c").cast(dec)).as("s2"))
+    v.join(mom, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        when((col("n").cast(dec) * col("v_c") - col("s1")) *
+          (col("n").cast(dec) * col("v_c") - col("s1")) >
+          lit(9L).cast(dec) * (col("n").cast(dec) * col("s2") -
+            col("s1") * col("s1")), 1L).otherwise(0L).as("is_out"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_events"), sum(col("is_out")).as("n_flagged"))
+      .select(col("event_type"), col("n_events"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_events").cast("double"))
+          .as("flag_rate"))
+  }
+
+  val oZscoreFlags: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(v_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+      |    CAST(sum(CAST(v_c AS DECIMAL(38,0)) * CAST(v_c AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS s2
+      |  FROM v GROUP BY 1),
+      |f AS (
+      |  SELECT v.event_type, mom.n,
+      |    CASE WHEN (CAST(mom.n AS DECIMAL(38,0)) * v.v_c - mom.s1) *
+      |              (CAST(mom.n AS DECIMAL(38,0)) * v.v_c - mom.s1) >
+      |              9 * (CAST(mom.n AS DECIMAL(38,0)) * mom.s2 -
+      |                   mom.s1 * mom.s1)
+      |         THEN 1 ELSE 0 END AS is_out
+      |  FROM v JOIN mom ON v.event_type = mom.event_type)
+      |SELECT event_type, CAST(min(n) AS BIGINT) AS n_events,
+      |  CAST(sum(is_out) AS BIGINT) AS n_flagged,
+      |  CAST(sum(is_out) AS BIGINT)::DOUBLE /
+      |    CAST(min(n) AS BIGINT)::DOUBLE AS flag_rate
+      |FROM f GROUP BY 1""".stripMargin
+
+  // ---- dead-stock audit: catalog parts with ZERO lineitem sales, per
+  //      brand — the left-anti census with catalog value at risk.
+  //      Exact cents, one mirrored division ----
+  def qDeadStock(s: SparkSession, dir: String): DataFrame = {
+    val sold = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+    val parts = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100).cast("long").as("retail_c"))
+    val dead = parts.join(sold, col("p_partkey") === col("l_partkey"),
+        "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_dead"), sum(col("retail_c")).as("dead_c"))
+    parts.groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+      .join(dead, Seq("p_brand"), "left")
+      .select(col("p_brand"), col("n_parts"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+        (coalesce(col("dead_c"), lit(0L)).cast("double") / lit(100.0))
+          .as("dead_value"),
+        (coalesce(col("n_dead"), lit(0L)).cast("double") /
+          col("n_parts").cast("double")).as("dead_share"))
+  }
+
+  val oDeadStock: String =
+    """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+      |parts AS (
+      |  SELECT p_partkey, p_brand,
+      |    CAST(floor(p_retailprice * 100) AS BIGINT) AS retail_c
+      |  FROM part),
+      |dead AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead,
+      |    CAST(sum(retail_c) AS BIGINT) AS dead_c
+      |  FROM parts ANTI JOIN sold ON p_partkey = l_partkey
+      |  GROUP BY 1),
+      |tot AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+      |        FROM parts GROUP BY 1)
+      |SELECT tot.p_brand, tot.n_parts,
+      |  coalesce(dead.n_dead, 0) AS n_dead,
+      |  coalesce(dead.dead_c, 0)::DOUBLE / 100.0::DOUBLE AS dead_value,
+      |  coalesce(dead.n_dead, 0)::DOUBLE / tot.n_parts::DOUBLE
+      |    AS dead_share
+      |FROM tot LEFT JOIN dead ON tot.p_brand = dead.p_brand""".stripMargin
+
+  // ---- exclusive-supply census: parts shipped by exactly ONE nation,
+  //      per that nation — the single-source supply-chain risk count
+  //      (complement of q_nation_part_overlap). Two hash aggs ----
+  def qExclusiveParts(s: SparkSession, dir: String): DataFrame = {
+    val np = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nation"), col("l_partkey").as("part"))
+      .distinct()
+    val excl = np.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_nations"), min(col("nation")).as("nation"))
+      .filter(col("n_nations") === 1L)
+      .groupBy(col("nation")).agg(count(lit(1)).as("n_exclusive"))
+    np.groupBy(col("nation")).agg(count(lit(1)).as("n_parts"))
+      .join(excl, Seq("nation"), "left")
+      .select(col("nation"), col("n_parts"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"),
+        (coalesce(col("n_exclusive"), lit(0L)).cast("double") /
+          col("n_parts").cast("double")).as("exclusive_share"))
+  }
+
+  val oExclusiveParts: String =
+    """WITH np AS (
+      |  SELECT DISTINCT s.s_nationkey AS nation, l.l_partkey AS part
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |excl AS (
+      |  SELECT nation, CAST(count(*) AS BIGINT) AS n_exclusive FROM (
+      |    SELECT part, min(nation) AS nation
+      |    FROM np GROUP BY part HAVING count(*) = 1)
+      |  GROUP BY 1),
+      |tot AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_parts
+      |        FROM np GROUP BY 1)
+      |SELECT tot.nation, tot.n_parts,
+      |  coalesce(excl.n_exclusive, 0) AS n_exclusive,
+      |  coalesce(excl.n_exclusive, 0)::DOUBLE / tot.n_parts::DOUBLE
+      |    AS exclusive_share
+      |FROM tot LEFT JOIN excl ON tot.nation = excl.nation""".stripMargin
 }
