@@ -3784,4 +3784,137 @@ object QueriesX {
       |  coalesce(excl.n_exclusive, 0)::DOUBLE / tot.n_parts::DOUBLE
       |    AS exclusive_share
       |FROM tot LEFT JOIN excl ON tot.nation = excl.nation""".stripMargin
+
+  // ---- LSH band-load histogram: bucket-size distribution per band of
+  //      the SAME minhash banding q_dedup_minhash joins on — the skew
+  //      diagnostic that predicts the candidate join's cost (a hot
+  //      bucket of size s costs s² pairs) BEFORE paying for it ----
+  def qLshBandLoad(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.operators.Dedup.minhashSignature(
+      t(s, dir, "documents"), k = 3, numHashes = 8)
+    graft.operators.Dedup.minhashBands(sig, numHashes = 8, bandSize = 2)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  val oLshBandLoad: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |minh AS (
+      |  SELECT doc_id, seed,
+      |    min(('0x' || substr(md5(CAST(seed AS VARCHAR) || '#' || shingle),
+      |      1, 8))::BIGINT) AS minhash
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |    list_reduce(list_prepend(0::BIGINT, list_sort(list(minhash))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS band_key
+      |  FROM minh GROUP BY doc_id, seed // 2),
+      |bl AS (
+      |  SELECT band, band_key, CAST(count(*) AS BIGINT) AS bucket_size
+      |  FROM bands GROUP BY 1, 2)
+      |SELECT CAST(band AS INT) AS band, bucket_size,
+      |  CAST(count(*) AS BIGINT) AS n_buckets
+      |FROM bl GROUP BY 1, 2""".stripMargin
+
+  // ---- pairwise-cosine histogram over a bounded hash sample: the
+  //      "has the embedding space collapsed" diagnostic (mass piling at
+  //      cos≈1 means every ANN bucket goes hot). Sampled-pair regime;
+  //      per-pair cosine is an array-order double fold on both engines,
+  //      bucketed at 0.05 ----
+  def qCosineHist(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.operators.Dedup.boundedHashSample(
+        t(s, dir, "embeddings"), "vec_id", 60)
+      .select(col("vec_id"), col("embedding"))
+    val a = sampled.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = sampled.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(expr(
+        s"CAST(floor((${dot("ea", "eb")} / (sqrt(${dot("ea", "ea")}) * " +
+          s"sqrt(${dot("eb", "eb")}))) * 20.0) AS BIGINT)").as("cos_bucket"))
+      .groupBy(col("cos_bucket")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val oCosineHist: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH m AS (
+       |  SELECT greatest(1, CAST(ceil(count(*) / 60.0) AS BIGINT)) AS mod
+       |  FROM embeddings),
+       |g AS (
+       |  SELECT vec_id, embedding FROM embeddings, m
+       |  WHERE ('0x' || substr(md5('7#' || CAST(vec_id AS VARCHAR)), 1, 8))
+       |          ::BIGINT % m.mod = 0),
+       |p AS (
+       |  SELECT CAST(floor((${dot("a.embedding", "b.embedding")} /
+       |      (sqrt(${dot("a.embedding", "a.embedding")}) *
+       |       sqrt(${dot("b.embedding", "b.embedding")}))) * 20.0) AS BIGINT)
+       |    AS cos_bucket
+       |  FROM g a, g b WHERE a.vec_id < b.vec_id)
+       |SELECT cos_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
+  // ---- keyword burst census: BIGRAM types whose share in the RECENT
+  //      quarter of the corpus (by doc_id) exceeds 1.5× their overall
+  //      share — the exact cross-multiply 2·rc·T_tot > 3·tc·T_rec, no
+  //      float shares until the mirrored output ratio. (Unigrams in
+  //      this corpus are share-stable; bigrams carry the burst.) ----
+  def qKeywordBurst(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cut = docs.agg(expr("CAST(max(doc_id) * 3 DIV 4 AS BIGINT)").as("cut"))
+    val toksP = split(col("text"), " ")
+    val nP = size(toksP) - 1
+    val tok = docs.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("cut"), explode(arrays_zip(
+        slice(toksP, lit(1), nP), slice(toksP, lit(2), nP))).as("p"))
+      .select(col("doc_id"), col("cut"),
+        concat(col("p.0"), lit(" "), col("p.1")).as("token"))
+    val per = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("tc"),
+        sum(when(col("doc_id") > col("cut"), 1L).otherwise(0L)).as("rc"))
+    val tots = per.agg(sum(col("tc")).as("t_tot"), sum(col("rc")).as("t_rec"))
+    per.crossJoin(broadcast(tots))
+      .filter(lit(2L) * col("rc") * col("t_tot") >
+        lit(3L) * col("tc") * col("t_rec"))
+      .select(col("token"), col("tc"), col("rc"),
+        ((col("rc") * col("t_tot")).cast("double") /
+          (col("tc") * col("t_rec")).cast("double")).as("burst_ratio"))
+  }
+
+  val oKeywordBurst: String =
+    """WITH cut AS (
+      |  SELECT CAST(max(doc_id) * 3 // 4 AS BIGINT) AS cut FROM documents),
+      |toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS token
+      |  FROM toks),
+      |per AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tc,
+      |    CAST(sum(CASE WHEN doc_id > cut.cut THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS rc
+      |  FROM tok CROSS JOIN cut GROUP BY 1),
+      |tots AS (
+      |  SELECT CAST(sum(tc) AS BIGINT) AS t_tot,
+      |    CAST(sum(rc) AS BIGINT) AS t_rec
+      |  FROM per)
+      |SELECT token, tc, rc,
+      |  CAST(rc * t_tot AS BIGINT)::DOUBLE /
+      |    CAST(tc * t_rec AS BIGINT)::DOUBLE AS burst_ratio
+      |FROM per CROSS JOIN tots
+      |WHERE 2 * rc * t_tot > 3 * tc * t_rec""".stripMargin
 }
