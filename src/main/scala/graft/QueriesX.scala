@@ -3917,4 +3917,174 @@ object QueriesX {
       |    CAST(tc * t_rec AS BIGINT)::DOUBLE AS burst_ratio
       |FROM per CROSS JOIN tots
       |WHERE 2 * rc * t_tot > 3 * tc * t_rec""".stripMargin
+
+  // ---- per-brand quantity↔discount correlation: does discounting move
+  //      volume per brand — Pearson r from DECIMAL(38,0) moments per
+  //      group (the corrMatrix discipline, keyed), closing expression
+  //      the only float math ----
+  def qGroupCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .select(col("p_brand"), col("n").cast("long").as("n_lines"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("r"))
+  }
+
+  val oGroupCorr: String =
+    """WITH b AS (
+      |  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS x,
+      |    CAST(round(l.l_discount * 100) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |m AS (
+      |  SELECT p_brand, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxy
+      |  FROM b GROUP BY 1)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      |FROM m""".stripMargin
+
+  // ---- part repurchase rate per brand: share of (customer, part)
+  //      relationships with >= 2 purchases — loyalty at the SKU level
+  //      (q_repeat_rate's part-grained sibling). Exact counts ----
+  def qReorderRate(s: SparkSession, dir: String): DataFrame = {
+    val cp = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("n_buys"))
+    cp.join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n_buys") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("p_brand"), col("n_pairs"), col("n_repeat"),
+        (col("n_repeat").cast("double") / col("n_pairs").cast("double"))
+          .as("reorder_rate"))
+  }
+
+  val oReorderRate: String =
+    """WITH cp AS (
+      |  SELECT o.o_custkey, l.l_partkey, CAST(count(*) AS BIGINT) AS n_buys
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN cp.n_buys >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat,
+      |  CAST(sum(CASE WHEN cp.n_buys >= 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+      |    AS reorder_rate
+      |FROM cp JOIN part p ON cp.l_partkey = p.p_partkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- edge triangle-support histogram: for each co-purchase edge,
+  //      how many triangles contain it (the k-truss support statistic);
+  //      histogram over support values. Same degree-ordered wedge
+  //      enumeration as q_local_clustering, credit to the three edges
+  //      of each closed triangle, zero-support edges kept via the
+  //      left join ----
+  def qEdgeSupport(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val pairs = li.select(col("k"), col("l_partkey").as("a"))
+      .join(li.select(col("k"), col("l_partkey").as("b")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val und = pairs.distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("d").as("du")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("dv")), "b")
+      .select(when(uFirst, col("a")).otherwise(col("b")).as("src"),
+        when(uFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedges = oriented
+      .select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      .join(oriented.select(col("src"), col("dst").as("z"),
+        col("ddst").as("dz")), "src")
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"), "left_semi")
+    val support = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v")),
+        struct(least(col("x"), col("z")).as("u"),
+          greatest(col("x"), col("z")).as("v")),
+        struct(least(col("y"), col("z")).as("u"),
+          greatest(col("y"), col("z")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    und.select(col("a").as("u"), col("b").as("v"))
+      .join(support, Seq("u", "v"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+  }
+
+  val oEdgeSupport: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_quantity >= 26 AND b.l_quantity >= 26),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.u ELSE e0.v END AS src,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN e0.v ELSE e0.u END AS dst,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |         THEN dv.d ELSE du.d END AS ddst
+      |  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+      |w AS (
+      |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+      |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+      |tri AS (
+      |  SELECT w.x, w.y, w.z
+      |  FROM w JOIN o ON w.y = o.src AND w.z = o.dst),
+      |sup AS (
+      |  SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+      |    SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+      |    UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+      |    UNION ALL SELECT least(y, z), greatest(y, z) FROM tri)
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(sup.support, 0) AS support,
+      |  CAST(count(*) AS BIGINT) AS n_edges
+      |FROM e0 LEFT JOIN sup ON e0.u = sup.u AND e0.v = sup.v
+      |GROUP BY 1""".stripMargin
 }
