@@ -695,6 +695,23 @@ class PlanSpec extends SparkSpec {
     // bounded-sample BNLJ; its lang joins must still be hash equi-joins
     assert(plan("q_cross_lang_dup").contains("BroadcastHashJoin"),
       "lang attachment should be a hash join")
+    // later additions: hash-agg/equi-join shapes, no cartesian;
+    // window-free (scalar totals broadcast as 1-row frames)
+    for (q <- Seq("q_tax_impact", "q_nation_part_overlap", "q_hour_profile",
+      "q_seasonal_revenue", "q_wow_growth", "q_zscore_flags", "q_dead_stock",
+      "q_exclusive_parts", "q_lsh_band_load", "q_keyword_burst",
+      "q_group_corr", "q_reorder_rate", "q_edge_support",
+      "q_attribution_decay")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    // q_cosine_hist / q_knn_purity / q_dedup_source_impact ride the
+    // documented bounded-sample / broadcast-query BNLJ regimes — only
+    // assert no cartesian (a BNLJ over a broadcast 1-row/sample frame
+    // is the intended plan)
+    for (q <- Seq("q_cosine_hist", "q_knn_purity", "q_dedup_source_impact"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
     // true dims broadcast; the fact-sized customer⋈orders side must NOT
     assert(plan("q_return_rate").contains("BroadcastHashJoin"),
       "supplier dim should broadcast")
