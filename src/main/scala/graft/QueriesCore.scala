@@ -772,6 +772,34 @@ object QueriesCore {
       |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ---- JSON-lines round trip: the third text format (after CSV/TSV) —
+  //      nested arrays, dropped-null fields, embedded quotes, and
+  //      non-ASCII survive write → schema-inferred read. Golden VALUES
+  //      like the CSV round trip ----
+  def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    withScratch(s, "json_rt") { out =>
+      import s.implicits._
+      Seq(
+        (1L, "plain", Seq(1L, 2L, 3L), "x"),
+        (2L, "empty list", Seq.empty[Long], null.asInstanceOf[String]),
+        (3L, "has \"quote\"", Seq(7L), "unicode ✓")
+      ).toDF("id", "name", "xs", "opt")
+        .coalesce(1).write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("id"), col("name"),
+          expr("aggregate(xs, 0L, (a, b) -> a + b)").as("xs_sum"),
+          size(col("xs")).cast("long").as("n_xs"), col("opt"))
+    }
+
+  val oJsonRoundtrip: String =
+    """SELECT CAST(id AS BIGINT) AS id, name,
+      |  CAST(xs_sum AS BIGINT) AS xs_sum, CAST(n_xs AS BIGINT) AS n_xs,
+      |  opt FROM (VALUES
+      |  (1, 'plain', 6, 3, 'x'),
+      |  (2, 'empty list', 0, 0, NULL),
+      |  (3, 'has "quote"', 7, 1, 'unicode ✓')
+      |) t(id, name, xs_sum, n_xs, opt)""".stripMargin
+
   // ---- schema evolution: two parquet generations of the same table —
   //      the second adds a column — read back together with mergeSchema;
   //      old-generation rows surface NULL for the new column (bucketed

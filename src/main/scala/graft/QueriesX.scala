@@ -4087,4 +4087,61 @@ object QueriesX {
       |  CAST(count(*) AS BIGINT) AS n_edges
       |FROM e0 LEFT JOIN sup ON e0.u = sup.u AND e0.v = sup.v
       |GROUP BY 1""".stripMargin
+
+  // ---- supplier balance quartiles per nation (ntile): window over the
+  //      per-nation bounded domain with a (bal, suppkey) total order so
+  //      the tile assignment is deterministic in both engines ----
+  def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("bal_c"), col("s_suppkey"))
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        floor(col("s_acctbal") * 100).cast("long").as("bal_c"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("s_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum(col("bal_c")).cast("double") / lit(100.0)).as("total_bal"))
+  }
+
+  val oWindowNtile: String =
+    """WITH q AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_c,
+      |    CAST(ntile(4) OVER (PARTITION BY s_nationkey
+      |      ORDER BY CAST(floor(s_acctbal * 100) AS BIGINT), s_suppkey)
+      |      AS BIGINT) AS quartile
+      |  FROM supplier)
+      |SELECT s_nationkey, quartile, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(bal_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS total_bal
+      |FROM q GROUP BY 1, 2""".stripMargin
+
+  // ---- discount × tax revenue matrix: the 2-D pricing-mix profile —
+  //      one hash agg to the bounded ~11×9 band domain, exact cents ----
+  def qHist2d(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "lineitem")
+      .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_pct"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val tot = m.agg(sum(col("price_c")).as("total_c"))
+    m.groupBy(col("disc_pct"), col("tax_pct"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("rev_c"))
+      .crossJoin(broadcast(tot))
+      .select(col("disc_pct"), col("tax_pct"), col("n_lines"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        (col("rev_c").cast("double") / col("total_c").cast("double"))
+          .as("share"))
+  }
+
+  val oHist2d: String =
+    """WITH m AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |tot AS (SELECT CAST(sum(price_c) AS BIGINT) AS total_c FROM m)
+      |SELECT disc_pct, tax_pct, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE /
+      |    CAST(total_c AS BIGINT)::DOUBLE AS share
+      |FROM m CROSS JOIN tot GROUP BY disc_pct, tax_pct, total_c""".stripMargin
 }
