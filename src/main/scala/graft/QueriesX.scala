@@ -4144,4 +4144,99 @@ object QueriesX {
       |  CAST(sum(price_c) AS BIGINT)::DOUBLE /
       |    CAST(total_c AS BIGINT)::DOUBLE AS share
       |FROM m CROSS JOIN tot GROUP BY disc_pct, tax_pct, total_c""".stripMargin
+
+  // ---- daily abandonment: users who viewed but did not purchase that
+  //      day — two distinct sets left-joined on (user, day), exact
+  //      counts, one mirrored division ----
+  def qDailyAbandonment(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts DIV 1000 DIV 86400000000").as("day"))
+    val viewers = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("day")).distinct()
+    val buyers = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day")).distinct()
+      .withColumn("bought", lit(1L))
+    viewers.join(buyers, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_viewers"),
+        sum(when(col("bought").isNull, 1L).otherwise(0L)).as("n_abandoned"))
+      .select(col("day"), col("n_viewers"), col("n_abandoned"),
+        (col("n_abandoned").cast("double") / col("n_viewers").cast("double"))
+          .as("abandonment_rate"))
+  }
+
+  val oDailyAbandonment: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |v AS (SELECT DISTINCT user_id, day FROM e WHERE event_type = 'view'),
+      |b AS (SELECT DISTINCT user_id, day FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT v.day, CAST(count(*) AS BIGINT) AS n_viewers,
+      |  CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_abandoned,
+      |  CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+      |    AS abandonment_rate
+      |FROM v LEFT JOIN b ON v.user_id = b.user_id AND v.day = b.day
+      |GROUP BY 1""".stripMargin
+
+  // ---- tainted-order share per year: orders with >= 1 returned line —
+  //      order-level quality complement of the line-level return rate ----
+  def qTaintedOrders(s: SparkSession, dir: String): DataFrame = {
+    val tainted = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("n_ret"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .join(tainted, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_ret") > 0L, 1L).otherwise(0L)).as("n_tainted"))
+      .select(col("yr"), col("n_orders"), col("n_tainted"),
+        (col("n_tainted").cast("double") / col("n_orders").cast("double"))
+          .as("tainted_share"))
+  }
+
+  val oTaintedOrders: String =
+    """WITH t AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_ret
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN t.n_ret > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tainted,
+      |  CAST(sum(CASE WHEN t.n_ret > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+      |    AS tainted_share
+      |FROM orders o JOIN t ON o.o_orderkey = t.l_orderkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- part-type prefix rollup: p_type's first word is a category
+  //      prefix ("STANDARD ANODIZED BRASS" → STANDARD) — parse + sold
+  //      revenue per category, exact cents ----
+  def qTypeRollup(s: SparkSession, dir: String): DataFrame = {
+    val pt = t(s, dir, "part").select(col("p_partkey"),
+      element_at(split(col("p_type"), " "), 1).as("category"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("price_c")).cast("double") / lit(100.0)).as("revenue"))
+  }
+
+  val oTypeRollup: String =
+    """WITH pt AS (
+      |  SELECT p_partkey, string_split(p_type, ' ')[1] AS category
+      |  FROM part)
+      |SELECT pt.category, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM lineitem l JOIN pt ON l.l_partkey = pt.p_partkey
+      |GROUP BY 1""".stripMargin
 }
