@@ -4239,4 +4239,110 @@ object QueriesX {
       |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue
       |FROM lineitem l JOIN pt ON l.l_partkey = pt.p_partkey
       |GROUP BY 1""".stripMargin
+
+  // ---- day-of-week × hour activity heatmap: the full weekly texture
+  //      (q_dow_effect × q_hour_profile in one 7×24 bounded matrix) ----
+  def qDowHourHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(
+      expr("((ts DIV 86400000000000) + 4) % 7").as("dow"),
+      expr("(ts DIV 1000 DIV 3600000000) % 24").as("hour"))
+    val tot = e.agg(count(lit(1)).as("n_all"))
+    e.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"),
+        (col("n_events").cast("double") / col("n_all").cast("double"))
+          .as("share"))
+  }
+
+  val oDowHourHeatmap: String =
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour
+      |  FROM events),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM e)
+      |SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT)::DOUBLE / CAST(n_all AS BIGINT)::DOUBLE
+      |    AS share
+      |FROM e CROSS JOIN tot GROUP BY dow, hour, n_all""".stripMargin
+
+  // ---- conversion by session start hour: purchases landing per
+  //      session-start-hour over sessions started that hour — two
+  //      independent exact counts joined on the bounded 24-hour domain ----
+  def qHourlyConversion(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessions.sessionize(
+        events(s, dir).select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us")),
+        gapMicros = 1800000000L)
+      .groupBy(expr("(start_us DIV 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val buys = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts DIV 1000 DIV 3600000000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_purchases"))
+    sess.join(buys, Seq("hour"), "left")
+      .select(col("hour"), col("n_sessions"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        (coalesce(col("n_purchases"), lit(0L)).cast("double") /
+          col("n_sessions").cast("double")).as("purchases_per_session"))
+  }
+
+  val oHourlyConversion: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+      |      AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT min(ts_us) AS start_us
+      |  FROM (SELECT user_id, ts_us,
+      |          sum(is_new) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS session_idx
+      |        FROM flagged)
+      |  GROUP BY user_id, session_idx),
+      |sh AS (
+      |  SELECT (start_us // 3600000000) % 24 AS hour,
+      |    CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM sess GROUP BY 1),
+      |b AS (
+      |  SELECT (ts_us // 3600000000) % 24 AS hour,
+      |    CAST(count(*) AS BIGINT) AS n_purchases
+      |  FROM e WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT sh.hour, sh.n_sessions,
+      |  coalesce(b.n_purchases, 0) AS n_purchases,
+      |  coalesce(b.n_purchases, 0)::DOUBLE / sh.n_sessions::DOUBLE
+      |    AS purchases_per_session
+      |FROM sh LEFT JOIN b ON sh.hour = b.hour""".stripMargin
+
+  // ---- price-endings audit: cents-digit distribution of order totals
+  //      (the .99 pricing-psychology / fabrication screen beside
+  //      q_benford's first-digit law). One hash agg to the 100-cell
+  //      cents domain ----
+  def qPriceEndings(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .select((floor(col("o_totalprice") * 100).cast("long") % 100L)
+        .as("cents"))
+    val tot = m.agg(count(lit(1)).as("n_all"))
+    m.groupBy(col("cents")).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(tot))
+      .select(col("cents"), col("n_orders"),
+        (col("n_orders").cast("double") / col("n_all").cast("double"))
+          .as("share"))
+  }
+
+  val oPriceEndings: String =
+    """WITH m AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) % 100 AS cents
+      |  FROM orders),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM m)
+      |SELECT cents, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(*) AS BIGINT)::DOUBLE / CAST(n_all AS BIGINT)::DOUBLE
+      |    AS share
+      |FROM m CROSS JOIN tot GROUP BY cents, n_all""".stripMargin
 }
