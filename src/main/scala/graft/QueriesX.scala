@@ -4345,4 +4345,100 @@ object QueriesX {
       |  CAST(count(*) AS BIGINT)::DOUBLE / CAST(n_all AS BIGINT)::DOUBLE
       |    AS share
       |FROM m CROSS JOIN tot GROUP BY cents, n_all""".stripMargin
+
+  // ---- activity-streak histogram: longest run of CONSECUTIVE active
+  //      days per user (gaps-and-islands via day − row_number over the
+  //      per-user bounded domain), then the tenure-quality histogram ----
+  def qActivityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+    streaks.groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+  }
+
+  val oActivityStreaks: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS grp
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak FROM (
+      |    SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      |    FROM g GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+      |FROM st GROUP BY 1""".stripMargin
+
+  // ---- first-order value vs lifetime value: Pearson r over customers
+  //      (does a big first basket predict a big lifetime?) — the first
+  //      order is pinned by the (date, orderkey) total order, moments
+  //      ride DECIMAL(38,0), closing expression is the only float ----
+  def qFirstorderLtvCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+        "AS BIGINT)").as("d"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val firstKey = o.groupBy(col("o_custkey"))
+      .agg(min(struct(col("d"), col("o_orderkey"))).as("fk"),
+        sum(col("price_c")).as("ltv_c"))
+      .select(col("o_custkey"), col("fk.o_orderkey").as("first_key"),
+        col("ltv_c"))
+    val xy = firstKey.join(
+        o.select(col("o_orderkey").as("first_key"),
+          col("price_c").as("first_c")), Seq("first_key"))
+      .select(col("first_c").as("x"), col("ltv_c").as("y"))
+    xy.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .select(col("n").cast("long").as("n_customers"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("r"))
+  }
+
+  val oFirstorderLtvCorr: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS d,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |fk AS (
+      |  SELECT o_custkey,
+      |    min({'d': d, 'k': o_orderkey}) AS mk,
+      |    CAST(sum(price_c) AS BIGINT) AS ltv_c
+      |  FROM o GROUP BY 1),
+      |xy AS (
+      |  SELECT o.price_c AS x, fk.ltv_c AS y
+      |  FROM fk JOIN o ON fk.mk.k = o.o_orderkey),
+      |m AS (
+      |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxy
+      |  FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      |FROM m""".stripMargin
 }
