@@ -712,6 +712,25 @@ class PlanSpec extends SparkSpec {
     // is the intended plan)
     for (q <- Seq("q_cosine_hist", "q_knn_purity", "q_dedup_source_impact"))
       assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
+    // window-free hash-agg shapes from the closing batches
+    for (q <- Seq("q_hist2d", "q_daily_abandonment", "q_tainted_orders",
+      "q_type_rollup", "q_dow_hour_heatmap", "q_price_endings",
+      "q_firstorder_ltv_corr")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    // per-key-bounded window shapes (ntile / sessionize / islands): the
+    // window must be PARTITIONED, never a single global sort
+    for (q <- Seq("q_window_ntile", "q_hourly_conversion",
+      "q_activity_streaks")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(p.contains("Window"), s"$q should window per key")
+      assert(!p.contains("Window [") ||
+        !p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+        s"$q has an unpartitioned window")
+    }
     // true dims broadcast; the fact-sized customer⋈orders side must NOT
     assert(plan("q_return_rate").contains("BroadcastHashJoin"),
       "supplier dim should broadcast")
