@@ -4441,4 +4441,296 @@ object QueriesX {
       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
       |FROM m""".stripMargin
+
+  // ---- session entry/exit matrix: which event type OPENS a session vs
+  //      which CLOSES it — the landing/drop-off profile. First/last event
+  //      per session via lexicographic struct min/max (ts, id unique →
+  //      the type field never decides), so the per-session reduction is
+  //      partial-aggregable: no per-session sort, no collect_list ----
+  def qEntryExit(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = events(s, dir).select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("ts_us"), col("event_type"))
+    e.withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("fst"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("lst"))
+      .select(col("fst.event_type").as("entry_type"),
+        col("lst.event_type").as("exit_type"))
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  val oEntryExit: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT *, CASE WHEN lag(ts_us) OVER win IS NULL
+      |      OR ts_us - lag(ts_us) OVER win > 1800000000 THEN 1 ELSE 0 END
+      |      AS is_new
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM w),
+      |p AS (
+      |  SELECT user_id, session_idx,
+      |    min({'t': ts_us, 'k': event_id, 'e': event_type}) AS fst,
+      |    max({'t': ts_us, 'k': event_id, 'e': event_type}) AS lst
+      |  FROM s GROUP BY 1, 2)
+      |SELECT fst.e AS entry_type, lst.e AS exit_type,
+      |  CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  // ---- ship-latency by order priority: does URGENT actually ship
+  //      sooner? Delay in exact epoch-days (integer), one fact⋈fact hash
+  //      join on orderkey + one hash agg to the 5-row priority domain;
+  //      only the terminal mean divides ----
+  def qPriorityLatency(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+        "AS BIGINT)").as("od"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("sd"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("sd") - col("od")).as("delay_d"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("delay_d")).as("min_delay_d"),
+        max(col("delay_d")).as("max_delay_d"),
+        sum(col("delay_d")).as("sum_delay_d"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        col("min_delay_d"), col("max_delay_d"),
+        (col("sum_delay_d").cast("double") /
+          col("n_lines").cast("double")).as("mean_delay_d"))
+  }
+
+  val oPriorityLatency: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS od
+      |  FROM orders),
+      |j AS (
+      |  SELECT o.o_orderpriority,
+      |    CAST(epoch(l.l_shipdate) AS BIGINT) // 86400 - o.od AS delay_d
+      |  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(min(delay_d) AS BIGINT) AS min_delay_d,
+      |  CAST(max(delay_d) AS BIGINT) AS max_delay_d,
+      |  CAST(sum(delay_d) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_delay_d
+      |FROM j GROUP BY 1""".stripMargin
+
+  // ---- inter-order gap histogram: days between a customer's consecutive
+  //      orders, bucketed to weeks — the purchase-cadence profile behind
+  //      churn models. Per-customer lag window (key-partitioned, scales),
+  //      integer week buckets, exact distinct customers per bucket ----
+  def qInterorderGap(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("d"))
+      .withColumn("gap_d", col("d") - lag(col("d"), 1).over(byCust))
+      .where(col("gap_d").isNotNull)
+      .select(expr("gap_d DIV 7").as("gap_wk"), col("o_custkey"))
+      .groupBy(col("gap_wk"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  val oInterorderGap: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS d
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey,
+      |    d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |      AS gap_d
+      |  FROM o)
+      |SELECT gap_d // 7 AS gap_wk, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM g WHERE gap_d IS NOT NULL GROUP BY 1""".stripMargin
+
+  // ---- market-segment × order-priority mix: order counts and exact-cents
+  //      revenue per cell, plus each cell's share of its segment in basis
+  //      points. customer⋈orders is the key-partitioned fact join; the
+  //      25-row segment-total side of the share join broadcasts ----
+  def qMktsegPriorityMix(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+    val segTotals = cells.groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev_c")).as("seg_c"))
+    cells.join(broadcast(segTotals), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("rev_c * 10000L DIV seg_c").as("share_bp"))
+  }
+
+  val oMktsegPriorityMix: String =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment, o.o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT c_mktsegment, CAST(sum(rev_c) AS BIGINT) AS seg_c
+      |  FROM cells GROUP BY 1)
+      |SELECT cells.c_mktsegment, cells.o_orderpriority, cells.n_orders,
+      |  CAST(cells.rev_c AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(cells.rev_c * 10000 // seg.seg_c AS BIGINT) AS share_bp
+      |FROM cells JOIN seg USING (c_mktsegment)""".stripMargin
+
+  // ---- part catalog lattice: counts and exact-cents price stats on the
+  //      (p_type, p_size) grid — the assortment-coverage audit. Single
+  //      dimension-table scan, one hash agg to a ~7.5k-cell domain; the
+  //      partial aggregate collapses map-side ----
+  def qPartTypeSizeGrid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_type"), col("p_size").cast("long").as("p_size"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("p_type"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("price_c")).as("min_price_c"),
+        max(col("price_c")).as("max_price_c"),
+        (sum(col("price_c")).cast("double") /
+          (count(lit(1)) * lit(100)).cast("double")).as("mean_price"))
+
+  val oPartTypeSizeGrid: String =
+    """WITH p AS (
+      |  SELECT p_type, CAST(p_size AS BIGINT) AS p_size,
+      |    CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c
+      |  FROM part)
+      |SELECT p_type, p_size, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(min(price_c) AS BIGINT) AS min_price_c,
+      |  CAST(max(price_c) AS BIGINT) AS max_price_c,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) * 100 AS BIGINT)::DOUBLE AS mean_price
+      |FROM p GROUP BY 1, 2""".stripMargin
+
+  // ---- supplier workload: line count, distinct parts and orders served,
+  //      exact-cents revenue per supplier, plus each supplier's share of
+  //      total revenue in basis points. One fact-scan hash agg keyed by
+  //      suppkey, the supplier-name dim broadcast in, and the 1-row grand
+  //      total broadcast into the share join — no fact-side shuffle beyond
+  //      the agg itself ----
+  def qSupplierWorkload(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"), col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("price_c")).as("rev_c"))
+    val total = per.agg(sum(col("rev_c")).as("tot_c"))
+    per.join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(total))
+      .select(col("s_name"), col("n_lines"), col("n_parts"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("rev_c * 10000L DIV tot_c").as("share_bp"))
+  }
+
+  val oSupplierWorkload: String =
+    """WITH per AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM per)
+      |SELECT s.s_name, per.n_lines, per.n_parts, per.n_orders,
+      |  per.rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(per.rev_c * 10000 // tot.tot_c AS BIGINT) AS share_bp
+      |FROM per JOIN supplier s ON per.l_suppkey = s.s_suppkey, tot""".stripMargin
+
+  // ---- quantity × discount grid: line counts and exact-cents revenue on
+  //      the (integer quantity, discount-in-percent) lattice — the pricing
+  //      surface behind discount-policy audits. Pure single-scan hash agg
+  //      to a ~550-cell domain ----
+  def qQtyDiscountGrid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("qty"),
+        floor(col("l_discount") * 100).cast("long").as("disc_pct"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("qty"), col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("price_c")).cast("double") / lit(100.0)).as("revenue"))
+
+  val oQtyDiscountGrid: String =
+    """SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    ::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // ---- character-class profile: per-source ASCII letter/digit/space/other
+  //      composition of the corpus — the encoding-sanity audit a crawl
+  //      pipeline runs before tokenization. Counts via length deltas of
+  //      replace-all (both engines replace every match), exact integers,
+  //      one scan, one hash agg ----
+  def qCharClassProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_all"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Za-z]", "")))
+          .cast("long").as("n_letter"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), " ", "")))
+          .cast("long").as("n_space"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_all")).as("n_chars"),
+        sum(col("n_letter")).as("n_letters"),
+        sum(col("n_digit")).as("n_digits"),
+        sum(col("n_space")).as("n_spaces"),
+        sum(col("n_all") - col("n_letter") - col("n_digit") - col("n_space"))
+          .as("n_other"))
+
+  val oCharClassProfile: String =
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS n_all,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |      AS BIGINT) AS n_letter,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(replace(text, ' ', ''))
+      |      AS BIGINT) AS n_space
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_all) AS BIGINT) AS n_chars,
+      |  CAST(sum(n_letter) AS BIGINT) AS n_letters,
+      |  CAST(sum(n_digit) AS BIGINT) AS n_digits,
+      |  CAST(sum(n_space) AS BIGINT) AS n_spaces,
+      |  CAST(sum(n_all - n_letter - n_digit - n_space) AS BIGINT) AS n_other
+      |FROM d GROUP BY 1""".stripMargin
 }

@@ -747,5 +747,35 @@ class PlanSpec extends SparkSpec {
       "q_ngram_coverage", "q_stickiness", "q_local_trade",
       "q_local_clustering"))
       assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 17: window-free hash-agg/equi-join shapes...
+    for (q <- Seq("q_priority_latency", "q_mktseg_priority_mix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    // ...and per-key-partitioned windows (sessionize / per-customer lag)
+    for (q <- Seq("q_entry_exit", "q_interorder_gap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(p.contains("Window"), s"$q should window per key")
+      assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+        s"$q has an unpartitioned window")
+    }
+    // the 25-row segment-totals share join must broadcast
+    assert(plan("q_mktseg_priority_mix").contains("BroadcastHashJoin"),
+      "segment totals should broadcast")
+    // batch 18: single-scan hash-agg grids — no window, no cartesian, and
+    // no shuffled join (dims and the 1-row grand total must broadcast)
+    for (q <- Seq("q_part_type_size_grid", "q_qty_discount_grid",
+        "q_char_class_profile", "q_supplier_workload")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join")
+    }
+    val swl = plan("q_supplier_workload")
+    assert(swl.contains("BroadcastHashJoin"), "supplier dim should broadcast")
+    assert(swl.contains("BroadcastNestedLoopJoin"),
+      "supplier grand total should broadcast")
   }
 }
