@@ -4733,4 +4733,95 @@ object QueriesX {
       |  CAST(sum(n_space) AS BIGINT) AS n_spaces,
       |  CAST(sum(n_all - n_letter - n_digit - n_space) AS BIGINT) AS n_other
       |FROM d GROUP BY 1""".stripMargin
+
+  // ---- vector sparsity histogram: how many dimensions per embedding are
+  //      near zero (|x| < 0.05) — the rep-collapse / dead-dimension audit.
+  //      A codegen'd lambda fold per row (no explode: the array never
+  //      leaves the scan row), then a hash agg onto the ≤dim+1 domain.
+  //      Float→double casts are exact, so the threshold compare is
+  //      bit-identical across engines ----
+  def qVectorSparsity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(expr("aggregate(embedding, 0L, (acc, x) -> acc + " +
+        "CASE WHEN abs(CAST(x AS DOUBLE)) < 0.05 THEN 1L ELSE 0L END)")
+        .as("n_small"))
+      .groupBy(col("n_small"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  val oVectorSparsity: String =
+    """SELECT CAST(len(list_filter(embedding,
+      |    x -> abs(CAST(x AS DOUBLE)) < 0.05)) AS BIGINT) AS n_small,
+      |  CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM embeddings GROUP BY 1""".stripMargin
+
+  // ---- token-length histogram: corpus-wide word-length distribution plus
+  //      how many documents contain a word of each length — the
+  //      tokenizer-sanity profile. Explode is the only row expansion; the
+  //      agg collapses map-side onto a ~20-row domain ----
+  def qWordLenHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(length(col("tok")).cast("long").as("tok_len"), col("doc_id"))
+      .groupBy(col("tok_len"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  val oWordLenHist: String =
+    """SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin
+
+  // ---- event-property mix: the JSON props key `k` bucketed by decade ×
+  //      event type, with counts, distinct users, and exact-cents value
+  //      sums — the instrumentation-payload audit. JSON extraction stays
+  //      inside the scan projection; one hash agg to a ~50-cell domain ----
+  def qPropsKeyMix(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10")
+          .as("k_decade"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .groupBy(col("event_type"), col("k_decade"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(col("value_c")).cast("double") / lit(100.0)).as("value_sum"))
+
+  val oPropsKeyMix: String =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)::DOUBLE
+      |    / 100.0::DOUBLE AS value_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- language × source matrix: document counts and exact char mass per
+  //      (declared lang, source) cell, with each cell's share of its
+  //      language in basis points — the corpus-mix dashboard. One scan,
+  //      one hash agg; the ≤|langs| totals side broadcasts ----
+  def qLangSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val langTotals = cells.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("lang_docs"))
+    cells.join(broadcast(langTotals), Seq("lang"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        expr("n_docs * 10000L DIV lang_docs").as("share_bp"))
+  }
+
+  val oLangSourceMatrix: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY 1, 2),
+      |lt AS (
+      |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs
+      |  FROM cells GROUP BY 1)
+      |SELECT cells.lang, cells.source, cells.n_docs, cells.n_chars,
+      |  CAST(cells.n_docs * 10000 // lt.lang_docs AS BIGINT) AS share_bp
+      |FROM cells JOIN lt USING (lang)""".stripMargin
 }

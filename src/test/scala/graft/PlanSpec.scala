@@ -777,5 +777,17 @@ class PlanSpec extends SparkSpec {
     assert(swl.contains("BroadcastHashJoin"), "supplier dim should broadcast")
     assert(swl.contains("BroadcastNestedLoopJoin"),
       "supplier grand total should broadcast")
+    // batch 19: scan-local row work (lambda fold / json extract / explode)
+    // feeding small-domain hash aggs — no window, no cartesian, no
+    // shuffled join; the lang-totals share join must broadcast
+    for (q <- Seq("q_vector_sparsity", "q_word_len_hist", "q_props_key_mix",
+        "q_lang_source_matrix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join")
+    }
+    assert(plan("q_lang_source_matrix").contains("BroadcastHashJoin"),
+      "lang totals should broadcast")
   }
 }
