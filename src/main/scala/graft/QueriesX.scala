@@ -4824,4 +4824,309 @@ object QueriesX {
       |SELECT cells.lang, cells.source, cells.n_docs, cells.n_chars,
       |  CAST(cells.n_docs * 10000 // lt.lang_docs AS BIGINT) AS share_bp
       |FROM cells JOIN lt USING (lang)""".stripMargin
+
+  // ---- customer tenure histogram: lifespan between a customer's first
+  //      and last order, bucketed to 4-week blocks — the account-age mix
+  //      behind retention targets. Per-customer min/max (one partial-agg
+  //      reduction, no window), then a hash agg onto the bucket domain ----
+  def qCustomerTenureHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (max(col("d")) - min(col("d"))).as("span_d"))
+      .select(expr("span_d DIV 28").as("tenure_4wk"), col("n_orders"))
+      .groupBy(col("tenure_4wk"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        (sum(col("n_orders")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_orders"))
+
+  val oCustomerTenureHist: String =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(max(epoch(o_orderdate)) // 86400
+      |      - min(epoch(o_orderdate)) // 86400 AS BIGINT) AS span_d
+      |  FROM orders GROUP BY 1)
+      |SELECT span_d // 28 AS tenure_4wk,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_orders) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_orders
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- balance-sign mix by nation and role: negative/zero/positive
+  //      account-balance composition for customers vs suppliers in one
+  //      matrix — the credit-exposure audit. Union-all of the two scans
+  //      (schema aligned in the projection), exact-cents sums, broadcast
+  //      nation-name dim ----
+  def qAcctbalSignMix(s: SparkSession, dir: String): DataFrame = {
+    def side(tbl: String, key: String, bal: String, role: String) =
+      t(s, dir, tbl).select(
+        col(key).as("nationkey"), lit(role).as("role"),
+        floor(col(bal) * 100).cast("long").as("bal_c"))
+    val u = side("customer", "c_nationkey", "c_acctbal", "customer")
+      .unionAll(side("supplier", "s_nationkey", "s_acctbal", "supplier"))
+    u.groupBy(col("nationkey"), col("role"))
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(when(col("bal_c") < 0, 1L).otherwise(0L)).as("n_negative"),
+        sum(col("bal_c")).as("bal_sum_c"),
+        min(col("bal_c")).as("min_bal_c"),
+        max(col("bal_c")).as("max_bal_c"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("role"), col("n_accounts"), col("n_negative"),
+        (col("bal_sum_c").cast("double") / lit(100.0)).as("bal_sum"),
+        col("min_bal_c"), col("max_bal_c"))
+  }
+
+  val oAcctbalSignMix: String =
+    """WITH u AS (
+      |  SELECT c_nationkey AS nationkey, 'customer' AS role,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey, 'supplier',
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) FROM supplier),
+      |per AS (
+      |  SELECT nationkey, role, CAST(count(*) AS BIGINT) AS n_accounts,
+      |    CAST(sum(CASE WHEN bal_c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_negative,
+      |    CAST(sum(bal_c) AS BIGINT) AS bal_sum_c,
+      |    CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+      |    CAST(max(bal_c) AS BIGINT) AS max_bal_c
+      |  FROM u GROUP BY 1, 2)
+      |SELECT n.n_name, per.role, per.n_accounts, per.n_negative,
+      |  per.bal_sum_c::DOUBLE / 100.0::DOUBLE AS bal_sum,
+      |  per.min_bal_c, per.max_bal_c
+      |FROM per JOIN nation n ON per.nationkey = n.n_nationkey""".stripMargin
+
+  // ---- order-priority drift: the priority mix per order year, each cell's
+  //      share of its year in basis points — is URGENT usage growing? One
+  //      scan, one hash agg; the ≤|years| totals side broadcasts ----
+  def qPriorityDrift(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select(year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+        col("o_orderpriority"))
+      .groupBy(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val yearTotals = cells.groupBy(col("yr"))
+      .agg(sum(col("n_orders")).as("yr_orders"))
+    cells.join(broadcast(yearTotals), Seq("yr"))
+      .select(col("yr"), col("o_orderpriority"), col("n_orders"),
+        expr("n_orders * 10000L DIV yr_orders").as("share_bp"))
+  }
+
+  val oPriorityDrift: String =
+    """WITH cells AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |yt AS (SELECT yr, CAST(sum(n_orders) AS BIGINT) AS yr_orders
+      |       FROM cells GROUP BY 1)
+      |SELECT cells.yr, cells.o_orderpriority, cells.n_orders,
+      |  CAST(cells.n_orders * 10000 // yt.yr_orders AS BIGINT) AS share_bp
+      |FROM cells JOIN yt USING (yr)""".stripMargin
+
+  // ---- part-name vocabulary: token frequency across part names with
+  //      brand spread and exact-cents mean retail price per token — the
+  //      catalog-taxonomy profile. Explode on a dimension table (tiny
+  //      relative to facts), one hash agg ----
+  def qPartNameVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_brand"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c"),
+        explode(split(col("p_name"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_brand")).as("n_brands"),
+        (sum(col("price_c")).cast("double") /
+          (count(lit(1)) * lit(100)).cast("double")).as("mean_price"))
+
+  val oPartNameVocab: String =
+    """WITH tok AS (
+      |  SELECT p_brand, CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c,
+      |    unnest(string_split(p_name, ' ')) AS token
+      |  FROM part)
+      |SELECT token, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) * 100 AS BIGINT)::DOUBLE AS mean_price
+      |FROM tok GROUP BY 1""".stripMargin
+
+  // ---- first-vs-last order delta: did a customer's order value grow or
+  //      decline between their first and last order? Deterministic
+  //      first/last via min_by/max_by over a zero-padded "date|orderkey"
+  //      string key (DuckDB's arg_min needs a scalar ordering key, so both
+  //      engines sort the identical padded string — ties break on
+  //      orderkey). One partial-aggregable reduction per customer, then a
+  //      3-row direction rollup; no window, no join ----
+  def qFirstLastDelta(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+        format_string("%010d|%012d",
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+            "AS BIGINT)"),
+          col("o_orderkey")).as("k"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min_by(col("price_c"), col("k")).as("first_c"),
+        max_by(col("price_c"), col("k")).as("last_c"))
+      .filter(col("n_orders") >= 2)
+    per.select(
+        when(col("last_c") > col("first_c"), lit("grew"))
+          .when(col("last_c") < col("first_c"), lit("declined"))
+          .otherwise(lit("flat")).as("direction"),
+        (col("last_c") - col("first_c")).as("delta_c"))
+      .groupBy(col("direction"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("delta_c")).as("delta_sum_c"),
+        (sum(col("delta_c")).cast("double") /
+          (count(lit(1)) * lit(100)).cast("double")).as("mean_delta"))
+  }
+
+  val oFirstLastDelta: String =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    arg_min(CAST(floor(o_totalprice * 100) AS BIGINT),
+      |      printf('%010d|%012d', epoch_us(o_orderdate) // 86400000000,
+      |        o_orderkey)) AS first_c,
+      |    arg_max(CAST(floor(o_totalprice * 100) AS BIGINT),
+      |      printf('%010d|%012d', epoch_us(o_orderdate) // 86400000000,
+      |        o_orderkey)) AS last_c
+      |  FROM orders GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT CASE WHEN last_c > first_c THEN 'grew'
+      |            WHEN last_c < first_c THEN 'declined'
+      |            ELSE 'flat' END AS direction,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(last_c - first_c) AS BIGINT) AS delta_sum_c,
+      |  CAST(sum(last_c - first_c) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) * 100 AS BIGINT)::DOUBLE AS mean_delta
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- top supplier per nation: the highest-balance supplier (ties →
+  //      lowest suppkey, encoded as an inverted zero-padded key so plain
+  //      max_by is deterministic), alongside nation totals. One hash agg
+  //      over supplier + a broadcast of the 25-row nation dim ----
+  def qNationTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val offset = 100000000L // acctbal cents are > -1e8; keeps the key non-negative
+    val sup = t(s, dir, "supplier").select(
+      col("s_nationkey").cast("long").as("nationkey"), col("s_name"),
+      floor(col("s_acctbal") * 100).cast("long").as("bal_c"),
+      col("s_suppkey"))
+    val keyed = sup.select(col("nationkey"), col("s_name"), col("bal_c"),
+      format_string("%020d|%012d", col("bal_c") + lit(offset),
+        lit(999999999999L) - col("s_suppkey")).as("k"))
+    keyed.groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max_by(col("s_name"), col("k")).as("top_supplier"),
+        max_by(col("bal_c"), col("k")).as("top_bal_c"),
+        sum(col("bal_c")).as("bal_sum_c"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nationkey"),
+          col("n_name"))), Seq("nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("top_supplier"),
+        (col("top_bal_c").cast("double") / lit(100.0)).as("top_bal"),
+        (col("bal_sum_c").cast("double") / lit(100.0)).as("bal_sum"))
+  }
+
+  val oNationTopSupplier: String =
+    """WITH keyed AS (
+      |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_name,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_c,
+      |    printf('%020d|%012d',
+      |      CAST(floor(s_acctbal * 100) AS BIGINT) + 100000000,
+      |      999999999999 - s_suppkey) AS k
+      |  FROM supplier),
+      |per AS (
+      |  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |    arg_max(s_name, k) AS top_supplier,
+      |    arg_max(bal_c, k) AS top_bal_c,
+      |    CAST(sum(bal_c) AS BIGINT) AS bal_sum_c
+      |  FROM keyed GROUP BY 1)
+      |SELECT n.n_name, per.n_suppliers, per.top_supplier,
+      |  per.top_bal_c::DOUBLE / 100.0::DOUBLE AS top_bal,
+      |  per.bal_sum_c::DOUBLE / 100.0::DOUBLE AS bal_sum
+      |FROM per JOIN nation n ON per.nationkey = CAST(n.n_nationkey AS BIGINT)""".stripMargin
+
+  // ---- daily peak hour: which hour of the day carries each day's
+  //      traffic peak (ties → earliest hour via an inverted pad), rolled
+  //      into a peak-hour histogram — the load-shape profile capacity
+  //      planning reads. Two hash aggs over the bounded day×hour domain;
+  //      no window ----
+  def qDailyPeakHour(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(expr("(ts DIV 1000) DIV 86400000000").as("day"),
+        expr("((ts DIV 1000) DIV 3600000000) % 24").as("hour"))
+      .groupBy(col("day"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    hourly
+      .select(col("day"), col("hour"), col("n_events"),
+        format_string("%012d|%02d", col("n_events"),
+          lit(23L) - col("hour")).as("k"))
+      .groupBy(col("day"))
+      .agg(max_by(col("hour"), col("k")).as("peak_hour"),
+        max_by(col("n_events"), col("k")).as("peak_events"),
+        sum(col("n_events")).as("day_events"))
+      .groupBy(col("peak_hour"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("peak_events")).as("peak_events"),
+        expr("CAST(sum(peak_events) * 10000L AS BIGINT) DIV sum(day_events)")
+          .as("peak_share_bp"))
+  }
+
+  val oDailyPeakHour: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT day,
+      |    arg_max(hour, printf('%012d|%02d', n_events, 23 - hour))
+      |      AS peak_hour,
+      |    arg_max(n_events, printf('%012d|%02d', n_events, 23 - hour))
+      |      AS peak_events,
+      |    CAST(sum(n_events) AS BIGINT) AS day_events
+      |  FROM hourly GROUP BY 1)
+      |SELECT peak_hour, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(peak_events) AS BIGINT) AS peak_events,
+      |  CAST(sum(peak_events) * 10000 // sum(day_events) AS BIGINT)
+      |    AS peak_share_bp
+      |FROM daily GROUP BY 1""".stripMargin
+
+  // ---- order value concentration: how much of each order rides on its
+  //      single largest line, banded by share decile — flags orders whose
+  //      value is one big-ticket line vs evenly spread baskets. Per-order
+  //      partial-agg reduction, then a ≤11-row band rollup ----
+  def qOrderTopLineShare(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("p_c"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), max(col("p_c")).as("max_c"),
+        sum(col("p_c")).as("sum_c"))
+      .select(expr("(max_c * 10000L DIV sum_c) DIV 1000").as("share_band"),
+        col("n_lines"))
+      .groupBy(col("share_band"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("n_lines")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_lines"))
+
+  val oOrderTopLineShare: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS max_c,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT (max_c * 10000 // sum_c) // 1000 AS share_band,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_lines) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_lines
+      |FROM per GROUP BY 1""".stripMargin
 }

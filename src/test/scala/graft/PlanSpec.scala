@@ -789,5 +789,31 @@ class PlanSpec extends SparkSpec {
     }
     assert(plan("q_lang_source_matrix").contains("BroadcastHashJoin"),
       "lang totals should broadcast")
+    // batch 20: union/tenure/drift/vocab — window-free, cartesian-free,
+    // dims and year-totals broadcast rather than shuffle
+    for (q <- Seq("q_customer_tenure_hist", "q_acctbal_sign_mix",
+        "q_priority_drift", "q_part_name_vocab")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join")
+    }
+    for (q <- Seq("q_acctbal_sign_mix", "q_priority_drift"))
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q dim/totals side should broadcast")
+    assert(plan("q_acctbal_sign_mix").contains("Union"),
+      "sign mix should union the two role scans")
+    // batch 21: min_by/max_by argmin analytics — single-reduction hash
+    // aggs, deterministic padded-string ordering keys, no window, the
+    // only joins are broadcast dims
+    for (q <- Seq("q_first_last_delta", "q_nation_top_supplier",
+        "q_daily_peak_hour", "q_order_top_line_share")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a join")
+    }
+    assert(plan("q_nation_top_supplier").contains("BroadcastHashJoin"),
+      "nation dim should broadcast")
   }
 }
