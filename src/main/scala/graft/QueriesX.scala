@@ -5129,4 +5129,136 @@ object QueriesX {
       |  CAST(sum(n_lines) AS BIGINT)::DOUBLE /
       |    CAST(count(*) AS BIGINT)::DOUBLE AS mean_lines
       |FROM per GROUP BY 1""".stripMargin
+
+  // ---- cross-language vocabulary overlap: token-set Jaccard for every
+  //      language pair — how much surface vocabulary two language slices
+  //      share (loanwords, code, named entities). distinct (lang, token)
+  //      set, token-keyed self equi-join (lang_a < lang_b), then the
+  //      ≤|langs| vocab-size side broadcasts. The join fan-out per token
+  //      is bounded by |langs|², never corpus-sized ----
+  def qLangVocabJaccard(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val sizes = toks.groupBy(col("lang")).agg(count(lit(1)).as("vocab"))
+    val common = toks.as("a")
+      .join(toks.as("b"), col("a.token") === col("b.token") &&
+        col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("lang").as("lang_a"),
+        col("vocab").as("vocab_a"))), Seq("lang_a"))
+      .join(broadcast(sizes.select(col("lang").as("lang_b"),
+        col("vocab").as("vocab_b"))), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("vocab_a"), col("vocab_b"),
+        col("n_common"),
+        expr("n_common * 10000L DIV (vocab_a + vocab_b - n_common)")
+          .as("jaccard_bp"))
+  }
+
+  val oLangVocabJaccard: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tok2 AS (SELECT lang, token FROM toks WHERE token <> ''),
+      |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab
+      |          FROM tok2 GROUP BY 1),
+      |common AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM tok2 a JOIN tok2 b
+      |    ON a.token = b.token AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT c.lang_a, c.lang_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+      |  c.n_common,
+      |  CAST(c.n_common * 10000 // (sa.vocab + sb.vocab - c.n_common)
+      |    AS BIGINT) AS jaccard_bp
+      |FROM common c
+      |JOIN sizes sa ON c.lang_a = sa.lang
+      |JOIN sizes sb ON c.lang_b = sb.lang""".stripMargin
+
+  // ---- user lifetime-value bands: per-user total event value in cents,
+  //      banded into $1000 buckets (non-positive totals pinned to band
+  //      -1 so the floor-div/truncation divergence between engines on
+  //      negatives never fires). One per-user reduction, one small band
+  //      rollup ----
+  def qUserValueBands(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_c")).as("total_c"))
+      .select(
+        when(col("total_c") <= 0, lit(-1L))
+          .otherwise(expr("total_c DIV 100000")).as("band"),
+        col("total_c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("total_c")).cast("double") / lit(100.0)).as("value_sum"),
+        (sum(col("total_c")).cast("double") /
+          (count(lit(1)) * lit(100)).cast("double")).as("mean_value"))
+
+  val oUserValueBands: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events GROUP BY 1),
+      |banded AS (
+      |  SELECT CASE WHEN total_c <= 0 THEN -1
+      |              ELSE total_c // 100000 END AS band, total_c
+      |  FROM per)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(total_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS value_sum,
+      |  CAST(sum(total_c) AS BIGINT)::DOUBLE /
+      |    CAST(count(*) * 100 AS BIGINT)::DOUBLE AS mean_value
+      |FROM banded GROUP BY 1""".stripMargin
+
+  // ---- priority×weekday independence lift: is URGENT ordering a weekday
+  //      phenomenon? Observed cell share vs the product of the marginals,
+  //      in basis points. Weekday from pure epoch-day arithmetic
+  //      ((days+4) % 7, 0=Sunday) so both engines agree without calendar
+  //      functions. All divisions are staged BIGINT floor-divs — exact,
+  //      overflow-free at any scale, and identical in both engines. One
+  //      scan; marginals are ≤7- and ≤5-row broadcasts ----
+  def qPriorityDowLift(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select(expr("(CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE'1970-01-01') AS BIGINT) + 4) % 7").as("dow"),
+        col("o_orderpriority"))
+      .groupBy(col("dow"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_cell"))
+    val dowTot = cells.groupBy(col("dow")).agg(sum(col("n_cell")).as("n_dow"))
+    val prioTot = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_cell")).as("n_prio"))
+    val total = cells.agg(sum(col("n_cell")).as("n_total"))
+    cells
+      .join(broadcast(dowTot), Seq("dow"))
+      .join(broadcast(prioTot), Seq("o_orderpriority"))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("o_orderpriority"), col("n_cell"),
+        expr("n_cell * 10000L DIV n_dow").as("obs_share_bp"),
+        expr("n_prio * 10000L DIV n_total").as("exp_share_bp"),
+        expr("(n_cell * 10000L DIV n_dow) * 10000L DIV " +
+          "(n_prio * 10000L DIV n_total)").as("lift_bp"))
+  }
+
+  val oPriorityDowLift: String =
+    """WITH cells AS (
+      |  SELECT (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
+      |    o_orderpriority, CAST(count(*) AS BIGINT) AS n_cell
+      |  FROM orders GROUP BY 1, 2),
+      |dt AS (SELECT dow, CAST(sum(n_cell) AS BIGINT) AS n_dow
+      |       FROM cells GROUP BY 1),
+      |pt AS (SELECT o_orderpriority, CAST(sum(n_cell) AS BIGINT) AS n_prio
+      |       FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_total FROM cells)
+      |SELECT cells.dow, cells.o_orderpriority, cells.n_cell,
+      |  CAST(cells.n_cell * 10000 // dt.n_dow AS BIGINT) AS obs_share_bp,
+      |  CAST(pt.n_prio * 10000 // tot.n_total AS BIGINT) AS exp_share_bp,
+      |  CAST((cells.n_cell * 10000 // dt.n_dow) * 10000 //
+      |    (pt.n_prio * 10000 // tot.n_total) AS BIGINT) AS lift_bp
+      |FROM cells JOIN dt USING (dow)
+      |JOIN pt USING (o_orderpriority), tot""".stripMargin
 }

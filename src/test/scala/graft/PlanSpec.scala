@@ -815,5 +815,18 @@ class PlanSpec extends SparkSpec {
     }
     assert(plan("q_nation_top_supplier").contains("BroadcastHashJoin"),
       "nation dim should broadcast")
+    // batch 22: vocab jaccard / value bands / independence lift —
+    // cartesian- and window-free; the jaccard self-join is token-keyed
+    // (equi), its vocab-size sides broadcast
+    for (q <- Seq("q_lang_vocab_jaccard", "q_user_value_bands",
+        "q_priority_dow_lift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    assert(plan("q_lang_vocab_jaccard").contains("BroadcastHashJoin"),
+      "vocab sizes should broadcast")
+    for (q <- Seq("q_user_value_bands", "q_priority_dow_lift"))
+      assert(!plan(q).contains("SortMergeJoin"), s"$q shuffles a join")
   }
 }

@@ -655,4 +655,42 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.head.numRowsTotal === 1L)
     } finally q.stop()
   }
+
+  test("streaming running arg-max matches the batch max_by fold per prefix") {
+    import graft.streaming.ArgMaxStream
+    import graft.streaming.ArgMaxStream.HourCount
+    import org.apache.spark.sql.functions.{col, format_string, lit, max_by}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HourCount]
+    val all = Seq(
+      HourCount(1L, 3L, 10L), HourCount(1L, 9L, 25L), HourCount(1L, 17L, 25L),
+      HourCount(2L, 0L, 7L), HourCount(2L, 23L, 7L), HourCount(2L, 12L, 40L))
+    val q = ArgMaxStream.runningPeak(input.toDS())
+      .writeStream.format("memory").queryName("argmax_s")
+      .outputMode("update").start()
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      // the 25-tie between hours 9 and 17 must resolve to the EARLIER hour
+      val mid = spark.table("argmax_s").as[(Long, Long, Long)].collect().toSet
+      assert(mid === Set((1L, 9L, 25L)))
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      // batch 2 touches only day 2, so the sink holds one row per day
+      val fin = spark.table("argmax_s").as[(Long, Long, Long)].collect().toSet
+      // batch twin: max_by over the identical padded ordering key
+      val batch = all.toDF("day", "hour", "n")
+        .groupBy(col("day"))
+        .agg(
+          max_by(col("hour"), format_string("%012d|%02d", col("n"),
+            lit(23L) - col("hour"))).as("peak_hour"),
+          max_by(col("n"), format_string("%012d|%02d", col("n"),
+            lit(23L) - col("hour"))).as("peak_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fin === batch, "streamed arg-max must equal the batch max_by")
+      assert(fin === Set((1L, 9L, 25L), (2L, 12L, 40L)))
+      // state is O(1) per key: one best-triple row per day
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
+    } finally q.stop()
+  }
 }
