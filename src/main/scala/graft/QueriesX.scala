@@ -5261,4 +5261,118 @@ object QueriesX {
       |    (pt.n_prio * 10000 // tot.n_total) AS BIGINT) AS lift_bp
       |FROM cells JOIN dt USING (dow)
       |JOIN pt USING (o_orderpriority), tot""".stripMargin
+
+  // ---- bipartite degree histograms: the part↔supplier sourcing graph
+  //      from lineitem — how many suppliers serve a part, how many parts
+  //      a supplier carries, both degree distributions union-all'd with a
+  //      side tag. distinct pair set once, two degree reductions, two
+  //      ≤degree-domain histograms — no windows, no joins ----
+  def qBipartiteDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    def hist(key: String, side: String) = pairs
+      .groupBy(col(key)).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(side).as("side"), col("degree"), col("n_nodes"))
+    hist("l_partkey", "suppliers_per_part")
+      .unionAll(hist("l_suppkey", "parts_per_supplier"))
+  }
+
+  val oBipartiteDegreeHist: String =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |pd AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS degree
+      |       FROM pairs GROUP BY 1),
+      |sd AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS degree
+      |       FROM pairs GROUP BY 1)
+      |SELECT 'suppliers_per_part' AS side, degree,
+      |  CAST(count(*) AS BIGINT) AS n_nodes FROM pd GROUP BY 2
+      |UNION ALL
+      |SELECT 'parts_per_supplier' AS side, degree,
+      |  CAST(count(*) AS BIGINT) AS n_nodes FROM sd GROUP BY 2""".stripMargin
+
+  // ---- top-10 value concentration: what share of all event value the
+  //      ten highest-value users carry. Per-user reduction, then a
+  //      TakeOrdered(10) over (total desc, user_id asc — deterministic at
+  //      ties) instead of a rank window: the executor-side top-k heap
+  //      ships 10 rows per partition to the driver regardless of user
+  //      count. One output row ----
+  def qTop10UserShare(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_c")).as("total_c"))
+    val top = per.orderBy(col("total_c").desc, col("user_id").asc).limit(10)
+      .agg(count(lit(1)).as("top_n"), sum(col("total_c")).as("top_c"))
+    val all = per.agg(count(lit(1)).as("n_users"),
+      sum(col("total_c")).as("all_c"))
+    top.crossJoin(broadcast(all))
+      .select(col("n_users"), col("top_n"),
+        (col("top_c").cast("double") / lit(100.0)).as("top_value"),
+        (col("all_c").cast("double") / lit(100.0)).as("total_value"),
+        expr("top_c * 10000L DIV all_c").as("top_share_bp"))
+  }
+
+  val oTop10UserShare: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events GROUP BY 1),
+      |top AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS top_n,
+      |    CAST(sum(total_c) AS BIGINT) AS top_c
+      |  FROM (SELECT total_c FROM per
+      |        ORDER BY total_c DESC, user_id ASC LIMIT 10)),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(total_c) AS BIGINT) AS all_c FROM per)
+      |SELECT a.n_users, top.top_n,
+      |  top.top_c::DOUBLE / 100.0::DOUBLE AS top_value,
+      |  a.all_c::DOUBLE / 100.0::DOUBLE AS total_value,
+      |  CAST(top.top_c * 10000 // a.all_c AS BIGINT) AS top_share_bp
+      |FROM top, a""".stripMargin
+
+  // ---- new-vs-returning revenue: each order classified by whether it is
+  //      the customer's FIRST (deterministic min_by over the padded
+  //      date|orderkey string), revenue split per order year. The
+  //      first-order side is a per-customer reduction (customer-sized,
+  //      not order-sized) equi-joined back on custkey ----
+  def qNewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+      floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+      format_string("%010d|%012d",
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)"),
+        col("o_orderkey")).as("k"))
+    val firsts = o.groupBy(col("o_custkey"))
+      .agg(min_by(col("o_orderkey"), col("k")).as("first_orderkey"))
+    o.join(firsts, Seq("o_custkey"))
+      .select(col("yr"),
+        when(col("o_orderkey") === col("first_orderkey"), lit("new"))
+          .otherwise(lit("returning")).as("cohort"),
+        col("price_c"))
+      .groupBy(col("yr"), col("cohort"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("price_c")).cast("double") / lit(100.0)).as("revenue"))
+  }
+
+  val oNewVsReturning: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+      |    printf('%010d|%012d', epoch_us(o_orderdate) // 86400000000,
+      |      o_orderkey) AS k
+      |  FROM orders),
+      |firsts AS (
+      |  SELECT o_custkey, arg_min(o_orderkey, k) AS first_orderkey
+      |  FROM o GROUP BY 1)
+      |SELECT o.yr,
+      |  CASE WHEN o.o_orderkey = f.first_orderkey THEN 'new'
+      |       ELSE 'returning' END AS cohort,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o.price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM o JOIN firsts f USING (o_custkey)
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -828,5 +828,18 @@ class PlanSpec extends SparkSpec {
       "vocab sizes should broadcast")
     for (q <- Seq("q_user_value_bands", "q_priority_dow_lift"))
       assert(!plan(q).contains("SortMergeJoin"), s"$q shuffles a join")
+    // batch 23: degree hists / top-k concentration / first-order cohort —
+    // cartesian- and window-free; top-10 must be a TakeOrdered heap, not
+    // a global sort
+    for (q <- Seq("q_bipartite_degree_hist", "q_top10_user_share",
+        "q_new_vs_returning")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    assert(plan("q_top10_user_share").contains("TakeOrderedAndProject"),
+      "top-10 should be a bounded top-k heap, not a full sort")
+    assert(plan("q_bipartite_degree_hist").contains("Union"),
+      "degree hist should union the two sides")
   }
 }
