@@ -5375,4 +5375,163 @@ object QueriesX {
       |  CAST(sum(o.price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue
       |FROM o JOIN firsts f USING (o_custkey)
       |GROUP BY 1, 2""".stripMargin
+
+  // ---- Lorenz deciles: user-value concentration as a 10-row curve —
+  //      per-user reduction (events → user dimension), then a decile
+  //      assignment with a (total, user_id) total order so ties break
+  //      identically in both engines, then cumulative share in exact
+  //      basis points. The global ntile window runs over the USER
+  //      dimension (already reduced from events), the one regime where
+  //      a single-partition window is acceptable; the events-sized scan
+  //      never sees a window ----
+  def qLorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_c")).as("total_c"))
+    val w = Window.orderBy(col("total_c"), col("user_id"))
+    val dec = per.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("total_c")).as("dec_c"))
+    val tot = dec.agg(sum(col("dec_c")).as("all_c"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_c", sum(col("dec_c")).over(cum))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"),
+        (col("dec_c").cast("double") / lit(100.0)).as("value_sum"),
+        expr("dec_c * 10000L DIV all_c").as("share_bp"),
+        expr("cum_c * 10000L DIV all_c").as("cum_share_bp"))
+  }
+
+  val oLorenzDeciles: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+      |  FROM events GROUP BY 1),
+      |dec AS (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY total_c, user_id) AS BIGINT)
+      |    AS decile, total_c
+      |  FROM per),
+      |agg AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(total_c) AS BIGINT) AS dec_c
+      |  FROM dec GROUP BY 1),
+      |tot AS (SELECT CAST(sum(dec_c) AS BIGINT) AS all_c FROM agg),
+      |cum AS (
+      |  SELECT decile, n_users, dec_c,
+      |    CAST(sum(dec_c) OVER (ORDER BY decile) AS BIGINT) AS cum_c
+      |  FROM agg)
+      |SELECT decile, n_users,
+      |  dec_c::DOUBLE / 100.0::DOUBLE AS value_sum,
+      |  CAST(dec_c * 10000 // all_c AS BIGINT) AS share_bp,
+      |  CAST(cum_c * 10000 // all_c AS BIGINT) AS cum_share_bp
+      |FROM cum, tot""".stripMargin
+
+  // ---- per-language length five-number summary (min/Q1/median/Q3/max)
+  //      by EXACT rank selection, not approx percentiles: row_number
+  //      inside each lang partition over (n_chars, doc_id), pick the row
+  //      at rank 1 + (n-1)*k/4. Partitioned window — each language sorts
+  //      independently, no global order. The quartile targets are a
+  //      lang-dimension × 5 broadcast ----
+  def qLangLenQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val r = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val targets = r.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(col("lang").as("tlang"), col("n_docs"),
+        explode(array((0 to 4).map(k => lit(k.toLong)): _*)).as("quartile"))
+      .withColumn("target_rn",
+        lit(1L) + expr("(n_docs - 1) * quartile DIV 4"))
+    r.join(broadcast(targets),
+        col("lang") === col("tlang") && col("rn") === col("target_rn"))
+      .select(col("lang"), col("quartile"), col("n_docs"),
+        col("n_chars").as("value"))
+  }
+
+  val oLangLenQuartiles: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+      |  FROM documents),
+      |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |        FROM r GROUP BY 1),
+      |targets AS (
+      |  SELECT lang, n_docs, q.quartile,
+      |    1 + (n_docs - 1) * q.quartile // 4 AS target_rn
+      |  FROM cnt, (SELECT unnest([0,1,2,3,4]) AS quartile) q)
+      |SELECT r.lang, CAST(t.quartile AS BIGINT) AS quartile, t.n_docs,
+      |  r.n_chars AS value
+      |FROM r JOIN targets t ON r.lang = t.lang AND r.rn = t.target_rn"""
+      .stripMargin
+
+  // ---- orders-per-customer histogram INCLUDING the zero-order
+  //      customers (the left join from the customer dimension is what
+  //      q_repeat_rate's orders-only view can't see). Degree reduction
+  //      on orders, left join from customer, ≤degree-domain rollup ----
+  def qCustOrderHist(s: SparkSession, dir: String): DataFrame = {
+    val deg = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("deg"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(deg, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val oCustOrderHist: String =
+    """WITH deg AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS deg
+      |  FROM orders GROUP BY 1)
+      |SELECT coalesce(deg.deg, 0) AS n_orders,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM customer LEFT JOIN deg ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ---- brand revenue share within each supplier nation: lineitem
+  //      equi-joined to the supplier→nation dim (broadcast) and to part
+  //      on partkey, reduced to the nation×brand cell domain, shares in
+  //      exact basis points against nation totals (a ≤nation-domain
+  //      broadcast) ----
+  def qBrandNationShare(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val cells = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_c")).as("rev_c"))
+    val natTot = cells.groupBy(col("n_name")).agg(sum(col("rev_c")).as("nat_c"))
+    cells.join(broadcast(natTot), Seq("n_name"))
+      .select(col("n_name"), col("p_brand"), col("n_lines"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("rev_c * 10000L DIV nat_c").as("share_bp"))
+  }
+
+  val oBrandNationShare: String =
+    """WITH cells AS (
+      |  SELECT n.n_name, p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |nt AS (SELECT n_name, CAST(sum(rev_c) AS BIGINT) AS nat_c
+      |       FROM cells GROUP BY 1)
+      |SELECT c.n_name, c.p_brand, c.n_lines,
+      |  c.rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(c.rev_c * 10000 // nt.nat_c AS BIGINT) AS share_bp
+      |FROM cells c JOIN nt USING (n_name)""".stripMargin
 }
