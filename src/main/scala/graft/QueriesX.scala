@@ -5534,4 +5534,176 @@ object QueriesX {
       |  c.rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
       |  CAST(c.rev_c * 10000 // nt.nat_c AS BIGINT) AS share_bp
       |FROM cells c JOIN nt USING (n_name)""".stripMargin
+
+  // ---- market-segment year-over-year revenue growth: orders joined to
+  //      the customer dim, reduced to the segment×year cell domain, YoY
+  //      via a cells-to-cells (yr = yr+1) equi-join on the TINY cell
+  //      table (the q_wow_growth discipline — no window, no sort). The
+  //      growth ratio is ONE double division of two exact cent-longs,
+  //      bit-deterministic in both engines; first year emits NULL ----
+  def qMktsegYoy(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+    val prev = cells.select(col("c_mktsegment"), (col("yr") + 1L).as("yr"),
+      col("rev_c").as("prev_c"))
+    cells.join(prev, Seq("c_mktsegment", "yr"), "left")
+      .select(col("c_mktsegment"), col("yr"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        ((col("rev_c") - col("prev_c")).cast("double") /
+          col("prev_c").cast("double")).as("yoy"))
+  }
+
+  val oMktsegYoy: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c.c_mktsegment, c.yr, c.n_orders,
+      |  c.rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  (c.rev_c - p.rev_c)::DOUBLE / p.rev_c::DOUBLE AS yoy
+      |FROM cells c LEFT JOIN cells p
+      |  ON c.c_mktsegment = p.c_mktsegment AND c.yr = p.yr + 1"""
+      .stripMargin
+
+  // ---- supplier quadrant census: every supplier classified against the
+  //      EXACT median account balance and median line volume (lower
+  //      median by rank selection over (value, suppkey) — deterministic
+  //      at ties), 2×2 rollup. The rank windows run over the SUPPLIER
+  //      dimension (lineitem is pre-reduced to per-supplier counts);
+  //      medians travel as a 1-row broadcast ----
+  def qSupplierQuadrants(s: SparkSession, dir: String): DataFrame = {
+    val vol = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("v"))
+    val base = t(s, dir, "supplier")
+      .select(col("s_suppkey"), floor(col("s_acctbal") * 100).cast("long")
+        .as("bal_c"))
+      .join(vol, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(col("s_suppkey"), col("bal_c"),
+        coalesce(col("v"), lit(0L)).as("vol"))
+    val wb = Window.orderBy(col("bal_c"), col("s_suppkey"))
+    val wv = Window.orderBy(col("vol"), col("s_suppkey"))
+    val ranked = base
+      .withColumn("rb", row_number().over(wb).cast("long"))
+      .withColumn("rv", row_number().over(wv).cast("long"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+    val meds = ranked
+      .agg(max(when(col("rb") === expr("(n + 1) DIV 2"), col("bal_c")))
+          .as("med_bal"),
+        max(when(col("rv") === expr("(n + 1) DIV 2"), col("vol")))
+          .as("med_vol"))
+    ranked.crossJoin(broadcast(meds))
+      .select(
+        when(col("bal_c") > col("med_bal"), lit("high")).otherwise(lit("low"))
+          .as("bal_side"),
+        when(col("vol") > col("med_vol"), lit("high")).otherwise(lit("low"))
+          .as("vol_side"),
+        col("vol"))
+      .groupBy(col("bal_side"), col("vol_side"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("vol")).as("total_vol"))
+  }
+
+  val oSupplierQuadrants: String =
+    """WITH vol AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |base AS (
+      |  SELECT s_suppkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_c,
+      |    coalesce(v, 0) AS vol
+      |  FROM supplier LEFT JOIN vol ON s_suppkey = l_suppkey),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY bal_c, s_suppkey) AS BIGINT) AS rb,
+      |    CAST(row_number() OVER (ORDER BY vol, s_suppkey) AS BIGINT) AS rv,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM base),
+      |meds AS (
+      |  SELECT max(CASE WHEN rb = (n + 1) // 2 THEN bal_c END) AS med_bal,
+      |    max(CASE WHEN rv = (n + 1) // 2 THEN vol END) AS med_vol
+      |  FROM ranked)
+      |SELECT CASE WHEN bal_c > med_bal THEN 'high' ELSE 'low' END AS bal_side,
+      |  CASE WHEN vol > med_vol THEN 'high' ELSE 'low' END AS vol_side,
+      |  CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(vol) AS BIGINT) AS total_vol
+      |FROM ranked, meds GROUP BY 1, 2""".stripMargin
+
+  // ---- Zipf head profile: the 50 most frequent tokens with their rank
+  //      and the rank×frequency product (constant under an ideal Zipf
+  //      law). Token counts are one hash agg; the top-50 is a
+  //      TakeOrdered over (count desc, token asc) — 50 rows per
+  //      partition to the driver, never a full vocabulary sort ----
+  def qZipfTopk(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = cnt.orderBy(col("n").desc, col("tok").asc).limit(50)
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("tok"), col("n"),
+        expr("rank * n").as("zipf_k"))
+  }
+
+  val oZipfTopk: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM toks WHERE tok <> '' GROUP BY 1),
+      |top AS (
+      |  SELECT tok, n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT)
+      |      AS rank
+      |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 50)
+      |SELECT rank, tok, n, rank * n AS zipf_k FROM top""".stripMargin
+
+  // ---- token positional bias: do the 20 most frequent tokens lead or
+  //      trail their documents? Mean relative position in exact basis
+  //      points (per-occurrence floor-div against the doc's token span,
+  //      then an integer mean — no doubles anywhere). Positions come
+  //      from ONE posexplode pass; the top-20 set is a broadcast ----
+  def qTokenPosition(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(size(col("arr")).cast("long").as("len"),
+        posexplode(col("arr")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "" && col("len") > 1)
+    val top = pos.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+      .select(col("tok").as("ttok"))
+    pos.join(broadcast(top), col("tok") === col("ttok"))
+      .select(col("tok"),
+        expr("CAST(pos AS BIGINT) * 10000L DIV (len - 1)").as("p_bp"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("p_bp")).as("sum_bp"))
+      .select(col("tok"), col("n_occ"),
+        expr("sum_bp DIV n_occ").as("mean_pos_bp"))
+  }
+
+  val oTokenPosition: String =
+    """WITH raw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |pos AS (
+      |  SELECT CAST(len(arr) AS BIGINT) AS l,
+      |    unnest(range(0, len(arr))) AS pos, unnest(arr) AS tok
+      |  FROM raw),
+      |p2 AS (SELECT tok, pos, l FROM pos WHERE tok <> '' AND l > 1),
+      |top AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS n FROM p2 GROUP BY 1)
+      |  ORDER BY n DESC, tok ASC LIMIT 20),
+      |sc AS (
+      |  SELECT p2.tok, CAST(pos * 10000 // (l - 1) AS BIGINT) AS p_bp
+      |  FROM p2 SEMI JOIN top ON p2.tok = top.tok)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(sum(p_bp) // count(*) AS BIGINT) AS mean_pos_bp
+      |FROM sc GROUP BY 1""".stripMargin
 }
