@@ -5706,4 +5706,121 @@ object QueriesX {
       |SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
       |  CAST(sum(p_bp) // count(*) AS BIGINT) AS mean_pos_bp
       |FROM sc GROUP BY 1""".stripMargin
+
+  // ---- daily revenue drawdown: running peak and gap-to-peak per day in
+  //      exact cents. The raw scan reduces to the bounded DAY domain
+  //      first; the running-max window then runs over a few-thousand-row
+  //      series regardless of input scale (the same bounded-domain
+  //      discipline as q_wow_growth). Day keys are unique, so ROWS and
+  //      RANGE frames agree across engines ----
+  def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE'1970-01-01') AS BIGINT)").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("day")).agg(sum(col("price_c")).as("rev_c"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("run_max_c", max(col("rev_c")).over(w))
+      .select(col("day"), col("rev_c"), col("run_max_c"),
+        (col("run_max_c") - col("rev_c")).as("drawdown_c"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"))
+  }
+
+  val oDrawdown: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT day, rev_c,
+      |  CAST(max(rev_c) OVER (ORDER BY day) AS BIGINT) AS run_max_c,
+      |  CAST(max(rev_c) OVER (ORDER BY day) - rev_c AS BIGINT)
+      |    AS drawdown_c,
+      |  rev_c::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM daily""".stripMargin
+
+  // ---- order shipping-span histogram: days between the first and last
+  //      shipped line of each order (per-order min/max reduction — no
+  //      window), rolled up to the bounded span domain ----
+  def qShipSpanHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+      .groupBy(col("l_orderkey"))
+      .agg((max(col("day")) - min(col("day"))).as("span_days"))
+      .groupBy(col("span_days"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val oShipSpanHist: String =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    max(epoch_us(l_shipdate) // 86400000000) -
+      |    min(epoch_us(l_shipdate) // 86400000000) AS span_days
+      |  FROM lineitem GROUP BY 1)
+      |SELECT span_days, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- price-weighted median quantity: the quantity value at which
+  //      half the revenue mass sits below. Reduction to the bounded
+  //      quantity domain, one ≤domain-row cumulative window, first
+  //      crossing of 2·cum ≥ total — all exact cents, no sort of the
+  //      fact table ----
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "lineitem")
+      .select(floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("w_c"))
+      .groupBy(col("qty")).agg(sum(col("w_c")).as("w_c"))
+    val w = Window.orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_c", sum(col("w_c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("w_c")).as("total_c"))))
+      .filter(col("cum_c") * 2 >= col("total_c"))
+      .agg(min(col("qty")).as("weighted_median_qty"),
+        min_by(col("cum_c"), col("qty")).as("cum_at_median_c"),
+        max(col("total_c")).as("total_c"))
+  }
+
+  val oWeightedMedian: String =
+    """WITH hist AS (
+      |  SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS w_c
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT qty, w_c,
+      |    CAST(sum(w_c) OVER (ORDER BY qty) AS BIGINT) AS cum_c,
+      |    CAST(sum(w_c) OVER () AS BIGINT) AS total_c
+      |  FROM hist)
+      |SELECT min(qty) AS weighted_median_qty,
+      |  arg_min(cum_c, qty) AS cum_at_median_c,
+      |  max(total_c) AS total_c
+      |FROM cum WHERE cum_c * 2 >= total_c""".stripMargin
+
+  // ---- exact-duplicate embedding census: vectors quantized to 1e-6
+  //      longs (float→double cast is exact; one IEEE multiply + floor is
+  //      bit-identical in both engines) and grouped BY THE ARRAY ITSELF
+  //      — a hash agg on the quantized key, the same plan exact text
+  //      dedup uses, reported as a cluster-size histogram ----
+  def qEmbedExactDup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))").as("qv"))
+      .groupBy(col("qv")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_vectors"))
+
+  val oEmbedExactDup: String =
+    """WITH q AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE) AS BIGINT))
+      |    AS qv
+      |  FROM embeddings),
+      |cl AS (SELECT qv, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM q GROUP BY 1)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |  CAST(sum(cluster_size) AS BIGINT) AS n_vectors
+      |FROM cl GROUP BY 1""".stripMargin
 }
