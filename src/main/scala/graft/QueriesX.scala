@@ -5823,4 +5823,151 @@ object QueriesX {
       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
       |  CAST(sum(cluster_size) AS BIGINT) AS n_vectors
       |FROM cl GROUP BY 1""".stripMargin
+
+  // ---- event-type affinity: which behaviors co-occur within a user —
+  //      distinct (user, type) pairs self-joined on user_id with a
+  //      type_a < type_b total order (the candidate join is user-keyed,
+  //      its fan-out bounded by the squared TYPE domain, not users²);
+  //      support and lift in exact basis points ----
+  def qEventTypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val ut = events(s, dir).select(col("user_id"), col("event_type"))
+      .distinct()
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id").as("uid_b"), col("event_type").as("type_b"))
+    val pairs = a.join(b,
+        col("user_id") === col("uid_b") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val tot = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr("n_both * 10000L DIV n_users").as("support_bp"),
+        expr("n_both * n_users * 10000L DIV (n_a * n_b)").as("lift_bp"))
+  }
+
+  val oEventTypeAffinity: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+      |        FROM ut GROUP BY 1),
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |      FROM ut)
+      |SELECT p.type_a, p.type_b, p.n_both, ta.n_t AS n_a, tb.n_t AS n_b,
+      |  CAST(p.n_both * 10000 // u.n_users AS BIGINT) AS support_bp,
+      |  CAST(p.n_both * u.n_users * 10000 // (ta.n_t * tb.n_t) AS BIGINT)
+      |    AS lift_bp
+      |FROM pairs p
+      |JOIN tot ta ON p.type_a = ta.event_type
+      |JOIN tot tb ON p.type_b = tb.event_type, u""".stripMargin
+
+  // ---- part cold-start curve: month each part FIRST ships (per-part
+  //      min reduction), new-part count per month, cumulative catalog
+  //      size over the bounded month domain ----
+  def qPartColdStart(s: SparkSession, dir: String): DataFrame = {
+    val firstMonth = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("(CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) * 12" +
+          " + CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) - 1")
+          .as("m"))
+      .groupBy(col("l_partkey")).agg(min(col("m")).as("m0"))
+    val monthly = firstMonth.groupBy(col("m0"))
+      .agg(count(lit(1)).as("n_new_parts"))
+    val w = Window.orderBy(col("m0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("cum_parts", sum(col("n_new_parts")).over(w))
+      .select(col("m0").as("month_num"), col("n_new_parts"), col("cum_parts"))
+  }
+
+  val oPartColdStart: String =
+    """WITH fm AS (
+      |  SELECT l_partkey,
+      |    min((CAST(year(l_shipdate) AS BIGINT) - 1970) * 12 +
+      |        CAST(month(l_shipdate) AS BIGINT) - 1) AS m0
+      |  FROM lineitem GROUP BY 1),
+      |monthly AS (
+      |  SELECT m0, CAST(count(*) AS BIGINT) AS n_new_parts
+      |  FROM fm GROUP BY 1)
+      |SELECT m0 AS month_num, n_new_parts,
+      |  CAST(sum(n_new_parts) OVER (ORDER BY m0) AS BIGINT) AS cum_parts
+      |FROM monthly""".stripMargin
+
+  // ---- penny-drift audit: does rounding tax per line reconcile with
+  //      rounding the gross? floor(gross)−floor(net)−floor(tax) per line
+  //      (identical IEEE expression both engines — the doubles never
+  //      differ), drift mass rolled up per returnflag ----
+  def qPennyDrift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (expr("CAST(floor(l_extendedprice * (1.0D + l_tax) * 100.0D) " +
+          "AS BIGINT)") -
+          expr("CAST(floor(l_extendedprice * 100.0D) AS BIGINT)") -
+          expr("CAST(floor(l_extendedprice * l_tax * 100.0D) AS BIGINT)"))
+          .as("drift_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("drift_c")).as("total_drift_c"),
+        sum(when(col("drift_c") =!= 0L, 1L).otherwise(0L))
+          .as("n_drifting"))
+
+  val oPennyDrift: String =
+    """WITH d AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice * (1.0::DOUBLE + l_tax) * 100.0::DOUBLE)
+      |      AS BIGINT) -
+      |    CAST(floor(l_extendedprice * 100.0::DOUBLE) AS BIGINT) -
+      |    CAST(floor(l_extendedprice * l_tax * 100.0::DOUBLE) AS BIGINT)
+      |      AS drift_c
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(drift_c) AS BIGINT) AS total_drift_c,
+      |  CAST(sum(CASE WHEN drift_c <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_drifting
+      |FROM d GROUP BY 1""".stripMargin
+
+  // ---- unit-price dispersion: the 20 parts whose realized per-unit
+  //      price varies most (relative spread in basis points over the
+  //      per-part min/max reduction — no window), TakeOrdered on
+  //      (spread desc, partkey) ----
+  def qPriceDispersion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100.0D / l_quantity) AS BIGINT)")
+          .as("unit_c"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), min(col("unit_c")).as("min_unit_c"),
+        max(col("unit_c")).as("max_unit_c"))
+      .filter(col("n_lines") >= 2L)
+      .select(col("l_partkey"), col("n_lines"), col("min_unit_c"),
+        col("max_unit_c"),
+        expr("(max_unit_c - min_unit_c) * 10000L DIV min_unit_c")
+          .as("spread_bp"))
+      .orderBy(col("spread_bp").desc, col("l_partkey").asc)
+      .limit(20)
+
+  val oPriceDispersion: String =
+    """WITH per AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    min(CAST(floor(l_extendedprice * 100.0::DOUBLE / l_quantity)
+      |      AS BIGINT)) AS min_unit_c,
+      |    max(CAST(floor(l_extendedprice * 100.0::DOUBLE / l_quantity)
+      |      AS BIGINT)) AS max_unit_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, n_lines, min_unit_c, max_unit_c,
+      |  CAST((max_unit_c - min_unit_c) * 10000 // min_unit_c AS BIGINT)
+      |    AS spread_bp
+      |FROM per WHERE n_lines >= 2
+      |ORDER BY spread_bp DESC, l_partkey ASC LIMIT 20""".stripMargin
 }
