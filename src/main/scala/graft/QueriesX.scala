@@ -5970,4 +5970,149 @@ object QueriesX {
       |    AS spread_bp
       |FROM per WHERE n_lines >= 2
       |ORDER BY spread_bp DESC, l_partkey ASC LIMIT 20""".stripMargin
+
+  // ---- per-language top-5 tokens: token counts reduced to the
+  //      (lang, token) domain first, then a rank window PARTITIONED by
+  //      lang over that already-aggregated domain (vocabulary-sized, not
+  //      corpus-sized), (count desc, token asc) deterministic at ties ----
+  def qLangTopTokens(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("tok").asc)
+    cnt.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5L)
+      .select(col("lang"), col("rank"), col("tok"), col("n"))
+  }
+
+  val oLangTopTokens: String =
+    """WITH cnt AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, tok, n,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+      |  FROM cnt)
+      |SELECT lang, rank, tok, n FROM r WHERE rank <= 5""".stripMargin
+
+  // ---- daily event-mix stability: L1 distance (in basis points)
+  //      between each day's event-type share vector and the previous
+  //      day's. Counts reduce to the day×type cell domain; the dense
+  //      grid comes from day × (≤type-domain broadcast) so silent type
+  //      dropouts count as share 0, and "previous" is a cells-to-cells
+  //      (day = day+1) equi-join — no windows ----
+  def qMixStability(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir)
+      .select(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+    val dayTot = cells.groupBy(col("day")).agg(sum(col("n")).as("tot"))
+    val types = cells.select(col("event_type")).distinct()
+    val grid = dayTot.crossJoin(broadcast(types))
+      .join(cells, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        expr("coalesce(n, 0L) * 10000L DIV tot").as("share_bp"))
+    val prev = grid.select((col("day") + 1L).as("day"), col("event_type"),
+      col("share_bp").as("prev_bp"))
+    grid.join(prev, Seq("day", "event_type"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(abs(col("share_bp") - col("prev_bp"))).as("l1_bp"))
+  }
+
+  val oMixStability: String =
+    """WITH cells AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dt AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot
+      |       FROM cells GROUP BY 1),
+      |ty AS (SELECT DISTINCT event_type FROM cells),
+      |grid AS (
+      |  SELECT dt.day, ty.event_type,
+      |    CAST(coalesce(c.n, 0) * 10000 // dt.tot AS BIGINT) AS share_bp
+      |  FROM dt CROSS JOIN ty
+      |  LEFT JOIN cells c ON c.day = dt.day AND c.event_type = ty.event_type)
+      |SELECT g.day, CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(abs(g.share_bp - p.share_bp)) AS BIGINT) AS l1_bp
+      |FROM grid g JOIN grid p
+      |  ON g.day = p.day + 1 AND g.event_type = p.event_type
+      |GROUP BY 1""".stripMargin
+
+  // ---- brand loyalty: how many distinct part brands each customer
+  //      buys (lineitem→orders on orderkey, →part on partkey — two fact
+  //      equi-joins, then a per-customer distinct reduction), reported
+  //      as a brand-count histogram ----
+  def qBrandLoyalty(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("p_brand")).as("n_brands"))
+      .groupBy(col("n_brands"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  val oBrandLoyalty: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT n_brands, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- label cohesion: mean squared distance of each embedding to its
+  //      label centroid, all in exact integer math — components quantize
+  //      to 1e-6 longs SHIFTED to non-negative (+1e7, valid for |x| ≤ 10)
+  //      so every floor-div sees non-negative operands (Spark DIV
+  //      truncates, DuckDB // floors; they agree only there). One
+  //      posexplode pass, centroid as a (label×dim)-domain broadcast ----
+  def qLabelCohesion(s: SparkSession, dir: String): DataFrame = {
+    val qv = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT) " +
+          "+ 10000000L)")).as(Seq("dim", "q")))
+    val cent = qv.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(q) DIV count(1)").as("c"))
+    qv.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        ((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("d2")).as("sqdist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(sqdist) DIV count(1)").as("mean_sqdist"))
+  }
+
+  val oLabelCohesion: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label,
+      |    unnest(range(0, len(embedding))) AS dim,
+      |    unnest(list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0::DOUBLE) AS BIGINT)
+      |      + 10000000)) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim,
+      |    CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+      |  FROM qv GROUP BY 1, 2),
+      |per AS (
+      |  SELECT qv.vec_id, qv.label,
+      |    CAST(sum((qv.q - cent.c) * (qv.q - cent.c)) AS BIGINT) AS sqdist
+      |  FROM qv JOIN cent ON qv.label = cent.label AND qv.dim = cent.dim
+      |  GROUP BY 1, 2)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(sum(sqdist) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |    AS mean_sqdist
+      |FROM per GROUP BY 1""".stripMargin
 }
