@@ -842,4 +842,73 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_bipartite_degree_hist").contains("Union"),
       "degree hist should union the two sides")
   }
+
+  test("r13 closing batches: quartiles/affinity/series stay scale-safe") {
+    // batch 24: lorenz / quartiles / order hist / brand-nation share —
+    // never a cartesian; rank selection joins broadcast their targets
+    for (q <- Seq("q_lorenz_deciles", "q_lang_len_quartiles",
+        "q_cust_order_hist", "q_brand_nation_share")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_lang_len_quartiles", "q_brand_nation_share"))
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q should broadcast its small side")
+    for (q <- Seq("q_cust_order_hist", "q_brand_nation_share"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 25: YoY / quadrants / zipf / token position — top-k is a
+    // bounded heap, the YoY lag is a cells self-join not a window
+    for (q <- Seq("q_mktseg_yoy", "q_supplier_quadrants", "q_zipf_topk",
+        "q_token_position")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(!plan("q_mktseg_yoy").contains("Window"),
+      "YoY should be a cells self-join, not a window")
+    for (q <- Seq("q_zipf_topk", "q_token_position"))
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q top-k should be a bounded heap")
+    assert(plan("q_token_position").contains("BroadcastHashJoin"),
+      "top-token set should broadcast")
+    // batch 26: drawdown / ship span / weighted median / embed dup —
+    // the only windows run over bounded (day/quantity) domains AFTER the
+    // fact scan is reduced; the pure-agg shapes stay join-free
+    for (q <- Seq("q_drawdown", "q_ship_span_hist", "q_weighted_median",
+        "q_embed_exact_dup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_ship_span_hist", "q_embed_exact_dup")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+    // batch 27: affinity / cold start / penny drift / dispersion —
+    // candidate generation is user-keyed equi, audits are single scans
+    for (q <- Seq("q_event_type_affinity", "q_part_cold_start",
+        "q_penny_drift", "q_price_dispersion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(plan("q_event_type_affinity").contains("BroadcastHashJoin"),
+      "type totals should broadcast")
+    for (q <- Seq("q_penny_drift", "q_price_dispersion"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    assert(plan("q_price_dispersion").contains("TakeOrderedAndProject"),
+      "dispersion top-20 should be a bounded heap")
+    // batch 28: top tokens / mix stability / loyalty / cohesion — the
+    // rank window runs over the aggregated vocab domain; the centroid
+    // join broadcasts; the mix grid never goes cartesian on facts
+    for (q <- Seq("q_lang_top_tokens", "q_mix_stability",
+        "q_brand_loyalty", "q_label_cohesion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(!plan("q_mix_stability").contains("Window"),
+      "mix stability should be a grid self-join, not a window")
+    assert(!plan("q_brand_loyalty").contains("Window"),
+      "loyalty is a distinct reduction, not a window")
+    assert(plan("q_label_cohesion").contains("BroadcastHashJoin"),
+      "centroids should broadcast")
+  }
 }
