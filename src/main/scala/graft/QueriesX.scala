@@ -6115,4 +6115,122 @@ object QueriesX {
       |  CAST(sum(sqdist) AS BIGINT) // CAST(count(*) AS BIGINT)
       |    AS mean_sqdist
       |FROM per GROUP BY 1""".stripMargin
+
+  // ---- per-user behavioral concentration (Simpson index) histogram:
+  //      Σnᵢ²·10000 / n² per user in exact basis points (10000 = all
+  //      events one type), banded by hundredths. Two nested reductions,
+  //      no windows, no joins ----
+  def qUserSimpsonHist(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_i"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_i")).as("n"),
+        sum(col("n_i") * col("n_i")).as("ssum"))
+      .select(expr("(ssum * 10000L DIV (n * n)) DIV 100").as("band"),
+        col("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+
+  val oUserSimpsonHist: String =
+    """WITH per AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_i
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(sum(n_i) AS BIGINT) AS n,
+      |    CAST(sum(n_i * n_i) AS BIGINT) AS ssum
+      |  FROM per GROUP BY 1)
+      |SELECT (ssum * 10000 // (n * n)) // 100 AS band,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(n) AS BIGINT) AS n_events
+      |FROM u GROUP BY 1""".stripMargin
+
+  // ---- EXACT 7-day rolling active users (the precise counterpart of
+  //      the HLL sliding sketch): each (user, day) pair fans out to the
+  //      ≤7 windows it belongs to — a BOUNDED 7× row expansion plus one
+  //      distinct count per day, never a range join or a window over the
+  //      event stream. Phantom days past the series end are trimmed by
+  //      the day-domain semi join ----
+  def qRollingActive7d(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+    val expanded = ud.select(col("user_id"),
+      explode(expr("sequence(day, day + 6L)")).as("target_day"))
+    val days = ud.select(col("day").as("target_day")).distinct()
+    expanded.join(days, Seq("target_day"), "left_semi")
+      .groupBy(col("target_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+  }
+
+  val oRollingActive7d: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |exp AS (
+      |  SELECT user_id, unnest(range(day, day + 7)) AS target_day
+      |  FROM ud),
+      |days AS (SELECT DISTINCT day FROM ud)
+      |SELECT target_day AS day,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+      |FROM exp SEMI JOIN days ON exp.target_day = days.day
+      |GROUP BY 1""".stripMargin
+
+  // ---- cross-table referential integrity audit: orphan lineitems,
+  //      childless orders, orderless customers, and orders pointing at
+  //      missing customers — four hash anti-joins, each reduced to one
+  //      violation count, unioned into a rule scorecard ----
+  def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    def cnt(df: DataFrame, rule: String) =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_violations"))
+    cnt(li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+        "lines_without_order")
+      .unionByName(cnt(
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti"),
+        "orders_without_lines"))
+      .unionByName(cnt(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti"),
+        "customers_without_orders"))
+      .unionByName(cnt(
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti"),
+        "orders_without_customer"))
+  }
+
+  val oRefIntegrity: String =
+    """SELECT 'lines_without_order' AS rule, CAST(count(*) AS BIGINT)
+      |  AS n_violations
+      |FROM lineitem WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL
+      |SELECT 'orders_without_lines', CAST(count(*) AS BIGINT)
+      |FROM orders WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |UNION ALL
+      |SELECT 'customers_without_orders', CAST(count(*) AS BIGINT)
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'orders_without_customer', CAST(count(*) AS BIGINT)
+      |FROM orders WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin
+
+  // ---- argmax-dimension census: which embedding dimension dominates
+  //      each vector (first index of the max — float equality is exact,
+  //      ties resolve to the smallest index in both engines), rolled up
+  //      to a dimension histogram. Pure narrow scan + one hash agg ----
+  def qArgmaxDimHist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(expr("CAST(array_position(embedding, array_max(embedding)) " +
+        "AS BIGINT)").as("argmax_dim"))
+      .groupBy(col("argmax_dim"))
+      .agg(count(lit(1)).as("n_vectors"))
+
+  val oArgmaxDimHist: String =
+    """SELECT CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+      |  AS argmax_dim, CAST(count(*) AS BIGINT) AS n_vectors
+      |FROM embeddings GROUP BY 1""".stripMargin
 }
