@@ -6233,4 +6233,128 @@ object QueriesX {
     """SELECT CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
       |  AS argmax_dim, CAST(count(*) AS BIGINT) AS n_vectors
       |FROM embeddings GROUP BY 1""".stripMargin
+
+  // ---- supplier co-sourcing top-20: supplier pairs sharing the most
+  //      parts — the classic co-occurrence self-join, keyed on partkey
+  //      (fan-out bounded by per-part supplier degree, never suppliers²),
+  //      then a bounded top-k heap over (shared desc, s1, s2) ----
+  def qSupplierOverlapTopk(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val b = ps.select(col("l_partkey").as("pk_b"),
+      col("l_suppkey").as("s2"))
+    ps.join(b, col("l_partkey") === col("pk_b") &&
+        col("l_suppkey") < col("s2"))
+      .groupBy(col("l_suppkey").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared_parts"))
+      .orderBy(col("n_shared_parts").desc, col("s1").asc, col("s2").asc)
+      .limit(20)
+  }
+
+  val oSupplierOverlapTopk: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+      |  CAST(count(*) AS BIGINT) AS n_shared_parts
+      |FROM ps a JOIN ps b
+      |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      |GROUP BY 1, 2
+      |ORDER BY n_shared_parts DESC, s1 ASC, s2 ASC LIMIT 20""".stripMargin
+
+  // ---- order line-signature census: the ordered line-number list of
+  //      each order as a canonical string (numeric sort BEFORE
+  //      stringify — ordered aggregation parity between engines), rolled
+  //      up to a signature histogram ----
+  def qLineSignature(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        expr("transform(sort_array(collect_list(l_linenumber)), " +
+          "x -> CAST(x AS STRING))")).as("signature"))
+      .groupBy(col("signature"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val oLineSignature: String =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    string_agg(CAST(l_linenumber AS VARCHAR), ','
+      |      ORDER BY l_linenumber) AS signature
+      |  FROM lineitem GROUP BY 1)
+      |SELECT signature, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- weekly event-type combination census via bitmasks: each type
+  //      gets a stable bit (rank over the ≤type-domain dictionary), each
+  //      (user, week) folds to ONE long with bit_or, combos roll up to a
+  //      mask histogram with popcount — set-valued grouping without any
+  //      collect_set/array shuffle ----
+  def qTypeBitmaskHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("event_type"))
+    val dict = events(s, dir).select(col("event_type")).distinct()
+      .withColumn("idx", (row_number().over(w) - 1).cast("int"))
+    events(s, dir).select(col("user_id"), col("event_type"),
+        expr("ts DIV (86400000000000 * 7)").as("wk"))
+      .join(broadcast(dict), Seq("event_type"))
+      .groupBy(col("user_id"), col("wk"))
+      .agg(expr("bit_or(shiftleft(1L, idx))").as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_user_weeks"))
+      .select(col("mask"), expr("CAST(bit_count(mask) AS BIGINT)")
+        .as("n_types"), col("n_user_weeks"))
+  }
+
+  val oTypeBitmaskHist: String =
+    """WITH dict AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS idx
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |masks AS (
+      |  SELECT user_id, epoch_us(ts) // (86400000000 * 7) AS wk,
+      |    CAST(bit_or(1::BIGINT << idx) AS BIGINT) AS mask
+      |  FROM events JOIN dict USING (event_type)
+      |  GROUP BY 1, 2)
+      |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+      |  CAST(count(*) AS BIGINT) AS n_user_weeks
+      |FROM masks GROUP BY 1""".stripMargin
+
+  // ---- wealth-to-spend curve: customers deciled by account balance
+  //      (a customer-DIMENSION window with a (bal, custkey) total
+  //      order), joined to their order-revenue reduction; per-decile
+  //      order counts and revenue ----
+  def qAcctbalDecileRev(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bal_c"), col("c_custkey"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), floor(col("c_acctbal") * 100).cast("long")
+        .as("bal_c"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val rev = t(s, dir, "orders")
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100)
+        .cast("long").as("price_c"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_o"), sum(col("price_c")).as("rev_c"))
+    cust.join(rev, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
+        (sum(coalesce(col("rev_c"), lit(0L))).cast("double") / lit(100.0))
+          .as("revenue"))
+  }
+
+  val oAcctbalDecileRev: String =
+    """WITH cust AS (
+      |  SELECT c_custkey,
+      |    CAST(ntile(10) OVER (ORDER BY
+      |      CAST(floor(c_acctbal * 100) AS BIGINT), c_custkey) AS BIGINT)
+      |      AS decile
+      |  FROM customer),
+      |rev AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_o,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(coalesce(n_o, 0)) AS BIGINT) AS n_orders,
+      |  CAST(sum(coalesce(rev_c, 0)) AS BIGINT)::DOUBLE / 100.0::DOUBLE
+      |    AS revenue
+      |FROM cust LEFT JOIN rev ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
 }
