@@ -6357,4 +6357,100 @@ object QueriesX {
       |    AS revenue
       |FROM cust LEFT JOIN rev ON c_custkey = o_custkey
       |GROUP BY 1""".stripMargin
+
+  // ---- year-coverage census (relational division): how many order
+  //      years each customer spans, flagged where the span covers EVERY
+  //      year in the data — "customers who ordered in all years" is the
+  //      classic division operator, done as two distinct reductions and
+  //      a 1-row broadcast, never a nested NOT EXISTS ----
+  def qYearCoverageHist(s: SparkSession, dir: String): DataFrame = {
+    val cy = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        year(col("o_orderdate").cast("date")).cast("long").as("yr"))
+      .distinct()
+    val perCust = cy.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_years_active"))
+    val totalYears = cy.select(col("yr")).distinct()
+      .agg(count(lit(1)).as("n_years_total"))
+    perCust.crossJoin(broadcast(totalYears))
+      .select(col("n_years_active"),
+        (col("n_years_active") === col("n_years_total")).as("is_full"))
+      .groupBy(col("n_years_active"), col("is_full"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val oYearCoverageHist: String =
+    """WITH cy AS (
+      |  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr
+      |  FROM orders),
+      |pc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_years_active
+      |  FROM cy GROUP BY 1),
+      |ty AS (SELECT CAST(count(DISTINCT yr) AS BIGINT) AS n_years_total
+      |       FROM cy)
+      |SELECT n_years_active, n_years_active = n_years_total AS is_full,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM pc, ty GROUP BY 1, 2""".stripMargin
+
+  // ---- per-nation interpolated median balance via the NATIVE exact
+  //      percentile functions (Spark `percentile` ↔ DuckDB
+  //      `quantile_cont`, both (n−1)·p linear interpolation over sorted
+  //      exact cent-longs — one interpolation per group, deterministic
+  //      doubles) ----
+  def qMedianInterpByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("percentile(bal_c, 0.5D)").as("median_bal_c"))
+
+  val oMedianInterpByNation: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+      |  quantile_cont(CAST(floor(c_acctbal * 100) AS BIGINT), 0.5)
+      |    AS median_bal_c
+      |FROM customer GROUP BY 1""".stripMargin
+
+  // ---- part-name collision census: how many catalog entries share an
+  //      exact name, and across how many brands — per-name reduction,
+  //      rolled up to the (n_parts, n_brands) grid ----
+  def qPartNameCollisions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_brand")).as("n_brands"))
+      .groupBy(col("n_parts"), col("n_brands"))
+      .agg(count(lit(1)).as("n_names"))
+
+  val oPartNameCollisions: String =
+    """WITH per AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+      |  FROM part GROUP BY 1)
+      |SELECT n_parts, n_brands, CAST(count(*) AS BIGINT) AS n_names
+      |FROM per GROUP BY 1, 2""".stripMargin
+
+  // ---- weekday activity profile with EXACT distinct users per day of
+  //      week (pure epoch-day arithmetic, (days+4) % 7, 0=Sunday) and
+  //      the events-per-active-user intensity in basis points ----
+  def qDowActives(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("((ts DIV 86400000000000) + 4) % 7").as("dow"),
+        col("user_id"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active_users"))
+      .select(col("dow"), col("n_events"), col("n_active_users"),
+        expr("n_events * 10000L DIV n_active_users")
+          .as("events_per_user_bp"))
+
+  val oDowActives: String =
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, user_id
+      |  FROM events)
+      |SELECT dow, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+      |  CAST(count(*) * 10000 // count(DISTINCT user_id) AS BIGINT)
+      |    AS events_per_user_bp
+      |FROM e GROUP BY 1""".stripMargin
 }
