@@ -6453,4 +6453,134 @@ object QueriesX {
       |  CAST(count(*) * 10000 // count(DISTINCT user_id) AS BIGINT)
       |    AS events_per_user_bp
       |FROM e GROUP BY 1""".stripMargin
+
+  // ---- skip-gram co-occurrence top-20: ordered token pairs within a
+  //      ±2 position window. Each occurrence fans out to its TWO target
+  //      positions (a bounded 2× expansion), then one (doc, position)
+  //      equi-join — never a per-document positions² self-join — and a
+  //      bounded top-k heap ----
+  def qSkipgramTopk(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val left = pos.select(col("doc_id"), col("tok"),
+      explode(expr("array(pos + 1, pos + 2)")).as("p2"))
+    val right = pos.select(col("doc_id").as("d2"), col("pos").as("p2"),
+      col("tok").as("tok2"))
+    left.join(right, col("doc_id") === col("d2") && left("p2") === right("p2"))
+      .groupBy(col("tok"), col("tok2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("tok").asc, col("tok2").asc)
+      .limit(20)
+  }
+
+  val oSkipgramTopk: String =
+    """WITH pos AS (
+      |  SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |p2 AS (SELECT doc_id, pos, tok FROM pos WHERE tok <> ''),
+      |lft AS (
+      |  SELECT doc_id, tok, unnest([pos + 1, pos + 2]) AS tp
+      |  FROM p2)
+      |SELECT l.tok AS tok, r.tok AS tok2, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM lft l JOIN p2 r ON l.doc_id = r.doc_id AND l.tp = r.pos
+      |GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, l.tok ASC, tok2 ASC LIMIT 20""".stripMargin
+
+  // ---- supplier volume volatility: relative variance of monthly line
+  //      volumes in exact basis points — n·Σv²/(Σv)² − 1, every product
+  //      staged through DECIMAL(38,0) BEFORE multiplying (the
+  //      linregExact overflow discipline; a long product of two ~3e9
+  //      moments would wrap silently), floor-div at the end, top-20
+  //      most erratic suppliers ----
+  def qSupplierVolatility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        expr("(CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) * 12" +
+          " + CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) - 1").as("m"))
+      .groupBy(col("l_suppkey"), col("m"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_months"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sv2"))
+      .filter(col("n_months") >= 3L)
+      .select(col("l_suppkey"), col("n_months"), col("sv").as("total_lines"),
+        expr("CAST((CAST(n_months AS DECIMAL(38,0)) * " +
+          "CAST(sv2 AS DECIMAL(38,0)) - CAST(sv AS DECIMAL(38,0)) * " +
+          "CAST(sv AS DECIMAL(38,0))) * 10000 DIV " +
+          "(CAST(sv AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("rel_var_bp"))
+      .orderBy(col("rel_var_bp").desc, col("l_suppkey").asc)
+      .limit(20)
+
+  val oSupplierVolatility: String =
+    """WITH mv AS (
+      |  SELECT l_suppkey,
+      |    (CAST(year(l_shipdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(l_shipdate) AS BIGINT) - 1 AS m,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1, 2),
+      |per AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months,
+      |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS sv2
+      |  FROM mv GROUP BY 1)
+      |SELECT l_suppkey, n_months, sv AS total_lines,
+      |  CAST((n_months::HUGEINT * sv2::HUGEINT - sv::HUGEINT * sv::HUGEINT)
+      |    * 10000 // (sv::HUGEINT * sv::HUGEINT) AS BIGINT) AS rel_var_bp
+      |FROM per WHERE n_months >= 3
+      |ORDER BY rel_var_bp DESC, l_suppkey ASC LIMIT 20""".stripMargin
+
+  // ---- surrogate-key gap audit: key-space density of the three
+  //      unique-keyed tables — min/max/count and the implied missing-key
+  //      count, three single-scan reductions unioned ----
+  def qKeyGapAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, table: String, key: String) =
+      t(s, dir, table).agg(min(col(key)).as("min_key"),
+          max(col(key)).as("max_key"), count(lit(1)).as("n_rows"))
+        .select(lit(name).as("table_name"), col("min_key"), col("max_key"),
+          col("n_rows"),
+          (col("max_key") - col("min_key") + 1L - col("n_rows"))
+            .as("n_missing"))
+    audit("orders", "orders", "o_orderkey")
+      .unionByName(audit("customer", "customer", "c_custkey"))
+      .unionByName(audit("part", "part", "p_partkey"))
+  }
+
+  val oKeyGapAudit: String =
+    """SELECT 'orders' AS table_name, min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key, CAST(count(*) AS BIGINT) AS n_rows,
+      |  max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS n_missing
+      |FROM orders
+      |UNION ALL
+      |SELECT 'customer', min(c_custkey), max(c_custkey),
+      |  CAST(count(*) AS BIGINT),
+      |  max(c_custkey) - min(c_custkey) + 1 - count(*)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'part', min(p_partkey), max(p_partkey),
+      |  CAST(count(*) AS BIGINT),
+      |  max(p_partkey) - min(p_partkey) + 1 - count(*)
+      |FROM part""".stripMargin
+
+  // ---- boolean retrieval 2×2: conjunctive token search ("join" AND
+  //      "hash") as a contingency census over EXACT token membership
+  //      (array containment, not substring match) — one narrow scan,
+  //      one 4-cell rollup ----
+  def qAndSearch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr("array_contains(split(text, ' '), 'join')")
+          .as("has_join"),
+        expr("array_contains(split(text, ' '), 'hash')").as("has_hash"),
+        col("n_chars"))
+      .groupBy(col("has_join"), col("has_hash"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  val oAndSearch: String =
+    """SELECT list_contains(string_split(text, ' '), 'join') AS has_join,
+      |  list_contains(string_split(text, ' '), 'hash') AS has_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
 }
