@@ -6583,4 +6583,85 @@ object QueriesX {
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  // ---- Freedman–Diaconis adaptive histogram: bin width derived from
+  //      the EXACT interquartile range (first crossings of the
+  //      cumulative over the reduced price-cent domain — the ks_drift
+  //      value-domain discipline, no fact-table sort), width =
+  //      ⌊2·IQR/∛n⌋ as one deterministic double expression, then a
+  //      re-bin of the same reduced domain. Output carries the width so
+  //      the grading pins the whole derivation ----
+  def qFdHistogram(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("price_c")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("n_tot"))))
+    val params = cum.agg(
+        min(when(col("cum") * 4 >= col("n_tot"), col("price_c"))).as("q1_c"),
+        min(when(col("cum") * 4 >= col("n_tot") * 3, col("price_c")))
+          .as("q3_c"),
+        max(col("n_tot")).as("n_tot"))
+      .select(col("q1_c"), col("q3_c"), col("n_tot"),
+        greatest(expr("CAST(floor(2.0D * (q3_c - q1_c) / " +
+          "cbrt(CAST(n_tot AS DOUBLE))) AS BIGINT)"), lit(1L))
+          .as("binw_c"))
+    hist.crossJoin(broadcast(params))
+      .groupBy(expr("price_c DIV binw_c").as("bin"), col("binw_c"))
+      .agg(sum(col("n")).as("n_orders"))
+  }
+
+  val oFdHistogram: String =
+    """WITH hist AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT price_c, n,
+      |    CAST(sum(n) OVER (ORDER BY price_c) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER () AS BIGINT) AS n_tot
+      |  FROM hist),
+      |params AS (
+      |  SELECT
+      |    min(CASE WHEN cum * 4 >= n_tot THEN price_c END) AS q1_c,
+      |    min(CASE WHEN cum * 4 >= n_tot * 3 THEN price_c END) AS q3_c,
+      |    max(n_tot) AS n_tot
+      |  FROM cum),
+      |p2 AS (
+      |  SELECT greatest(CAST(floor(2.0::DOUBLE * (q3_c - q1_c) /
+      |    cbrt(CAST(n_tot AS DOUBLE))) AS BIGINT), 1) AS binw_c
+      |  FROM params)
+      |SELECT hist.price_c // p2.binw_c AS bin, p2.binw_c,
+      |  CAST(sum(hist.n) AS BIGINT) AS n_orders
+      |FROM hist, p2 GROUP BY 1, 2""".stripMargin
+
+  // ---- casefold/punctuation-normalized dedup census: how much exact
+  //      deduplication is left on the table by case and punctuation —
+  //      distinct raw texts vs distinct normalized forms (lowercase,
+  //      strip non-alphanumerics), reduction in basis points. Two
+  //      distinct reductions, one row ----
+  def qCasefoldDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("text"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_raw"),
+        countDistinct(col("norm")).as("n_distinct_norm"))
+      .select(col("n_docs"), col("n_distinct_raw"), col("n_distinct_norm"),
+        expr("(n_distinct_raw - n_distinct_norm) * 10000L DIV " +
+          "n_distinct_raw").as("reduction_bp"))
+
+  val oCasefoldDedup: String =
+    """WITH d AS (
+      |  SELECT text,
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw,
+      |  CAST(count(DISTINCT norm) AS BIGINT) AS n_distinct_norm,
+      |  CAST((count(DISTINCT text) - count(DISTINCT norm)) * 10000 //
+      |    count(DISTINCT text) AS BIGINT) AS reduction_bp
+      |FROM d""".stripMargin
 }

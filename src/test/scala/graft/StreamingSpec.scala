@@ -693,4 +693,39 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L)
     } finally q.stop()
   }
+
+  test("streaming 7-day rolling actives equals the batch sliding distinct") {
+    import graft.streaming.ActiveStream
+    import graft.streaming.ActiveStream.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ActiveStream.runningActive(ActiveStream.fanOut(input.toDS()))
+      .writeStream.format("memory").queryName("active_s")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq(Ev(1L, 10L), Ev(2L, 10L), Ev(1L, 11L), Ev(3L, 13L))
+      val batch2 = Seq(Ev(2L, 13L), Ev(4L, 16L), Ev(1L, 10L)) // dup (1,10)
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col, countDistinct, explode, expr, max}
+      // latest emitted count per touched window
+      val streamed = spark.table("active_s")
+        .groupBy(col("day")).agg(max(col("active_7d")).as("active_7d"))
+      // batch twin: qRollingActive7d's fan-out + exact distinct,
+      // restricted to the windows the stream touched
+      val all = (batch1 ++ batch2).toDF("user_id", "day").distinct()
+      val batch = all
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 6L)")).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("active_7d"))
+      val s = streamed.as[(Long, Long)].collect().toSet
+      val b = batch.as[(Long, Long)].collect().toSet
+      assert(s === b,
+        "running sliding distinct must equal the batch fan-out exactly")
+      // the (1,10) duplicate must not inflate day-10..16 windows
+      assert(s.contains((10L, 2L)) && s.contains((16L, 4L)))
+    } finally q.stop()
+  }
 }
