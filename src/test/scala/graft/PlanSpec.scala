@@ -911,4 +911,55 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_label_cohesion").contains("BroadcastHashJoin"),
       "centroids should broadcast")
   }
+
+  test("r13 closing batches II: set ops, retrieval, audits stay scale-safe") {
+    // batch 29: simpson / rolling actives / ref integrity / argmax dim —
+    // window-free; the sliding distinct is a bounded 7× fan-out + hash
+    // agg, never a range join; integrity rules are hash anti-joins
+    for (q <- Seq("q_user_simpson_hist", "q_rolling_active_7d",
+        "q_ref_integrity", "q_argmax_dim_hist")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    assert(plan("q_ref_integrity").contains("LeftAnti"),
+      "integrity rules should be hash anti-joins")
+    assert(!plan("q_argmax_dim_hist").contains("Join"),
+      "argmax census is a single scan")
+    // batch 30: overlap top-k / line signature / bitmasks / decile rev —
+    // co-occurrence keyed on partkey (equi), signatures and masks are
+    // two-level hash aggs, the only windows run over dimension domains
+    for (q <- Seq("q_supplier_overlap_topk", "q_line_signature",
+        "q_type_bitmask_hist", "q_acctbal_decile_rev")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(plan("q_supplier_overlap_topk").contains("TakeOrderedAndProject"),
+      "overlap top-20 should be a bounded heap")
+    assert(!plan("q_line_signature").contains("Window"),
+      "signatures are an ordered agg, not a window")
+    // batch 31: division / percentile / collisions / dow — window-free
+    // reductions (the native percentile is an aggregate, not a sort)
+    for (q <- Seq("q_year_coverage_hist", "q_median_interp_by_nation",
+        "q_part_name_collisions", "q_dow_actives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    // batch 32: skipgram / volatility / key gaps / boolean retrieval /
+    // FD histogram / casefold — the skipgram join is (doc, position)
+    // equi after a bounded 2× expansion; FD's quartiles come from the
+    // reduced value domain, never a fact sort
+    for (q <- Seq("q_skipgram_topk", "q_supplier_volatility",
+        "q_key_gap_audit", "q_and_search", "q_fd_histogram",
+        "q_casefold_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_skipgram_topk", "q_supplier_volatility"))
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q top-k should be a bounded heap")
+    for (q <- Seq("q_key_gap_audit", "q_and_search", "q_casefold_dedup"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+  }
 }
