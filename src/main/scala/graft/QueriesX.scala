@@ -6664,4 +6664,148 @@ object QueriesX {
       |  CAST((count(DISTINCT text) - count(DISTINCT norm)) * 10000 //
       |    count(DISTINCT text) AS BIGINT) AS reduction_bp
       |FROM d""".stripMargin
+
+  // ---- multi-supplier order census: distinct suppliers touched per
+  //      order (per-order distinct reduction), rolled up to a bounded
+  //      histogram — the "split shipment" profile ----
+  def qOrderSupplierMix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .groupBy(col("n_suppliers"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val oOrderSupplierMix: String =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      |  FROM lineitem GROUP BY 1)
+      |SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- hierarchical geo rollup: revenue by region → nation with
+  //      ROLLUP subtotals and the grouping-id bitmask surfaced (first
+  //      rollup column = most significant bit in BOTH engines); the two
+  //      dims broadcast onto the fact scan ----
+  def qGeoRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(expr("CAST(grouping_id() AS BIGINT)").as("gid"),
+        count(lit(1)).as("n_lines"),
+        (sum(col("rev_c")).cast("double") / lit(100.0)).as("revenue"))
+      .select(col("r_name"), col("n_name"), col("gid"),
+        col("n_lines"), col("revenue"))
+
+  val oGeoRollup: String =
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    ::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  // ---- daily value-at-risk: the 95th-percentile day-over-day revenue
+  //      DROP in exact cents — daily reduction, (day=day+1) self-join
+  //      for the drop series, exact rank selection over the bounded day
+  //      domain (row_number, target 1+(n−1)·95/100) ----
+  def qDailyVar(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE'1970-01-01') AS BIGINT)").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("day")).agg(sum(col("price_c")).as("rev_c"))
+    val prev = daily.select((col("day") + 1L).as("day"),
+      col("rev_c").as("prev_c"))
+    val drops = daily.join(prev, Seq("day"))
+      .select(col("day"), (col("prev_c") - col("rev_c")).as("drop_c"))
+    val w = Window.orderBy(col("drop_c"), col("day"))
+    drops.withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(drops.agg(count(lit(1)).as("n_days"))))
+      .filter(col("rn") === lit(1L) + expr("(n_days - 1) * 95 DIV 100"))
+      .select(col("n_days"), col("drop_c").as("var95_c"),
+        (col("drop_c").cast("double") / lit(100.0)).as("var95"))
+  }
+
+  val oDailyVar: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |drops AS (
+      |  SELECT d.day, p.rev_c - d.rev_c AS drop_c
+      |  FROM daily d JOIN daily p ON d.day = p.day + 1),
+      |r AS (
+      |  SELECT drop_c,
+      |    CAST(row_number() OVER (ORDER BY drop_c, day) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS n_days
+      |  FROM drops)
+      |SELECT n_days, drop_c AS var95_c,
+      |  drop_c::DOUBLE / 100.0::DOUBLE AS var95
+      |FROM r WHERE rn = 1 + (n_days - 1) * 95 // 100""".stripMargin
+
+  // ---- deterministic-sample drift audit: a 5% md5-bucket sample of
+  //      events (the SAME portable hash the split/sampling operators
+  //      grade on) vs the full population — mean-value drift in exact
+  //      basis points, cross-multiplied through DECIMAL(38,0) so no
+  //      float mean is ever compared ----
+  def qSampleDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_id"),
+      floor(col("value") * 100).cast("long").as("v_c"),
+      (graft.functions.Portable.hash32(col("event_id").cast("string"))
+        % 100 < 5).as("in_sample"))
+    e.agg(count(lit(1)).as("n_full"), sum(col("v_c")).as("sum_full"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("in_sample"), col("v_c")).otherwise(0L))
+          .as("sum_sample"))
+      .select(col("n_full"), col("n_sample"),
+        (col("sum_full").cast("double") /
+          (col("n_full") * 100L).cast("double")).as("mean_full"),
+        (col("sum_sample").cast("double") /
+          (col("n_sample") * 100L).cast("double")).as("mean_sample"),
+        expr("CAST(abs(CAST(sum_sample AS DECIMAL(38,0)) * " +
+          "CAST(n_full AS DECIMAL(38,0)) - CAST(sum_full AS DECIMAL(38,0))" +
+          " * CAST(n_sample AS DECIMAL(38,0))) * 10000 DIV " +
+          "abs(CAST(sum_full AS DECIMAL(38,0)) * " +
+          "CAST(n_sample AS DECIMAL(38,0))) AS BIGINT)").as("drift_bp"))
+  }
+
+  val oSampleDrift: String = {
+    val h = H32.format("CAST(event_id AS VARCHAR)")
+    s"""WITH e AS (
+       |  SELECT CAST(floor(value * 100) AS BIGINT) AS v_c,
+       |    $h % 100 < 5 AS in_sample
+       |  FROM events),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_full,
+       |    CAST(sum(v_c) AS BIGINT) AS sum_full,
+       |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_sample,
+       |    CAST(sum(CASE WHEN in_sample THEN v_c ELSE 0 END) AS BIGINT)
+       |      AS sum_sample
+       |  FROM e)
+       |SELECT n_full, n_sample,
+       |  sum_full::DOUBLE / (n_full * 100)::DOUBLE AS mean_full,
+       |  sum_sample::DOUBLE / (n_sample * 100)::DOUBLE AS mean_sample,
+       |  CAST(abs(sum_sample::HUGEINT * n_full::HUGEINT -
+       |    sum_full::HUGEINT * n_sample::HUGEINT) * 10000 //
+       |    abs(sum_full::HUGEINT * n_sample::HUGEINT) AS BIGINT)
+       |    AS drift_bp
+       |FROM a""".stripMargin
+  }
 }
