@@ -6808,4 +6808,130 @@ object QueriesX {
        |    AS drift_bp
        |FROM a""".stripMargin
   }
+
+  // ---- top-quintile suppliers per nation via percent_rank parity:
+  //      (rank−1)/(n−1) is the same exact rational in both engines, so
+  //      the ≥0.8 cut is bit-deterministic; the window runs inside each
+  //      nation partition over the supplier dimension ----
+  def qPercentRankCut(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("bal_c"))
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        floor(col("s_acctbal") * 100).cast("long").as("bal_c"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_top"), min(col("bal_c")).as("min_bal_c"),
+        max(col("bal_c")).as("max_bal_c"))
+  }
+
+  val oPercentRankCut: String =
+    """WITH r AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_c,
+      |    percent_rank() OVER (PARTITION BY s_nationkey
+      |      ORDER BY CAST(floor(s_acctbal * 100) AS BIGINT)) AS pr
+      |  FROM supplier)
+      |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_top,
+      |  min(bal_c) AS min_bal_c, max(bal_c) AS max_bal_c
+      |FROM r WHERE pr >= 0.8 GROUP BY 1""".stripMargin
+
+  // ---- calendar-continuity audit: missing order days in the observed
+  //      span — present-day lag gaps over the bounded day domain, one
+  //      summary row (present days, span, total/max gap) ----
+  def qCalendarGaps(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE'1970-01-01') AS BIGINT)").as("day"))
+      .distinct()
+    val w = Window.orderBy(col("day"))
+    days.withColumn("gap", col("day") - lag(col("day"), 1).over(w) - 1L)
+      .agg(count(lit(1)).as("n_days_present"),
+        (max(col("day")) - min(col("day")) + 1L).as("span_days"),
+        sum(coalesce(col("gap"), lit(0L))).as("n_gap_days"),
+        max(coalesce(col("gap"), lit(0L))).as("max_gap_days"))
+  }
+
+  val oCalendarGaps: String =
+    """WITH days AS (
+      |  SELECT DISTINCT epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders),
+      |g AS (
+      |  SELECT day, day - lag(day) OVER (ORDER BY day) - 1 AS gap
+      |  FROM days)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days_present,
+      |  max(day) - min(day) + 1 AS span_days,
+      |  CAST(sum(coalesce(gap, 0)) AS BIGINT) AS n_gap_days,
+      |  CAST(max(coalesce(gap, 0)) AS BIGINT) AS max_gap_days
+      |FROM g""".stripMargin
+
+  // ---- monthly customer-concentration trend: Herfindahl index of
+  //      customer revenue shares per month in exact basis points —
+  //      per-(month, customer) reduction, squares summed as longs,
+  //      the final ratio staged through DECIMAL(38,0) (HUGEINT in the
+  //      oracle) so 100 TB cent-sums can't wrap ----
+  def qMonthlyHhi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("(CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) - 1970) " +
+          "* 12 + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) - 1")
+          .as("month_num"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("month_num"), col("o_custkey"))
+      .agg(sum(col("price_c")).as("rev_c"))
+      .groupBy(col("month_num"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("srev"),
+        sum(col("rev_c") * col("rev_c")).as("srev2"))
+      .select(col("month_num"), col("n_customers"),
+        expr("CAST(CAST(srev2 AS DECIMAL(38,0)) * 10000 DIV " +
+          "(CAST(srev AS DECIMAL(38,0)) * CAST(srev AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("hhi_bp"))
+
+  val oMonthlyHhi: String =
+    """WITH per AS (
+      |  SELECT (CAST(year(o_orderdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(o_orderdate) AS BIGINT) - 1 AS month_num,
+      |    o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT month_num, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(rev_c) AS BIGINT) AS srev,
+      |    CAST(sum(rev_c * rev_c) AS BIGINT) AS srev2
+      |  FROM per GROUP BY 1)
+      |SELECT month_num, n_customers,
+      |  CAST(srev2::HUGEINT * 10000 // (srev::HUGEINT * srev::HUGEINT)
+      |    AS BIGINT) AS hhi_bp
+      |FROM m""".stripMargin
+
+  // ---- day-of-month revenue profile (pay-cycle shape): bounded 31-row
+  //      domain, shares in exact basis points against a 1-row broadcast
+  //      total ----
+  def qDomProfile(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .select(dayofmonth(col("o_orderdate").cast("date")).cast("long")
+          .as("dom"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("dom"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+    m.crossJoin(broadcast(m.agg(sum(col("rev_c")).as("tot_c"))))
+      .select(col("dom"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("rev_c * 10000L DIV tot_c").as("share_bp"))
+  }
+
+  val oDomProfile: String =
+    """WITH m AS (
+      |  SELECT CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM m)
+      |SELECT dom, n_orders,
+      |  rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(rev_c * 10000 // tot_c AS BIGINT) AS share_bp
+      |FROM m, tot""".stripMargin
 }
