@@ -6934,4 +6934,188 @@ object QueriesX {
       |  rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
       |  CAST(rev_c * 10000 // tot_c AS BIGINT) AS share_bp
       |FROM m, tot""".stripMargin
+
+  // ---- same-part-same-day discount inconsistency: (part, ship-day)
+  //      cells where the SAME item shipped at different discounts —
+  //      per-cell distinct reduction, one summary row ----
+  def qDiscountInconsistency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"))
+      .groupBy(col("l_partkey"), col("day"))
+      .agg(countDistinct(col("disc_pct")).as("n_disc"),
+        count(lit(1)).as("n_lines"))
+      .agg(count(lit(1)).as("n_part_days"),
+        sum(when(col("n_disc") > 1L, 1L).otherwise(0L))
+          .as("n_inconsistent"),
+        max(col("n_disc")).as("max_n_disc"))
+      .select(col("n_part_days"), col("n_inconsistent"), col("max_n_disc"),
+        expr("n_inconsistent * 10000L DIV n_part_days")
+          .as("inconsistent_bp"))
+
+  val oDiscountInconsistency: String =
+    """WITH per AS (
+      |  SELECT l_partkey, epoch_us(l_shipdate) // 86400000000 AS day,
+      |    CAST(count(DISTINCT CAST(round(l_discount * 100) AS BIGINT))
+      |      AS BIGINT) AS n_disc
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_part_days,
+      |  CAST(sum(CASE WHEN n_disc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inconsistent,
+      |  max(n_disc) AS max_n_disc,
+      |  CAST(sum(CASE WHEN n_disc > 1 THEN 1 ELSE 0 END) * 10000 //
+      |    count(*) AS BIGINT) AS inconsistent_bp
+      |FROM per""".stripMargin
+
+  // ---- Mood's median test: is src0's length distribution shifted
+  //      against the rest? Grand median from the cumulative over the
+  //      reduced value domain (the ks_drift discipline), 2×2 above/below
+  //      census, χ² via DECIMAL(38,0)-staged cross-multiplication with
+  //      ONE closing double division ----
+  def qMedianTest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("n_chars").as("v"), (col("source") === "src0").as("g"))
+    val hist = d.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("n_tot"))))
+      .agg(min(when(col("cum") * 2 >= col("n_tot"), col("v"))).as("med"))
+    d.crossJoin(broadcast(med))
+      .select(col("g"), (col("v") > col("med")).as("above"))
+      .groupBy(col("g"), col("above"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("g") && col("above"), col("n")).otherwise(0L))
+          .as("n11"),
+        sum(when(col("g") && !col("above"), col("n")).otherwise(0L))
+          .as("n12"),
+        sum(when(!col("g") && col("above"), col("n")).otherwise(0L))
+          .as("n21"),
+        sum(when(!col("g") && !col("above"), col("n")).otherwise(0L))
+          .as("n22"))
+      .select(col("n11"), col("n12"), col("n21"), col("n22"),
+        expr("CAST(CAST(n11 + n12 + n21 + n22 AS DECIMAL(38,0)) * " +
+          "(CAST(n11 AS DECIMAL(38,0)) * CAST(n22 AS DECIMAL(38,0)) - " +
+          "CAST(n12 AS DECIMAL(38,0)) * CAST(n21 AS DECIMAL(38,0))) * " +
+          "(CAST(n11 AS DECIMAL(38,0)) * CAST(n22 AS DECIMAL(38,0)) - " +
+          "CAST(n12 AS DECIMAL(38,0)) * CAST(n21 AS DECIMAL(38,0))) " +
+          "AS DOUBLE) / CAST((CAST(n11 AS DECIMAL(38,0)) + " +
+          "CAST(n12 AS DECIMAL(38,0))) * (CAST(n21 AS DECIMAL(38,0)) + " +
+          "CAST(n22 AS DECIMAL(38,0))) * (CAST(n11 AS DECIMAL(38,0)) + " +
+          "CAST(n21 AS DECIMAL(38,0))) * (CAST(n12 AS DECIMAL(38,0)) + " +
+          "CAST(n22 AS DECIMAL(38,0))) AS DOUBLE)").as("chi2"))
+  }
+
+  val oMedianTest: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v, source = 'src0' AS g FROM documents),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER () AS BIGINT) AS n_tot
+      |  FROM hist),
+      |med AS (SELECT min(CASE WHEN cum * 2 >= n_tot THEN v END) AS med
+      |        FROM cum),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN g AND v > med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n11,
+      |    CAST(sum(CASE WHEN g AND v <= med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n12,
+      |    CAST(sum(CASE WHEN NOT g AND v > med THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n21,
+      |    CAST(sum(CASE WHEN NOT g AND v <= med THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n22
+      |  FROM d, med)
+      |SELECT n11, n12, n21, n22,
+      |  CAST((n11 + n12 + n21 + n22)::HUGEINT *
+      |    (n11::HUGEINT * n22::HUGEINT - n12::HUGEINT * n21::HUGEINT) *
+      |    (n11::HUGEINT * n22::HUGEINT - n12::HUGEINT * n21::HUGEINT)
+      |    AS DOUBLE) /
+      |  CAST((n11::HUGEINT + n12::HUGEINT) * (n21::HUGEINT + n22::HUGEINT)
+      |    * (n11::HUGEINT + n21::HUGEINT) * (n12::HUGEINT + n22::HUGEINT)
+      |    AS DOUBLE) AS chi2
+      |FROM cells""".stripMargin
+
+  // ---- ship-latency SLA percentiles per priority: exact p50/p90/p99
+  //      crossings of the cumulative over the bounded (priority ×
+  //      latency-day) domain — the fact join reduces to that domain
+  //      before any window runs ----
+  def qLatencyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val lat = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("sday"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("sday") - col("oday")).as("lat"))
+      .groupBy(col("o_orderpriority"), col("lat"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("lat"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = lat.groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_tot"))
+    lat.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n_tot")).as("n_lines"),
+        min(when(col("cum") * 2 >= col("n_tot"), col("lat"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n_tot") * 9, col("lat"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n_tot") * 99, col("lat")))
+          .as("p99"))
+  }
+
+  val oLatencyPercentiles: String =
+    """WITH lat AS (
+      |  SELECT o_orderpriority,
+      |    epoch_us(l_shipdate) // 86400000000 -
+      |    epoch_us(o_orderdate) // 86400000000 AS lat,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT o_orderpriority, lat, n,
+      |    CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY lat)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+      |      AS n_tot
+      |  FROM lat)
+      |SELECT o_orderpriority, max(n_tot) AS n_lines,
+      |  min(CASE WHEN cum * 2 >= n_tot THEN lat END) AS p50,
+      |  min(CASE WHEN cum * 10 >= n_tot * 9 THEN lat END) AS p90,
+      |  min(CASE WHEN cum * 100 >= n_tot * 99 THEN lat END) AS p99
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ---- portable-hash partition-balance audit: md5-bucket sizes for the
+  //      event key (the SAME hash the split/sampling operators use) —
+  //      would this key distribute evenly over 32 shuffle partitions?
+  //      One summary row with the max-over-mean skew in basis points ----
+  def qHashBalance(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select((graft.functions.Portable.hash32(col("event_id")
+        .cast("string")) % 32).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_total"),
+        min(col("n")).as("min_bucket_n"), max(col("n")).as("max_bucket_n"))
+      .select(col("n_buckets"), col("n_total"), col("min_bucket_n"),
+        col("max_bucket_n"),
+        expr("max_bucket_n * n_buckets * 10000L DIV n_total")
+          .as("skew_bp"))
+
+  val oHashBalance: String = {
+    val h = H32.format("CAST(event_id AS VARCHAR)")
+    s"""WITH b AS (
+       |  SELECT $h % 32 AS bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(n) AS BIGINT) AS n_total,
+       |  min(n) AS min_bucket_n, max(n) AS max_bucket_n,
+       |  CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS skew_bp
+       |FROM b""".stripMargin
+  }
 }
