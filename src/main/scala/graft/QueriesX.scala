@@ -6237,7 +6237,10 @@ object QueriesX {
   // ---- supplier co-sourcing top-20: supplier pairs sharing the most
   //      parts — the classic co-occurrence self-join, keyed on partkey
   //      (fan-out bounded by per-part supplier degree, never suppliers²),
-  //      then a bounded top-k heap over (shared desc, s1, s2) ----
+  //      then a bounded top-k heap over (shared desc, s1, s2). A
+  //      collect_set + in-group pair-expansion variant was measured
+  //      2× SLOWER (nested array transforms fall out of whole-stage
+  //      codegen); the codegen'd hash self-join wins ----
   def qSupplierOverlapTopk(s: SparkSession, dir: String): DataFrame = {
     val ps = t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -7118,4 +7121,108 @@ object QueriesX {
        |  CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS skew_bp
        |FROM b""".stripMargin
   }
+
+  // ---- brand share drift: each brand's revenue share in the first
+  //      half of the observed day span vs the second, drift in exact
+  //      basis points — the midpoint is a 1-row broadcast, halves and
+  //      totals stay integer ----
+  def qBrandShareDrift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+    val mid = li.agg(((min(col("day")) + max(col("day"))) / 2)
+      .cast("long").as("mid"))
+    val cells = li.crossJoin(broadcast(mid))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(col("day") <= col("mid"), col("rev_c")).otherwise(0L))
+          .as("rev1_c"),
+        sum(when(col("day") > col("mid"), col("rev_c")).otherwise(0L))
+          .as("rev2_c"))
+    val tot = cells.agg(sum(col("rev1_c")).as("tot1_c"),
+      sum(col("rev2_c")).as("tot2_c"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("p_brand"),
+        expr("rev1_c * 10000L DIV tot1_c").as("share1_bp"),
+        expr("rev2_c * 10000L DIV tot2_c").as("share2_bp"),
+        expr("rev2_c * 10000L DIV tot2_c - rev1_c * 10000L DIV tot1_c")
+          .as("drift_bp"))
+  }
+
+  val oBrandShareDrift: String =
+    """WITH li AS (
+      |  SELECT l_partkey, epoch_us(l_shipdate) // 86400000000 AS day,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev_c
+      |  FROM lineitem),
+      |mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM li),
+      |cells AS (
+      |  SELECT p_brand,
+      |    CAST(sum(CASE WHEN day <= mid THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS rev1_c,
+      |    CAST(sum(CASE WHEN day > mid THEN rev_c ELSE 0 END) AS BIGINT)
+      |      AS rev2_c
+      |  FROM li JOIN part ON l_partkey = p_partkey, mid
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev1_c) AS BIGINT) AS tot1_c,
+      |               CAST(sum(rev2_c) AS BIGINT) AS tot2_c FROM cells)
+      |SELECT p_brand,
+      |  CAST(rev1_c * 10000 // tot1_c AS BIGINT) AS share1_bp,
+      |  CAST(rev2_c * 10000 // tot2_c AS BIGINT) AS share2_bp,
+      |  CAST(rev2_c * 10000 // tot2_c - rev1_c * 10000 // tot1_c
+      |    AS BIGINT) AS drift_bp
+      |FROM cells, tot""".stripMargin
+
+  // ---- document first-token census: what a doc opens with — share of
+  //      docs per entry token in exact basis points, one narrow scan ----
+  def qFirstTokenMix(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .select(element_at(split(col("text"), " "), 1).as("first_tok"))
+      .groupBy(col("first_tok"))
+      .agg(count(lit(1)).as("n_docs"))
+    m.crossJoin(broadcast(m.agg(sum(col("n_docs")).as("n_tot"))))
+      .select(col("first_tok"), col("n_docs"),
+        expr("n_docs * 10000L DIV n_tot").as("share_bp"))
+  }
+
+  val oFirstTokenMix: String =
+    """WITH m AS (
+      |  SELECT string_split(text, ' ')[1] AS first_tok,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot FROM m)
+      |SELECT first_tok, n_docs,
+      |  CAST(n_docs * 10000 // n_tot AS BIGINT) AS share_bp
+      |FROM m, tot""".stripMargin
+
+  // ---- volume-discount curve: revenue-weighted mean discount per
+  //      quantity band — the weighted mean is one exact cross-multiply,
+  //      Σ(disc·price)·100 / Σprice in basis points ----
+  def qVolumeDiscountCurve(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(expr("CAST(floor(l_quantity) AS BIGINT) DIV 10").as("qty_band"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("qty_band"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("rev_c"),
+        sum(col("disc_pct") * col("price_c")).as("wdisc_c"))
+      .select(col("qty_band"), col("n_lines"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("CAST(CAST(wdisc_c AS DECIMAL(38,0)) * 100 DIV " +
+          "CAST(rev_c AS DECIMAL(38,0)) AS BIGINT)")
+          .as("weighted_disc_bp"))
+
+  val oVolumeDiscountCurve: String =
+    """WITH m AS (
+      |  SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS qty_band,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem)
+      |SELECT qty_band, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(CAST(sum(disc_pct * price_c) AS HUGEINT) * 100 //
+      |    CAST(sum(price_c) AS HUGEINT) AS BIGINT) AS weighted_disc_bp
+      |FROM m GROUP BY 1""".stripMargin
 }
