@@ -7225,4 +7225,171 @@ object QueriesX {
       |  CAST(CAST(sum(disc_pct * price_c) AS HUGEINT) * 100 //
       |    CAST(sum(price_c) AS HUGEINT) AS BIGINT) AS weighted_disc_bp
       |FROM m GROUP BY 1""".stripMargin
+
+  // ---- document-level token co-occurrence top-20 with lift: distinct
+  //      (doc, token) membership self-joined on doc_id (fan-out bounded
+  //      by per-doc distinct-token count, never vocab²), lift against
+  //      the document-frequency marginals in exact basis points ----
+  def qDocCooccur(s: SparkSession, dir: String): DataFrame = {
+    val dt = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val b = dt.select(col("doc_id").as("d2"), col("tok").as("tok2"))
+    val pairs = dt.join(b, col("doc_id") === col("d2") &&
+        col("tok") < col("tok2"))
+      .groupBy(col("tok"), col("tok2"))
+      .agg(count(lit(1)).as("n_both"))
+    val df = dt.groupBy(col("tok")).agg(count(lit(1)).as("n_df"))
+    val nDocs = dt.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(df.select(col("tok"), col("n_df").as("n_a"))),
+        Seq("tok"))
+      .join(broadcast(df.select(col("tok").as("tok2"),
+        col("n_df").as("n_b"))), Seq("tok2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("tok2"), col("n_both"),
+        expr("CAST(CAST(n_both AS DECIMAL(38,0)) * " +
+          "CAST(n_docs AS DECIMAL(38,0)) * 10000 DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("lift_bp"))
+      .orderBy(col("n_both").desc, col("tok").asc, col("tok2").asc)
+      .limit(20)
+  }
+
+  val oDocCooccur: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''),
+      |pairs AS (
+      |  SELECT a.tok AS tok, b.tok AS tok2,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_df
+      |       FROM dt GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |       FROM dt)
+      |SELECT p.tok AS tok, p.tok2 AS tok2, p.n_both,
+      |  CAST(p.n_both::HUGEINT * nd.n_docs::HUGEINT * 10000 //
+      |    (a.n_df::HUGEINT * b.n_df::HUGEINT) AS BIGINT) AS lift_bp
+      |FROM pairs p
+      |JOIN df a ON p.tok = a.tok JOIN df b ON p.tok2 = b.tok, nd
+      |ORDER BY p.n_both DESC, p.tok ASC, p.tok2 ASC LIMIT 20""".stripMargin
+
+  // ---- single-order dependence: how much of each customer's lifetime
+  //      revenue their LARGEST order carries — per-customer max/sum
+  //      reduction, share banded by thousandths, histogram ----
+  def qOrderDependence(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), max(col("price_c")).as("max_c"),
+        sum(col("price_c")).as("sum_c"))
+      .select(expr("(max_c * 10000L DIV sum_c) DIV 1000").as("band"),
+        col("n_orders"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"))
+
+  val oOrderDependence: String =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS max_c,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_c
+      |  FROM orders GROUP BY 1)
+      |SELECT (max_c * 10000 // sum_c) // 1000 AS band,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- LTV half-life: days from a customer's first order until their
+  //      cumulative spend crosses HALF of lifetime revenue — one
+  //      per-customer-partitioned cumulative (deterministic (day,
+  //      orderkey) order), first crossing, histogram in 30-day bands ----
+  def qLtvHalflife(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val wc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy(col("o_custkey"))
+    o.withColumn("cum", sum(col("price_c")).over(wc))
+      .withColumn("tot", sum(col("price_c")).over(wp))
+      .withColumn("d0", min(col("day")).over(wp))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("o_custkey"))
+      .agg((min(col("day")) - max(col("d0"))).as("halflife_days"))
+      .select(expr("halflife_days DIV 30").as("halflife_months"))
+      .groupBy(col("halflife_months"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val oLtvHalflife: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_custkey, day,
+      |    CAST(sum(price_c) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey) AS BIGINT) AS cum,
+      |    CAST(sum(price_c) OVER (PARTITION BY o_custkey) AS BIGINT)
+      |      AS tot,
+      |    min(day) OVER (PARTITION BY o_custkey) AS d0
+      |  FROM o),
+      |h AS (
+      |  SELECT o_custkey, min(day) - max(d0) AS halflife_days
+      |  FROM c WHERE cum * 2 >= tot GROUP BY 1)
+      |SELECT halflife_days // 30 AS halflife_months,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM h GROUP BY 1""".stripMargin
+
+  // ---- per-type exact value percentiles: median and p90 of event value
+  //      in cents — cumulative over the reduced (type × cent-value)
+  //      domain, first crossings; the fact stream is reduced before any
+  //      window runs ----
+  def qTypeValueMedian(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("n")).as("n_tot"))
+    hist.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("n_tot"), col("v_c")))
+          .as("median_c"),
+        min(when(col("cum") * 10 >= col("n_tot") * 9, col("v_c")))
+          .as("p90_c"))
+  }
+
+  val oTypeValueMedian: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v_c,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v_c)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+      |  FROM hist)
+      |SELECT event_type, max(n_tot) AS n_events,
+      |  min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS median_c,
+      |  min(CASE WHEN cum * 10 >= n_tot * 9 THEN v_c END) AS p90_c
+      |FROM cum GROUP BY 1""".stripMargin
 }
