@@ -7392,4 +7392,140 @@ object QueriesX {
       |  min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS median_c,
       |  min(CASE WHEN cum * 10 >= n_tot * 9 THEN v_c END) AS p90_c
       |FROM cum GROUP BY 1""".stripMargin
+
+  // ---- do big orders ship slower? Per-order (line count, summed ship
+  //      latency) reduction, mean latency per size band as one exact
+  //      cross-multiply in centidays ----
+  def qSizeLatencyCurve(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("sday"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("sday") - col("oday")).as("sum_lat"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("sum_lat")).as("tot_lat"),
+        sum(col("n_lines")).as("tot_lines"))
+      .select(col("n_lines"), col("n_orders"),
+        expr("tot_lat * 100L DIV tot_lines").as("mean_latency_cd"))
+
+  val oSizeLatencyCurve: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(epoch_us(l_shipdate) // 86400000000 -
+      |      epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS sum_lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1)
+      |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(sum_lat) * 100 // sum(n_lines) AS BIGINT)
+      |    AS mean_latency_cd
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- Heaps-law curve: distinct-token growth against document length
+  //      — per-doc (total, distinct) token reduction, mean unique count
+  //      (centitokens) and type-token ratio per 20-token length band ----
+  def qHeapsCurve(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"))
+      .groupBy(expr("n_tok DIV 20").as("len_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tot_tok"),
+        sum(col("n_uniq")).as("tot_uniq"))
+      .select(col("len_band"), col("n_docs"),
+        expr("tot_uniq * 100L DIV n_docs").as("mean_uniq_ct"),
+        expr("tot_uniq * 10000L DIV tot_tok").as("ttr_bp"))
+
+  val oHeapsCurve: String =
+    """WITH per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1)
+      |SELECT n_tok // 20 AS len_band, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_uniq) * 100 // count(*) AS BIGINT) AS mean_uniq_ct,
+      |  CAST(sum(n_uniq) * 10000 // sum(n_tok) AS BIGINT) AS ttr_bp
+      |FROM per GROUP BY 1""".stripMargin
+
+  // ---- header↔line status consistency matrix: every (order status,
+  //      line status) combination with its share — the cross-table
+  //      state-machine audit, one fact equi-join and a ≤9-cell rollup ----
+  def qStatusMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("n_lines")).as("n_tot"))))
+      .select(col("o_orderstatus"), col("l_linestatus"), col("n_lines"),
+        expr("n_lines * 10000L DIV n_tot").as("share_bp"))
+  }
+
+  val oStatusMatrix: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus, l_linestatus,
+      |    CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS n_tot FROM cells)
+      |SELECT o_orderstatus, l_linestatus, n_lines,
+      |  CAST(n_lines * 10000 // n_tot AS BIGINT) AS share_bp
+      |FROM cells, tot""".stripMargin
+
+  // ---- price-band sale velocity: days from catalog epoch (the global
+  //      first ship day, a 1-row broadcast) to each part's FIRST sale,
+  //      averaged per retail-price band in exact centidays; parts never
+  //      sold are counted separately via the left join ----
+  def qPriceVelocity(s: SparkSession, dir: String): DataFrame = {
+    val firstSale = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+      .groupBy(col("l_partkey")).agg(min(col("day")).as("first_day"))
+    val epoch = firstSale.agg(min(col("first_day")).as("day0"))
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("CAST(floor(p_retailprice) AS BIGINT) DIV 500")
+          .as("price_band"))
+      .join(firstSale, col("p_partkey") === col("l_partkey"), "left")
+      .crossJoin(broadcast(epoch))
+      .groupBy(col("price_band"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("first_day").isNull, 1L).otherwise(0L))
+          .as("n_never_sold"),
+        sum(when(col("first_day").isNotNull,
+          col("first_day") - col("day0")).otherwise(0L)).as("sum_days"),
+        sum(when(col("first_day").isNotNull, 1L).otherwise(0L))
+          .as("n_sold"))
+      .select(col("price_band"), col("n_parts"), col("n_never_sold"),
+        expr("sum_days * 100L DIV n_sold").as("mean_days_to_sale_cd"))
+  }
+
+  val oPriceVelocity: String =
+    """WITH fs AS (
+      |  SELECT l_partkey,
+      |    min(epoch_us(l_shipdate) // 86400000000) AS first_day
+      |  FROM lineitem GROUP BY 1),
+      |ep AS (SELECT min(first_day) AS day0 FROM fs),
+      |j AS (
+      |  SELECT CAST(floor(p_retailprice) AS BIGINT) // 500 AS price_band,
+      |    fs.first_day, ep.day0
+      |  FROM part LEFT JOIN fs ON p_partkey = l_partkey, ep)
+      |SELECT price_band, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(CASE WHEN first_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_never_sold,
+      |  CAST(sum(CASE WHEN first_day IS NOT NULL
+      |      THEN first_day - day0 ELSE 0 END) * 100 //
+      |    sum(CASE WHEN first_day IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS mean_days_to_sale_cd
+      |FROM j GROUP BY 1""".stripMargin
 }
