@@ -7528,4 +7528,126 @@ object QueriesX {
       |    sum(CASE WHEN first_day IS NOT NULL THEN 1 ELSE 0 END)
       |    AS BIGINT) AS mean_days_to_sale_cd
       |FROM j GROUP BY 1""".stripMargin
+
+  // ---- vocabulary edit-distance matrix: near-miss token pairs at
+  //      Levenshtein ≤ 2 via the NATIVE levenshtein on the aggregated
+  //      vocabulary (a deliberately bounded vocab² pair set — the
+  //      unbounded-corpus regime uses q_edit_dist_join's deletion
+  //      neighborhoods instead) ----
+  def qTokenEditMatrix(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    vocab.crossJoin(broadcast(vocab.select(col("tok").as("tok2"))))
+      .filter(col("tok") < col("tok2") &&
+        levenshtein(col("tok"), col("tok2")) <= 2)
+      .select(col("tok"), col("tok2"),
+        levenshtein(col("tok"), col("tok2")).cast("long").as("dist"))
+  }
+
+  val oTokenEditMatrix: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT tok FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '')
+      |SELECT a.tok AS tok, b.tok AS tok2,
+      |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+      |FROM vocab a, vocab b
+      |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2"""
+      .stripMargin
+
+  // ---- NATIVE week-truncation parity: weekly order rollup through
+  //      date_trunc('week', …) — both engines truncate to ISO Monday;
+  //      the boundary is graded as epoch days, not a rendered date ----
+  def qWeekTruncParity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(expr("CAST(datediff(CAST(date_trunc('week', o_orderdate) " +
+        "AS DATE), DATE'1970-01-01') AS BIGINT)").as("week_start_day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("week_start_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("price_c")).cast("double") / lit(100.0)).as("revenue"))
+
+  val oWeekTruncParity: String =
+    """SELECT epoch_us(date_trunc('week', o_orderdate)) // 86400000000
+      |  AS week_start_day,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    ::DOUBLE / 100.0::DOUBLE AS revenue
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- embedding dimension correlation: exact Pearson r between the
+  //      first two dimensions over 1e-6-quantized components — the
+  //      corrMatrix DECIMAL(38,0) per-operand-cast moments, sqrt only at
+  //      the closing division (correctly-rounded IEEE in both engines) ----
+  def qDimCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    t(s, dir, "embeddings")
+      .select(
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000.0D) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0D) " +
+          "AS BIGINT)").as("y"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .select(col("n").cast("long").as("n_vectors"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("r"))
+  }
+
+  val oDimCorr: String =
+    """WITH q AS (
+      |  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0::DOUBLE)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0::DOUBLE)
+      |      AS BIGINT) AS y
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x::HUGEINT) AS HUGEINT) AS sx,
+      |    CAST(sum(y::HUGEINT) AS HUGEINT) AS sy,
+      |    CAST(sum(x::HUGEINT * x::HUGEINT) AS HUGEINT) AS sxx,
+      |    CAST(sum(y::HUGEINT * y::HUGEINT) AS HUGEINT) AS syy,
+      |    CAST(sum(x::HUGEINT * y::HUGEINT) AS HUGEINT) AS sxy
+      |  FROM q)
+      |SELECT CAST(n AS BIGINT) AS n_vectors,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      |FROM m""".stripMargin
+
+  // ---- same-day reorder census: (customer, day) cells with more than
+  //      one order — the double-submit signal; per-cell reduction, one
+  //      summary row ----
+  def qSameDayOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+      .groupBy(col("o_custkey"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cust_days"),
+        sum(when(col("n") > 1L, 1L).otherwise(0L)).as("n_multi"),
+        max(col("n")).as("max_orders_one_day"))
+      .select(col("n_cust_days"), col("n_multi"),
+        col("max_orders_one_day"),
+        expr("n_multi * 10000L DIV n_cust_days").as("multi_bp"))
+
+  val oSameDayOrders: String =
+    """WITH per AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cust_days,
+      |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+      |  max(n) AS max_orders_one_day,
+      |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+      |    AS BIGINT) AS multi_bp
+      |FROM per""".stripMargin
 }
