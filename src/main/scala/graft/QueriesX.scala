@@ -6073,8 +6073,9 @@ object QueriesX {
   // ---- label cohesion: mean squared distance of each embedding to its
   //      label centroid, all in exact integer math — components quantize
   //      to 1e-6 longs SHIFTED to non-negative (+1e7, valid for |x| ≤ 10)
-  //      so every floor-div sees non-negative operands (Spark DIV
-  //      truncates, DuckDB // floors; they agree only there). One
+  //      so every floor-div sees non-negative operands (both engines
+  //      truncate toward zero — verified — but non-negative operands
+  //      make the invariant self-evident). One
   //      posexplode pass, centroid as a (label×dim)-domain broadcast ----
   def qLabelCohesion(s: SparkSession, dir: String): DataFrame = {
     val qv = t(s, dir, "embeddings")
@@ -7650,4 +7651,135 @@ object QueriesX {
       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 10000 // count(*)
       |    AS BIGINT) AS multi_bp
       |FROM per""".stripMargin
+
+  // ---- order-lifecycle grid (accumulating-snapshot pattern): days to
+  //      FIRST shipment × first-to-last shipping span, both in 30-day
+  //      bands — per-order min/max reduction then a bounded 2-D rollup ----
+  def qLifecycleGrid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("sday"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("sday")).as("first_ship"), max(col("sday")).as("last_ship"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(expr("(first_ship - oday) DIV 30").as("lead_band"),
+        expr("(last_ship - first_ship) DIV 30").as("span_band"))
+      .groupBy(col("lead_band"), col("span_band"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val oLifecycleGrid: String =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    min(epoch_us(l_shipdate) // 86400000000) AS first_ship,
+      |    max(epoch_us(l_shipdate) // 86400000000) AS last_ship
+      |  FROM lineitem GROUP BY 1)
+      |SELECT (first_ship - epoch_us(o_orderdate) // 86400000000) // 30
+      |    AS lead_band,
+      |  (last_ship - first_ship) // 30 AS span_band,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM per JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- duplicate-basket census: orders whose EXACT part set matches
+  //      another order's — canonical sorted-partkey signature per order
+  //      (ordered agg), duplicate-group size histogram ----
+  def qBasketDups(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        expr("transform(sort_array(collect_list(l_partkey)), " +
+          "x -> CAST(x AS STRING))")).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_signatures"),
+        sum(col("group_size")).as("n_orders"))
+
+  val oBasketDups: String =
+    """WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sig AS (
+      |  SELECT l_orderkey,
+      |    string_agg(CAST(l_partkey AS VARCHAR), ','
+      |      ORDER BY l_partkey) AS sig
+      |  FROM ps GROUP BY 1),
+      |g AS (SELECT sig, CAST(count(*) AS BIGINT) AS group_size
+      |      FROM sig GROUP BY 1)
+      |SELECT group_size, CAST(count(*) AS BIGINT) AS n_signatures,
+      |  CAST(sum(group_size) AS BIGINT) AS n_orders
+      |FROM g GROUP BY 1""".stripMargin
+
+  // ---- cross-domain vocabulary anti-join: catalog-name tokens that
+  //      never appear in the document corpus — two derived distinct
+  //      sets, one hash anti-join, one summary row ----
+  def qVocabAntijoin(s: SparkSession, dir: String): DataFrame = {
+    val ptoks = t(s, dir, "part")
+      .select(explode(split(lower(col("p_name")), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val dvocab = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("dtok"))
+      .filter(col("dtok") =!= "").distinct()
+    val missing = ptoks.join(dvocab, col("tok") === col("dtok"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    ptoks.agg(count(lit(1)).as("n_part_tokens"))
+      .crossJoin(broadcast(missing))
+      .select(col("n_part_tokens"), col("n_missing"),
+        expr("n_missing * 10000L DIV n_part_tokens").as("missing_bp"))
+  }
+
+  val oVocabAntijoin: String =
+    """WITH ptoks AS (
+      |  SELECT DISTINCT tok FROM (
+      |    SELECT unnest(string_split(lower(p_name), ' ')) AS tok FROM part)
+      |  WHERE tok <> ''),
+      |dvocab AS (
+      |  SELECT DISTINCT tok FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_missing
+      |  FROM ptoks WHERE NOT EXISTS (
+      |    SELECT 1 FROM dvocab WHERE dvocab.tok = ptoks.tok))
+      |SELECT CAST((SELECT count(*) FROM ptoks) AS BIGINT)
+      |    AS n_part_tokens,
+      |  n_missing,
+      |  CAST(n_missing * 10000 // (SELECT count(*) FROM ptoks) AS BIGINT)
+      |    AS missing_bp
+      |FROM m""".stripMargin
+
+  // ---- SKU repeat-purchase gap: mean days between consecutive
+  //      repurchases of the same part by the same customer —
+  //      (last−first)/(n−1) needs only the per-(customer, part) min/max
+  //      reduction, no per-key sequence window; 30-day-band histogram ----
+  def qSkuRepeatGap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("n"), min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      .filter(col("n") >= 2L && col("d1") > col("d0"))
+      .select(expr("((d1 - d0) * 100L DIV (n - 1)) DIV 3000")
+        .as("gap_month_band"))
+      .groupBy(col("gap_month_band"))
+      .agg(count(lit(1)).as("n_cust_parts"))
+
+  val oSkuRepeatGap: String =
+    """WITH per AS (
+      |  SELECT o_custkey, l_partkey, CAST(count(*) AS BIGINT) AS n,
+      |    min(epoch_us(o_orderdate) // 86400000000) AS d0,
+      |    max(epoch_us(o_orderdate) // 86400000000) AS d1
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT ((d1 - d0) * 100 // (n - 1)) // 3000 AS gap_month_band,
+      |  CAST(count(*) AS BIGINT) AS n_cust_parts
+      |FROM per WHERE n >= 2 AND d1 > d0
+      |GROUP BY 1""".stripMargin
 }
