@@ -962,4 +962,69 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_key_gap_audit", "q_and_search", "q_casefold_dedup"))
       assert(!plan(q).contains("Window"), s"$q grew a window")
   }
+
+  test("r13 closing batches III: curves, audits, percentile shapes") {
+    // batch 33: supplier mix / geo rollup / daily VaR / sample drift —
+    // rollup expands locally (no cartesian), VaR's rank window runs over
+    // the reduced day domain, the sample predicate is a portable hash
+    for (q <- Seq("q_order_supplier_mix", "q_geo_rollup", "q_daily_var",
+        "q_sample_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(plan("q_geo_rollup").contains("Expand"),
+      "rollup should be a local Expand, not a union of scans")
+    for (q <- Seq("q_order_supplier_mix", "q_sample_drift"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 34: percent-rank / calendar gaps / monthly HHI / DOM — the
+    // only windows run over dimension or bounded calendar domains
+    for (q <- Seq("q_percent_rank_cut", "q_calendar_gaps", "q_monthly_hhi",
+        "q_dom_profile")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(!plan("q_monthly_hhi").contains("Window"),
+      "HHI is two reductions, not a window")
+    // batch 35: inconsistency / median test / latency percentiles /
+    // hash balance — value-domain cumulatives, single-scan audits
+    for (q <- Seq("q_discount_inconsistency", "q_median_test",
+        "q_latency_percentiles", "q_hash_balance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_discount_inconsistency", "q_hash_balance"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 36: drift / first token / discount curve / co-occurrence /
+    // dependence / half-life / type medians — joins stay equi or
+    // broadcast; co-occurrence top-k is a bounded heap
+    for (q <- Seq("q_brand_share_drift", "q_first_token_mix",
+        "q_volume_discount_curve", "q_doc_cooccur", "q_order_dependence",
+        "q_ltv_halflife", "q_type_value_median")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(plan("q_doc_cooccur").contains("TakeOrderedAndProject"),
+      "co-occurrence top-20 should be a bounded heap")
+    for (q <- Seq("q_first_token_mix", "q_volume_discount_curve",
+        "q_order_dependence"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 37: edit matrix / week trunc / dim corr / same-day — the
+    // vocab² pair set is deliberately bounded (vocab is an aggregated
+    // domain); everything else is windows-free reductions
+    for (q <- Seq("q_week_trunc_parity", "q_dim_corr",
+        "q_same_day_orders")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    // batch 38: lifecycle grid / basket dups / vocab anti-join / SKU gap
+    for (q <- Seq("q_lifecycle_grid", "q_basket_dups", "q_vocab_antijoin",
+        "q_sku_repeat_gap")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+    assert(plan("q_vocab_antijoin").contains("LeftAnti"),
+      "vocab gap should be a hash anti-join")
+  }
 }
