@@ -7782,4 +7782,144 @@ object QueriesX {
       |  CAST(count(*) AS BIGINT) AS n_cust_parts
       |FROM per WHERE n >= 2 AND d1 > d0
       |GROUP BY 1""".stripMargin
+
+  // ---- growth-streak detection: longest run of consecutive
+  //      week-over-week revenue increases — gaps-and-islands (week −
+  //      row_number) over the bounded week domain AFTER the up-week
+  //      filter; the WoW lag is the cells self-join, not a window ----
+  def qGrowthStreak(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE'1970-01-01') AS BIGINT) DIV 7").as("wk"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("wk")).agg(sum(col("price_c")).as("rev_c"))
+    val prev = wk.select((col("wk") + 1L).as("wk"),
+      col("rev_c").as("prev_c"))
+    val ups = wk.join(prev, Seq("wk")).filter(col("rev_c") > col("prev_c"))
+    val w = Window.orderBy(col("wk"))
+    ups.withColumn("island", col("wk") - row_number().over(w))
+      .groupBy(col("island")).agg(count(lit(1)).as("run_len"))
+      .agg(sum(col("run_len")).as("n_up_weeks"),
+        count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
+  }
+
+  val oGrowthStreak: String =
+    """WITH wk AS (
+      |  SELECT epoch_us(o_orderdate) // (86400000000 * 7) AS wk,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |ups AS (
+      |  SELECT w.wk FROM wk w JOIN wk p ON w.wk = p.wk + 1
+      |  WHERE w.rev_c > p.rev_c),
+      |runs AS (
+      |  SELECT wk - row_number() OVER (ORDER BY wk) AS island
+      |  FROM ups),
+      |g AS (SELECT island, CAST(count(*) AS BIGINT) AS run_len
+      |      FROM runs GROUP BY 1)
+      |SELECT CAST(sum(run_len) AS BIGINT) AS n_up_weeks,
+      |  CAST(count(*) AS BIGINT) AS n_runs, max(run_len) AS max_run
+      |FROM g""".stripMargin
+
+  // ---- portable table fingerprints: bit_xor of the md5-derived key
+  //      hash per table — the order-independent checksum a reconciler
+  //      compares across systems; three single-scan reductions ----
+  def qXorFingerprint(s: SparkSession, dir: String): DataFrame = {
+    def fp(name: String, table: String, key: String) =
+      t(s, dir, table)
+        .select(graft.functions.Portable.hash32(col(key).cast("string"))
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_fp"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_fp"))
+    fp("orders", "orders", "o_orderkey")
+      .unionByName(fp("customer", "customer", "c_custkey"))
+      .unionByName(fp("part", "part", "p_partkey"))
+  }
+
+  val oXorFingerprint: String = {
+    def h(c: String) = H32.format(s"CAST($c AS VARCHAR)")
+    s"""SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(${h("o_orderkey")}) AS BIGINT) AS xor_fp FROM orders
+       |UNION ALL
+       |SELECT 'customer', CAST(count(*) AS BIGINT),
+       |  CAST(bit_xor(${h("c_custkey")}) AS BIGINT) FROM customer
+       |UNION ALL
+       |SELECT 'part', CAST(count(*) AS BIGINT),
+       |  CAST(bit_xor(${h("p_partkey")}) AS BIGINT) FROM part"""
+      .stripMargin
+  }
+
+  // ---- stratified median consistency: exact per-bucket medians over
+  //      8 portable-hash strata — if sampling by this hash is sound,
+  //      the per-bucket medians agree; rank crossings over the reduced
+  //      (bucket × cent-value) domain ----
+  def qBucketMedianConsistency(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .select((graft.functions.Portable.hash32(col("event_id")
+        .cast("string")) % 8).as("bucket"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("bucket"), col("v_c")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("bucket")).agg(sum(col("n")).as("n_tot"))
+    hist.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), Seq("bucket"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n_tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("n_tot"), col("v_c")))
+          .as("median_c"))
+  }
+
+  val oBucketMedianConsistency: String = {
+    val h = H32.format("CAST(event_id AS VARCHAR)")
+    s"""WITH hist AS (
+       |  SELECT $h % 8 AS bucket,
+       |    CAST(floor(value * 100) AS BIGINT) AS v_c,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT bucket, v_c,
+       |    CAST(sum(n) OVER (PARTITION BY bucket ORDER BY v_c) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_tot
+       |  FROM hist)
+       |SELECT bucket, max(n_tot) AS n_events,
+       |  min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS median_c
+       |FROM cum GROUP BY 1""".stripMargin
+  }
+
+  // ---- engagement mix by intensity decile: users deciled by lifetime
+  //      event count (USER-dimension ntile, (n, user_id) total order),
+  //      event-type share within each decile in exact basis points ----
+  def qIntensityTypeMix(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), col("event_type"))
+    val w = Window.orderBy(col("n_u"), col("user_id"))
+    val deciles = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_u"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select(col("user_id"), col("decile"))
+    val cells = e.join(deciles, Seq("user_id"))
+      .groupBy(col("decile"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("decile")).agg(sum(col("n")).as("n_tot"))
+    cells.join(broadcast(tot), Seq("decile"))
+      .select(col("decile"), col("event_type"), col("n"),
+        expr("n * 10000L DIV n_tot").as("share_bp"))
+  }
+
+  val oIntensityTypeMix: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    CAST(ntile(10) OVER (ORDER BY count(*), user_id) AS BIGINT)
+      |      AS decile
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT d.decile, e.event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events e JOIN d USING (user_id)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT decile, CAST(sum(n) AS BIGINT) AS n_tot
+      |        FROM cells GROUP BY 1)
+      |SELECT c.decile, c.event_type, c.n,
+      |  CAST(c.n * 10000 // t.n_tot AS BIGINT) AS share_bp
+      |FROM cells c JOIN tot t USING (decile)""".stripMargin
 }
