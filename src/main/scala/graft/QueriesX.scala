@@ -7922,4 +7922,183 @@ object QueriesX {
       |SELECT c.decile, c.event_type, c.n,
       |  CAST(c.n * 10000 // t.n_tot AS BIGINT) AS share_bp
       |FROM cells c JOIN tot t USING (decile)""".stripMargin
+
+  // ---- regional trade imbalance: each region's share of SUPPLY
+  //      revenue (via the supplier dim) vs its share of DEMAND revenue
+  //      (via orders→customer), imbalance in basis points — two
+  //      dim-broadcast rollups full-outer-merged on the region domain ----
+  def qRegionImbalance(s: SparkSession, dir: String): DataFrame = {
+    val regionOf = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .join(broadcast(t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+    val supply = li
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(regionOf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name")).agg(sum(col("rev_c")).as("supply_c"))
+    val demand = li
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionOf.select(col("n_nationkey").as("cn"),
+        col("r_name"))), col("c_nationkey") === col("cn"))
+      .groupBy(col("r_name")).agg(sum(col("rev_c")).as("demand_c"))
+    val j = supply.join(demand, Seq("r_name"), "full")
+      .select(col("r_name"), coalesce(col("supply_c"), lit(0L)).as("s_c"),
+        coalesce(col("demand_c"), lit(0L)).as("d_c"))
+    val tot = j.agg(sum(col("s_c")).as("st"), sum(col("d_c")).as("dt"))
+    j.crossJoin(broadcast(tot))
+      .select(col("r_name"),
+        expr("s_c * 10000L DIV st").as("supply_share_bp"),
+        expr("d_c * 10000L DIV dt").as("demand_share_bp"),
+        expr("s_c * 10000L DIV st - d_c * 10000L DIV dt")
+          .as("imbalance_bp"))
+  }
+
+  val oRegionImbalance: String =
+    """WITH ro AS (
+      |  SELECT n_nationkey, r_name
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+      |li AS (SELECT l_orderkey, l_suppkey,
+      |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev_c
+      |  FROM lineitem),
+      |supply AS (
+      |  SELECT ro.r_name, CAST(sum(rev_c) AS BIGINT) AS s_c
+      |  FROM li JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN ro ON s_nationkey = ro.n_nationkey GROUP BY 1),
+      |demand AS (
+      |  SELECT ro.r_name, CAST(sum(rev_c) AS BIGINT) AS d_c
+      |  FROM li JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN ro ON c_nationkey = ro.n_nationkey GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(s.r_name, d.r_name) AS r_name,
+      |    coalesce(s.s_c, 0) AS s_c, coalesce(d.d_c, 0) AS d_c
+      |  FROM supply s FULL JOIN demand d ON s.r_name = d.r_name),
+      |tot AS (SELECT CAST(sum(s_c) AS BIGINT) AS st,
+      |               CAST(sum(d_c) AS BIGINT) AS dt FROM j)
+      |SELECT r_name,
+      |  CAST(s_c * 10000 // st AS BIGINT) AS supply_share_bp,
+      |  CAST(d_c * 10000 // dt AS BIGINT) AS demand_share_bp,
+      |  CAST(s_c * 10000 // st - d_c * 10000 // dt AS BIGINT)
+      |    AS imbalance_bp
+      |FROM j, tot""".stripMargin
+
+  // ---- top-2 gap per nation: margin between the best and runner-up
+  //      supplier balances — rank over the supplier DIMENSION inside
+  //      each nation with a (bal desc, suppkey) total order, conditional
+  //      min/max pivot of ranks 1 and 2 ----
+  def qTop2Gap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("bal_c").desc, col("s_suppkey").asc)
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        floor(col("s_acctbal") * 100).cast("long").as("bal_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("s_nationkey"))
+      .agg(max(when(col("rn") === 1, col("bal_c"))).as("top_bal_c"),
+        max(when(col("rn") === 2, col("bal_c"))).as("second_bal_c"))
+      .select(col("s_nationkey"), col("top_bal_c"), col("second_bal_c"),
+        (col("top_bal_c") - col("second_bal_c")).as("gap_c"))
+  }
+
+  val oTop2Gap: String =
+    """WITH r AS (
+      |  SELECT s_nationkey,
+      |    CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_c,
+      |    row_number() OVER (PARTITION BY s_nationkey
+      |      ORDER BY CAST(floor(s_acctbal * 100) AS BIGINT) DESC,
+      |        s_suppkey ASC) AS rn
+      |  FROM supplier)
+      |SELECT s_nationkey,
+      |  max(CASE WHEN rn = 1 THEN bal_c END) AS top_bal_c,
+      |  max(CASE WHEN rn = 2 THEN bal_c END) AS second_bal_c,
+      |  max(CASE WHEN rn = 1 THEN bal_c END) -
+      |    max(CASE WHEN rn = 2 THEN bal_c END) AS gap_c
+      |FROM r WHERE rn <= 2 GROUP BY 1""".stripMargin
+
+  // ---- surrogate-key last-digit uniformity: digit census with an
+  //      exact scaled χ² against uniform ((10·Σn_d² − n²)·1000/n, all
+  //      integer) — the key-generation health check ----
+  def qKeyDigitUniformity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders")
+      .select((col("o_orderkey") % 10).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val summary = d.agg(sum(col("n_d")).as("n"),
+        sum(col("n_d") * col("n_d")).as("s2"))
+      .select(col("n"),
+        expr("CAST((10 * CAST(s2 AS DECIMAL(38,0)) - " +
+          "CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) * 1000 " +
+          "DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)").as("chi2_x1000"))
+    d.crossJoin(broadcast(summary))
+      .select(col("digit"), col("n_d"),
+        expr("n_d * 10000L DIV n").as("share_bp"), col("chi2_x1000"))
+  }
+
+  val oKeyDigitUniformity: String =
+    """WITH d AS (
+      |  SELECT o_orderkey % 10 AS digit, CAST(count(*) AS BIGINT) AS n_d
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(n_d) AS BIGINT) AS n,
+      |    CAST((10 * CAST(sum(n_d * n_d) AS HUGEINT) -
+      |      CAST(sum(n_d) AS HUGEINT) * CAST(sum(n_d) AS HUGEINT)) * 1000
+      |      // CAST(sum(n_d) AS HUGEINT) AS BIGINT) AS chi2_x1000
+      |  FROM d)
+      |SELECT digit, n_d, CAST(n_d * 10000 // n AS BIGINT) AS share_bp,
+      |  chi2_x1000
+      |FROM d, s""".stripMargin
+
+  // ---- ordering-rhythm regularity: relative variance of each
+  //      customer's inter-order gaps (per-customer sequence lag —
+  //      bounded partitions), DECIMAL(38,0)-staged, banded histogram ----
+  def qOrderRegularity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s1"),
+        sum(col("gap") * col("gap")).as("s2"))
+      .filter(col("n") >= 2L && col("s1") > 0L)
+      .select(expr("CAST((CAST(n AS DECIMAL(38,0)) * " +
+        "CAST(s2 AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)) * " +
+        "CAST(s1 AS DECIMAL(38,0))) * 10000 DIV " +
+        "(CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))) " +
+        "AS BIGINT) DIV 5000").as("regularity_band"))
+      .groupBy(col("regularity_band"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val oOrderRegularity: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    epoch_us(o_orderdate) // 86400000000 -
+      |    lag(epoch_us(o_orderdate) // 86400000000)
+      |      OVER (PARTITION BY o_custkey
+      |        ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey)
+      |      AS gap
+      |  FROM orders),
+      |per AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(gap) AS BIGINT) AS s1,
+      |    CAST(sum(gap * gap) AS BIGINT) AS s2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT CAST((n::HUGEINT * s2::HUGEINT - s1::HUGEINT * s1::HUGEINT)
+      |    * 10000 // (s1::HUGEINT * s1::HUGEINT) AS BIGINT) // 5000
+      |    AS regularity_band,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM per WHERE n >= 2 AND s1 > 0 GROUP BY 1""".stripMargin
 }
