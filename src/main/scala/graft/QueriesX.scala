@@ -8101,4 +8101,143 @@ object QueriesX {
       |    AS regularity_band,
       |  CAST(count(*) AS BIGINT) AS n_customers
       |FROM per WHERE n >= 2 AND s1 > 0 GROUP BY 1""".stripMargin
+
+  // ---- are frequent tokens shorter (Zipf's law of abbreviation)?
+  //      Exact Pearson r between token length and corpus frequency over
+  //      the AGGREGATED vocabulary — DECIMAL(38,0) moments, sqrt only
+  //      at the closing division ----
+  def qTokenLenFreqCorr(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(length(col("tok")).cast("long").as("x"), col("cnt").as("y"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
+      .select(col("n").cast("long").as("n_tokens"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("r"))
+  }
+
+  val oTokenLenFreqCorr: String =
+    """WITH v AS (
+      |  SELECT CAST(length(tok) AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY tok),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x::HUGEINT) AS HUGEINT) AS sx,
+      |    CAST(sum(y::HUGEINT) AS HUGEINT) AS sy,
+      |    CAST(sum(x::HUGEINT * x::HUGEINT) AS HUGEINT) AS sxx,
+      |    CAST(sum(y::HUGEINT * y::HUGEINT) AS HUGEINT) AS syy,
+      |    CAST(sum(x::HUGEINT * y::HUGEINT) AS HUGEINT) AS sxy
+      |  FROM v)
+      |SELECT CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      |FROM m""".stripMargin
+
+  // ---- event-stream exact-duplicate audit: identical (user, ts, type,
+  //      value) tuples — the double-fire signal; one hash reduction,
+  //      one summary row ----
+  def qEventDups(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("user_id"), col("ts"), col("event_type"), col("v_c"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_distinct_tuples"),
+        sum(when(col("n") > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(col("n") - 1L).as("n_extra_rows"),
+        max(col("n")).as("max_group"))
+
+  val oEventDups: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS v_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3, 4)
+      |SELECT CAST(count(*) AS BIGINT) AS n_distinct_tuples,
+      |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_groups,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_extra_rows,
+      |  max(n) AS max_group
+      |FROM g""".stripMargin
+
+  // ---- zero-discount census per brand: full-price line share and the
+  //      parts NEVER discounted — a per-part max reduction beside the
+  //      per-brand line rollup, merged on the brand domain ----
+  def qZeroDiscount(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val lines = li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("disc_pct") === 0L, 1L).otherwise(0L))
+          .as("n_full_price"))
+    val never = li.groupBy(col("p_brand"), col("l_partkey"))
+      .agg(max(col("disc_pct")).as("max_disc"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("max_disc") === 0L, 1L).otherwise(0L))
+          .as("n_never_discounted"))
+    lines.join(never, Seq("p_brand"))
+      .select(col("p_brand"), col("n_lines"), col("n_parts"),
+        col("n_never_discounted"),
+        expr("n_full_price * 10000L DIV n_lines").as("full_price_bp"))
+  }
+
+  val oZeroDiscount: String =
+    """WITH li AS (
+      |  SELECT p_brand, l_partkey,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |lines AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CASE WHEN disc_pct = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_full_price
+      |  FROM li GROUP BY 1),
+      |nev AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      |    CAST(sum(CASE WHEN max_disc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_never_discounted
+      |  FROM (SELECT p_brand, l_partkey, max(disc_pct) AS max_disc
+      |        FROM li GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT l.p_brand, l.n_lines, n.n_parts, n.n_never_discounted,
+      |  CAST(l.n_full_price * 10000 // l.n_lines AS BIGINT)
+      |    AS full_price_bp
+      |FROM lines l JOIN nev n USING (p_brand)""".stripMargin
+
+  // ---- empty-input parity sentinel: a filter that matches NOTHING,
+  //      closed with coalesced global aggregates — both engines must
+  //      emit exactly one all-zeros row (the qResurrection
+  //      empty-input-divergence regression, graded forever) ----
+  def qEmptyInputParity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") < 0.0)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("price_c")), lit(0L)).as("total_c"),
+        coalesce(max(col("price_c")), lit(-1L)).as("max_c"))
+
+  val oEmptyInputParity: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT)), 0)
+      |    AS BIGINT) AS total_c,
+      |  CAST(coalesce(max(CAST(floor(o_totalprice * 100) AS BIGINT)), -1)
+      |    AS BIGINT) AS max_c
+      |FROM orders WHERE o_totalprice < 0.0::DOUBLE""".stripMargin
 }
