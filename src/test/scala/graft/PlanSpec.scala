@@ -1027,4 +1027,38 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_vocab_antijoin").contains("LeftAnti"),
       "vocab gap should be a hash anti-join")
   }
+
+  test("r13 closing batches IV: fingerprints, regularity, sentinels") {
+    // batch 39: growth streak / xor fingerprint / bucket medians /
+    // intensity mix — islands and medians run over bounded or
+    // already-reduced domains; fingerprints are single-scan folds
+    for (q <- Seq("q_growth_streak", "q_xor_fingerprint",
+        "q_bucket_median_consistency", "q_intensity_type_mix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(!plan("q_xor_fingerprint").contains("Window"),
+      "fingerprints are hash folds, not windows")
+    assert(plan("q_xor_fingerprint").contains("Union"),
+      "three table audits should union")
+    // batch 40: imbalance / top-2 / digit uniformity / regularity —
+    // dim broadcasts, supplier-dimension rank, per-customer lag only
+    for (q <- Seq("q_region_imbalance", "q_top2_gap",
+        "q_key_digit_uniformity", "q_order_regularity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    assert(plan("q_region_imbalance").contains("BroadcastHashJoin"),
+      "region dims should broadcast")
+    assert(!plan("q_key_digit_uniformity").contains("Window"),
+      "digit census is a reduction, not a window")
+    // batch 41: len-freq corr / event dups / zero discount / empty
+    // sentinel — pure reductions; the sentinel must stay one row
+    for (q <- Seq("q_token_len_freq_corr", "q_event_dups",
+        "q_zero_discount", "q_empty_input_parity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
+  }
 }
