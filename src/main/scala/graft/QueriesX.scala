@@ -8240,4 +8240,149 @@ object QueriesX {
       |  CAST(coalesce(max(CAST(floor(o_totalprice * 100) AS BIGINT)), -1)
       |    AS BIGINT) AS max_c
       |FROM orders WHERE o_totalprice < 0.0::DOUBLE""".stripMargin
+
+  // ---- month-end loading (sales pull-forward audit): share of each
+  //      month's revenue booked in its LAST FIVE calendar days, month
+  //      length from the NATIVE last_day in both engines ----
+  def qMonthEndLoading(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(expr("(CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) - " +
+        "1970) * 12 + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) - 1")
+        .as("month_num"),
+        dayofmonth(col("o_orderdate").cast("date")).cast("long").as("dom"),
+        dayofmonth(last_day(col("o_orderdate").cast("date"))).cast("long")
+          .as("last_dom"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("month_num"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"),
+        sum(when(col("dom") > col("last_dom") - 5L, col("price_c"))
+          .otherwise(0L)).as("rev5_c"))
+      .select(col("month_num"), col("n_orders"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("rev5_c * 10000L DIV rev_c").as("last5_share_bp"))
+
+  val oMonthEndLoading: String =
+    """WITH m AS (
+      |  SELECT (CAST(year(o_orderdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(o_orderdate) AS BIGINT) - 1 AS month_num,
+      |    CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |    CAST(day(last_day(o_orderdate)) AS BIGINT) AS last_dom,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders)
+      |SELECT month_num, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(sum(CASE WHEN dom > last_dom - 5 THEN price_c ELSE 0 END)
+      |    * 10000 // sum(price_c) AS BIGINT) AS last5_share_bp
+      |FROM m GROUP BY 1""".stripMargin
+
+  // ---- Spearman rank correlation of part price vs size: min-rank
+  //      (rank()) assignment over the PART dimension in both engines,
+  //      then the exact decimal Pearson moments over the ranks ----
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = t(s, dir, "part")
+      .select(floor(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      .withColumn("rx", rank().over(Window.orderBy(col("price_c")))
+        .cast("long"))
+      .withColumn("ry", rank().over(Window.orderBy(col("size")))
+        .cast("long"))
+    ranked.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+        sum(col("rx").cast(dec) * col("rx").cast(dec)).as("sxx"),
+        sum(col("ry").cast(dec) * col("ry").cast(dec)).as("syy"),
+        sum(col("rx").cast(dec) * col("ry").cast(dec)).as("sxy"))
+      .select(col("n").cast("long").as("n_parts"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double")))).as("rho"))
+  }
+
+  val oSpearman: String =
+    """WITH ranked AS (
+      |  SELECT
+      |    CAST(rank() OVER (ORDER BY CAST(floor(p_retailprice * 100)
+      |      AS BIGINT)) AS BIGINT) AS rx,
+      |    CAST(rank() OVER (ORDER BY CAST(p_size AS BIGINT)) AS BIGINT)
+      |      AS ry
+      |  FROM part),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(rx::HUGEINT) AS HUGEINT) AS sx,
+      |    CAST(sum(ry::HUGEINT) AS HUGEINT) AS sy,
+      |    CAST(sum(rx::HUGEINT * rx::HUGEINT) AS HUGEINT) AS sxx,
+      |    CAST(sum(ry::HUGEINT * ry::HUGEINT) AS HUGEINT) AS syy,
+      |    CAST(sum(rx::HUGEINT * ry::HUGEINT) AS HUGEINT) AS sxy
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_parts,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+      |FROM m""".stripMargin
+
+  // ---- exact log2 value bands: the binary-string length of the cent
+  //      value (⌊log2 v⌋+1 without any floating log — NATIVE bin() in
+  //      both engines), a true log-scale histogram in pure integers ----
+  def qLog2ValueBands(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(floor(col("value") * 100).cast("long").as("v_c"))
+      .filter(col("v_c") > 0L)
+      .select(length(expr("bin(v_c)")).cast("long").as("log2_band"),
+        col("v_c"))
+      .groupBy(col("log2_band"))
+      .agg(count(lit(1)).as("n_events"), min(col("v_c")).as("min_c"),
+        max(col("v_c")).as("max_c"))
+
+  val oLog2ValueBands: String =
+    """WITH v AS (
+      |  SELECT CAST(floor(value * 100) AS BIGINT) AS v_c FROM events
+      |  WHERE CAST(floor(value * 100) AS BIGINT) > 0)
+      |SELECT CAST(length(bin(v_c)) AS BIGINT) AS log2_band,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(v_c) AS min_c, max(v_c) AS max_c
+      |FROM v GROUP BY 1""".stripMargin
+
+  // ---- engagement survival curve: share of users reaching ≥k lifetime
+  //      events at the power-of-two ladder — per-user reduction, six
+  //      conditional sums, stacked to rows ----
+  def qEngagementSurvival(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("n") >= 1L, 1L).otherwise(0L)).as("k1"),
+        sum(when(col("n") >= 2L, 1L).otherwise(0L)).as("k2"),
+        sum(when(col("n") >= 4L, 1L).otherwise(0L)).as("k4"),
+        sum(when(col("n") >= 8L, 1L).otherwise(0L)).as("k8"),
+        sum(when(col("n") >= 16L, 1L).otherwise(0L)).as("k16"),
+        sum(when(col("n") >= 32L, 1L).otherwise(0L)).as("k32"))
+      .select(expr("stack(6, 1L, k1, 2L, k2, 4L, k4, 8L, k8, 16L, k16, " +
+        "32L, k32) AS (k, n_users)"), col("total"))
+      .select(col("k"), col("n_users"),
+        expr("n_users * 10000L DIV total").as("share_bp"))
+
+  val oEngagementSurvival: String =
+    """WITH per AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN n >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+      |    CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+      |    CAST(sum(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+      |    CAST(sum(CASE WHEN n >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS k8,
+      |    CAST(sum(CASE WHEN n >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS k16,
+      |    CAST(sum(CASE WHEN n >= 32 THEN 1 ELSE 0 END) AS BIGINT) AS k32
+      |  FROM per),
+      |st AS (
+      |  SELECT 1 AS k, k1 AS n_users, total FROM a
+      |  UNION ALL SELECT 2, k2, total FROM a
+      |  UNION ALL SELECT 4, k4, total FROM a
+      |  UNION ALL SELECT 8, k8, total FROM a
+      |  UNION ALL SELECT 16, k16, total FROM a
+      |  UNION ALL SELECT 32, k32, total FROM a)
+      |SELECT CAST(k AS BIGINT) AS k, n_users,
+      |  CAST(n_users * 10000 // total AS BIGINT) AS share_bp
+      |FROM st""".stripMargin
 }
