@@ -8385,4 +8385,161 @@ object QueriesX {
       |SELECT CAST(k AS BIGINT) AS k, n_users,
       |  CAST(n_users * 10000 // total AS BIGINT) AS share_bp
       |FROM st""".stripMargin
+
+  // ---- top-10 ranking stability: Jaccard overlap (bp) between
+  //      consecutive quarters' top-10 brand sets — rank inside the
+  //      bounded quarter×brand cell domain, membership equi-join on
+  //      (brand, quarter+1) ----
+  def qTopkStability(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("((CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) " +
+          "* 12 + CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) - 1) " +
+          "DIV 3").as("q"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("q"), col("p_brand"))
+      .agg(sum(col("rev_c")).as("rev_c"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("rev_c").desc, col("p_brand").asc)
+    val top = cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("q"), col("p_brand"))
+    val nxt = top.select((col("q") - 1L).as("q"), col("p_brand"))
+    top.join(nxt, Seq("q", "p_brand"))
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("q"), (col("q") + 1L).as("q_next"), col("n_common"),
+        expr("n_common * 10000L DIV (20 - n_common)").as("jaccard_bp"))
+  }
+
+  val oTopkStability: String =
+    """WITH cells AS (
+      |  SELECT ((CAST(year(l_shipdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(l_shipdate) AS BIGINT) - 1) // 3 AS q,
+      |    p_brand,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT q, p_brand FROM (
+      |    SELECT q, p_brand,
+      |      row_number() OVER (PARTITION BY q
+      |        ORDER BY rev_c DESC, p_brand ASC) AS rn
+      |    FROM cells) WHERE rn <= 10),
+      |j AS (
+      |  SELECT a.q, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM top a JOIN top b ON a.p_brand = b.p_brand AND b.q = a.q + 1
+      |  GROUP BY 1)
+      |SELECT q, q + 1 AS q_next, n_common,
+      |  CAST(n_common * 10000 // (20 - n_common) AS BIGINT) AS jaccard_bp
+      |FROM j""".stripMargin
+
+  // ---- basket-size trend: monthly lines-per-order and quantity-per-
+  //      line means as exact cross-multiplied basis points ----
+  def qAvgBasketTrend(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("(CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) " +
+          "* 12 + CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) - 1")
+          .as("month_num"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("month_num"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"), sum(col("qty")).as("tot_qty"))
+      .select(col("month_num"), col("n_orders"), col("n_lines"),
+        expr("n_lines * 10000L DIV n_orders").as("lines_per_order_bp"),
+        expr("tot_qty * 10000L DIV n_lines").as("qty_per_line_bp"))
+
+  val oAvgBasketTrend: String =
+    """WITH m AS (
+      |  SELECT (CAST(year(l_shipdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(l_shipdate) AS BIGINT) - 1 AS month_num,
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |    CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+      |      AS tot_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT month_num, n_orders, n_lines,
+      |  CAST(n_lines * 10000 // n_orders AS BIGINT) AS lines_per_order_bp,
+      |  CAST(tot_qty * 10000 // n_lines AS BIGINT) AS qty_per_line_bp
+      |FROM m""".stripMargin
+
+  // ---- sign test on monthly revenue direction: up-months vs total
+  //      compared months, z = (2·up − n)/√n (one division, one
+  //      correctly-rounded sqrt — deterministic in both engines) ----
+  def qSignTest(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .select(expr("(CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) - " +
+        "1970) * 12 + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) - 1")
+        .as("m"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("m")).agg(sum(col("price_c")).as("rev_c"))
+    val prev = m.select((col("m") + 1L).as("m"), col("rev_c").as("prev_c"))
+    m.join(prev, Seq("m"))
+      .agg(count(lit(1)).as("n_compared"),
+        sum(when(col("rev_c") > col("prev_c"), 1L).otherwise(0L))
+          .as("n_up"))
+      .select(col("n_compared"), col("n_up"),
+        ((lit(2.0) * col("n_up").cast("double") -
+          col("n_compared").cast("double")) /
+          sqrt(col("n_compared").cast("double"))).as("z"))
+  }
+
+  val oSignTest: String =
+    """WITH m AS (
+      |  SELECT (CAST(year(o_orderdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(o_orderdate) AS BIGINT) - 1 AS m,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT a.rev_c, p.rev_c AS prev_c
+      |  FROM m a JOIN m p ON a.m = p.m + 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_compared,
+      |  CAST(sum(CASE WHEN rev_c > prev_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_up,
+      |  (2.0::DOUBLE * sum(CASE WHEN rev_c > prev_c THEN 1 ELSE 0 END)
+      |    ::DOUBLE - count(*)::DOUBLE) / sqrt(count(*)::DOUBLE) AS z
+      |FROM j""".stripMargin
+
+  // ---- price realization by brand: where in its own part's observed
+  //      unit-price range each sale lands ((u−min)·10000/(max−min)),
+  //      integer mean per brand — per-part range broadcast back onto
+  //      the lines ----
+  def qPriceRealization(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100.0D / l_quantity) AS BIGINT)")
+          .as("unit_c"))
+    val rng = li.groupBy(col("l_partkey"))
+      .agg(min(col("unit_c")).as("mn"), max(col("unit_c")).as("mx"))
+      .filter(col("mx") > col("mn"))
+      .select(col("l_partkey").as("pk"), col("mn"), col("mx"))
+    li.join(rng, col("l_partkey") === col("pk"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("(unit_c - mn) * 10000L DIV (mx - mn)").as("pos_bp"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("sum(pos_bp) DIV count(1)").as("mean_pos_bp"))
+  }
+
+  val oPriceRealization: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(floor(l_extendedprice * 100.0::DOUBLE / l_quantity)
+      |      AS BIGINT) AS unit_c
+      |  FROM lineitem),
+      |rng AS (
+      |  SELECT l_partkey AS pk, min(unit_c) AS mn, max(unit_c) AS mx
+      |  FROM li GROUP BY 1 HAVING max(unit_c) > min(unit_c))
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum((unit_c - mn) * 10000 // (mx - mn)) // count(*)
+      |    AS BIGINT) AS mean_pos_bp
+      |FROM li JOIN rng ON li.l_partkey = rng.pk
+      |JOIN part ON li.l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
 }
