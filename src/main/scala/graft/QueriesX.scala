@@ -8542,4 +8542,176 @@ object QueriesX {
       |FROM li JOIN rng ON li.l_partkey = rng.pk
       |JOIN part ON li.l_partkey = p_partkey
       |GROUP BY 1""".stripMargin
+
+  // ---- mean−median gap per event type (Pearson's skew direction
+  //      without moments): integer mean by cross-multiply beside the
+  //      exact median crossing, both from ONE reduced (type × cent)
+  //      histogram ----
+  def qMeanMedianGap(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"), col("v_c")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_tot"), sum(col("v_c") * col("n")).as("sv"))
+    hist.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_tot")).as("n_events"),
+        expr("max(sv) DIV max(n_tot)").as("mean_c"),
+        min(when(col("cum") * 2 >= col("n_tot"), col("v_c")))
+          .as("median_c"))
+      .select(col("event_type"), col("n_events"), col("mean_c"),
+        col("median_c"), (col("mean_c") - col("median_c")).as("gap_c"))
+  }
+
+  val oMeanMedianGap: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v_c,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v_c)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot,
+      |    CAST(sum(v_c * n) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS sv
+      |  FROM hist)
+      |SELECT event_type, max(n_tot) AS n_events,
+      |  max(sv) // max(n_tot) AS mean_c,
+      |  min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS median_c,
+      |  max(sv) // max(n_tot) -
+      |    min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS gap_c
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ---- per-type overdispersion: Fano factor (var/mean) of DAILY event
+  //      counts per type in exact scaled integers — (nΣc²−S²)·10000 /
+  //      (n·S), DECIMAL(38,0)-staged ----
+  def qTypeFano(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        expr("CAST((CAST(n_days AS DECIMAL(38,0)) * " +
+          "CAST(s2 AS DECIMAL(38,0)) - CAST(total AS DECIMAL(38,0)) * " +
+          "CAST(total AS DECIMAL(38,0))) * 10000 DIV " +
+          "(CAST(n_days AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))" +
+          " AS BIGINT)").as("fano_bp"))
+
+  val oTypeFano: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |per AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(c) AS BIGINT) AS total,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n_days, total,
+      |  CAST((n_days::HUGEINT * s2::HUGEINT - total::HUGEINT *
+      |    total::HUGEINT) * 10000 // (n_days::HUGEINT * total::HUGEINT)
+      |    AS BIGINT) AS fano_bp
+      |FROM per""".stripMargin
+
+  // ---- customer balance spread per nation: exact p10/p90 crossings of
+  //      the cumulative over the reduced (nation × cent-balance)
+  //      domain; balances are negative-capable — crossings only compare
+  //      counts, no integer division near the sign ----
+  def qBalanceSpread(s: SparkSession, dir: String): DataFrame = {
+    val hist = t(s, dir, "customer")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      .groupBy(col("c_nationkey"), col("bal_c"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("bal_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("c_nationkey"))
+      .agg(sum(col("n")).as("n_tot"))
+    hist.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), Seq("c_nationkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(max(col("n_tot")).as("n_customers"),
+        min(when(col("cum") * 10 >= col("n_tot"), col("bal_c")))
+          .as("p10_c"),
+        min(when(col("cum") * 10 >= col("n_tot") * 9, col("bal_c")))
+          .as("p90_c"))
+      .select(col("c_nationkey"), col("n_customers"), col("p10_c"),
+        col("p90_c"), (col("p90_c") - col("p10_c")).as("spread_c"))
+  }
+
+  val oBalanceSpread: String =
+    """WITH hist AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal * 100) AS BIGINT)
+      |      AS bal_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT c_nationkey, bal_c,
+      |    CAST(sum(n) OVER (PARTITION BY c_nationkey ORDER BY bal_c)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_tot
+      |  FROM hist)
+      |SELECT c_nationkey, max(n_tot) AS n_customers,
+      |  min(CASE WHEN cum * 10 >= n_tot THEN bal_c END) AS p10_c,
+      |  min(CASE WHEN cum * 10 >= n_tot * 9 THEN bal_c END) AS p90_c,
+      |  min(CASE WHEN cum * 10 >= n_tot * 9 THEN bal_c END) -
+      |    min(CASE WHEN cum * 10 >= n_tot THEN bal_c END) AS spread_c
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ---- Laspeyres price index: monthly price level against the base
+  //      month's quantity basket — per-(part, month) mean unit price
+  //      (integer div), base = each part's FIRST month, index =
+  //      Σ(q₀·p_t)·10000 / Σ(q₀·p₀) with DECIMAL-staged products ----
+  def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val pm = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("(CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) " +
+          "* 12 + CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) - 1")
+          .as("m"),
+        expr("CAST(floor(l_extendedprice * 100.0D / l_quantity) " +
+          "AS BIGINT)").as("unit_c"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_partkey"), col("m"))
+      .agg(expr("sum(unit_c) DIV count(1)").as("p"),
+        sum(col("qty")).as("q"))
+    val base = pm.groupBy(col("l_partkey"))
+      .agg(min(col("m")).as("m0"))
+      .select(col("l_partkey").as("bpk"), col("m0"))
+    val b = pm.join(base,
+        col("l_partkey") === col("bpk") && col("m") === col("m0"))
+      .select(col("bpk").as("pk"), col("p").as("p0"), col("q").as("q0"))
+    pm.join(b, col("l_partkey") === col("pk"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("CAST(sum(CAST(q0 AS DECIMAL(38,0)) * " +
+          "CAST(p AS DECIMAL(38,0))) * 10000 DIV " +
+          "sum(CAST(q0 AS DECIMAL(38,0)) * CAST(p0 AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("index_bp"))
+  }
+
+  val oPriceIndex: String =
+    """WITH pm AS (
+      |  SELECT l_partkey,
+      |    (CAST(year(l_shipdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(l_shipdate) AS BIGINT) - 1 AS m,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100.0::DOUBLE /
+      |      l_quantity) AS BIGINT)) AS BIGINT) // count(*) AS p,
+      |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (
+      |  SELECT l_partkey AS pk, arg_min(p, m) AS p0, arg_min(q, m) AS q0
+      |  FROM pm GROUP BY 1)
+      |SELECT m, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(q0::HUGEINT * p::HUGEINT) * 10000 //
+      |    sum(q0::HUGEINT * p0::HUGEINT) AS BIGINT) AS index_bp
+      |FROM pm JOIN base ON pm.l_partkey = base.pk
+      |GROUP BY 1""".stripMargin
 }
