@@ -8714,4 +8714,168 @@ object QueriesX {
       |    sum(q0::HUGEINT * p0::HUGEINT) AS BIGINT) AS index_bp
       |FROM pm JOIN base ON pm.l_partkey = base.pk
       |GROUP BY 1""".stripMargin
+
+  // ---- supplier k-90: how many suppliers (largest first) carry 90% of
+  //      line volume — cumulative over the supplier DIMENSION in
+  //      (volume desc, suppkey) order, first crossing ----
+  def qSupplierK90(s: SparkSession, dir: String): DataFrame = {
+    val vol = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.orderBy(col("v").desc, col("l_suppkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.withColumn("cum", sum(col("v")).over(w))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v").desc, col("l_suppkey").asc)).cast("long"))
+      .crossJoin(broadcast(vol.agg(sum(col("v")).as("tot"),
+        count(lit(1)).as("n_suppliers"))))
+      .filter(col("cum") * 10 >= col("tot") * 9)
+      .agg(max(col("n_suppliers")).as("n_suppliers"),
+        min(col("rn")).as("k90"))
+      .select(col("n_suppliers"), col("k90"),
+        expr("k90 * 10000L DIV n_suppliers").as("k90_share_bp"))
+  }
+
+  val oSupplierK90: String =
+    """WITH vol AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS v
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT CAST(sum(v) OVER (ORDER BY v DESC, l_suppkey ASC)
+      |      AS BIGINT) AS cum,
+      |    CAST(row_number() OVER (ORDER BY v DESC, l_suppkey ASC)
+      |      AS BIGINT) AS rn,
+      |    CAST(sum(v) OVER () AS BIGINT) AS tot,
+      |    CAST(count(*) OVER () AS BIGINT) AS n_suppliers
+      |  FROM vol)
+      |SELECT max(n_suppliers) AS n_suppliers, min(rn) AS k90,
+      |  CAST(min(rn) * 10000 // max(n_suppliers) AS BIGINT)
+      |    AS k90_share_bp
+      |FROM c WHERE cum * 10 >= tot * 9""".stripMargin
+
+  // ---- does a big first basket predict repeat buying? First order
+  //      pinned by the padded (date, orderkey) min_by key, its line
+  //      count banded, repeat share per band in basis points ----
+  def qFirstBasketRepeat(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        format_string("%010d|%012d",
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+            "DATE'1970-01-01') AS BIGINT)"), col("o_orderkey")).as("k"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min_by(col("o_orderkey"), col("k")).as("first_orderkey"))
+    val sizes = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("first_size"))
+    per.join(sizes, col("first_orderkey") === col("l_orderkey"), "left")
+      .select(coalesce(col("first_size"), lit(0L)).as("first_size"),
+        (col("n_orders") >= 2L).as("repeated"))
+      .groupBy(col("first_size"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("repeated"), 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("first_size"), col("n_customers"), col("n_repeat"),
+        expr("n_repeat * 10000L DIV n_customers").as("repeat_bp"))
+  }
+
+  val oFirstBasketRepeat: String =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    arg_min(o_orderkey, printf('%010d|%012d',
+      |      epoch_us(o_orderdate) // 86400000000, o_orderkey))
+      |      AS first_orderkey
+      |  FROM orders GROUP BY 1),
+      |sz AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS first_size
+      |       FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(sz.first_size, 0) AS first_size,
+      |    per.n_orders >= 2 AS repeated
+      |  FROM per LEFT JOIN sz ON per.first_orderkey = sz.l_orderkey)
+      |SELECT first_size, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN repeated THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeat,
+      |  CAST(sum(CASE WHEN repeated THEN 1 ELSE 0 END) * 10000 //
+      |    count(*) AS BIGINT) AS repeat_bp
+      |FROM j GROUP BY 1""".stripMargin
+
+  // ---- underwater runs: how long daily revenue stays below its
+  //      running peak — gaps-and-islands over the POSITION index of the
+  //      bounded day series (day gaps don't break runs incorrectly) ----
+  def qUnderwaterRuns(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE'1970-01-01') AS BIGINT)").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("day")).agg(sum(col("price_c")).as("rev_c"))
+    val w = Window.orderBy(col("day"))
+    val flagged = daily
+      .withColumn("run_max", max(col("rev_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("rev_c") < col("run_max"))
+    flagged
+      .withColumn("island", col("pos") - row_number().over(
+        Window.orderBy(col("pos"))))
+      .groupBy(col("island")).agg(count(lit(1)).as("run_len"))
+      .agg(sum(col("run_len")).as("n_underwater_days"),
+        count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
+  }
+
+  val oUnderwaterRuns: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT day, rev_c,
+      |    CAST(max(rev_c) OVER (ORDER BY day) AS BIGINT) AS run_max,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS pos
+      |  FROM daily),
+      |u AS (
+      |  SELECT pos - row_number() OVER (ORDER BY pos) AS island
+      |  FROM f WHERE rev_c < run_max),
+      |g AS (SELECT island, CAST(count(*) AS BIGINT) AS run_len
+      |      FROM u GROUP BY 1)
+      |SELECT CAST(sum(run_len) AS BIGINT) AS n_underwater_days,
+      |  CAST(count(*) AS BIGINT) AS n_runs, max(run_len) AS max_run
+      |FROM g""".stripMargin
+
+  // ---- exclusive vocabulary: tokens only ONE source ever uses — per-
+  //      token distinct-source reduction, exclusive share per source ----
+  def qExclusiveVocab(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val perTok = st.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_sources"), min(col("source")).as("only_src"))
+    val excl = perTok.filter(col("n_sources") === 1L)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("n_exclusive"))
+    st.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+      .join(excl, Seq("source"), "left")
+      .select(col("source"), col("n_vocab"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"),
+        expr("coalesce(n_exclusive, 0L) * 10000L DIV n_vocab")
+          .as("exclusive_bp"))
+  }
+
+  val oExclusiveVocab: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> ''),
+      |pt AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n_sources,
+      |    min(source) AS only_src
+      |  FROM st GROUP BY 1),
+      |ex AS (
+      |  SELECT only_src AS source, CAST(count(*) AS BIGINT) AS n_exclusive
+      |  FROM pt WHERE n_sources = 1 GROUP BY 1),
+      |v AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+      |      FROM st GROUP BY 1)
+      |SELECT v.source, v.n_vocab,
+      |  coalesce(ex.n_exclusive, 0) AS n_exclusive,
+      |  CAST(coalesce(ex.n_exclusive, 0) * 10000 // v.n_vocab AS BIGINT)
+      |    AS exclusive_bp
+      |FROM v LEFT JOIN ex ON v.source = ex.source""".stripMargin
 }
