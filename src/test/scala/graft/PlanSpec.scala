@@ -1061,4 +1061,38 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q grew a window")
     }
   }
+
+  test("r13 closing batches V: laws, indexes, runs stay scale-safe") {
+    // batch 42: month-end / spearman / log2 bands / survival — the only
+    // window ranks the PART dimension (spearman); everything else is
+    // reductions with native calendar/bin functions
+    for (q <- Seq("q_month_end_loading", "q_spearman",
+        "q_log2_value_bands", "q_engagement_survival")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_month_end_loading", "q_log2_value_bands",
+        "q_engagement_survival"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 43: stability / basket trend / sign test / realization /
+    // mean-median / fano / spread / price index — quarter- and
+    // value-domain windows only; lags are cells self-joins
+    for (q <- Seq("q_topk_stability", "q_avg_basket_trend", "q_sign_test",
+        "q_price_realization", "q_mean_median_gap", "q_type_fano",
+        "q_balance_spread", "q_price_index")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_avg_basket_trend", "q_sign_test", "q_type_fano",
+        "q_price_realization"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 44: k90 / first basket / underwater / exclusive vocab
+    for (q <- Seq("q_supplier_k90", "q_first_basket_repeat",
+        "q_underwater_runs", "q_exclusive_vocab")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_first_basket_repeat", "q_exclusive_vocab"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
+  }
 }
