@@ -8878,4 +8878,138 @@ object QueriesX {
       |  CAST(coalesce(ex.n_exclusive, 0) * 10000 // v.n_vocab AS BIGINT)
       |    AS exclusive_bp
       |FROM v LEFT JOIN ex ON v.source = ex.source""".stripMargin
+
+  // ---- weekend-order latency: do weekend-placed orders ship slower?
+  //      Two-cohort mean latency in exact centidays from ONE scan of
+  //      the joined facts, plus the difference ----
+  def qWeekendLatency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("sday"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("sday") - col("oday")).as("lat"),
+        expr("((oday + 4) % 7) IN (0, 6)").as("weekend"))
+      .agg(sum(when(col("weekend"), 1L).otherwise(0L)).as("n_we"),
+        sum(when(col("weekend"), col("lat")).otherwise(0L)).as("lat_we"),
+        sum(when(!col("weekend"), 1L).otherwise(0L)).as("n_wd"),
+        sum(when(!col("weekend"), col("lat")).otherwise(0L)).as("lat_wd"))
+      .select(col("n_we"), col("n_wd"),
+        expr("lat_we * 100L DIV n_we").as("we_mean_cd"),
+        expr("lat_wd * 100L DIV n_wd").as("wd_mean_cd"),
+        expr("lat_we * 100L DIV n_we - lat_wd * 100L DIV n_wd")
+          .as("diff_cd"))
+
+  val oWeekendLatency: String =
+    """WITH j AS (
+      |  SELECT epoch_us(l_shipdate) // 86400000000 -
+      |    epoch_us(o_orderdate) // 86400000000 AS lat,
+      |    ((epoch_us(o_orderdate) // 86400000000 + 4) % 7) IN (0, 6)
+      |      AS weekend
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT
+      |  CAST(sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+      |  CAST(sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_wd,
+      |  CAST(sum(CASE WHEN weekend THEN lat ELSE 0 END) * 100 //
+      |    sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS we_mean_cd,
+      |  CAST(sum(CASE WHEN NOT weekend THEN lat ELSE 0 END) * 100 //
+      |    sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS wd_mean_cd,
+      |  CAST(sum(CASE WHEN weekend THEN lat ELSE 0 END) * 100 //
+      |    sum(CASE WHEN weekend THEN 1 ELSE 0 END) -
+      |    sum(CASE WHEN NOT weekend THEN lat ELSE 0 END) * 100 //
+      |    sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS diff_cd
+      |FROM j""".stripMargin
+
+  // ---- timestamp-precision audit: how precise are event timestamps —
+  //      whole-second / whole-millisecond / sub-millisecond census over
+  //      the normalized epoch-nanos (exercises the EventTime
+  //      normalization the events() loaders share) ----
+  def qTsPrecision(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("(ts DIV 1000) % 1000000").as("micro_rem"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("micro_rem") === 0L, 1L).otherwise(0L))
+          .as("n_whole_second"),
+        sum(when(col("micro_rem") % 1000L === 0L &&
+          col("micro_rem") =!= 0L, 1L).otherwise(0L)).as("n_whole_ms"),
+        sum(when(col("micro_rem") % 1000L =!= 0L, 1L).otherwise(0L))
+          .as("n_sub_ms"))
+      .select(col("n_events"), col("n_whole_second"), col("n_whole_ms"),
+        col("n_sub_ms"),
+        expr("n_whole_second * 10000L DIV n_events")
+          .as("whole_second_bp"))
+
+  val oTsPrecision: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) % 1000000 AS micro_rem FROM events)
+      |SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN micro_rem = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_whole_second,
+      |  CAST(sum(CASE WHEN micro_rem % 1000 = 0 AND micro_rem <> 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_ms,
+      |  CAST(sum(CASE WHEN micro_rem % 1000 <> 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sub_ms,
+      |  CAST(sum(CASE WHEN micro_rem = 0 THEN 1 ELSE 0 END) * 10000 //
+      |    count(*) AS BIGINT) AS whole_second_bp
+      |FROM e""".stripMargin
+
+  // ---- monthly ARPU: event value per distinct active user per month,
+  //      exact cents ----
+  def qMonthlyArpu(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(expr("ts DIV (86400000000000 * 30)").as("period"),
+        col("user_id"), floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active"),
+        sum(col("v_c")).as("v_c"))
+      .select(col("period"), col("n_events"), col("n_active"),
+        (col("v_c").cast("double") / lit(100.0)).as("value_sum"),
+        expr("v_c DIV n_active").as("arpu_c"))
+
+  val oMonthlyArpu: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // (86400000000 * 30) AS period, user_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS v_c
+      |  FROM events)
+      |SELECT period, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+      |  CAST(sum(v_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS value_sum,
+      |  CAST(sum(v_c) // count(DISTINCT user_id) AS BIGINT) AS arpu_c
+      |FROM e GROUP BY 1""".stripMargin
+
+  // ---- non-positive value census per event type: the refund/garbage
+  //      signal — counts, share, and the negative mass in exact cents ----
+  def qNonpositiveValues(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v_c") <= 0L, 1L).otherwise(0L)).as("n_nonpos"),
+        sum(when(col("v_c") <= 0L, col("v_c")).otherwise(0L))
+          .as("nonpos_mass_c"))
+      .select(col("event_type"), col("n_events"), col("n_nonpos"),
+        col("nonpos_mass_c"),
+        expr("n_nonpos * 10000L DIV n_events").as("nonpos_bp"))
+
+  val oNonpositiveValues: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v_c
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN v_c <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nonpos,
+      |  CAST(sum(CASE WHEN v_c <= 0 THEN v_c ELSE 0 END) AS BIGINT)
+      |    AS nonpos_mass_c,
+      |  CAST(sum(CASE WHEN v_c <= 0 THEN 1 ELSE 0 END) * 10000 //
+      |    count(*) AS BIGINT) AS nonpos_bp
+      |FROM e GROUP BY 1""".stripMargin
 }
