@@ -1094,5 +1094,13 @@ class PlanSpec extends SparkSpec {
     }
     for (q <- Seq("q_first_basket_repeat", "q_exclusive_vocab"))
       assert(!plan(q).contains("Window"), s"$q grew a window")
+    // batch 45: weekend latency / ts precision / ARPU / non-positive —
+    // pure single-scan (or one fact equi-join) reductions
+    for (q <- Seq("q_weekend_latency", "q_ts_precision", "q_monthly_arpu",
+        "q_nonpositive_values")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("Window"), s"$q grew a window")
+    }
   }
 }
