@@ -9012,4 +9012,170 @@ object QueriesX {
       |  CAST(sum(CASE WHEN v_c <= 0 THEN 1 ELSE 0 END) * 10000 //
       |    count(*) AS BIGINT) AS nonpos_bp
       |FROM e GROUP BY 1""".stripMargin
+
+  // ---- revenue-decile mobility: customers deciled by first-half and
+  //      second-half spend (two USER-dimension ntiles, (rev, custkey)
+  //      total orders), 10×10 transition matrix — the rank-mobility
+  //      census ----
+  def qDecileMobility(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val mid = o.agg(((min(col("day")) + max(col("day"))) / 2)
+      .cast("long").as("mid"))
+    val per = o.crossJoin(broadcast(mid))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("day") <= col("mid"), col("price_c"))
+          .otherwise(0L)).as("rev1"),
+        sum(when(col("day") > col("mid"), col("price_c"))
+          .otherwise(0L)).as("rev2"))
+    per
+      .withColumn("d1", ntile(10).over(
+        Window.orderBy(col("rev1"), col("o_custkey"))).cast("long"))
+      .withColumn("d2", ntile(10).over(
+        Window.orderBy(col("rev2"), col("o_custkey"))).cast("long"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val oDecileMobility: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+      |per AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CASE WHEN day <= mid THEN price_c ELSE 0 END)
+      |      AS BIGINT) AS rev1,
+      |    CAST(sum(CASE WHEN day > mid THEN price_c ELSE 0 END)
+      |      AS BIGINT) AS rev2
+      |  FROM o, mid GROUP BY 1),
+      |d AS (
+      |  SELECT
+      |    CAST(ntile(10) OVER (ORDER BY rev1, o_custkey) AS BIGINT) AS d1,
+      |    CAST(ntile(10) OVER (ORDER BY rev2, o_custkey) AS BIGINT) AS d2
+      |  FROM per)
+      |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_customers
+      |FROM d GROUP BY 1, 2""".stripMargin
+
+  // ---- brand rank trajectory: each brand's best/worst quarterly
+  //      revenue rank and the range — ranks inside the bounded
+  //      quarter×brand cell domain ----
+  def qBrandRankRange(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("((CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) - 1970) " +
+          "* 12 + CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) - 1) " +
+          "DIV 3").as("q"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("q"), col("p_brand"))
+      .agg(sum(col("rev_c")).as("rev_c"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("rev_c").desc, col("p_brand").asc)
+    cells.withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_quarters"), min(col("rank")).as("best_rank"),
+        max(col("rank")).as("worst_rank"))
+      .select(col("p_brand"), col("n_quarters"), col("best_rank"),
+        col("worst_rank"),
+        (col("worst_rank") - col("best_rank")).as("rank_range"))
+  }
+
+  val oBrandRankRange: String =
+    """WITH cells AS (
+      |  SELECT ((CAST(year(l_shipdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(l_shipdate) AS BIGINT) - 1) // 3 AS q,
+      |    p_brand,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+      |r AS (
+      |  SELECT p_brand,
+      |    CAST(row_number() OVER (PARTITION BY q
+      |      ORDER BY rev_c DESC, p_brand ASC) AS BIGINT) AS rank
+      |  FROM cells)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_quarters,
+      |  min(rank) AS best_rank, max(rank) AS worst_rank,
+      |  max(rank) - min(rank) AS rank_range
+      |FROM r GROUP BY 1""".stripMargin
+
+  // ---- part price drift: first-vs-last observed unit price per part
+  //      (min_by/max_by over the padded (day, orderkey, line) total
+  //      order — no per-part sequence window), drift banded ----
+  def qPartPriceDrift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(l_extendedprice * 100.0D / l_quantity) " +
+          "AS BIGINT)").as("unit_c"),
+        format_string("%010d|%012d|%04d",
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), " +
+            "DATE'1970-01-01') AS BIGINT)"),
+          col("l_orderkey"), col("l_linenumber")).as("k"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("unit_c"), col("k")).as("first_c"),
+        max_by(col("unit_c"), col("k")).as("last_c"))
+      .filter(col("n") >= 2L && col("first_c") > 0L)
+      .select(expr("((last_c - first_c) * 10000L DIV first_c) DIV 1000")
+        .as("drift_band"))
+      .groupBy(col("drift_band"))
+      .agg(count(lit(1)).as("n_parts"))
+
+  val oPartPriceDrift: String =
+    """WITH per AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+      |    arg_min(CAST(floor(l_extendedprice * 100.0::DOUBLE /
+      |      l_quantity) AS BIGINT), printf('%010d|%012d|%04d',
+      |      epoch_us(l_shipdate) // 86400000000, l_orderkey,
+      |      l_linenumber)) AS first_c,
+      |    arg_max(CAST(floor(l_extendedprice * 100.0::DOUBLE /
+      |      l_quantity) AS BIGINT), printf('%010d|%012d|%04d',
+      |      epoch_us(l_shipdate) // 86400000000, l_orderkey,
+      |      l_linenumber)) AS last_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT ((last_c - first_c) * 10000 // first_c) // 1000
+      |    AS drift_band,
+      |  CAST(count(*) AS BIGINT) AS n_parts
+      |FROM per WHERE n >= 2 AND first_c > 0
+      |GROUP BY 1""".stripMargin
+
+  // ---- week-over-week active retention: share of each week's active
+  //      users who were also active the PREVIOUS week — distinct
+  //      (user, week) membership self-joined on (user, wk+1) ----
+  def qWauRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"), expr("ts DIV (86400000000000 * 7)").as("wk"))
+      .distinct()
+    val cur = uw.groupBy(col("wk")).agg(count(lit(1)).as("n_active"))
+    val prev = uw.select(col("user_id"), (col("wk") + 1L).as("wk"))
+    val ret = uw.join(prev, Seq("user_id", "wk"), "left_semi")
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_returning"))
+    cur.join(ret, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"),
+        coalesce(col("n_returning"), lit(0L)).as("n_returning"),
+        expr("coalesce(n_returning, 0L) * 10000L DIV n_active")
+          .as("retention_bp"))
+  }
+
+  val oWauRetention: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // (86400000000 * 7) AS wk
+      |  FROM events),
+      |cur AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active
+      |        FROM uw GROUP BY 1),
+      |ret AS (
+      |  SELECT a.wk, CAST(count(*) AS BIGINT) AS n_returning
+      |  FROM uw a SEMI JOIN uw p
+      |    ON a.user_id = p.user_id AND a.wk = p.wk + 1
+      |  GROUP BY 1)
+      |SELECT cur.wk, cur.n_active,
+      |  coalesce(ret.n_returning, 0) AS n_returning,
+      |  CAST(coalesce(ret.n_returning, 0) * 10000 // cur.n_active
+      |    AS BIGINT) AS retention_bp
+      |FROM cur LEFT JOIN ret ON cur.wk = ret.wk""".stripMargin
 }
