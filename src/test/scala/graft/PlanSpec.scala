@@ -1102,5 +1102,16 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
       assert(!p.contains("Window"), s"$q grew a window")
     }
+    // batch 46: mobility / rank range / price drift / WAU retention —
+    // ntiles and ranks run over customer-dimension or bounded
+    // quarter-cell domains; drift is min_by/max_by, retention a
+    // (user, wk+1) semi join
+    for (q <- Seq("q_decile_mobility", "q_brand_rank_range",
+        "q_part_price_drift", "q_wau_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    for (q <- Seq("q_part_price_drift", "q_wau_retention"))
+      assert(!plan(q).contains("Window"), s"$q grew a window")
   }
 }
