@@ -9178,4 +9178,105 @@ object QueriesX {
       |  CAST(coalesce(ret.n_returning, 0) * 10000 // cur.n_active
       |    AS BIGINT) AS retention_bp
       |FROM cur LEFT JOIN ret ON cur.wk = ret.wk""".stripMargin
+
+  // ---- exact-duplicate rate by length band: are short or long docs
+  //      the dup-heavy ones — group sizes on text content joined back
+  //      (content-keyed equi), 100-char band rollup ----
+  def qDupByLength(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("text"), col("n_chars"))
+    val g = d.groupBy(col("text")).agg(count(lit(1)).as("sz"))
+      .select(col("text").as("gtext"), col("sz"))
+    d.join(g, col("text") === col("gtext"))
+      .select(expr("n_chars DIV 100").as("len_band"),
+        (col("sz") > 1L).as("is_dup"))
+      .groupBy(col("len_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("len_band"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 10000L DIV n_docs").as("dup_bp"))
+  }
+
+  val oDupByLength: String =
+    """WITH g AS (
+      |  SELECT text AS gtext, CAST(count(*) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1)
+      |SELECT n_chars // 100 AS len_band, CAST(count(*) AS BIGINT)
+      |    AS n_docs,
+      |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+      |    AS BIGINT) AS dup_bp
+      |FROM documents JOIN g ON text = gtext
+      |GROUP BY 1""".stripMargin
+
+  // ---- spend escalation: is each customer's LARGEST order also their
+  //      LAST? Two max_by reductions over padded deterministic keys —
+  //      no per-customer sequence window; one summary row over the
+  //      ≥2-order cohort ----
+  def qPeakIsLast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        format_string("%010d|%012d",
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+            "DATE'1970-01-01') AS BIGINT)"), col("o_orderkey")).as("tk"),
+        format_string("%012d|%012d",
+          floor(col("o_totalprice") * 100).cast("long"),
+          col("o_orderkey")).as("vk"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max_by(col("o_orderkey"), col("tk")).as("last_ok"),
+        max_by(col("o_orderkey"), col("vk")).as("biggest_ok"))
+      .filter(col("n_orders") >= 2L)
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("last_ok") === col("biggest_ok"), 1L).otherwise(0L))
+          .as("n_peak_last"))
+      .select(col("n_customers"), col("n_peak_last"),
+        expr("n_peak_last * 10000L DIV n_customers").as("peak_last_bp"))
+
+  val oPeakIsLast: String =
+    """WITH per AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    arg_max(o_orderkey, printf('%010d|%012d',
+      |      epoch_us(o_orderdate) // 86400000000, o_orderkey)) AS last_ok,
+      |    arg_max(o_orderkey, printf('%012d|%012d',
+      |      CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey))
+      |      AS biggest_ok
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CASE WHEN last_ok = biggest_ok THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_peak_last,
+      |  CAST(sum(CASE WHEN last_ok = biggest_ok THEN 1 ELSE 0 END)
+      |    * 10000 // count(*) AS BIGINT) AS peak_last_bp
+      |FROM per WHERE n_orders >= 2""".stripMargin
+
+  // ---- monthly peak-day concentration: the largest single day's share
+  //      of each month's revenue — two nested bounded-domain reductions,
+  //      exact basis points ----
+  def qMonthPeakShare(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(expr("(CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) - " +
+        "1970) * 12 + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) - 1")
+        .as("month_num"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .groupBy(col("month_num"), col("day"))
+      .agg(sum(col("price_c")).as("day_c"))
+      .groupBy(col("month_num"))
+      .agg(count(lit(1)).as("n_days"), max(col("day_c")).as("peak_c"),
+        sum(col("day_c")).as("month_c"))
+      .select(col("month_num"), col("n_days"),
+        expr("peak_c * 10000L DIV month_c").as("peak_share_bp"))
+
+  val oMonthPeakShare: String =
+    """WITH d AS (
+      |  SELECT (CAST(year(o_orderdate) AS BIGINT) - 1970) * 12 +
+      |      CAST(month(o_orderdate) AS BIGINT) - 1 AS month_num,
+      |    epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS day_c
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT month_num, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(max(day_c) * 10000 // sum(day_c) AS BIGINT)
+      |    AS peak_share_bp
+      |FROM d GROUP BY 1""".stripMargin
 }
