@@ -9279,4 +9279,74 @@ object QueriesX {
       |  CAST(max(day_c) * 10000 // sum(day_c) AS BIGINT)
       |    AS peak_share_bp
       |FROM d GROUP BY 1""".stripMargin
+
+  // ---- ordering-day-of-week preference: how concentrated each
+  //      customer's orders are on their favourite weekday — per-
+  //      (customer, dow) reduction, max-share banded histogram over the
+  //      ≥3-order cohort ----
+  def qDowPreference(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("((CAST(datediff(CAST(o_orderdate AS DATE), " +
+          "DATE'1970-01-01') AS BIGINT)) + 4) % 7").as("dow"))
+      .groupBy(col("o_custkey"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("c")).as("n"), max(col("c")).as("maxc"))
+      .filter(col("n") >= 3L)
+      .select(expr("(maxc * 10000L DIV n) DIV 1000").as("pref_band"))
+      .groupBy(col("pref_band"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  val oDowPreference: String =
+    """WITH cd AS (
+      |  SELECT o_custkey,
+      |    (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |per AS (
+      |  SELECT o_custkey, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(max(c) AS BIGINT) AS maxc
+      |  FROM cd GROUP BY 1)
+      |SELECT (maxc * 10000 // n) // 1000 AS pref_band,
+      |  CAST(count(*) AS BIGINT) AS n_customers
+      |FROM per WHERE n >= 3 GROUP BY 1""".stripMargin
+
+  // ---- part-vintage revenue: revenue by the age of the part at sale
+  //      time (years since the part's FIRST shipment) — the item-cohort
+  //      ("vintage") decomposition; first-ship years equi-join back ----
+  def qPartVintageRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("yr"),
+        floor(col("l_extendedprice") * 100).cast("long").as("rev_c"))
+    val intro = li.groupBy(col("l_partkey")).agg(min(col("yr")).as("yr0"))
+      .select(col("l_partkey").as("ipk"), col("yr0"))
+    val cells = li.join(intro, col("l_partkey") === col("ipk"))
+      .select((col("yr") - col("yr0")).as("age_years"), col("rev_c"))
+      .groupBy(col("age_years"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_c")).as("rev_c"))
+    cells.crossJoin(broadcast(cells.agg(sum(col("rev_c")).as("tot_c"))))
+      .select(col("age_years"), col("n_lines"),
+        (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
+        expr("rev_c * 10000L DIV tot_c").as("share_bp"))
+  }
+
+  val oPartVintageRevenue: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev_c
+      |  FROM lineitem),
+      |intro AS (SELECT l_partkey AS ipk, min(yr) AS yr0
+      |          FROM li GROUP BY 1),
+      |cells AS (
+      |  SELECT yr - yr0 AS age_years, CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(rev_c) AS BIGINT) AS rev_c
+      |  FROM li JOIN intro ON l_partkey = ipk
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM cells)
+      |SELECT age_years, n_lines,
+      |  rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
+      |  CAST(rev_c * 10000 // tot_c AS BIGINT) AS share_bp
+      |FROM cells, tot""".stripMargin
 }
