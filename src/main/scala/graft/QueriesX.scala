@@ -9349,4 +9349,78 @@ object QueriesX {
       |  rev_c::DOUBLE / 100.0::DOUBLE AS revenue,
       |  CAST(rev_c * 10000 // tot_c AS BIGINT) AS share_bp
       |FROM cells, tot""".stripMargin
+
+  // ---- per-weekday exact value median: the crossing selection over
+  //      the reduced (dow × cent-value) domain — does weekend activity
+  //      carry different value? ----
+  def qDowValueMedian(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .select(expr("((ts DIV 86400000000000) + 4) % 7").as("dow"),
+        floor(col("value") * 100).cast("long").as("v_c"))
+      .groupBy(col("dow"), col("v_c")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("dow")).orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("dow")).agg(sum(col("n")).as("n_tot"))
+    hist.withColumn("cum", sum(col("n")).over(w))
+      .join(broadcast(tot), Seq("dow"))
+      .groupBy(col("dow"))
+      .agg(max(col("n_tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("n_tot"), col("v_c")))
+          .as("median_c"))
+  }
+
+  val oDowValueMedian: String =
+    """WITH hist AS (
+      |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |    CAST(floor(value * 100) AS BIGINT) AS v_c,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT dow, v_c,
+      |    CAST(sum(n) OVER (PARTITION BY dow ORDER BY v_c) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS n_tot
+      |  FROM hist)
+      |SELECT dow, max(n_tot) AS n_events,
+      |  min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS median_c
+      |FROM cum GROUP BY 1""".stripMargin
+
+  // ---- do low-balance suppliers ship slower? Mean ship latency in
+  //      exact centidays per supplier balance band — the supplier-band
+  //      dim broadcasts onto the joined facts ----
+  def qBalanceLatency(s: SparkSession, dir: String): DataFrame = {
+    val band = t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        expr("CAST(floor(s_acctbal) AS BIGINT) DIV 2000").as("bal_band"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("sday"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') " +
+          "AS BIGINT)").as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(band), col("l_suppkey") === col("s_suppkey"))
+      .select(col("bal_band"), (col("sday") - col("oday")).as("lat"))
+      .groupBy(col("bal_band"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("lat")).as("sum_lat"))
+      .select(col("bal_band"), col("n_lines"),
+        expr("sum_lat * 100L DIV n_lines").as("mean_latency_cd"))
+  }
+
+  val oBalanceLatency: String =
+    """WITH band AS (
+      |  SELECT s_suppkey, CAST(floor(s_acctbal) AS BIGINT) // 2000
+      |    AS bal_band
+      |  FROM supplier),
+      |j AS (
+      |  SELECT band.bal_band,
+      |    epoch_us(l_shipdate) // 86400000000 -
+      |    epoch_us(o_orderdate) // 86400000000 AS lat
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN band ON l_suppkey = band.s_suppkey)
+      |SELECT bal_band, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(lat) * 100 // count(*) AS BIGINT) AS mean_latency_cd
+      |FROM j GROUP BY 1""".stripMargin
 }
