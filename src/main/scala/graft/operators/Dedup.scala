@@ -420,9 +420,17 @@ object Dedup {
     * start > stop would otherwise descend and emit phantom grams via
     * substr's position-0 quirks) and therefore no candidates; the oracle's
     * `range(1, ...)` is ascending-only and agrees.
+    *
+    * `maxPairs` (default None = unchanged semantics): optional candidate-
+    * pair budget via [[graft.util.PairBudget]] — a per-block size cap
+    * derived from the block-size histogram keeps the candidate join at or
+    * under the budget, dropping oversized (hub) blocks LOUDLY (WARN log
+    * with dropped block/pair counts), so a pathological corpus degrades
+    * with a visible report instead of quadratically.
     */
   def fuzzyStringJoin(strings: DataFrame, q: Int, maxDist: Int,
-                      stopDenom: Long = 8L): DataFrame = {
+                      stopDenom: Long = 8L,
+                      maxPairs: Option[Long] = None): DataFrame = {
     // maxDist=1 dispatches to FastSS deletion-variant blocking (Bocek,
     // Hunt & Stiller 2007): every ed≤1 pair shares a single-character-
     // deletion variant (substitution → delete the edited position from
@@ -434,7 +442,7 @@ object Dedup {
     // every bigram is a digit pair with corpus-fraction df, so no prefix
     // is selective (measured at sf1: 388 s raw grams, still >15 min with
     // ED-Join prefix filtering, vs linear-scaling deletion variants).
-    if (maxDist == 1) return fastSsJoin(strings)
+    if (maxDist == 1) return fastSsJoin(strings, maxPairs)
     val grams = strings
       .select(col("id"), length(col("s")).as("_len"),
         explode(when(length(col("s")) >= q, array_distinct(
@@ -458,11 +466,18 @@ object Dedup {
     // each string's most distinctive grams. The per-id window is
     // string-length-bounded, never corpus-bounded.
     val prefixLen = q * maxDist + 1
-    val pruned = grams.join(broadcast(rare), Seq("g"))
+    val prunedAll = grams.join(broadcast(rare), Seq("g"))
       .withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("id")).orderBy(col("_df"), col("g"))))
       .filter(col("_rk") <= prefixLen)
+    val pruned = maxPairs match {
+      case Some(budget) =>
+        val cap = graft.util.PairBudget
+          .capFor(prunedAll, Seq("g"), budget, "fuzzyStringJoin")
+        graft.util.PairBudget.applyCap(prunedAll, Seq("g"), cap.cap)
+      case None => prunedAll
+    }
     // the candidate distinct shuffles (a_id, b_id) ONLY — carrying the
     // string payload through this exchange (the r8 shape) moves
     // string-pair bytes for every gram co-occurrence; the strings are
@@ -487,8 +502,9 @@ object Dedup {
     * variants (always high-entropy), blocks sized by true neighbor
     * density. Used by [[fuzzyStringJoin]] for maxDist=1.
     */
-  private def fastSsJoin(strings: DataFrame): DataFrame = {
-    val vars = strings.select(col("id"), length(col("s")).as("_len"),
+  private def fastSsJoin(strings: DataFrame,
+                         maxPairs: Option[Long] = None): DataFrame = {
+    val varsAll = strings.select(col("id"), length(col("s")).as("_len"),
       explode(array_union(
         array(col("s")),
         // sequence(1, 0) would DESCEND for the empty string — guard it
@@ -498,6 +514,13 @@ object Dedup {
               col("s").substr(i + 1, length(col("s"))))))
           .otherwise(array().cast("array<string>"))))
         .as("v"))
+    val vars = maxPairs match {
+      case Some(budget) =>
+        val cap = graft.util.PairBudget
+          .capFor(varsAll, Seq("v"), budget, "fastSsJoin")
+        graft.util.PairBudget.applyCap(varsAll, Seq("v"), cap.cap)
+      case None => varsAll
+    }
     val candIds = vars
       .select(col("v"), col("id").as("a_id"), col("_len").as("_la"))
       .join(vars.select(col("v"), col("id").as("b_id"), col("_len").as("_lb")), "v")

@@ -40,15 +40,32 @@ object Linkage {
     *
     * @param maxBlock  skip blocks larger than this (quadratic guard)
     * @param minScore  link-decision threshold on the summed weights
+    * @param maxPairs  optional TOTAL candidate-pair budget (default None =
+    *                  unchanged semantics): [[graft.util.PairBudget]]
+    *                  derives a data-driven block-size cap ≤ maxBlock from
+    *                  the (nation, segment) block-size histogram, so the
+    *                  worst-case comparison bill is bounded up front and
+    *                  anything dropped is WARN-logged with block and pair
+    *                  counts — the maxBlock guard made loud and budgeted
+    *                  (band refinement below only shrinks blocks further,
+    *                  so the pre-refinement bound is conservative)
     */
   def scoredPairs(cust: DataFrame, maxBlock: Long = 2000L,
-                  minScore: Int = 20): DataFrame = {
+                  minScore: Int = 20,
+                  maxPairs: Option[Long] = None): DataFrame = {
     val base = cust.select(col("c_custkey").as("key"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
       col("c_acctbal").as("bal"), col("c_name").as("nm"))
+    val sizeCap = maxPairs match {
+      case Some(budget) =>
+        math.min(maxBlock, graft.util.PairBudget
+          .capFor(base.select(col("nk"), col("seg")), Seq("nk", "seg"),
+            budget, "recordLinkage").cap)
+      case None => maxBlock
+    }
     val okBlocks = base.groupBy(col("nk"), col("seg"))
       .agg(count(lit(1)).as("bs"))
-      .filter(col("bs") >= 2 && col("bs") <= maxBlock)
+      .filter(col("bs") >= 2 && col("bs") <= sizeCap)
       .select(col("nk"), col("seg"))
     val blocked = base.join(broadcast(okBlocks), Seq("nk", "seg"))
     // Lossless balance-band refinement: the weight table cannot reach

@@ -713,19 +713,28 @@ class StreamingSpec extends SparkSpec {
       // latest emitted count per touched window
       val streamed = spark.table("active_s")
         .groupBy(col("day")).agg(max(col("active_7d")).as("active_7d"))
-      // batch twin: qRollingActive7d's fan-out + exact distinct,
-      // restricted to the windows the stream touched
+      // batch twin: the REAL qRollingActive7d shape — fan-out + exact
+      // distinct + the observed-day semi-join trim (r13 advice: the
+      // previous untrimmed twin could not validate the doc's claimed
+      // equality with the graded query)
       val all = (batch1 ++ batch2).toDF("user_id", "day").distinct()
+      val days = all.select(col("day")).distinct()
       val batch = all
         .select(col("user_id"),
           explode(expr("sequence(day, day + 6L)")).as("day"))
+        .join(days, Seq("day"), "left_semi")
         .groupBy(col("day")).agg(countDistinct(col("user_id")).as("active_7d"))
       val s = streamed.as[(Long, Long)].collect().toSet
       val b = batch.as[(Long, Long)].collect().toSet
       assert(s === b,
-        "running sliding distinct must equal the batch fan-out exactly")
+        "running sliding distinct must equal the TRIMMED batch query exactly")
       // the (1,10) duplicate must not inflate day-10..16 windows
       assert(s.contains((10L, 2L)) && s.contains((16L, 4L)))
+      // phantom windows (no own-day activity: 12, 14, 15, 17..22) must
+      // NOT be emitted — the batch query omits them, the stream must too
+      val observed = Set(10L, 11L, 13L, 16L)
+      assert(s.map(_._1) === observed,
+        "stream must emit exactly the observed source days")
     } finally q.stop()
   }
 }
