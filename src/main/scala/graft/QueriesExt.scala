@@ -3362,8 +3362,11 @@ object QueriesExt {
       |FROM r""".stripMargin
 
   // ---- radius-bounded nearest neighbor: closest supplier site to each
-  //      lineitem point within r=8 (3x3-ring cell equi-join + exact
-  //      integer d^2 residual; ties to the smaller supplier) ----
+  //      lineitem point within r=8 — the TIERED cell join (fine pass at
+  //      r/4 resolves the dense bulk exactly, only the sparse residue
+  //      pays the full 3x3-ring equi-join; exact integer d^2 residual,
+  //      ties to the smaller supplier). Single-tier measured 55.8x wall
+  //      at 10x rows (density-quadratic); tiered is the linear shape ----
   def qSpatialNn(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SpatialJoin
     val pts = t(s, dir, "lineitem").select(
@@ -3374,7 +3377,7 @@ object QueriesExt {
       col("s_suppkey").as("rid"),
       (col("s_suppkey") * 41 % 360 - 180).as("qx"),
       (col("s_suppkey") * 29 % 180 - 90).as("qy"))
-    SpatialJoin.nearestNeighborBinned(pts, refs, radius = 8L)
+    SpatialJoin.nearestNeighborTiered(pts, refs, radius = 8L)
   }
 
   val oSpatialNn: String =

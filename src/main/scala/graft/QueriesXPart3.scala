@@ -2192,9 +2192,11 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
 
   // ---- monthly customer-concentration trend: Herfindahl index of
   //      customer revenue shares per month in exact basis points —
-  //      per-(month, customer) reduction, squares summed as longs,
-  //      the final ratio staged through DECIMAL(38,0) (HUGEINT in the
-  //      oracle) so 100 TB cent-sums can't wrap ----
+  //      per-(month, customer) reduction, each rev² staged through
+  //      DECIMAL(38,0) BEFORE the sum (HUGEINT in the oracle): the
+  //      square of a cent-denominated month-revenue fits a long but
+  //      the per-month SUM of squares does not — the r14 sf1 probe
+  //      caught exactly this wrap (ARITHMETIC_OVERFLOW at 10× rows) ----
   def qMonthlyHhi(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(col("o_custkey"),
@@ -2206,7 +2208,8 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       .agg(sum(col("price_c")).as("rev_c"))
       .groupBy(col("month_num"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("srev"),
-        sum(col("rev_c") * col("rev_c")).as("srev2"))
+        sum(col("rev_c").cast("decimal(38,0)") * col("rev_c"))
+          .as("srev2"))
       .select(col("month_num"), col("n_customers"),
         expr("CAST(CAST(srev2 AS DECIMAL(38,0)) * 10000 DIV " +
           "(CAST(srev AS DECIMAL(38,0)) * CAST(srev AS DECIMAL(38,0))) " +
@@ -2223,7 +2226,7 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       |m AS (
       |  SELECT month_num, CAST(count(*) AS BIGINT) AS n_customers,
       |    CAST(sum(rev_c) AS BIGINT) AS srev,
-      |    CAST(sum(rev_c * rev_c) AS BIGINT) AS srev2
+      |    sum(rev_c::HUGEINT * rev_c) AS srev2
       |  FROM per GROUP BY 1)
       |SELECT month_num, n_customers,
       |  CAST(srev2::HUGEINT * 10000 // (srev::HUGEINT * srev::HUGEINT)

@@ -127,4 +127,59 @@ object SpatialJoin {
       .select(col("id"), col("px"), col("py"), col("_m.rid").as("rid"),
         col("_m.d2").as("d2"))
   }
+
+  /** Density-robust exact variant of [[nearestNeighborBinned]]. The
+    * single-tier join's candidate volume is `n_q × n_r × (3·radius)²/A`
+    * — quadratic in point density on a FIXED coordinate domain, which
+    * is exactly how the r14 sf1 probe caught it (55.8× wall at 10×
+    * rows: both sides densified, so ring populations grew 10× per
+    * query). Two exact tiers fix the shape:
+    *
+    *  1. a FINE pass at cell `fine = max(1, radius/4)`: the 3×3 fine
+    *     neighborhood contains every ref within distance `fine` of the
+    *     query (Euclidean ≤ fine ⇒ Chebyshev ≤ fine ⇒ inside), so a
+    *     fine-pass winner with `d² ≤ fine²` is the GLOBAL argmin — any
+    *     closer-or-tied ref is also within `fine` and was a fine
+    *     candidate, and the (d², rid) struct-min tie-break sees it.
+    *     Candidate volume shrinks ×(radius/fine)² vs the full ring.
+    *  2. only UNRESOLVED queries (no fine candidate, or winner beyond
+    *     `fine`) pay the full-radius ring join. The denser the refs,
+    *     the fewer survive tier 1 — the residue count is
+    *     `n_q · exp(-π·fine²·density)`-ish, so total work now grows
+    *     ~linearly where the single tier grew quadratically.
+    *
+    * Output is row-identical to the single-tier operator (proof above);
+    * SpatialJoinSpec asserts the equality. `radius < 4` degenerates to
+    * fine = 1; radius = 1 falls back to the single-tier join outright.
+    */
+  def nearestNeighborTiered(queries: DataFrame, refs: DataFrame,
+                            radius: Long): DataFrame = {
+    require(radius > 0)
+    val fine = math.max(1L, radius / 4)
+    if (fine >= radius) return nearestNeighborBinned(queries, refs, radius)
+    val cellQ = queries
+      .withColumn("_dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("_dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("_bx", floor(col("px") / fine).cast("long") + col("_dx"))
+      .withColumn("_by", floor(col("py") / fine).cast("long") + col("_dy"))
+      .drop("_dx", "_dy")
+    val cellR = refs
+      .withColumn("_bx", floor(col("qx") / fine).cast("long"))
+      .withColumn("_by", floor(col("qy") / fine).cast("long"))
+    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    val firstPass = cellQ.join(cellR, Seq("_bx", "_by"))
+      .filter(d2 <= lit(fine * fine))
+      .select(col("id"), col("px"), col("py"),
+        struct(d2.cast("long").as("d2"), col("rid"),
+          col("qx"), col("qy")).as("_c"))
+      .groupBy(col("id"), col("px"), col("py"))
+      .agg(min(col("_c")).as("_m"))
+      .select(col("id"), col("px"), col("py"), col("_m.rid").as("rid"),
+        col("_m.d2").as("d2"))
+    val resolved = firstPass.localCheckpoint(eager = false)
+    val residue = queries.join(resolved.select("id", "px", "py"),
+      Seq("id", "px", "py"), "left_anti")
+    resolved.unionByName(nearestNeighborBinned(residue, refs, radius))
+  }
 }

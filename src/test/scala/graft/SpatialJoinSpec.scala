@@ -130,4 +130,31 @@ class SpatialJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"must stay an equi-join:\n$plan")
   }
+
+  test("nearestNeighborTiered: row-identical to the single-tier join") {
+    import spark.implicits._
+    // dense refs (most queries resolve in the fine pass) PLUS a sparse
+    // far corner (exercises the residue path) and an empty region
+    // (queries with no ref in radius stay absent)
+    val qs = ((1L to 300L).map(i => (i, (i * 37) % 100, (i * 53) % 100)) ++
+      Seq((900L, 400L, 400L), (901L, 410L, 405L), (902L, 600L, 600L)))
+      .toDF("id", "px", "py")
+    val rs = ((1L to 40L).map(j => (j, (j * 31) % 100, (j * 17) % 100)) ++
+      Seq((800L, 402L, 401L))).toDF("rid", "qx", "qy")
+    for (r <- Seq(3L, 8L, 12L)) {
+      val one = SpatialJoin.nearestNeighborBinned(qs, rs, radius = r)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      val two = SpatialJoin.nearestNeighborTiered(qs.repartition(5), rs, radius = r)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      assert(two === one, s"tiered must equal single-tier at radius=$r")
+    }
+    // tie on the fine boundary: winner exactly at d = fine must resolve
+    // in pass 1 AND still see an equidistant competitor from pass-1's
+    // own neighborhood (both within fine) — smaller rid wins
+    val tq = Seq((1L, 0L, 0L)).toDF("id", "px", "py")
+    val tr = Seq((9L, 2L, 0L), (4L, 0L, 2L)).toDF("rid", "qx", "qy")
+    val t = SpatialJoin.nearestNeighborTiered(tq, tr, radius = 8L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(t === ((1L, 0L, 0L, 4L, 4L)))
+  }
 }
