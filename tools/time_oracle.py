@@ -27,7 +27,10 @@ def main():
     con.execute(f"SET threads TO {os.cpu_count()}")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # Spark writes a table as a DIRECTORY of part files (the ScaleUp
+        # sf1 layout); plain files are the driver-testdata layout
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     # oracle_sql.json produced by the most recent graft.Verify run
     with open(oracle_path) as f:
         oracle = json.load(f)
