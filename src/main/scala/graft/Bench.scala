@@ -66,8 +66,12 @@ object Bench {
     */
   private def warmRef(): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
-    val cands = sys.env.get("SPARK_GRAFT_WARM_REF").toSeq ++
-      Seq("bench_warm.json", "/root/repo/bench_warm.json")
+    // an EXPLICIT env ref wins outright — no fallthrough to the committed
+    // sf0.1 minima: scale-checkpoint runs point this at an empty file to
+    // disable the outlier rule, and falling through made every sf10 query
+    // look like a 3x stall and run twice (r14)
+    val cands = sys.env.get("SPARK_GRAFT_WARM_REF").map(Seq(_))
+      .getOrElse(Seq("bench_warm.json", "/root/repo/bench_warm.json"))
     cands.iterator.flatMap { p =>
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -164,8 +168,14 @@ object Bench {
           catch { case e: Throwable =>
             (-1L, 0L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
           }
-        Pass((System.nanoTime() - t0) / 1e9, rows, sum, err,
+        val p = Pass((System.nanoTime() - t0) / 1e9, rows, sum, err,
           gcMillis() - g0, taskRetries.get() - r0)
+        // query boundary: free this pass's truncated-lineage blocks now
+        // instead of waiting for the ContextCleaner — the session-long
+        // accumulation OOM'd the 24 GiB sf10 probe JVM (r14). Outside the
+        // timed window; retries rebuild their plan from scratch anyway.
+        graft.util.Checkpoints.releaseAll(spark)
+        p
       }
       val runs = (1 to reps).map(_ => onePass())
       val med = runs.map(_.sec).sorted.apply(reps / 2)

@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's truncated-lineage blocks at the boundary — the
+      // 474-query sweep otherwise accumulates every query's checkpoint
+      // blocks for the whole session (see Checkpoints.releaseAll)
+      graft.util.Checkpoints.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

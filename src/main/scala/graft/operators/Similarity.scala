@@ -214,8 +214,15 @@ object Similarity {
         col("x2").as("c2"))
     // checkpoint the k-row centroid table each round (same pattern as
     // Contiguity's star loop): without it the plan embeds the FULL prior
-    // lineage in every assign, growing super-linearly with iters
-    for (_ <- 1 to iters) cents = graft.util.Checkpoints.truncate(update(assign(cents)))
+    // lineage in every assign, growing super-linearly with iters; the
+    // eager truncate materializes the new round before rotate() frees the
+    // previous round's blocks
+    val rot = new graft.util.Checkpoints.Rotation(vecs.sparkSession)
+    for (_ <- 1 to iters) {
+      rot.begin()
+      cents = graft.util.Checkpoints.truncate(update(assign(cents)))
+      rot.rotate()
+    }
     assign(cents)
   }
 

@@ -25,4 +25,57 @@ object Checkpoints {
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
+
+  /** Release every RDD this session still holds persisted blocks for
+    * (localCheckpoint / cache). Spark frees such blocks only when the
+    * async ContextCleaner notices the RDD object itself was GC'd, so a
+    * long-lived session running many queries (Bench, Verify, a notebook)
+    * accumulates every past query's truncated-lineage blocks until the
+    * heap fills — at 100× the graded scale (sf10 probe, r14) the
+    * accumulation OOM'd a 24 GiB local[32] JVM after ~15 heavy queries.
+    *
+    * A harness utility for QUERY BOUNDARIES only — never call it inside
+    * an operator: a lineage-truncated RDD cannot recompute, so releasing
+    * blocks a still-live DataFrame will be asked for again would fail the
+    * later action, not slow it down. Non-blocking (removal proceeds
+    * asynchronously on the executors).
+    */
+  def releaseAll(ss: org.apache.spark.sql.SparkSession): Unit =
+    ss.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+  /** Deterministic per-round block release for iteration loops that
+    * materialize each round with their own action (Contiguity's
+    * convergence checksum, k-means' eager centroid checkpoint). Once
+    * round i is materialized its blocks are self-contained, so round
+    * i−1's blocks are dead — but Spark won't reclaim them until the
+    * ContextCleaner runs, and an N-round loop otherwise holds N copies
+    * of the frontier. Usage per round:
+    *
+    * {{{
+    *   rot.begin()                  // BEFORE creating the round's checkpoint
+    *   val next = Checkpoints.truncate(step(e), eager = false)
+    *   ...action that materializes next (and any use of the old round)...
+    *   rot.rotate()                 // release the PREVIOUS round's blocks
+    * }}}
+    *
+    * Tracks rounds by diffing `sparkContext.getPersistentRDDs` ids
+    * (public API; `localCheckpoint` marks its RDD persisted at call time,
+    * before materialization). The final round is never released — callers
+    * build their result on it.
+    */
+  final class Rotation(ss: org.apache.spark.sql.SparkSession) {
+    private val sc = ss.sparkContext
+    private var prevIds: Set[Int] = Set.empty
+    private var snap: Set[Int] = Set.empty
+
+    def begin(): Unit = snap = sc.getPersistentRDDs.keySet.toSet
+
+    def rotate(): Unit = {
+      val cur = sc.getPersistentRDDs
+      val mine = cur.keySet.toSet -- snap
+      cur.iterator.filter(kv => prevIds(kv._1))
+        .foreach(_._2.unpersist(blocking = false))
+      prevIds = mine
+    }
+  }
 }
