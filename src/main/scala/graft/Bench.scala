@@ -88,9 +88,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions track the CPU count for the graded sf0.1 runs,
+    // but partition COUNT must scale with the DATA, not the box: at the
+    // sf10 probe (100x rows) 32 partitions meant ~5M-row tasks whose
+    // concurrent sort/agg buffers outran a 24 GiB heap. AQE coalesces
+    // small partitions down; nothing splits oversized ones up except the
+    // skew-join rule — so scale probes pass the count explicitly
+    // (SPARK_GRAFT_SHUFFLE_PARTITIONS=256 at sf10), the same sizing a
+    // real deployment does per target SF.
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", graft.util.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")

@@ -71,7 +71,9 @@ object Graph {
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("rank"),
         col("n_nodes"), col("outdeg"))
+    val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
+      if (checkpoint) rot.begin()
       val contrib = ranks.filter(col("outdeg").isNotNull)
         .select(col("node").as("c_src"),
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
@@ -102,11 +104,16 @@ object Graph {
               lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
             col("n_nodes"), col("outdeg"))
         }
-      // eager=false: no per-round action — the lineage is truncated at
-      // plan level either way, but the rank RDDs materialize inside the
-      // single final action instead of one driver-blocking job per round
-      // (10 rounds x 3 graph queries was ~40 job launches of tiny data)
-      if (checkpoint) ranks = Checkpoints.truncate(ranks, eager = false)
+      // EAGER + rotate (r14): the lazy form deferred every round's
+      // materialization to the single final action, so ALL rounds' blocks
+      // were live simultaneously — O(iters) copies of the node-sized rank
+      // table, which OOM'd the 24 GiB sf10 (100x) probe. One tiny
+      // node-sized job per round (~0.05 s at sf0.1) bounds storage to the
+      // newest round (+ the edge table).
+      if (checkpoint) {
+        ranks = Checkpoints.truncate(ranks)
+        rot.rotate()
+      }
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -147,7 +154,9 @@ object Graph {
         when(col("_is_seed").isNotNull,
           lit(1.0) / col("n_seeds").cast("double")).otherwise(lit(0.0)).as("tp"))
       .withColumn("rank", col("tp"))
+    val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
+      if (checkpoint) rot.begin()
       val contrib = ranks.filter(col("outdeg").isNotNull)
         .select(col("node").as("c_src"),
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
@@ -160,11 +169,16 @@ object Graph {
         .select(col("node"), col("outdeg"), col("tp"),
           (lit(0.125) * col("tp") +
             lit(0.875) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      // eager=false: no per-round action — the lineage is truncated at
-      // plan level either way, but the rank RDDs materialize inside the
-      // single final action instead of one driver-blocking job per round
-      // (10 rounds x 3 graph queries was ~40 job launches of tiny data)
-      if (checkpoint) ranks = Checkpoints.truncate(ranks, eager = false)
+      // EAGER + rotate (r14): the lazy form deferred every round's
+      // materialization to the single final action, so ALL rounds' blocks
+      // were live simultaneously — O(iters) copies of the node-sized rank
+      // table, which OOM'd the 24 GiB sf10 (100x) probe. One tiny
+      // node-sized job per round (~0.05 s at sf0.1) bounds storage to the
+      // newest round (+ the edge table).
+      if (checkpoint) {
+        ranks = Checkpoints.truncate(ranks)
+        rot.rotate()
+      }
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -205,7 +219,9 @@ object Graph {
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
     var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
+      if (checkpoint) rot.begin()
       val aRaw0 = e.join(scores.select(col("node").as("_s"), col("hub")),
           col("src") === col("_s"))
         .groupBy(col("dst")).agg(snapSum(col("hub")).as("a_raw"))
@@ -223,7 +239,14 @@ object Graph {
       val hub = nodes.join(hRaw, col("node") === col("src"), "left")
         .select(col("node"), (coalesce(col("h_raw"), lit(0.0)) / lit(hSum)).as("hub"))
       scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
-      if (checkpoint) scores = Checkpoints.truncate(scores, eager = false)
+      // scores stays LAZY (it materializes inside next round's l1Scalar
+      // action, whose lineage needs only this round's persisted aRaw/hRaw
+      // + the edge table), so rotate() here releases round i−1's
+      // aRaw/hRaw/scores — all fully materialized and dead (r14)
+      if (checkpoint) {
+        scores = Checkpoints.truncate(scores, eager = false)
+        rot.rotate()
+      }
     }
     scores
   }
@@ -355,14 +378,22 @@ object Graph {
     val nbr = if (checkpoint) Checkpoints.truncate(nbr0) else nbr0
     var lbl = nbr.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
+      if (checkpoint) rot.begin()
       val counts = nbr
         .join(lbl.select(col("node").as("peer"), col("lbl")), "peer")
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
       lbl = counts.groupBy(col("node"))
         .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl").as("tb")))
           .as("lbl"))
-      if (checkpoint) lbl = Checkpoints.truncate(lbl, eager = false)
+      // eager + rotate: bound live copies to the newest round (r14 — the
+      // lazy form held every round's node-sized table at once; see
+      // pageRank's note)
+      if (checkpoint) {
+        lbl = Checkpoints.truncate(lbl)
+        rot.rotate()
+      }
     }
     lbl.select(col("node"), col("lbl").as("label"))
   }
@@ -394,12 +425,20 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     var e = if (checkpoint) Checkpoints.truncate(und) else und
+    val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to rounds) {
+      if (checkpoint) rot.begin()
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("src").as("_k"))
       val e2 = e.join(keep, col("src") === col("_k"), "left_semi")
         .join(keep, col("dst") === col("_k"), "left_semi")
-      e = if (checkpoint) Checkpoints.truncate(e2, eager = false) else e2
+      // eager + rotate: each peel's survivor set replaces the last — the
+      // lazy form held every round simultaneously (see pageRank's note)
+      e = if (checkpoint) {
+        val t = Checkpoints.truncate(e2)
+        rot.rotate()
+        t
+      } else e2
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
