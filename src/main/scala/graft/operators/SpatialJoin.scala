@@ -177,7 +177,7 @@ object SpatialJoin {
       .agg(min(col("_c")).as("_m"))
       .select(col("id"), col("px"), col("py"), col("_m.rid").as("rid"),
         col("_m.d2").as("d2"))
-    val resolved = firstPass.localCheckpoint(eager = false)
+    val resolved = graft.util.Checkpoints.truncate(firstPass, eager = false)
     val residue = queries.join(resolved.select("id", "px", "py"),
       Seq("id", "px", "py"), "left_anti")
     resolved.unionByName(nearestNeighborBinned(residue, refs, radius))
