@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 30+-query session the default 240m code cache fills, the JIT shuts off
   // ("CodeCache is full"), and later queries run interpreted 10-50x slower.
   "-XX:ReservedCodeCacheSize=1g",
+  // JDK 17 G1 GCLocker starvation: lz4/snappy block compression enters JNI
+  // critical sections from all 32 task threads; with the default retry
+  // count (2) an allocation as small as 3 WORDS can throw a spurious
+  // OutOfMemoryError while the GCLocker is held ("Retried waiting for
+  // GCLocker too often") — exactly what killed the sf10 (100x) probe runs.
+  // Raising the retry bound turns the spurious OOM back into a short wait.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

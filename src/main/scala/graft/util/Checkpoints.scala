@@ -24,15 +24,15 @@ object Checkpoints {
     */
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    // MEMORY_AND_DISK_SER, not the default deserialized level: a
-    // checkpointed 120M-row edge table is ~10 GiB of per-row UnsafeRow
-    // objects deserialized (and a GC object-count disaster) vs ~2.5 GiB
-    // of packed block bytes serialized — the difference between the sf10
-    // (100x) pagerank OOMing a 24 GiB heap and fitting comfortably.
-    // UnsafeRow (de)serialization is a byte copy, so the read-back cost
-    // is noise next to the joins these tables feed.
-    else df.localCheckpoint(eager,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Default storage level (MEMORY_AND_DISK, deserialized) on purpose:
+    // an r14 experiment with MEMORY_AND_DISK_SER — hoping to shrink big
+    // checkpointed edge tables — OOM'd the sf10 label-propagation probe
+    // at 48 GiB where the deserialized level passes at 24 GiB: RDD-cache
+    // serialization of InternalRows goes through the session serializer
+    // with per-task unroll buffers that SPIKE transient heap even though
+    // the settled blocks are smaller. Deserialized UnsafeRows unroll
+    // incrementally and evict to disk per-block under pressure.
+    else df.localCheckpoint(eager)
 
   /** Release every RDD this session still holds persisted blocks for
     * (localCheckpoint / cache). Spark frees such blocks only when the
