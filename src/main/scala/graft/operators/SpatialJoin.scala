@@ -106,25 +106,63 @@ object SpatialJoin {
   def nearestNeighborBinned(queries: DataFrame, refs: DataFrame,
                             radius: Long): DataFrame = {
     require(radius > 0)
-    val cellQ = queries
+    val (dq, dr) = dedupByCoord(queries, refs)
+    joinBack(queries, coordNN(dq, dr, cell = radius, bound = radius))
+  }
+
+  /** Coordinate dedup — the reduction that makes densification on a FIXED
+    * integer lattice scale-free (the r14 sf10 probe: 100x rows on the
+    * same 360x180 domain packed ~15 refs and ~900 queries per lattice
+    * point, and the candidate join exploded to ~3x10^10 rows, spilling
+    * 78 GiB of disk):
+    *  - refs collapse to one row per (qx, qy) keeping min(rid) — for
+    *    co-located refs d2 is identical, and the (d2, rid) argmin
+    *    tie-break means only the smallest rid can ever win;
+    *  - queries collapse to DISTINCT coordinates: the answer is a pure
+    *    function of (px, py), so NN runs once per coordinate and joins
+    *    back per (id, px, py).
+    * On real data with mostly-unique coordinates both reductions are
+    * near-no-ops (one exchange each); on quantized/clustered data they
+    * bound the join by LATTICE population, not row multiplicity.
+    */
+  private def dedupByCoord(queries: DataFrame, refs: DataFrame)
+      : (DataFrame, DataFrame) = (
+    queries.select(col("px"), col("py")).distinct(),
+    refs.groupBy(col("qx"), col("qy")).agg(min(col("rid")).as("rid")))
+
+  /** One output row per distinct (id, px, py) input row — identical to
+    * the historical groupBy(id, px, py) argmin contract. */
+  private def joinBack(queries: DataFrame, perCoord: DataFrame): DataFrame =
+    queries.select(col("id"), col("px"), col("py")).distinct()
+      .join(perCoord, Seq("px", "py"))
+      .select(col("id"), col("px"), col("py"), col("rid"), col("d2"))
+
+  /** Per-coordinate NN core: 3x3 ring equi-join at `cell`, winners kept
+    * only when d2 <= bound^2 (Chebyshev: the ring at `cell` contains
+    * every ref within Euclidean `cell`, so a winner within `bound` <=
+    * `cell` is the global argmin). Inputs must be coordinate-deduped.
+    */
+  private def coordNN(dq: DataFrame, dr: DataFrame,
+                      cell: Long, bound: Long): DataFrame = {
+    val cellQ = dq
       .withColumn("_dx", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("_dy", explode(sequence(lit(-1L), lit(1L))))
-      .withColumn("_bx", floor(col("px") / radius).cast("long") + col("_dx"))
-      .withColumn("_by", floor(col("py") / radius).cast("long") + col("_dy"))
+      .withColumn("_bx", floor(col("px") / cell).cast("long") + col("_dx"))
+      .withColumn("_by", floor(col("py") / cell).cast("long") + col("_dy"))
       .drop("_dx", "_dy")
-    val cellR = refs
-      .withColumn("_bx", floor(col("qx") / radius).cast("long"))
-      .withColumn("_by", floor(col("qy") / radius).cast("long"))
+    val cellR = dr
+      .withColumn("_bx", floor(col("qx") / cell).cast("long"))
+      .withColumn("_by", floor(col("qy") / cell).cast("long"))
     val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
       (col("py") - col("qy")) * (col("py") - col("qy"))
     cellQ.join(cellR, Seq("_bx", "_by"))
-      .filter(d2 <= lit(radius * radius))
-      .select(col("id"), col("px"), col("py"),
+      .filter(d2 <= lit(bound * bound))
+      .select(col("px"), col("py"),
         struct(d2.cast("long").as("d2"), col("rid"),
           col("qx"), col("qy")).as("_c"))
-      .groupBy(col("id"), col("px"), col("py"))
+      .groupBy(col("px"), col("py"))
       .agg(min(col("_c")).as("_m"))
-      .select(col("id"), col("px"), col("py"), col("_m.rid").as("rid"),
+      .select(col("px"), col("py"), col("_m.rid").as("rid"),
         col("_m.d2").as("d2"))
   }
 
@@ -156,30 +194,13 @@ object SpatialJoin {
                             radius: Long): DataFrame = {
     require(radius > 0)
     val fine = math.max(1L, radius / 4)
-    if (fine >= radius) return nearestNeighborBinned(queries, refs, radius)
-    val cellQ = queries
-      .withColumn("_dx", explode(sequence(lit(-1L), lit(1L))))
-      .withColumn("_dy", explode(sequence(lit(-1L), lit(1L))))
-      .withColumn("_bx", floor(col("px") / fine).cast("long") + col("_dx"))
-      .withColumn("_by", floor(col("py") / fine).cast("long") + col("_dy"))
-      .drop("_dx", "_dy")
-    val cellR = refs
-      .withColumn("_bx", floor(col("qx") / fine).cast("long"))
-      .withColumn("_by", floor(col("qy") / fine).cast("long"))
-    val d2 = (col("px") - col("qx")) * (col("px") - col("qx")) +
-      (col("py") - col("qy")) * (col("py") - col("qy"))
-    val firstPass = cellQ.join(cellR, Seq("_bx", "_by"))
-      .filter(d2 <= lit(fine * fine))
-      .select(col("id"), col("px"), col("py"),
-        struct(d2.cast("long").as("d2"), col("rid"),
-          col("qx"), col("qy")).as("_c"))
-      .groupBy(col("id"), col("px"), col("py"))
-      .agg(min(col("_c")).as("_m"))
-      .select(col("id"), col("px"), col("py"), col("_m.rid").as("rid"),
-        col("_m.d2").as("d2"))
+    val (dq, dr) = dedupByCoord(queries, refs)
+    if (fine >= radius) return joinBack(queries, coordNN(dq, dr, radius, radius))
+    val firstPass = coordNN(dq, dr, cell = fine, bound = fine)
     val resolved = graft.util.Checkpoints.truncate(firstPass, eager = false)
-    val residue = queries.join(resolved.select("id", "px", "py"),
-      Seq("id", "px", "py"), "left_anti")
-    resolved.unionByName(nearestNeighborBinned(residue, refs, radius))
+    val residue = dq.join(resolved.select("px", "py"),
+      Seq("px", "py"), "left_anti")
+    joinBack(queries,
+      resolved.unionByName(coordNN(residue, dr, cell = radius, bound = radius)))
   }
 }
