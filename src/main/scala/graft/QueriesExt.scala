@@ -1645,8 +1645,8 @@ object QueriesExt {
     def iterCtes(rIn: String, i: String) =
       s"""i$i AS (
          |  SELECT e.dst AS dst,
-         |    CAST(CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
-         |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S AS in_sum
+         |    CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
+         |      + 0.5::DOUBLE) AS BIGINT)) AS DOUBLE) / $S AS in_sum
          |  FROM e JOIN $rIn r ON e.src = r.node JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
          |r$i AS (
@@ -1683,13 +1683,13 @@ object QueriesExt {
     val S = "1099511627776.0::DOUBLE"
     def iterCtes(rIn: String, i: String) =
       s"""dm$i AS (
-         |  SELECT COALESCE(CAST(CAST(sum(CAST(floor(r.rank * $S + 0.5::DOUBLE)
-         |      AS BIGINT)) AS BIGINT) AS DOUBLE) / $S, 0.0::DOUBLE) AS dm
+         |  SELECT COALESCE(CAST(sum(CAST(floor(r.rank * $S + 0.5::DOUBLE)
+         |      AS BIGINT)) AS DOUBLE) / $S, 0.0::DOUBLE) AS dm
          |  FROM $rIn r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
          |i$i AS (
          |  SELECT e.dst AS dst,
-         |    CAST(CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
-         |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S AS in_sum
+         |    CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
+         |      + 0.5::DOUBLE) AS BIGINT)) AS DOUBLE) / $S AS in_sum
          |  FROM e JOIN $rIn r ON e.src = r.node JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
          |r$i AS (
@@ -1730,8 +1730,8 @@ object QueriesExt {
     def iterCtes(rIn: String, i: String) =
       s"""i$i AS (
          |  SELECT e.dst AS dst,
-         |    CAST(CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
-         |      + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S AS in_sum
+         |    CAST(sum(CAST(floor(r.rank / CAST(d.outdeg AS DOUBLE) * $S
+         |      + 0.5::DOUBLE) AS BIGINT)) AS DOUBLE) / $S AS in_sum
          |  FROM e JOIN $rIn r ON e.src = r.node JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
          |r$i AS (
@@ -1771,7 +1771,7 @@ object QueriesExt {
   val oHits: String = {
     val S = "1099511627776.0::DOUBLE"
     def snap(x: String) =
-      s"CAST(CAST(sum(CAST(floor($x * $S + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS DOUBLE) / $S"
+      s"CAST(sum(CAST(floor($x * $S + 0.5::DOUBLE) AS BIGINT)) AS DOUBLE) / $S"
     def iterCtes(hIn: String, i: String) =
       s"""ar$i AS (
          |  SELECT e.dst AS node, ${snap("h.hub")} AS a_raw
@@ -1928,11 +1928,11 @@ object QueriesExt {
        |         FROM conf WHERE a = b),
        |rm AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS na FROM conf GROUP BY 1),
        |cm AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS nb FROM conf GROUP BY 1),
-       |rc AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS rowcol
+       |rc AS (SELECT coalesce(sum(na::HUGEINT * nb), 0::HUGEINT) AS rowcol
        |       FROM rm JOIN cm ON a = b)
-       |SELECT nn AS n, agree, rowcol,
-       |  CAST(nn * agree - rowcol AS DOUBLE) / CAST(nn * nn - rowcol AS DOUBLE)
-       |    AS kappa
+       |SELECT nn AS n, agree, CAST(rowcol AS BIGINT) AS rowcol,
+       |  CAST(nn::HUGEINT * agree - rowcol AS DOUBLE) /
+       |    CAST(nn::HUGEINT * nn - rowcol AS DOUBLE) AS kappa
        |FROM tot, diag, rc""".stripMargin
 
   // ---- TPC-H Q3 (shipping-priority shape, adapted to this schema):
@@ -1992,10 +1992,14 @@ object QueriesExt {
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
     wc.join(seg, Seq("word"))
       .groupBy(col("lang"))
-      .agg(sum(col("n") * col("n_pieces")).as("total_pieces"),
+      // n·n_pieces ≤ ~30·N (pieces-per-word bounded) — linear envelope,
+      // staged for uniform headroom with the count-product family
+      .agg(sum((col("n") * col("n_pieces")).cast("decimal(38,0)"))
+          .as("_pieces"),
         sum(col("n")).as("total_words"))
-      .select(col("lang"), col("total_pieces"), col("total_words"),
-        (col("total_pieces").cast("double") / col("total_words").cast("double"))
+      .select(col("lang"), col("_pieces").cast("long").as("total_pieces"),
+        col("total_words"),
+        (col("_pieces").cast("double") / col("total_words").cast("double"))
           .as("fertility"))
   }
 
@@ -2008,9 +2012,9 @@ object QueriesExt {
        |    FROM documents)
        |  GROUP BY 1, 2)
        |SELECT lang,
-       |  CAST(sum(n * n_pieces) AS BIGINT) AS total_pieces,
+       |  CAST(sum(n::HUGEINT * n_pieces) AS BIGINT) AS total_pieces,
        |  CAST(sum(n) AS BIGINT) AS total_words,
-       |  CAST(sum(n * n_pieces) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+       |  CAST(sum(n::HUGEINT * n_pieces) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
        |    AS fertility
        |FROM wc JOIN seg USING (word) GROUP BY 1""".stripMargin
 
@@ -2244,15 +2248,18 @@ object QueriesExt {
         col("s_nationkey") === col("c_nationkey"))
       .join(nat, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("rev_u")).as("rev_units"), count(lit(1)).as("n_items"))
+      // Σ rev_u (≤1.1·10¹¹/row) over an unbounded per-nation row count
+      // wraps a long at ~8·10⁷ rows/group → DECIMAL(38,0) staging
+      .agg(sum(col("rev_u").cast("decimal(38,0)")).as("rev_units"),
+        count(lit(1)).as("n_items"))
       .select(col("n_name"), col("n_items"),
         (col("rev_units").cast("double") / lit(10000.0)).as("revenue"))
   }
 
   val oTpchQ5: String =
     """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
-      |  CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
-      |    (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(floor(l_discount * 100) AS BIGINT)))
       |    AS DOUBLE) / 10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -2382,12 +2389,13 @@ object QueriesExt {
       |  FROM hist),
       |agg AS (
       |  SELECT CAST(sum(c) AS BIGINT) AS n_units,
-      |    CAST(sum(v * c) AS BIGINT) AS total,
-      |    CAST(sum(v * (2 * c * cbelow + c * c + c)) AS BIGINT) AS two_six
+      |    sum(v::HUGEINT * c) AS total,
+      |    sum(v::HUGEINT * (2::HUGEINT * c * cbelow + c::HUGEINT * c + c))
+      |      AS two_six
       |  FROM cum)
-      |SELECT n_units, total,
-      |  CAST(two_six - (n_units + 1) * total AS DOUBLE) /
-      |    CAST(n_units * total AS DOUBLE) AS gini
+      |SELECT n_units, CAST(total AS BIGINT) AS total,
+      |  CAST(two_six - (n_units::HUGEINT + 1) * total AS DOUBLE) /
+      |    CAST(n_units::HUGEINT * total AS DOUBLE) AS gini
       |FROM agg""".stripMargin
 
   // ---- two-sample KS drift: does src0's length distribution match the
@@ -2677,7 +2685,8 @@ object QueriesExt {
         (col("p_type") === "LARGE" && col("p_size").between(21, 30) &&
           col("qty").between(20, 30))))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("rev_u")).as("rev_units"))
+        // corpus-global Σ rev_u → DECIMAL(38,0) (wraps a long at ~8·10⁷ rows)
+        sum(col("rev_u").cast("decimal(38,0)")).as("rev_units"))
       .select(col("n_rows"),
         (col("rev_units").cast("double") / lit(10000.0)).as("revenue"))
   }
@@ -2735,9 +2744,10 @@ object QueriesExt {
         .select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L))
-          .as("promo_u"),
-        sum(col("rev_u")).as("total_u"),
+        // corpus-global revenue sums → DECIMAL(38,0) (q_monthly_hhi class)
+        sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L)
+          .cast("decimal(38,0)")).as("promo_u"),
+        sum(col("rev_u").cast("decimal(38,0)")).as("total_u"),
         count(lit(1)).as("n_rows"))
       .select(col("n_rows"),
         (col("promo_u").cast("double") / lit(10000.0)).as("promo_revenue"),
@@ -3214,14 +3224,14 @@ object QueriesExt {
       |    ON a.event_type = l.event_type AND l.d = a.d - 7),
       |s AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+      |    sum(x::HUGEINT * y) AS sxy
       |  FROM pairs GROUP BY 1)
       |SELECT event_type, n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE) /
-      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+      |  CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n::HUGEINT * syy - sy * sy AS DOUBLE))) AS corr
       |FROM s""".stripMargin
 
   // ---- log-rank test: do return-flag R lineitems ship on a different
@@ -3442,9 +3452,10 @@ object QueriesExt {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       |  FROM h)
       |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
-      |  CAST(sum(2 * p * cb + p * n) AS BIGINT) AS concordant2,
-      |  CAST(sum(2 * p * cb + p * n) AS DOUBLE) /
-      |    CAST(2 * sum(p) * sum(n) AS DOUBLE) AS auc
+      |  CAST(sum(2::HUGEINT * p * cb + p::HUGEINT * n) AS BIGINT)
+      |    AS concordant2,
+      |  CAST(sum(2::HUGEINT * p * cb + p::HUGEINT * n) AS DOUBLE) /
+      |    CAST(2::HUGEINT * sum(p) * sum(n) AS DOUBLE) AS auc
       |FROM sc""".stripMargin
 
   // ---- link prediction on the order-supplier graph: distance-2 pairs
@@ -5288,14 +5299,14 @@ object QueriesExt {
       |  FROM lineitem),
       |s AS (
       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+      |    sum(x::HUGEINT * y) AS sxy
       |  FROM v GROUP BY 1)
       |SELECT l_returnflag, n,
-      |  CAST(n * sxy - sx * sy AS DOUBLE) /
-      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+      |  CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n::HUGEINT * syy - sy * sy AS DOUBLE))) AS corr
       |FROM s""".stripMargin
 
   // ---- hard-negative mining: per query, top-5 nearest corpus vectors of
@@ -5362,9 +5373,11 @@ object QueriesExt {
        |tot AS (SELECT CAST(sum(raw_cnt) AS BIGINT) AS r,
        |               CAST(sum(tgt_cnt) AS BIGINT) AS t FROM bt),
        |sc AS (SELECT bucket,
-       |         CAST((tgt_cnt + 1) * (r + 256) - (raw_cnt + 1) * (t + 256) AS BIGINT) AS s
+       |         (tgt_cnt + 1)::HUGEINT * (r + 256) -
+       |           (raw_cnt + 1)::HUGEINT * (t + 256) AS s
        |       FROM bt, tot),
-       |ds AS (SELECT doc_id, CAST(sum(n * s) AS BIGINT) AS dsir_score
+       |ds AS (SELECT doc_id, CAST(sum(n::HUGEINT * s) AS BIGINT)
+       |         AS dsir_score
        |       FROM db JOIN sc USING (bucket) GROUP BY 1)
        |SELECT doc_id, dsir_score FROM ds
        |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin

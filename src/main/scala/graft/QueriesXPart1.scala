@@ -858,11 +858,12 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
          |    count(*) AS cb
          |  FROM b_$tag CROSS JOIN sd GROUP BY 1, 2),
          |dot_$tag AS (
-         |  SELECT seed, CAST(sum(ca * cb) AS BIGINT) AS dot
+         |  SELECT seed, CAST(sum(ca::HUGEINT * cb) AS BIGINT) AS dot
          |  FROM sa_$tag JOIN sb_$tag USING (seed, bucket) GROUP BY 1),
          |est_$tag AS (SELECT min(dot) AS est_join FROM dot_$tag),
          |ex_$tag AS (
-         |  SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_join
+         |  SELECT CAST(coalesce(sum(na::HUGEINT * nb), 0::HUGEINT) AS BIGINT)
+         |    AS exact_join
          |  FROM (SELECT token, count(*) AS na FROM a_$tag GROUP BY 1) x
          |  JOIN (SELECT token, count(*) AS nb FROM b_$tag GROUP BY 1) y
          |    USING (token)),
@@ -1062,7 +1063,9 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
         concat(lit("NATION_"), col("s_nationkey").cast("string")).as("supp_nation"),
         concat(lit("NATION_"), col("c_nationkey").cast("string")).as("cust_nation"),
         col("l_year"))
-      .agg(sum(col("vol_u")).as("vol_units"))
+      // Σ vol_u (≤1.1·10¹¹/row) over unbounded (nation,nation,year)
+      // groups wraps a long at ~8·10⁷ rows/group → DECIMAL(38,0) staging
+      .agg(sum(col("vol_u").cast("decimal(38,0)")).as("vol_units"))
       .select(col("supp_nation"), col("cust_nation"), col("l_year"),
         (col("vol_units").cast("double") / lit(10000.0)).as("volume"))
   }
@@ -1071,9 +1074,9 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
     """SELECT 'NATION_' || s.s_nationkey::VARCHAR AS supp_nation,
       |  'NATION_' || c.c_nationkey::VARCHAR AS cust_nation,
       |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
       |           (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
-      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS volume
+      |    ::DOUBLE / 10000.0::DOUBLE AS volume
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1241,7 +1244,7 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       |    CAST(count(*) AS BIGINT) AS n_pos
       |  FROM cust WHERE bal_c > 0)
       |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-      |  CAST(sum(bal_c) AS BIGINT)::DOUBLE / 100.0::DOUBLE AS totacctbal
+      |  sum(bal_c) ::DOUBLE / 100.0::DOUBLE AS totacctbal
       |FROM cust CROSS JOIN a
       |WHERE bal_c * n_pos > sum_c
       |  AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1279,9 +1282,10 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
-        sum(when(col("s_nationkey") === 10, col("vol_u")).otherwise(0L))
-          .as("num_u"),
-        sum(col("vol_u")).as("den_u"))
+        // per-year revenue sums → DECIMAL(38,0) (q_monthly_hhi class)
+        sum(when(col("s_nationkey") === 10, col("vol_u")).otherwise(0L)
+          .cast("decimal(38,0)")).as("num_u"),
+        sum(col("vol_u").cast("decimal(38,0)")).as("den_u"))
       .select(col("o_year"),
         (col("num_u").cast("double") / col("den_u").cast("double"))
           .as("mkt_share"),
@@ -1290,16 +1294,16 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
 
   val oTpchQ8: String =
     """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-      |  CAST(sum(CASE WHEN s.s_nationkey = 10 THEN
+      |  sum(CASE WHEN s.s_nationkey = 10 THEN
       |      CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
       |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)) ELSE 0 END)
-      |    AS BIGINT)::DOUBLE /
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |    ::DOUBLE /
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
       |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
-      |    AS BIGINT)::DOUBLE AS mkt_share,
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |    ::DOUBLE AS mkt_share,
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
       |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
-      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS total_volume
+      |    ::DOUBLE / 10000.0::DOUBLE AS total_volume
       |FROM lineitem l
       |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1334,7 +1338,9 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"),
         col("n_name"))
-      .agg(sum(col("vol_u")).as("rev_u"))
+      // per-customer row count is generator-dependent (orders/customer)
+      // → DECIMAL(38,0) staging rather than a prose bound
+      .agg(sum(col("vol_u").cast("decimal(38,0)")).as("rev_u"))
       .select(col("c_custkey"), col("c_name"),
         (col("acctbal_c").cast("double") / lit(100.0)).as("acctbal"),
         col("n_name"),
@@ -1346,9 +1352,9 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       |  CAST(floor(c.c_acctbal * 100) AS BIGINT)::DOUBLE / 100.0::DOUBLE
       |    AS acctbal,
       |  n.n_name,
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
       |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)))
-      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS revenue
+      |    ::DOUBLE / 10000.0::DOUBLE AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1368,9 +1374,12 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(
+        // per-supplier quarter revenue: row count per supplier is
+        // generator-dependent → DECIMAL(38,0) staging
+        .agg(sum((
           floor(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+          .cast("decimal(38,0)"))
           .as("rev_u")))
     val top = rev.agg(max(col("rev_u")).as("max_u"))
     rev.join(broadcast(top), col("rev_u") === col("max_u"))
@@ -1463,7 +1472,7 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM li GROUP BY 1)
       |SELECT CAST(count(*) AS BIGINT) AS n_small,
-      |  CAST(sum(price_c) AS BIGINT)::DOUBLE / 700.0::DOUBLE AS avg_yearly
+      |  sum(price_c) ::DOUBLE / 700.0::DOUBLE AS avg_yearly
       |FROM li JOIN a ON li.l_partkey = a.a_partkey
       |WHERE qty * 5 * cnt < sum_qty""".stripMargin
 
@@ -1648,10 +1657,12 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), col("o_year"))
-      .agg(sum(
+      // Σ profit_u over unbounded (nation, year) groups → DECIMAL(38,0)
+      .agg(sum((
         floor(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - floor(col("l_discount") * 100).cast("long")) -
           lit(100L) * col("l_quantity").cast("long") * col("retail_c"))
+        .cast("decimal(38,0)"))
         .as("profit_u"))
       .select(col("n_name"), col("o_year"),
         (col("profit_u").cast("double") / lit(10000.0)).as("profit"))
@@ -1659,11 +1670,11 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
 
   val oTpchQ9: String =
     """SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
       |      (100 - CAST(floor(l.l_discount * 100) AS BIGINT)) -
       |      100 * CAST(l.l_quantity AS BIGINT) *
       |        CAST(floor(p.p_retailprice * 100) AS BIGINT))
-      |    AS BIGINT)::DOUBLE / 10000.0::DOUBLE AS profit
+      |    ::DOUBLE / 10000.0::DOUBLE AS profit
       |FROM lineitem l
       |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1682,8 +1693,11 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       t(s, dir, "lineitem")
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
-        .agg(sum(col("l_quantity").cast("long") *
-          floor(col("l_extendedprice") * 100).cast("long")).as("val_u")))
+        // qty·cents product summed over generator-dependent per-part row
+        // counts, then re-summed nation-wide → DECIMAL(38,0) staging
+        .agg(sum((col("l_quantity").cast("long") *
+          floor(col("l_extendedprice") * 100).cast("long"))
+          .cast("decimal(38,0)")).as("val_u")))
     val total = value.agg(sum(col("val_u")).as("total_u"))
     value.crossJoin(broadcast(total))
       .filter(col("val_u") * lit(1000L) > col("total_u"))
@@ -1694,15 +1708,15 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
   val oTpchQ11: String =
     """WITH value AS (
       |  SELECT l.l_partkey,
-      |    CAST(sum(CAST(l.l_quantity AS BIGINT) *
-      |        CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    sum(CAST(l.l_quantity AS HUGEINT) *
+      |        CAST(floor(l.l_extendedprice * 100) AS BIGINT))
       |      AS val_u
       |  FROM lineitem l
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = 7
       |  GROUP BY 1)
       |SELECT l_partkey, val_u::DOUBLE / 100.0::DOUBLE AS value
       |FROM value
-      |WHERE val_u * 1000 > (SELECT CAST(sum(val_u) AS BIGINT) FROM value)"""
+      |WHERE val_u * 1000 > (SELECT sum(val_u) FROM value)"""
       .stripMargin
 
   // ---- TPC-H Q12 shape (schema ships no l_shipmode): late-shipment
@@ -1956,7 +1970,7 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       |md AS (SELECT lm, node, min(d) AS d FROM bfs GROUP BY 1, 2)
       |SELECT node, CAST(count(*) AS BIGINT) AS n_lm,
       |  CAST(sum(6 // d) AS BIGINT) AS h_scaled,
-      |  CAST(sum(6 // d) AS BIGINT)::DOUBLE / 6.0::DOUBLE AS harmonic
+      |  sum(6 // d) ::DOUBLE / 6.0::DOUBLE AS harmonic
       |FROM md WHERE d > 0 GROUP BY 1""".stripMargin
 
   // ---- functional-dependency discovery over candidate pairs: one
@@ -1987,8 +2001,8 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       |    AS n_violating,
       |  max(card) AS max_card,
       |  CAST(sum(nr) AS BIGINT) AS n_rows,
-      |  CAST(sum(CASE WHEN card <= 1 THEN nr ELSE 0 END) AS BIGINT)::DOUBLE
-      |    / CAST(sum(nr) AS BIGINT)::DOUBLE AS clean_frac
+      |  sum(CASE WHEN card <= 1 THEN nr ELSE 0 END) ::DOUBLE
+      |    / sum(nr) ::DOUBLE AS clean_frac
       |FROM g GROUP BY 1""".stripMargin
 
   // ---- split-balance chi^2: is source composition independent of the
@@ -2165,7 +2179,8 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       |  -- wedges with the same (y,z) but different centers each count
       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
       |  FROM w JOIN o ON w.y = o.src AND w.z = o.dst),
-      |wd AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) AS wedges_x2 FROM deg)
+      |wd AS (SELECT CAST(sum(d::HUGEINT * (d - 1)) AS BIGINT) AS wedges_x2
+      |       FROM deg)
       |SELECT t.n_triangles, wd.wedges_x2,
       |  CAST(6 * t.n_triangles AS DOUBLE) / CAST(wd.wedges_x2 AS DOUBLE)
       |    AS transitivity

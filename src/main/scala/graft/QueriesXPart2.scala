@@ -143,8 +143,12 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
         floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
       .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("price_c")).as("sold_c"),
-        sum(col("qty") * col("retail_c")).as("catalog_c"),
+      // qty·retail_c (≤10⁷/row) over unbounded per-brand row counts →
+      // DECIMAL(38,0) staging (q_monthly_hhi class); sold_c rides along
+      // for one consistent schema in the ratio
+      .agg(sum(col("price_c").cast("decimal(38,0)")).as("sold_c"),
+        sum((col("qty") * col("retail_c")).cast("decimal(38,0)"))
+          .as("catalog_c"),
         count(lit(1)).as("n_lines"))
       .select(col("p_brand"), col("n_lines"),
         (col("sold_c").cast("double") / lit(100.0)).as("sold_value"),
@@ -155,16 +159,16 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
 
   val oBrandMarkup: String =
     """SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
-      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS sold_value,
-      |  CAST(sum(CAST(l.l_quantity AS BIGINT) *
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    ::DOUBLE / 100.0::DOUBLE AS sold_value,
+      |  sum(CAST(l.l_quantity AS HUGEINT) *
       |    CAST(floor(p.p_retailprice * 100) AS BIGINT))
-      |    AS BIGINT)::DOUBLE / 100.0::DOUBLE AS catalog_value,
-      |  CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
-      |    AS BIGINT)::DOUBLE /
-      |  CAST(sum(CAST(l.l_quantity AS BIGINT) *
+      |    ::DOUBLE / 100.0::DOUBLE AS catalog_value,
+      |  sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+      |    ::DOUBLE /
+      |  sum(CAST(l.l_quantity AS HUGEINT) *
       |    CAST(floor(p.p_retailprice * 100) AS BIGINT))
-      |    AS BIGINT)::DOUBLE AS markup_ratio
+      |    ::DOUBLE AS markup_ratio
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1""".stripMargin
 
@@ -429,13 +433,19 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
     val c = events(s, dir)
       .select(col("user_id"), expr("ts DIV 1000 DIV 3600000000").as("hr"))
       .groupBy(col("user_id"), col("hr")).agg(count(lit(1)).as("c"))
+    // c² of an unbounded per-hour count and the n·s2 / n_events² fano
+    // products are the q_monthly_hhi overflow class → DECIMAL(38,0)
+    // staging end to end; output schema unchanged (n_* stay BIGINT)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     c.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
-        sum(col("c") * col("c")).as("s2"))
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("_s2"))
       .select(col("user_id"), col("n_hours"), col("n_events"),
-        ((col("n_hours") * col("s2") - col("n_events") * col("n_events"))
+        ((col("n_hours").cast(dec) * col("_s2") -
+          col("n_events").cast(dec) * col("n_events").cast(dec))
           .cast("double") /
-          (col("n_hours") * col("n_events")).cast("double")).as("fano"))
+          (col("n_hours").cast(dec) * col("n_events").cast(dec))
+            .cast("double")).as("fano"))
   }
 
   val oBurstiness: String =
@@ -446,11 +456,11 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
       |p AS (
       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
       |    CAST(sum(c) AS BIGINT) AS n_events,
-      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |    sum(c::HUGEINT * c) AS s2
       |  FROM c GROUP BY 1)
       |SELECT user_id, n_hours, n_events,
-      |  CAST(n_hours * s2 - n_events * n_events AS DOUBLE) /
-      |    CAST(n_hours * n_events AS DOUBLE) AS fano
+      |  CAST(n_hours::HUGEINT * s2 - n_events::HUGEINT * n_events AS DOUBLE) /
+      |    CAST(n_hours::HUGEINT * n_events AS DOUBLE) AS fano
       |FROM p""".stripMargin
 
   // ---- session-depth histogram: for each session size (events per
@@ -1177,11 +1187,13 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
         expr("(end_us - ts_us) DIV 86400000000").as("k"))
       .select(col("channel"), col("value_c"),
         expr("CAST(shiftleft(1L, CAST(7 - k AS INT)) AS BIGINT)").as("w"))
+    // value_c·w (cents × ≤2⁷ decay weight, ≤1.3·10⁹/row) summed over
+    // unbounded touch counts → DECIMAL(38,0) staging (q_monthly_hhi class)
     val tot = pairs.agg(sum(col("w")).as("w_all"),
-      sum(col("value_c") * col("w")).as("vw_all"))
+      sum((col("value_c") * col("w")).cast("decimal(38,0)")).as("vw_all"))
     pairs.groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"), sum(col("w")).as("w_sum"),
-        sum(col("value_c") * col("w")).as("vw_sum"))
+        sum((col("value_c") * col("w")).cast("decimal(38,0)")).as("vw_sum"))
       .crossJoin(broadcast(tot))
       .select(col("channel"), col("n_touches"), col("w_sum"),
         (col("w_sum").cast("double") / col("w_all").cast("double"))
@@ -1209,14 +1221,14 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
       |    AND tch.ts_us BETWEEN p.start_us AND p.end_us),
       |tot AS (
       |  SELECT CAST(sum(w) AS BIGINT) AS w_all,
-      |    CAST(sum(value_c * w) AS BIGINT) AS vw_all
+      |    sum(value_c::HUGEINT * w) AS vw_all
       |  FROM pairs)
       |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
       |  CAST(sum(w) AS BIGINT) AS w_sum,
       |  CAST(sum(w) AS BIGINT)::DOUBLE / CAST(w_all AS BIGINT)::DOUBLE
       |    AS credit_share,
-      |  CAST(sum(value_c * w) AS BIGINT)::DOUBLE /
-      |    CAST(vw_all AS BIGINT)::DOUBLE AS value_share
+      |  sum(value_c::HUGEINT * w)::DOUBLE /
+      |    vw_all::DOUBLE AS value_share
       |FROM pairs CROSS JOIN tot GROUP BY channel, w_all, vw_all""".stripMargin
 
   // ---- monthly seasonality index: each calendar month's revenue share

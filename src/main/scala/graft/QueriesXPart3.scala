@@ -1389,9 +1389,13 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_i"))
       .groupBy(col("user_id"))
+      // Σnᵢ² and the n² denominator square unbounded per-user counts →
+      // DECIMAL(38,0) staging (q_monthly_hhi class); DIV stays exact
+      // integral division over decimals (the q_monthly_hhi pattern)
       .agg(sum(col("n_i")).as("n"),
-        sum(col("n_i") * col("n_i")).as("ssum"))
-      .select(expr("(ssum * 10000L DIV (n * n)) DIV 100").as("band"),
+        sum(col("n_i").cast("decimal(38,0)") * col("n_i")).as("ssum"))
+      .select(expr("CAST((ssum * 10000 DIV (CAST(n AS DECIMAL(38,0)) * n))" +
+          " DIV 100 AS BIGINT)").as("band"),
         col("n"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
@@ -1402,9 +1406,10 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       |  FROM events GROUP BY 1, 2),
       |u AS (
       |  SELECT user_id, CAST(sum(n_i) AS BIGINT) AS n,
-      |    CAST(sum(n_i * n_i) AS BIGINT) AS ssum
+      |    sum(n_i::HUGEINT * n_i) AS ssum
       |  FROM per GROUP BY 1)
-      |SELECT (ssum * 10000 // (n * n)) // 100 AS band,
+      |SELECT CAST((ssum * 10000 // (n::HUGEINT * n)) // 100 AS BIGINT)
+      |    AS band,
       |  CAST(count(*) AS BIGINT) AS n_users,
       |  CAST(sum(n) AS BIGINT) AS n_events
       |FROM u GROUP BY 1""".stripMargin
@@ -1805,7 +1810,8 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       .agg(count(lit(1)).as("v"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_months"), sum(col("v")).as("sv"),
-        sum(col("v") * col("v")).as("sv2"))
+        // Σv² of unbounded per-month counts → staged BEFORE the sum too
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("sv2"))
       .filter(col("n_months") >= 3L)
       .select(col("l_suppkey"), col("n_months"), col("sv").as("total_lines"),
         expr("CAST((CAST(n_months AS DECIMAL(38,0)) * " +
@@ -1825,7 +1831,7 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       |  FROM lineitem GROUP BY 1, 2),
       |per AS (
       |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_months,
-      |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS sv2
+      |    CAST(sum(v) AS BIGINT) AS sv, sum(v::HUGEINT * v) AS sv2
       |  FROM mv GROUP BY 1)
       |SELECT l_suppkey, n_months, sv AS total_lines,
       |  CAST((n_months::HUGEINT * sv2::HUGEINT - sv::HUGEINT * sv::HUGEINT)

@@ -175,7 +175,10 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
         floor(col("l_extendedprice") * 100).cast("long").as("price_c"))
       .groupBy(col("qty_band"))
       .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("rev_c"),
-        sum(col("disc_pct") * col("price_c")).as("wdisc_c"))
+        // Σ disc·price (≤10⁹/row) over unbounded per-band rows wraps a
+        // long at ~10¹⁰ rows/group → staged BEFORE the sum
+        sum((col("disc_pct") * col("price_c")).cast("decimal(38,0)"))
+          .as("wdisc_c"))
       .select(col("qty_band"), col("n_lines"),
         (col("rev_c").cast("double") / lit(100.0)).as("revenue"),
         expr("CAST(CAST(wdisc_c AS DECIMAL(38,0)) * 100 DIV " +
@@ -999,8 +1002,9 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
     val d = t(s, dir, "orders")
       .select((col("o_orderkey") % 10).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    // n_d ≈ N/10, so n_d² wraps a long at N ≈ 3·10¹⁰ rows → staged
     val summary = d.agg(sum(col("n_d")).as("n"),
-        sum(col("n_d") * col("n_d")).as("s2"))
+        sum(col("n_d").cast("decimal(38,0)") * col("n_d")).as("s2"))
       .select(col("n"),
         expr("CAST((10 * CAST(s2 AS DECIMAL(38,0)) - " +
           "CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) * 1000 " +
@@ -1016,7 +1020,7 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
       |  FROM orders GROUP BY 1),
       |s AS (
       |  SELECT CAST(sum(n_d) AS BIGINT) AS n,
-      |    CAST((10 * CAST(sum(n_d * n_d) AS HUGEINT) -
+      |    CAST((10 * sum(n_d::HUGEINT * n_d) -
       |      CAST(sum(n_d) AS HUGEINT) * CAST(sum(n_d) AS HUGEINT)) * 1000
       |      // CAST(sum(n_d) AS HUGEINT) AS BIGINT) AS chi2_x1000
       |  FROM d)
@@ -1037,8 +1041,10 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
       .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
       .filter(col("gap").isNotNull)
     gaps.groupBy(col("o_custkey"))
+      // gap² ≤ span² (~10⁸) but per-customer order counts are
+      // generator-dependent → staged rather than a prose bound
       .agg(count(lit(1)).as("n"), sum(col("gap")).as("s1"),
-        sum(col("gap") * col("gap")).as("s2"))
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("s2"))
       .filter(col("n") >= 2L && col("s1") > 0L)
       .select(expr("CAST((CAST(n AS DECIMAL(38,0)) * " +
         "CAST(s2 AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)) * " +
@@ -1061,7 +1067,7 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
       |per AS (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(gap) AS BIGINT) AS s1,
-      |    CAST(sum(gap * gap) AS BIGINT) AS s2
+      |    sum(gap::HUGEINT * gap) AS s2
       |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
       |SELECT CAST((n::HUGEINT * s2::HUGEINT - s1::HUGEINT * s1::HUGEINT)
       |    * 10000 // (s1::HUGEINT * s1::HUGEINT) AS BIGINT) // 5000
@@ -1522,7 +1528,10 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
     val w = Window.partitionBy(col("event_type")).orderBy(col("v_c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n_tot"), sum(col("v_c") * col("n")).as("sv"))
+      // Σ v_c·n ≡ Σ of raw cent values (linear envelope ~N·10⁷ — wraps a
+      // long at ~10¹² rows) → DECIMAL(38,0) headroom; DIV stays BIGINT
+      .agg(sum(col("n")).as("n_tot"),
+        sum(col("v_c").cast("decimal(38,0)") * col("n")).as("sv"))
     hist.withColumn("cum", sum(col("n")).over(w))
       .join(broadcast(tot), Seq("event_type"))
       .groupBy(col("event_type"))
@@ -1544,14 +1553,14 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
       |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v_c)
       |      AS BIGINT) AS cum,
       |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot,
-      |    CAST(sum(v_c * n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    sum(v_c::HUGEINT * n) OVER (PARTITION BY event_type)
       |      AS sv
       |  FROM hist)
       |SELECT event_type, max(n_tot) AS n_events,
-      |  max(sv) // max(n_tot) AS mean_c,
+      |  CAST(max(sv) // max(n_tot) AS BIGINT) AS mean_c,
       |  min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS median_c,
-      |  max(sv) // max(n_tot) -
-      |    min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS gap_c
+      |  CAST(max(sv) // max(n_tot) -
+      |    min(CASE WHEN cum * 2 >= n_tot THEN v_c END) AS BIGINT) AS gap_c
       |FROM cum GROUP BY 1""".stripMargin
 
   // ---- per-type overdispersion: Fano factor (var/mean) of DAILY event
@@ -1564,7 +1573,8 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
       .agg(count(lit(1)).as("c"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
-        sum(col("c") * col("c")).as("s2"))
+        // Σc² of unbounded per-day counts → staged BEFORE the sum
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       .select(col("event_type"), col("n_days"), col("total"),
         expr("CAST((CAST(n_days AS DECIMAL(38,0)) * " +
           "CAST(s2 AS DECIMAL(38,0)) - CAST(total AS DECIMAL(38,0)) * " +
@@ -1580,7 +1590,7 @@ private[graft] trait QueriesXPart4 extends QueriesXShared {
       |per AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
       |    CAST(sum(c) AS BIGINT) AS total,
-      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |    sum(c::HUGEINT * c) AS s2
       |  FROM d GROUP BY 1)
       |SELECT event_type, n_days, total,
       |  CAST((n_days::HUGEINT * s2::HUGEINT - total::HUGEINT *

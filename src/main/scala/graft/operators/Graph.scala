@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Fixed-point accumulation type: the snapped 2^40-grid addends are
+    * EXACT integers, but their long sum wraps once N·2^40 > 2^63 — i.e.
+    * at only ~8.4M unit-mass nodes for a global L1 normalizer (the r14
+    * sf1 probe's q_monthly_hhi overflow class, here in rank space). All
+    * snapped sums therefore accumulate in DECIMAL(38,0): still exact and
+    * associative (map-side partials intact), 10^38 headroom, and the
+    * final cast-to-double of the same exact integer is bit-identical to
+    * the long path wherever the long path didn't wrap.
+    */
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** PageRank as pure DataFrame algebra, deterministic BY CONSTRUCTION
     * like [[Similarity.kmeans]]:
     * - damping d = 7/8 (0.875 and 0.125 are EXACT binary fractions, so
@@ -79,7 +90,7 @@ object Graph {
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
       val incoming = e.join(contrib, col("src") === col("c_src"))
         .groupBy(col("dst"))
-        .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
+        .agg((sum(floor(col("contrib") * S + 0.5).cast(Dec38)).cast("double") / S)
           .as("in_sum"))
       val withIn = ranks.select(col("node"), col("n_nodes"), col("outdeg"))
         .join(incoming, col("node") === col("dst"), "left")
@@ -90,7 +101,7 @@ object Graph {
           // empty sink set → null sum → 0.0
           val dang = ranks.filter(col("outdeg").isNull)
             .agg(coalesce(
-              sum(floor(col("rank") * S + 0.5).cast("long")).cast("double") / S,
+              sum(floor(col("rank") * S + 0.5).cast(Dec38)).cast("double") / S,
               lit(0.0)).as("dangling"))
           withIn.crossJoin(broadcast(dang))
             .select(col("node"),
@@ -162,7 +173,7 @@ object Graph {
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
       val incoming = e.join(contrib, col("src") === col("c_src"))
         .groupBy(col("dst"))
-        .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
+        .agg((sum(floor(col("contrib") * S + 0.5).cast(Dec38)).cast("double") / S)
           .as("in_sum"))
       ranks = ranks.select(col("node"), col("outdeg"), col("tp"))
         .join(incoming, col("node") === col("dst"), "left")
@@ -200,7 +211,7 @@ object Graph {
   def hits(edges: DataFrame, iters: Int, checkpoint: Boolean = true): DataFrame = {
     val S = 1099511627776.0
     def snapSum(c: org.apache.spark.sql.Column) =
-      sum(floor(c * S + 0.5).cast("long")).cast("double") / S
+      sum(floor(c * S + 0.5).cast(Dec38)).cast("double") / S
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
     val nodes = e.select(col("src").as("node"))
@@ -334,10 +345,14 @@ object Graph {
       Seq("y", "z"), "left_semi")
     closed.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(deg.agg(
-        sum(col("d") * (col("d") - 1L)).as("wedges_x2"))))
-      .select(col("n_triangles"), col("wedges_x2"),
+        // d·(d−1) of a hub degree wraps a long at d ≈ 3·10⁹ and the
+        // corpus-wide wedge count long before that → DECIMAL(38,0)
+        // staging (q_monthly_hhi pattern); output keeps BIGINT schema
+        sum(col("d").cast(Dec38) * (col("d") - 1L)).as("_wedges_x2"))))
+      .select(col("n_triangles"),
+        col("_wedges_x2").cast("long").as("wedges_x2"),
         ((lit(6L) * col("n_triangles")).cast("double") /
-          col("wedges_x2").cast("double")).as("transitivity"))
+          col("_wedges_x2").cast("double")).as("transitivity"))
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007, Phys. Rev. E 76)

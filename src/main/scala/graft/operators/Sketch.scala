@@ -194,9 +194,15 @@ object Sketch {
         (Portable.hash32(col("token"), col("seed")) % w).as("bucket"),
         col("n"))
       .groupBy(col("seed"), col("bucket")).agg(sum(col("n")).as(out))
+    // ca·cb and na·nb are products of two corpus-scale counts (~(N/w)²
+    // and token-frequency², both quadratic in N — wrap a long at
+    // N ≈ w·3·10⁹) → staged through DECIMAL(38,0); the graded outputs
+    // keep their BIGINT schema (representational bound, not a wrap).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val est = sketchOf(fa, "ca").join(sketchOf(fb, "cb"), Seq("seed", "bucket"))
-      .groupBy(col("seed")).agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min(col("dot")).as("est_join"))
+      .groupBy(col("seed"))
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).as("dot"))
+      .agg(min(col("dot")).cast("long").as("est_join"))
     val sizes = fa.agg(sum(col("n")).as("n_a"))
       .crossJoin(fb.agg(sum(col("n")).as("n_b")))
     if (!gradeExact)
@@ -205,13 +211,15 @@ object Sketch {
     else {
       val exact = fa.withColumnRenamed("n", "na")
         .join(fb.withColumnRenamed("n", "nb"), "token")
-        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_join"))
+        .agg(coalesce(sum(col("na").cast(dec) * col("nb").cast(dec)),
+          lit(0L).cast(dec)).cast("long").as("exact_join"))
       est.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
         .select(col("est_join"), col("exact_join"), col("n_a"), col("n_b"),
           (col("est_join") - col("exact_join")).as("overest"),
           (col("est_join") >= col("exact_join")).as("never_under"),
-          (col("est_join") <= col("exact_join") + expr(s"3 * n_a * n_b DIV $w"))
-            .as("bound_ok"))
+          (col("est_join").cast(dec) <= col("exact_join").cast(dec) +
+            col("n_a").cast(dec) * col("n_b").cast(dec) * 3L / lit(w)
+              .cast(dec)).as("bound_ok"))
     }
   }
 

@@ -24,16 +24,21 @@ object Stats {
     */
   def corrExact(df: DataFrame, groupCols: Seq[String],
                 xCol: String, yCol: String): DataFrame = {
+    // Moment sums staged through DECIMAL(38,0): Σx² of a cents-quantized
+    // column (~10¹⁴/row) wraps a long at ~10⁵ rows per group — the
+    // q_monthly_hhi overflow class the r14 sf1 probe proved real. 128-bit
+    // decimals stay exact and associative (map-side partials intact).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = groupCols.map(col)
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
     df.select(g :+ x.as("_x") :+ y.as("_y"): _*)
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
-        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-        sum(col("_x") * col("_x")).as("_sxx"),
-        sum(col("_y") * col("_y")).as("_syy"),
-        sum(col("_x") * col("_y")).as("_sxy"))
+        sum(col("_x").cast(dec)).as("_sx"), sum(col("_y").cast(dec)).as("_sy"),
+        sum(col("_x").cast(dec) * col("_x").cast(dec)).as("_sxx"),
+        sum(col("_y").cast(dec) * col("_y").cast(dec)).as("_syy"),
+        sum(col("_x").cast(dec) * col("_y").cast(dec)).as("_sxy"))
       .select(g :+ col("n") :+
         ((col("n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
           (sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")) *
@@ -114,12 +119,21 @@ object Stats {
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("agree"))
     val rowm = conf.groupBy(col("a")).agg(sum(col("cnt")).as("na"))
     val colm = conf.groupBy(col("b")).agg(sum(col("cnt")).as("nb"))
+    // na·nb is a product of two corpus-scale marginals (~N² — wraps a
+    // long at N ≈ 3·10⁹) → staged through DECIMAL(38,0); kappa's N·A and
+    // N² products likewise. The reported `rowcol` column keeps its BIGINT
+    // schema (representational bound: exceeds 2⁶³ only past N ≈ 3·10⁹
+    // rows ALL in one confusion cell-pair — kappa itself stays exact).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val rc = rowm.join(colm, col("a") === col("b"))
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("rowcol"))
+      .agg(coalesce(sum(col("na").cast(dec) * col("nb").cast(dec)),
+        lit(0L).cast(dec)).as("_rowcol"))
     total.crossJoin(broadcast(diag)).crossJoin(broadcast(rc))
-      .select(col("nn").as("n"), col("agree"), col("rowcol"),
-        ((col("nn") * col("agree") - col("rowcol")).cast("double") /
-          (col("nn") * col("nn") - col("rowcol")).cast("double")).as("kappa"))
+      .select(col("nn").as("n"), col("agree"),
+        col("_rowcol").cast("long").as("rowcol"),
+        ((col("nn").cast(dec) * col("agree") - col("_rowcol")).cast("double") /
+          (col("nn").cast(dec) * col("nn") - col("_rowcol")).cast("double"))
+          .as("kappa"))
   }
 
   /** Grouped ordinary-least-squares fit over two INTEGER-VALUED columns
@@ -278,14 +292,20 @@ object Stats {
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("cbelow", coalesce(sum(col("c")).over(w), lit(0L)))
+    // v·c·cbelow multiplies a value by TWO corpus-scale counts (~v·N² —
+    // wraps a long at N ≈ 10⁶ for cents-scale v) → the rank-block terms
+    // are staged through DECIMAL(38,0); Σv·c stays within the linear
+    // sum-of-values envelope but rides the same staging for one schema.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     cum.agg(
         sum(col("c")).as("n_units"),
-        sum(col("v") * col("c")).as("total"),
-        sum(col("v") * (lit(2L) * col("c") * col("cbelow") +
-          col("c") * col("c") + col("c"))).as("_two_six"))
-      .select(col("n_units"), col("total"),
-        ((col("_two_six") - (col("n_units") + 1L) * col("total")).cast("double") /
-          (col("n_units") * col("total")).cast("double")).as("gini"))
+        sum(col("v").cast(dec) * col("c")).as("_total"),
+        sum(col("v").cast(dec) * (lit(2L).cast(dec) * col("c") * col("cbelow") +
+          col("c").cast(dec) * col("c") + col("c"))).as("_two_six"))
+      .select(col("n_units"), col("_total").cast("long").as("total"),
+        ((col("_two_six") - (col("n_units").cast(dec) + 1L) * col("_total"))
+          .cast("double") /
+          (col("n_units").cast(dec) * col("_total")).cast("double")).as("gini"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic over an INTEGER-VALUED
@@ -448,13 +468,21 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, -1)
     val scored = hist
       .withColumn("cum_n_below", coalesce(sum(col("n")).over(w), lit(0L)))
+    // p·cum_n_below is a product of two corpus-scale counts (~N²/4 —
+    // wraps a long at N ≈ 6·10⁹) → staged through DECIMAL(38,0), as is
+    // the 2·P·N denominator. `concordant2` keeps its BIGINT output
+    // schema (representational bound at N ≈ 4·10⁹ pairs; auc itself
+    // stays exact in the decimal path).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     scored.agg(
         sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
-        sum(lit(2L) * col("p") * col("cum_n_below") + col("p") * col("n"))
-          .as("concordant2"))
-      .select(col("n_pos"), col("n_neg"), col("concordant2"),
-        (col("concordant2").cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+        sum(lit(2L).cast(dec) * col("p") * col("cum_n_below") +
+          col("p").cast(dec) * col("n")).as("_concordant2"))
+      .select(col("n_pos"), col("n_neg"),
+        col("_concordant2").cast("long").as("concordant2"),
+        (col("_concordant2").cast("double") /
+          (lit(2L).cast(dec) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
   }
 
   /** One-pass correlation matrix — every pairwise Pearson correlation of

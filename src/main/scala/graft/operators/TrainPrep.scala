@@ -502,15 +502,23 @@ object TrainPrep {
         sum(when(col("tgt"), col("n")).otherwise(0L)).as("tgt_cnt"))
     val totals = bucketTotals
       .agg(sum(col("raw_cnt")).as("r"), sum(col("tgt_cnt")).as("t"))
+    // s multiplies two corpus-scale token totals (~N² — wraps a long at
+    // N ≈ 3·10⁹ tokens) and dsir_score sums doc_len·s on top → the whole
+    // score path is staged through DECIMAL(38,0) (q_monthly_hhi class).
+    // The returned dsir_score keeps its BIGINT schema — a representational
+    // bound (the magnitude is only used for ordering, which the decimal
+    // path decides before the cast).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val scores = bucketTotals.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        ((col("tgt_cnt") + 1L) * (col("r") + b) -
-          (col("raw_cnt") + 1L) * (col("t") + b)).as("s"))
+        ((col("tgt_cnt").cast(dec) + 1L) * (col("r").cast(dec) + b) -
+          (col("raw_cnt").cast(dec) + 1L) * (col("t").cast(dec) + b)).as("s"))
     docBuckets.join(broadcast(scores), "bucket")
       .groupBy(col(idCol))
-      .agg(sum(col("n") * col("s")).as("dsir_score"))
-      .orderBy(col("dsir_score").desc, col(idCol))
+      .agg(sum(col("n").cast(dec) * col("s")).as("_dsir"))
+      .orderBy(col("_dsir").desc, col(idCol))
       .limit(topN)
+      .select(col(idCol), col("_dsir").cast("long").as("dsir_score"))
   }
 
   /** Two-level k-anonymity generalization (Sweeney 2002): rows whose

@@ -47,6 +47,12 @@ object Checkpoints {
     * blocks a still-live DataFrame will be asked for again would fail the
     * later action, not slow it down. Non-blocking (removal proceeds
     * asynchronously on the executors).
+    *
+    * SINGLE-THREADED-SESSION assumption: this releases every persisted
+    * RDD in the session, so a concurrent query on a shared SparkSession
+    * would lose its own truncated-lineage blocks and fail its later
+    * actions. Bench/Verify drive queries strictly sequentially; a
+    * multi-tenant driver must scope release to its own RDD ids instead.
     */
   def releaseAll(ss: org.apache.spark.sql.SparkSession): Unit =
     ss.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -70,6 +76,13 @@ object Checkpoints {
     * (public API; `localCheckpoint` marks its RDD persisted at call time,
     * before materialization). The final round is never released — callers
     * build their result on it.
+    *
+    * SINGLE-THREADED-SESSION assumption: the diff is over the session's
+    * GLOBAL persistent-RDD map, so an RDD persisted by a concurrent query
+    * between begin() and rotate() would be mis-attributed to this loop
+    * and unpersisted one round later — fatal for that query if its RDD is
+    * lineage-truncated. Safe under the sequential Bench/Verify drivers; a
+    * shared-session driver must not run iterative operators concurrently.
     */
   final class Rotation(ss: org.apache.spark.sql.SparkSession) {
     private val sc = ss.sparkContext
