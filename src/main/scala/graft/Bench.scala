@@ -262,6 +262,7 @@ object Bench {
     // 219 s committed, same code, zero in-run evidence either way).
     val detailJson =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},""" +
+        s""""reps":$reps,""" +
         s""""gc_sec":${ms(gcTotal / 1000.0)},"queries":$qs,"gc_ms":$gcs,""" +
         s""""task_retries":$retriesJson,"stalls":$stalls,""" +
         s""""stall_causes":$stallCauses,""" +

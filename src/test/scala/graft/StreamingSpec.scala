@@ -737,4 +737,110 @@ class StreamingSpec extends SparkSpec {
         "stream must emit exactly the observed source days")
     } finally q.stop()
   }
+
+  test("SCALE: 1M events stream through the sessionizer with bounded " +
+      "state, bit-identical to the batch twin", StreamingSpec.Scale) {
+    // r14 verdict item 8: the batch side has sf1/sf10 evidence, the
+    // streaming twins only spec-scale proofs. This probe drives 1e6
+    // events (10k users x 10 bursts x 10 events) through
+    // flatMapGroupsWithState and asserts the two claims that matter at
+    // scale: (a) state is O(open sessions) -- 10k rows mid-stream, NOT
+    // O(events seen); (b) the closed-session set equals
+    // Sessions.sessionize on the identical 1M rows, bit-for-bit.
+    import graft.streaming.SessionStream
+    implicit val sqlCtx = spark.sqlContext
+    val users = 10000
+    val bursts = 10
+    val perBurst = 10
+    val gapMicros = 60L * 1000000L // 60s; intra-burst gap is 20s
+    // base offset 1000s: a row tying the initial watermark is late
+    def secOf(b: Int, j: Int): Long = 1000L + b.toLong * 3600 + j.toLong * 20
+    val input = MemoryStream[Event]
+    val q = SessionStream.statefulSessions(input.toDS(), gapMicros)
+      .writeStream.format("memory").queryName("sessions_1m")
+      .outputMode("append").start()
+    try {
+      var midState = -1L
+      for (b <- 0 until bursts) {
+        val batch = for (u <- 0 until users; j <- 0 until perBurst)
+          yield Event(u.toLong, (u.toLong * bursts + b) * perBurst + j,
+            ts(secOf(b, j)))
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        if (b == bursts / 2)
+          midState = q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // mid-stream state: exactly one open-session row per user --
+      // half a million events seen, state stayed at 10k rows
+      assert(midState === users.toLong,
+        s"state must be O(open sessions), saw $midState")
+      // flush: one far-future event advances the watermark past every
+      // open session's deadline; all 10k time out and close
+      input.addData(Event(0L, -1L, ts(secOf(bursts, 0) + 86400L)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 1L,
+        "only the flush event's own session may remain open")
+      val streamed = spark.table("sessions_1m")
+        .as[ClosedSession].collect()
+      assert(streamed.length === users * bursts)
+      // batch twin on the identical rows (+ flush, whose still-open
+      // session the batch side emits and the stream side must not)
+      val rows = for (u <- 0 until users; b <- 0 until bursts;
+                      j <- 0 until perBurst)
+        yield (u.toLong, (u.toLong * bursts + b) * perBurst + j,
+          secOf(b, j) * 1000000L)
+      val batchDf = (rows :+ (0L, -1L, (secOf(bursts, 0) + 86400L) * 1000000L))
+        .toDF("user_id", "event_id", "ts_us")
+      val batch = graft.operators.Sessions.sessionize(batchDf, gapMicros)
+        .filter(org.apache.spark.sql.functions.col("n_events") > 1L ||
+          org.apache.spark.sql.functions.col("start_us") =!=
+          (secOf(bursts, 0) + 86400L) * 1000000L)
+        .select("user_id", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val got = streamed.map(s =>
+        (s.user_id, s.n_events, s.start_us, s.end_us)).toSet
+      assert(got === batch,
+        "1M-event streamed sessions must replay the batch twin exactly")
+    } finally q.stop()
+  }
+
+  test("SCALE: 1M values stream through the HLL sketch, O(keys) state, " +
+      "bit-identical registers to batch", StreamingSpec.Scale) {
+    import graft.streaming.SketchStream
+    import graft.streaming.SketchStream.KV
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KV]
+    val q = SketchStream.runningDistinct(input.toDS())
+      .writeStream.format("memory").queryName("hll_1m")
+      .outputMode("update").start()
+    try {
+      val keys = 64
+      // 1e6 values over 64 keys, ~30% cross-batch overlap so the
+      // max-fold idempotence is exercised at volume, not just at n=2
+      val b1 = (0L until 500000L).map(i => KV(s"k${i % keys}", i))
+      val b2 = (350000L until 850000L).map(i => KV(s"k${i % keys}", i))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === keys.toLong,
+        "state must be one register array per KEY, not per value")
+      val streamed = spark.table("hll_1m").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("hll_est").as("est"))
+        .as[(String, Double)].collect().toMap
+      val batch = graft.operators.Sketch.hllDistinct(
+        (b1 ++ b2).toDF("key", "value"), Seq("key"), "value")
+        .as[(String, Double)].collect().toMap
+      assert(streamed === batch,
+        "1M-value streaming registers must replay the batch sketch exactly")
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  /** Scale-probe tag: ≥1M-event MemoryStream runs (r14 verdict item 8).
+    * Included in the default suite; the tag exists so a quick local
+    * sweep can exclude them (`Test/testOnly -- -l graft.Scale`).
+    */
+  object Scale extends org.scalatest.Tag("graft.Scale")
 }
