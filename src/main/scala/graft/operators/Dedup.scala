@@ -724,9 +724,17 @@ object Dedup {
     * single exchange), a prefix-shingle equi-join, and two id-keyed
     * verify joins. PPJoin's positional refinement is omitted — it prunes
     * constants, not the asymptotic shape.
+    *
+    * `maxPairs` (default None = unchanged semantics): optional
+    * candidate-pair budget via [[graft.util.PairBudget]] applied to the
+    * prefix-shingle blocks — the join key whose fan-out is the one
+    * quadratic term. Oversized (hub-shingle) blocks drop LOUDLY (WARN +
+    * accounting); pairs sharing only dropped shingles are lost, the
+    * visible-degradation contract shared with [[fuzzyStringJoin]].
     */
   def setSimJoin(docs: DataFrame, k: Int, num: Int, den: Int,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxPairs: Option[Long] = None): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "need 0 < num/den <= 1")
     import org.apache.spark.sql.expressions.Window
     val sh = docs.select(col(idCol).as("id"),
@@ -736,9 +744,16 @@ object Dedup {
     val ranked = sh.join(dfreq, "sh")
       .withColumn("rank", row_number().over(byDoc.orderBy(col("df"), col("sh"))).cast("long"))
       .withColumn("n", count(lit(1)).over(byDoc))
-    val prefix = ranked
+    val prefix0 = ranked
       .filter(col("rank") <= expr(s"n - (n * $num + ${den - 1}) DIV $den + 1"))
       .select(col("sh"), col("id"), col("n"))
+    val prefix = maxPairs match {
+      case Some(budget) =>
+        val cap = graft.util.PairBudget
+          .capFor(prefix0, Seq("sh"), budget, "setSimJoin").cap
+        graft.util.PairBudget.applyCap(prefix0, Seq("sh"), cap)
+      case None => prefix0
+    }
     val cand = prefix.select(col("sh"), col("id").as("a_id"), col("n").as("na"))
       .join(prefix.select(col("sh"), col("id").as("b_id"), col("n").as("nb")), "sh")
       .filter(col("a_id") < col("b_id"))

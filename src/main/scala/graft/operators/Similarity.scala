@@ -108,28 +108,7 @@ object Similarity {
     * as the equi-join key.
     */
   def ivfPairs(vecs: DataFrame, numCentroids: Int, minCosine: Double): DataFrame = {
-    // zero vectors have no defined cosine (x/0 = NaN here, NULL in the
-    // oracle — and Spark's nan-safe compare would let NaN pass the
-    // threshold); exclude them from index and pairs on both sides
-    val n = withNorm(vecs).filter(col("norm") > 0)
-    val cents = n.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-        col("norm").as("cnorm"))
-    val scored = n.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
-        (DotFold.dot(col("embedding"), col("cemb")) /
-          (col("norm") * col("cnorm"))).as("cscore"))
-    // deterministic argmax via max_by over an orderable struct: ties on
-    // cscore break to the LOWEST centroid id (-cid maximized). A hash agg,
-    // not a window — no sort, and the partial phase folds per-vector
-    // candidates before the exchange.
-    val assigned = scored
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cid"), col("embedding"), col("norm")),
-        struct(col("cscore"), -col("cid"))).as("best"))
-      .select(col("best.cid").as("cell"), col("vec_id"),
-        col("best.embedding").as("embedding"), col("best.norm").as("norm"))
+    val assigned = ivfAssign(vecs, numCentroids)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -141,6 +120,44 @@ object Similarity {
           (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** The coarse assignment behind [[ivfPairs]]: first-`numCentroids`
+    * seeds, deterministic cosine argmax. Zero vectors have no defined
+    * cosine (x/0 = NaN here, NULL in the oracle — and Spark's nan-safe
+    * compare would let NaN pass the threshold); excluded from index and
+    * pairs on both sides. The argmax is max_by over an orderable
+    * struct: ties on cscore break to the LOWEST centroid id (-cid
+    * maximized). A hash agg, not a window — no sort, and the partial
+    * phase folds per-vector candidates before the exchange.
+    */
+  private def ivfAssign(vecs: DataFrame, numCentroids: Int): DataFrame = {
+    val n = withNorm(vecs).filter(col("norm") > 0)
+    val cents = n.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm").as("cnorm"))
+    val scored = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+        (DotFold.dot(col("embedding"), col("cemb")) /
+          (col("norm") * col("cnorm"))).as("cscore"))
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding"), col("norm")),
+        struct(col("cscore"), -col("cid"))).as("best"))
+      .select(col("best.cid").as("cell"), col("vec_id"),
+        col("best.embedding").as("embedding"), col("best.norm").as("norm"))
+  }
+
+  /** Cell-size census of the [[ivfPairs]] coarse index — the
+    * diagnostic behind the centroid-count scale knob: the within-cell
+    * candidate-pair mass the pair join will pay is Σ d·(d−1)/2 over
+    * these rows, and raising `numCentroids` with N (∝ √N is the
+    * classic IVF sizing) is what keeps it flat. One extra hash agg
+    * over the same assignment [[ivfPairs]] computes anyway.
+    */
+  def ivfCellSizes(vecs: DataFrame, numCentroids: Int): DataFrame =
+    ivfAssign(vecs, numCentroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("d"))
 
   /** Int8 scalar quantization — the standard 4× memory reduction before an
     * ANN index ships to serving: per-vector affine map of each coordinate

@@ -82,4 +82,28 @@ class PairBudgetSpec extends SparkSpec {
     assert(got.subsetOf(brute), "every budgeted pair must be a true pair" +
       " with its exact distance")
   }
+
+  test("setSimJoin budget: no-op when prefix blocks fit, sound subset " +
+      "when a hub shingle is dropped") {
+    // 4 near-dup docs sharing rare shingles + a hub shingle ('the the
+    // the' k=3 window) present in every doc
+    val docs = (1L to 8L).map { i =>
+      val tail = if (i % 2 == 0) s"alpha beta gamma delta${i / 2}"
+      else s"alpha beta gamma delta${(i + 1) / 2} extra"
+      (i, s"the the the the $tail")
+    }.toDF("doc_id", "text")
+    val free = Dedup.setSimJoin(docs, k = 3, num = 1, den = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val roomy = Dedup.setSimJoin(docs, k = 3, num = 1, den = 2,
+        maxPairs = Some(1000000L))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(roomy === free, "under-budget cap must not change the output")
+    assert(free.nonEmpty)
+    val tight = Dedup.setSimJoin(docs, k = 3, num = 1, den = 2,
+        maxPairs = Some(3L))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(free),
+      "budgeted candidates must be a subset of the exact join — the " +
+        "verify stage keeps every surviving pair a TRUE Jaccard match")
+  }
 }
