@@ -32,8 +32,10 @@ object AnnKnobProbe {
     val ks = (Seq(16, sqrtK) ++ args.drop(1).map(_.toInt)).distinct
     for (k <- ks) {
       val t0 = System.nanoTime()
+      // d*(d-1) is even, so halving the long sum is exact (a /2 column
+      // would be DOUBLE and lose exactness past 2^53 candidates)
       val cand = Similarity.ivfCellSizes(vecs, k)
-        .agg(sum(col("d") * (col("d") - 1) / 2)).collect()(0).getLong(0)
+        .agg(sum(col("d") * (col("d") - 1))).collect()(0).getLong(0) / 2
       val tCand = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val out = Similarity.ivfPairs(vecs, k, minCosine = 0.25).count()

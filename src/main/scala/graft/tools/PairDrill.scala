@@ -19,12 +19,16 @@ import graft.operators.{Dedup, Similarity}
   * the artifact PLANS.md excerpts.
   *
   * Usage: runMain graft.tools.PairDrill <sfDir> <fuzzyBudget> <ssBudget>
+  *        [skipUnbudgeted] — the unbudgeted fuzzy stage costs ~7 min at
+  *        sf10 (518M pairs); pass any 4th arg to rerun only the budgeted
+  *        stages.
   */
 object PairDrill {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val fuzzyBudget = args(1).toLong
     val ssBudget = args(2).toLong
+    val skipUnbudgeted = args.length > 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -44,7 +48,7 @@ object PairDrill {
       .when(col("doc_id") % 3 === 1, base.substr(lit(1), length(base) - 1))
       .otherwise(concat(lit("z"), base.substr(lit(2), length(base) - 1)))
     val strs = docs.select(col("doc_id").as("id"), name.as("s"))
-    timed(s"fuzzy_unbudgeted") {
+    if (!skipUnbudgeted) timed(s"fuzzy_unbudgeted") {
       Dedup.fuzzyStringJoin(strs, q = 2, maxDist = 1, stopDenom = 8L)
     }
     timed(s"fuzzy_budget=$fuzzyBudget") {
