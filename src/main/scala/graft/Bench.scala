@@ -197,7 +197,7 @@ object Bench {
       // reported beside it, so a box stall is diagnosable from the
       // artifact instead of reading as a code regression.
       val stallThreshold = warm.get(name).map(w => math.max(3.0 * w, 2.0))
-      if (runs.head.err.isEmpty && stallThreshold.exists(med > _)) {
+      val qr = if (runs.head.err.isEmpty && stallThreshold.exists(med > _)) {
         val retry = onePass()
         // report the FASTER of the two passes (the best in-run evidence of
         // the plan's true cost — a genuine regression is slow on both), the
@@ -214,6 +214,12 @@ object Bench {
         QR(name, med, runs.head.rows, runs.head.sum,
           runs.flatMap(_.err).headOption,
           runs.map(_.gcMs).max, runs.map(_.retries).max, None)
+      // per-query progress on STDERR (the graded stdout contract is the
+      // two JSON lines at the end): hour-scale runs at sf10 are otherwise
+      // a black box — a hung query is indistinguishable from a slow one.
+      System.err.println(f"BENCHQ ${qr.name} sec=${qr.sec}%.1f" +
+        f" rows=${qr.rows}${qr.err.map(e => s" ERR=$e").getOrElse("")}")
+      qr
     }
     // The graded line must be SHORT and LAST: the driver keeps only the
     // final ~2000 chars of output, and r4-r6's single fat line (timings +
