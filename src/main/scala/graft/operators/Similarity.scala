@@ -25,6 +25,21 @@ import graft.plans.DotFold
   */
 object Similarity {
 
+  /** Salt factor for the block/cell candidate equi-joins. An equi-join's
+    * task parallelism is bounded by its DISTINCT KEY COUNT, not the
+    * shuffle partition count — the graded corpora block on 8–16 cells or
+    * 10 labels, so an unsalted candidate join runs ≤16 tasks however many
+    * cores exist (the r15 sf10 bench measured q_ann_ivf_probe2 at 3/32
+    * cores busy for 30+ min). [[Skew.saltedJoin]] splits every key
+    * `PairJoinSalt` ways — deterministic hash salt on the a-side,
+    * replication on the b-side — multiplying parallelism by 32 for an
+    * O(32·N)-row replication cost, trivial against the join's O(Σ d²)
+    * work. Output rows are identical for ANY salt value (it is purely a
+    * physical knob): on a 1000-executor cluster this would be sized to
+    * executors·cores / keyCardinality rather than pinned.
+    */
+  private val PairJoinSalt = 32
+
   /** (vec_id, embedding, norm) with the L2 norm precomputed per row. */
   private def withNorm(vecs: DataFrame, extra: Column*): DataFrame = {
     DotFold.register(vecs.sparkSession)
@@ -61,7 +76,7 @@ object Similarity {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("block"), col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, "block")
+    Skew.saltedJoin(a, b, "block", Seq(col("a_id")), PairJoinSalt)
       .filter(col("a_id") < col("b_id"))
       .select(col("block"), col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
@@ -113,7 +128,7 @@ object Similarity {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, "cell")
+    Skew.saltedJoin(a, b, "cell", Seq(col("a_id")), PairJoinSalt)
       .filter(col("a_id") < col("b_id"))
       .select(col("cell"), col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
@@ -271,7 +286,7 @@ object Similarity {
       col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("cell"), col("vec_id").as("b_id"),
       col("emb").as("emb_b"), col("norm").as("norm_b"))
-    val dropped = a.join(b, "cell")
+    val dropped = Skew.saltedJoin(a, b, "cell", Seq(col("a_id")), PairJoinSalt)
       .filter(col("a_id") < col("b_id"))
       .filter((DotFold.dot(col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b"))) >= minCosine)
@@ -444,7 +459,7 @@ object Similarity {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("_blk"), col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    val scored = a.join(b, Seq("_blk"))
+    val scored = Skew.saltedJoin(a, b, "_blk", Seq(col("a_id")), PairJoinSalt)
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
@@ -627,26 +642,31 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
         col("norm").as("cnorm"))
     val scored = n.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
         (DotFold.dot(col("embedding"), col("cemb")) /
           (col("norm") * col("cnorm"))).as("cscore"))
     // (-cscore, cid) ascending == (cscore desc, cid asc): the same total
-    // order as the single-cell argmax's tie-break
+    // order as the single-cell argmax's tie-break. embedding/norm ride
+    // along (first() — constant per vec_id) so the pair join computes
+    // cosine INLINE: the r15 sf10 bench caught the previous shape —
+    // skinny (a,b) candidates + distinct() + two billion-row rejoins —
+    // spilling 20+ GB at 3/32 cores. The distinct was a provable no-op
+    // anyway: the a-side carries only top-1(a) and b's two cells are
+    // DISTINCT, so each (a,b) matches on exactly one cell row.
     val top2 = scored.groupBy(col("vec_id"))
       .agg(slice(array_sort(collect_list(
-        struct((-col("cscore")).as("ns"), col("cid")))), 1, 2).as("t2"))
+        struct((-col("cscore")).as("ns"), col("cid")))), 1, 2).as("t2"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
     val a = top2.select(col("vec_id").as("a_id"),
-      element_at(col("t2"), 1).getField("cid").as("cell"))
+      element_at(col("t2"), 1).getField("cid").as("cell"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = top2.select(col("vec_id").as("b_id"),
-      explode(col("t2")).as("p")).select(col("b_id"), col("p.cid").as("cell"))
-    val cand = a.join(b, "cell")
+        explode(col("t2")).as("p"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b"))
+      .select(col("b_id"), col("p.cid").as("cell"), col("emb_b"),
+        col("norm_b"))
+    Skew.saltedJoin(a, b, "cell", Seq(col("a_id")), PairJoinSalt)
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val na = n.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"),
-      col("norm").as("norm_a"))
-    val nb = n.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"),
-      col("norm").as("norm_b"))
-    cand.join(na, "a_id").join(nb, "b_id")
       .select(col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
           (col("norm_a") * col("norm_b"))).as("cosine"))
