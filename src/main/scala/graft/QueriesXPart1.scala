@@ -111,12 +111,27 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
       explode(deletionVariants(col("nm"))).as("v"))
     val a = v.select(col("id").as("a_id"), col("nm").as("a_nm"), col("v"))
     val b = v.select(col("id").as("b_id"), col("nm").as("b_nm"), col("v"))
-    a.join(b, Seq("v"))
+    // verify INSIDE the join's output stream, dedup only survivors: the
+    // old shape (distinct over the full candidate set, THEN levenshtein)
+    // exchanged every candidate row — candidates are the quadratic term,
+    // true pairs the output-bounded one, so the distinct must run on
+    // pairs that already passed the edit-distance check. Only the L+1
+    // variant rows per name ever shuffle; the c² candidate rows per block
+    // are generated and filtered inside the join task (one codegen'd
+    // levenshtein per candidate; d is constant per pair so distinct on
+    // (a_id, b_id, d) equals distinct on the pair).
+    //
+    // shuffle_hash, not the optimizer's pick: Generate (explode) wrecks
+    // size estimates, so Catalyst BROADCASTS the 25M-row variant side and
+    // the probe side inherits the parquet scan's partitioning — at sf10
+    // that was ONE task running 132M levenshteins serially (jstack'd).
+    // Exchanging both sides on the ~16M-key variant column spreads the
+    // candidate blocks across every core; no side needs a sort.
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("v"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_nm"), col("b_nm")).distinct()
-      .filter(levenshtein(col("a_nm"), col("b_nm")) <= 1)
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_nm"), col("b_nm")).cast("long").as("d"))
+      .withColumn("d", levenshtein(col("a_nm"), col("b_nm")).cast("long"))
+      .filter(col("d") <= 1)
+      .select(col("a_id"), col("b_id"), col("d")).distinct()
   }
 
   val oEditDistJoin: String =

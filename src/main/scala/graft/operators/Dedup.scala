@@ -224,9 +224,17 @@ object Dedup {
     * to both docs' shingle-set arrays, count the intersection natively. */
   private def inter_from_sets(candidates: DataFrame, docSets: DataFrame,
                               minContainment: Double): DataFrame = {
+    // shuffle_hash with the ARRAY side as build: the default sort-merge
+    // join sorts |candidates| rows already carrying a doc's full shingle
+    // array — at sf10 that is ~45M rows × ~5 KB of array payload through
+    // a sort, all spill (measured 532 s; 26× sf1 at 10× the rows). Hash-
+    // building the doc-keyed array side costs one in-memory table of
+    // |docs|/partitions rows and the candidate stream never sorts.
     candidates
-      .join(docSets.select(col("doc_id").as("a_id"), col("_sa").as("_a")), "a_id")
-      .join(docSets.select(col("doc_id").as("b_id"), col("_sa").as("_b")), "b_id")
+      .join(docSets.select(col("doc_id").as("a_id"), col("_sa").as("_a"))
+        .hint("shuffle_hash"), "a_id")
+      .join(docSets.select(col("doc_id").as("b_id"), col("_sa").as("_b"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("n_inter", size(array_intersect(col("_a"), col("_b"))).cast("long"))
       .withColumn("sz_a", size(col("_a")).cast("long"))
       .withColumn("sz_b", size(col("_b")).cast("long"))
@@ -521,9 +529,15 @@ object Dedup {
         graft.util.PairBudget.applyCap(varsAll, Seq("v"), cap.cap)
       case None => varsAll
     }
+    // shuffle_hash: Generate (explode) wrecks size estimates and Catalyst
+    // may BROADCAST the variant side, pinning candidate generation to the
+    // scan's partitioning (q_edit_dist_join measured ONE task at sf10).
+    // Both sides must exchange on the high-cardinality variant key.
     val candIds = vars
       .select(col("v"), col("id").as("a_id"), col("_len").as("_la"))
-      .join(vars.select(col("v"), col("id").as("b_id"), col("_len").as("_lb")), "v")
+      .hint("shuffle_hash")
+      .join(vars.select(col("v"), col("id").as("b_id"), col("_len").as("_lb"))
+        .hint("shuffle_hash"), "v")
       .filter(col("a_id") < col("b_id") && abs(col("_la") - col("_lb")) <= 1)
       .select(col("a_id"), col("b_id")).distinct()
     candIds
@@ -754,8 +768,13 @@ object Dedup {
         graft.util.PairBudget.applyCap(prefix0, Seq("sh"), cap)
       case None => prefix0
     }
+    // shuffle_hash for the same reason as fastSsJoin's candidate join:
+    // prefix comes through explode + window, whose size estimates can
+    // flip Catalyst to a broadcast that serializes candidate generation
     val cand = prefix.select(col("sh"), col("id").as("a_id"), col("n").as("na"))
-      .join(prefix.select(col("sh"), col("id").as("b_id"), col("n").as("nb")), "sh")
+      .hint("shuffle_hash")
+      .join(prefix.select(col("sh"), col("id").as("b_id"), col("n").as("nb"))
+        .hint("shuffle_hash"), "sh")
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("na"), col("nb")) * den >= greatest(col("na"), col("nb")) * num)
       .select(col("a_id"), col("b_id")).distinct()

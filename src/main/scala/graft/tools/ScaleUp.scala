@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** sf1 scale-checkpoint data generator: replicates the driver's sf0.1
@@ -67,14 +67,22 @@ object ScaleUp {
     // verbatim copies would put 10 identical names in every string-identity
     // block (edit-distance variants, linkage) and square the join products —
     // the r13 sf1 probe measured q_edit_dist_join at 81× before this fix.
+    // lpad TRUNCATES strings longer than the pad width — at reps >= 10 the
+    // offset keys go 10-digit and lpad(.., 9) silently cut them back to
+    // their first 9 chars, giving ~11 customers per name: exactly the
+    // string-identity duplicate blocks this re-rendering exists to avoid
+    // (the r15 sf10 bench measured q_edit_dist_join's candidate mass at
+    // ~1B pairs from those blocks). Pad only when padding is needed.
+    def render(prefix: String, key: Column): Column = {
+      val s = key.cast("string")
+      concat(lit(prefix), when(length(s) <= 9, lpad(s, 9, "0")).otherwise(s))
+    }
     write(rep(t("customer")).select(off("c_custkey"),
-      concat(lit("Customer#"), lpad(offE("c_custkey").cast("string"), 9, "0"))
-        .as("c_name"),
+      render("Customer#", offE("c_custkey")).as("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("rep")),
       "customer")
     write(rep(t("supplier")).select(off("s_suppkey"),
-      concat(lit("Supplier#"), lpad(offE("s_suppkey").cast("string"), 9, "0"))
-        .as("s_name"),
+      render("Supplier#", offE("s_suppkey")).as("s_name"),
       col("s_nationkey"), col("s_acctbal"), col("rep")), "supplier")
     write(rep(t("part")).select(off("p_partkey"), col("p_name"), col("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice"), col("rep")), "part")
