@@ -3099,6 +3099,84 @@ object QueriesExt {
        |  ON x.best_id = y.a_id AND y.best_id = x.a_id AND x.a_id < y.a_id""".stripMargin
   }
 
+  // ---- ANN mutual-NN on a PLANTED clustered corpus: the path that
+  //      produces neighbors at 100 TB, hash-graded (r15 verdict item 4).
+  //      The graded embeddings table is near-orthogonal within labels
+  //      (no pruning is exact there — q_mutual_nn's budget contract),
+  //      so this query derives a CLUSTERABLE fixture deterministically
+  //      from vec_id: 8 planted clusters (vec_id % 8), centroid = 4.0 on
+  //      the cluster's 8-dim band, plus portable-hash noise in [0, 0.5).
+  //      Every component is 4.0+k/256 or k/256 with k < 128 — exactly
+  //      representable in float32, so the float cast is LOSSLESS and
+  //      both engines fold identical doubles. The oracle replays the
+  //      full ANN pipeline — per-label seeds (16 lowest vec_ids... here
+  //      8), cosine cell assignment, nprobe=2 probing, argmax + mutual
+  //      join — not merely the answer, so the grade pins candidate
+  //      generation, not just the tail. ----
+  def qMutualNnAnn(s: SparkSession, dir: String): DataFrame = {
+    val cluster = (col("vec_id") % 8).cast("int")
+    val fix = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      transform(sequence(lit(1), lit(64)), d => {
+        val center = when(((d - 1) / lit(8)).cast("int") === cluster,
+          lit(4.0)).otherwise(lit(0.0))
+        val noise = (Portable.hash32(col("vec_id") * 64 + d) % 128) / lit(256.0)
+        (center + noise).cast("float")
+      }).as("embedding"))
+    Similarity.mutualNearestPairsAnn(fix, blockCol = "label",
+      centroidsPerBlock = 8, nprobe = 2)
+  }
+
+  val oMutualNnAnn: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"""WITH fix AS (
+       |  SELECT vec_id, label,
+       |    list_transform(range(1, 65), d -> CAST(
+       |      CASE WHEN (d - 1) // 8 = vec_id % 8 THEN 4.0 ELSE 0.0 END
+       |      + (('0x' || substr(md5(CAST(vec_id * 64 + d AS VARCHAR)), 1, 8))::BIGINT % 128)
+       |        / 256.0 AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label AS blk, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM fix),
+       |nz AS (SELECT * FROM n WHERE nrm > 0),
+       |seeds AS (
+       |  SELECT blk, cid, cemb, cnrm FROM (
+       |    SELECT blk, vec_id AS cid, embedding AS cemb, nrm AS cnrm,
+       |      row_number() OVER (PARTITION BY blk ORDER BY vec_id) AS rk
+       |    FROM nz) WHERE rk <= 8),
+       |scored AS (
+       |  SELECT nz.blk, nz.vec_id, cid,
+       |    ${dot("nz.embedding", "cemb")} / (nz.nrm * cnrm) AS cscore
+       |  FROM nz JOIN seeds ON nz.blk = seeds.blk),
+       |ranked AS (
+       |  SELECT blk, vec_id, cid, row_number() OVER (
+       |    PARTITION BY blk, vec_id ORDER BY cscore DESC, cid) AS rn
+       |  FROM scored),
+       |assigned AS (SELECT blk, vec_id AS b_id, cid AS cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT blk, vec_id AS a_id, cid AS cell FROM ranked WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.a_id, s.b_id FROM probes p
+       |  JOIN assigned s ON p.blk = s.blk AND p.cell = s.cell
+       |  WHERE p.a_id <> s.b_id),
+       |cscored AS (
+       |  SELECT a_id, b_id,
+       |    ${dot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM cand
+       |  JOIN nz na ON na.vec_id = cand.a_id
+       |  JOIN nz nb ON nb.vec_id = cand.b_id),
+       |top1 AS (
+       |  SELECT a_id, b_id AS best_id, cosine FROM (
+       |    SELECT a_id, b_id, cosine, row_number() OVER (
+       |      PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk
+       |    FROM cscored) WHERE rk = 1)
+       |SELECT x.a_id AS a_id, y.a_id AS b_id, x.cosine AS cosine
+       |FROM top1 x JOIN top1 y
+       |  ON x.best_id = y.a_id AND y.best_id = x.a_id AND x.a_id < y.a_id""".stripMargin
+  }
+
   // ---- RFM segmentation census over event users: recency age,
   //      frequency, monetary mills, tercile-bucketed by exact
   //      histogram cutoffs into the 27 RFM cells ----

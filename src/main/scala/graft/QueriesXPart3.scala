@@ -1761,21 +1761,30 @@ private[graft] trait QueriesXPart3 extends QueriesXShared {
       |FROM e GROUP BY 1""".stripMargin
 
   // ---- skip-gram co-occurrence top-20: ordered token pairs within a
-  //      ±2 position window. Each occurrence fans out to its TWO target
-  //      positions (a bounded 2× expansion), then one (doc, position)
-  //      equi-join — never a per-document positions² self-join — and a
-  //      bounded top-k heap ----
+  //      ±2 position window. The window is FIXED, so pair generation is
+  //      pure per-row array algebra — each position looks ahead at
+  //      offsets +1/+2 inside its own token array — and the only
+  //      exchange is the final groupBy over the (small) vocabulary².
+  //      The r15 sf10 bench measured the previous shape — a (doc,
+  //      position) self-equi-join — at 240× for 100× data: two exploded
+  //      position tables (3N rows) sort-merged and spilled for what a
+  //      per-document window never needed. Zero joins now; identical
+  //      output (empty tokens skipped on both sides of a pair, gaps
+  //      preserve positions, exactly as before) ----
   def qSkipgramTopk(s: SparkSession, dir: String): DataFrame = {
-    val pos = t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " "))
-        .as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val left = pos.select(col("doc_id"), col("tok"),
-      explode(expr("array(pos + 1, pos + 2)")).as("p2"))
-    val right = pos.select(col("doc_id").as("d2"), col("pos").as("p2"),
-      col("tok").as("tok2"))
-    left.join(right, col("doc_id") === col("d2") && left("p2") === right("p2"))
-      .groupBy(col("tok"), col("tok2"))
+    val toks = split(col("text"), " ")
+    val pairs = flatten(transform(sequence(lit(0), size(toks) - 1), i =>
+      filter(
+        transform(sequence(i + 1, i + 2), j =>
+          when(j <= size(toks) - 1 &&
+              element_at(toks, i + 1) =!= "" &&
+              element_at(toks, j + 1) =!= "",
+            struct(element_at(toks, i + 1).as("tok"),
+              element_at(toks, j + 1).as("tok2")))),
+        x => x.isNotNull)))
+    t(s, dir, "documents")
+      .select(explode(pairs).as("pr"))
+      .groupBy(col("pr.tok").as("tok"), col("pr.tok2").as("tok2"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("tok").asc, col("tok2").asc)
       .limit(20)

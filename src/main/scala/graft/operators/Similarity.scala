@@ -31,14 +31,30 @@ object Similarity {
     * 10 labels, so an unsalted candidate join runs ≤16 tasks however many
     * cores exist (the r15 sf10 bench measured q_ann_ivf_probe2 at 3/32
     * cores busy for 30+ min). [[Skew.saltedJoin]] splits every key
-    * `PairJoinSalt` ways — deterministic hash salt on the a-side,
+    * `pairJoinSalt(df, keyCardinality)` ways — deterministic hash salt on the a-side,
     * replication on the b-side — multiplying parallelism by 32 for an
     * O(32·N)-row replication cost, trivial against the join's O(Σ d²)
     * work. Output rows are identical for ANY salt value (it is purely a
-    * physical knob): on a 1000-executor cluster this would be sized to
-    * executors·cores / keyCardinality rather than pinned.
+    * physical knob), so the factor is environment-derived, not pinned:
+    * the sub-key target is 16× the core count (`defaultParallelism`,
+    * floor 32 — the oversubscription absorbs within-key size skew), the
+    * per-key salt is `ceil(target / keyCardinality)` when the caller
+    * knows the key count (IVF cells, k-means clusters), and it drops to
+    * 1 when the keys alone already saturate the target — a K=447
+    * centroid run pays no ×32 embedding replication for parallelism it
+    * already has. `SPARK_GRAFT_PAIR_SALT` overrides the base for
+    * cluster-side tuning. SkewSpec pins salt-invariance of the output.
     */
-  private val PairJoinSalt = 32
+  private[graft] def pairJoinSalt(df: DataFrame,
+                                  keyCardinality: Option[Int] = None): Int = {
+    val base = sys.env.get("SPARK_GRAFT_PAIR_SALT").map(_.toInt).getOrElse(
+      math.max(32, df.sparkSession.sparkContext.defaultParallelism))
+    keyCardinality match {
+      case Some(k) if k > 0 =>
+        math.min(base, math.max(1, (16 * base + k - 1) / k))
+      case _ => base
+    }
+  }
 
   /** (vec_id, embedding, norm) with the L2 norm precomputed per row. */
   private def withNorm(vecs: DataFrame, extra: Column*): DataFrame = {
@@ -76,7 +92,7 @@ object Similarity {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("block"), col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    Skew.saltedJoin(a, b, "block", Seq(col("a_id")), PairJoinSalt)
+    Skew.saltedJoin(a, b, "block", Seq(col("a_id")), pairJoinSalt(vecs))
       .filter(col("a_id") < col("b_id"))
       .select(col("block"), col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
@@ -128,7 +144,8 @@ object Similarity {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    Skew.saltedJoin(a, b, "cell", Seq(col("a_id")), PairJoinSalt)
+    Skew.saltedJoin(a, b, "cell", Seq(col("a_id")),
+        pairJoinSalt(vecs, Some(numCentroids)))
       .filter(col("a_id") < col("b_id"))
       .select(col("cell"), col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
@@ -286,7 +303,8 @@ object Similarity {
       col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("cell"), col("vec_id").as("b_id"),
       col("emb").as("emb_b"), col("norm").as("norm_b"))
-    val dropped = Skew.saltedJoin(a, b, "cell", Seq(col("a_id")), PairJoinSalt)
+    val dropped = Skew.saltedJoin(a, b, "cell", Seq(col("a_id")),
+        pairJoinSalt(vecs, Some(k)))
       .filter(col("a_id") < col("b_id"))
       .filter((DotFold.dot(col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b"))) >= minCosine)
@@ -459,7 +477,7 @@ object Similarity {
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = n.select(col("_blk"), col("vec_id").as("b_id"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    val scored = Skew.saltedJoin(a, b, "_blk", Seq(col("a_id")), PairJoinSalt)
+    val scored = Skew.saltedJoin(a, b, "_blk", Seq(col("a_id")), pairJoinSalt(vecs))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /
@@ -665,7 +683,8 @@ object Similarity {
         col("norm").as("norm_b"))
       .select(col("b_id"), col("p.cid").as("cell"), col("emb_b"),
         col("norm_b"))
-    Skew.saltedJoin(a, b, "cell", Seq(col("a_id")), PairJoinSalt)
+    Skew.saltedJoin(a, b, "cell", Seq(col("a_id")),
+        pairJoinSalt(vecs, Some(numCentroids)))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (DotFold.dot(col("emb_a"), col("emb_b")) /

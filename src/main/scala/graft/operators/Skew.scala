@@ -58,13 +58,27 @@ object Skew {
     * join pipelines where the salt can carry into the partial agg, and
     * engines/configs where AQE is off. Replication cost = |small| ×
     * saltBuckets rows — the small side must actually be small.
+    *
+    * The join strategy is PINNED to shuffled-hash on both sides: the
+    * replicated side is built from `explode(sequence(...))`, and a
+    * Generate node wrecks Catalyst's size estimate — left to stats, the
+    * optimizer can decide the ×saltBuckets-replicated side is "small"
+    * and BROADCAST it, which both negates the parallelism fix (every
+    * task sees every key again) and risks a driver OOM when the
+    * replicated side carries embeddings. The r15 sf10 bench measured
+    * exactly this failure on the FastSS join; the hint makes the shape
+    * immune to stats/AQE drift (SkewSpec pins it).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  carriers: Seq[Column], saltBuckets: Int): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(hash(carriers: _*), lit(saltBuckets)))
-    val replicated = small.withColumn("_salt",
+    val sc = "__skew_salt"
+    require(!big.columns.contains(sc) && !small.columns.contains(sc),
+      s"saltedJoin: input already carries a '$sc' column")
+    val salted = big.withColumn(sc, pmod(hash(carriers: _*), lit(saltBuckets)))
+    val replicated = small.withColumn(sc,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.hint("shuffle_hash").join(replicated.hint("shuffle_hash"),
+      Seq(key, sc)).drop(sc)
   }
 
   /** The measurement that decides whether [[saltedAggregate]]/[[saltedJoin]]

@@ -277,11 +277,19 @@ class PlanSpec extends SparkSpec {
       "batch assembly must never sort one bucket on one task")
   }
 
-  test("salted join stays an equi-join with the dim broadcast") {
+  test("salted join stays an equi-join, replicated side shuffle-hash-pinned") {
+    // r16: saltedJoin pins shuffle_hash on BOTH sides — the replicated
+    // side comes from explode(sequence(...)) whose Generate node wrecks
+    // size estimates, and a stats-driven broadcast of it would negate
+    // the parallelism fix (the r15 FastSS stall class). The former pin
+    // here ("replicated dim must broadcast") asserted exactly the
+    // regression the hint now forbids.
     val p = plan("q_salted_join")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("BroadcastHashJoin"), "replicated dim must broadcast")
+    assert(p.contains("ShuffledHashJoin"), "salted join must shuffle-hash")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the replicated side must never broadcast")
   }
 
   test("changelog apply is one full-outer equi-join, no funnel") {

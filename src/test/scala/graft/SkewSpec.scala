@@ -75,4 +75,48 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("saltedJoin output is salt-invariant (two salt values, same rows)") {
+    val big = (1 to 500)
+      .map(i => ((i % 5).toLong, i.toLong)).toDF("k", "v")
+    val small = (0L to 4L).map(k => (k, s"t$k")).toDF("k", "tag")
+    def run(salt: Int) =
+      Skew.saltedJoin(big, small, "k", carriers = Seq($"v"), salt)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(run(4) === run(32))
+    assert(run(1) === run(32))
+  }
+
+  test("saltedJoin pins shuffled-hash: the replicated side is never broadcast") {
+    // The replicated side is built from explode(sequence(...)) — a
+    // Generate node with wrecked size estimates. Left to stats, Catalyst
+    // can broadcast the ×salt-replicated side, negating the parallelism
+    // fix (the r15 sf10 FastSS stall). The hint must hold in the FINAL
+    // adaptive plan.
+    val big = (1 to 2000).map(i => ((i % 3).toLong, i.toLong)).toDF("k", "v")
+    val small = (0L to 2L).map(k => (k, k * 10)).toDF("k", "w")
+    val j = Skew.saltedJoin(big, small, "k", Seq($"v"), 8)
+      .agg(count(lit(1)).as("n"), sum($"w").as("s"))
+    val n = j.collect()(0).getLong(0)
+    assert(n === 2000L)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"saltedJoin must execute as a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the replicated side must not be broadcast:\n$p")
+  }
+
+  test("pairJoinSalt sizes from key cardinality and drops to 1 past saturation") {
+    val df = spark.range(1).toDF("x")
+    val base = math.max(32, spark.sparkContext.defaultParallelism)
+    // unknown cardinality: full base factor
+    assert(graft.operators.Similarity.pairJoinSalt(df) === base)
+    // 16 cells on this box: ceil(16*base/16) = base, capped at base
+    assert(graft.operators.Similarity.pairJoinSalt(df, Some(16)) === base)
+    // keys already ≥ 16× base: no replication at all
+    assert(graft.operators.Similarity.pairJoinSalt(df, Some(16 * base)) === 1)
+    // in between: shrinks proportionally
+    val mid = graft.operators.Similarity.pairJoinSalt(df, Some(4 * base))
+    assert(mid === 4)
+  }
 }

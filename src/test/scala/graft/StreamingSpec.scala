@@ -835,6 +835,178 @@ class StreamingSpec extends SparkSpec {
         "1M-value streaming registers must replay the batch sketch exactly")
     } finally q.stop()
   }
+
+  test("SCALE: 1M events through the stream-stream join — horizon-bounded " +
+      "state, output checksum-identical to the batch join", StreamingSpec.Scale) {
+    // r15 verdict item 6: the symmetric-hash-join state must be bounded
+    // by the watermark horizon (rows inside delay+horizon of the front),
+    // never by stream length — 1M buffered-forever rows here would mean
+    // an unbounded-state plan at 100 TB.
+    import graft.streaming.JoinStream
+    import graft.streaming.JoinStream.{Click, View}
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, struct, sum, xxhash64}
+    implicit val sqlCtx = spark.sqlContext
+    val vin = MemoryStream[View]
+    val cin = MemoryStream[Click]
+    val q = JoinStream.attributedClicks(vin.toDF(), cin.toDF(),
+        delay = "60 seconds", horizon = "30 seconds")
+      .writeStream.format("memory").queryName("attrib_1m")
+      .outputMode("append").start()
+    val n = 500000
+    val users = 10000
+    val chunk = 50000
+    try {
+      // view i at t=1000+i for user i%10000; its click 10 s later. The
+      // same user's other views are ±10000 s away — outside the 30 s
+      // horizon — so the exact expected match set is the 500k (i, i)
+      // pairs. Batches ascend in event time: nothing is late.
+      for (b <- 0 until n / chunk) {
+        vin.addData((b * chunk until (b + 1) * chunk).map(i =>
+          View((i % users).toLong, i.toLong, ts(1000L + i))): _*)
+        cin.addData((b * chunk until (b + 1) * chunk).map(i =>
+          Click((i % users).toLong, (1000000 + i).toLong, ts(1010L + i))): _*)
+        q.processAllAvailable()
+      }
+      // flush: a far-future non-matching pair (click 100 s after the
+      // view, outside horizon) advances both watermarks so the purge of
+      // the final batch's buffers actually runs
+      vin.addData(View(1L, 9999999L, ts(5000000L)))
+      cin.addData(Click(1L, 9999998L, ts(5000100L)))
+      q.processAllAvailable()
+      vin.addData(View(2L, 9999997L, ts(5003000L)))
+      cin.addData(Click(2L, 9999996L, ts(5003100L)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows < chunk.toLong,
+        s"join state must be horizon-bounded, not stream-length: $stateRows")
+      def checksum(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("view_id")).as("sv"),
+            sum(col("click_id")).as("sc"),
+            bit_xor(xxhash64(struct(col("user_id"), col("view_id"),
+              col("click_id")))).as("x"))
+          .as[(Long, Long, Long, Long)].collect()(0)
+      val streamed = checksum(spark.table("attrib_1m")
+        .select("user_id", "view_id", "click_id"))
+      // batch twin: the identical join predicate on static frames
+      val vb = spark.range(n).select((col("id") % users).as("user_id"),
+        col("id").as("view_id"), (col("id") + 1000L).as("vsec"))
+      val cb = spark.range(n).select((col("id") % users).as("c_user"),
+        (col("id") + 1000000L).as("click_id"), (col("id") + 1010L).as("csec"))
+      val batch = checksum(vb.join(cb,
+        col("user_id") === col("c_user") && col("csec") >= col("vsec") &&
+          col("csec") <= col("vsec") + 30L))
+      assert(streamed === batch,
+        "1M-event streamed join must equal the batch join exactly")
+      assert(streamed._1 === n.toLong)
+    } finally q.stop()
+  }
+
+  test("SCALE: 1M events through the streaming funnel — O(stalled users) " +
+      "state, stage advances replay the batch funnel", StreamingSpec.Scale) {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.{FEvent, StageAdvance}
+    import org.apache.spark.sql.functions.{col, sum, when}
+    implicit val sqlCtx = spark.sqlContext
+    val users = 200000
+    val stallEvery = 10 // users ≡ 0 (mod 10) never purchase → stall at stage 2
+    val input = MemoryStream[FEvent]
+    // idleTimeout far beyond the corpus's 200k-second span: no mid-run
+    // eviction, so the state count at the end is EXACTLY the stalled set
+    val q = FunnelStream.statefulFunnel(input.toDS(),
+        steps = Seq("view", "click", "purchase"), idleTimeout = "2400 hours")
+      .writeStream.format("memory").queryName("funnel_1m")
+      .outputMode("append").start()
+    def evs(u: Int): Seq[FEvent] = {
+      val t0 = 1000L + u
+      Seq(FEvent(u.toLong, "view", ts(t0)),
+        FEvent(u.toLong, "purchase", ts(t0 + 1)), // pre-click: ignored
+        FEvent(u.toLong, "click", ts(t0 + 2)),
+        FEvent(u.toLong, "view", ts(t0 + 3)),     // repeat: ignored
+        if (u % stallEvery == 0) FEvent(u.toLong, "noise", ts(t0 + 4))
+        else FEvent(u.toLong, "purchase", ts(t0 + 4)))
+    }
+    try {
+      val perBatch = 20000
+      for (b <- 0 until users / perBatch) {
+        input.addData((b * perBatch until (b + 1) * perBatch)
+          .flatMap(evs): _*)
+        q.processAllAvailable()
+      }
+      // completed users drop state immediately; only the stalled 10% hold
+      assert(q.lastProgress.stateOperators.head.numRowsTotal ===
+        (users / stallEvery).toLong,
+        "funnel state must be O(stalled users), completed users evict")
+      val advances = spark.table("funnel_1m").as[StageAdvance].toDF()
+      // batch twin on the identical rows: per-stage user counts AND the
+      // exact per-stage timestamp sums (streaming ts_ms ↔ batch ts_us)
+      val rows = (0 until users).flatMap(evs)
+        .map(e => (e.user_id, e.event_type, e.ts.getTime * 1000L))
+        .toDF("user_id", "event_type", "ts_us")
+      val batch = graft.operators.Sessions
+        .funnel(rows, Seq("view", "click", "purchase"))
+      def stageStats(i: Int): (Long, Long) = batch
+        .agg(sum(when(col("stage") >= i, 1L).otherwise(0L)),
+          sum(col(s"t$i"))).as[(Long, Long)].collect()(0)
+      val streamedStats = (1 to 3).map(i => advances
+        .filter(col("stage") === i)
+        .agg(sum(when(col("stage") === i, 1L).otherwise(0L)),
+          sum(col("ts_ms") * 1000L)).as[(Long, Long)].collect()(0))
+      for (i <- 1 to 3)
+        assert(streamedStats(i - 1) === stageStats(i),
+          s"stage $i advances must replay the batch funnel")
+      assert(streamedStats(0)._1 === users.toLong)
+      assert(streamedStats(2)._1 === (users - users / stallEvery).toLong)
+      // flush: the timeout is lastEventTime + idle and the watermark is
+      // flushTime − idle, so eviction needs flushTime > lastEventTime +
+      // 2×idle — two idle windows past the corpus, not one
+      input.addData(FEvent(999999999L, "view", ts(1000L + users + 2L * 2400L * 3600 + 10000L)))
+      q.processAllAvailable()
+      input.addData(FEvent(999999998L, "view", ts(1000L + users + 2L * 2400L * 3600 + 20000L)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2L,
+        "event-time timeout must evict every stalled user")
+    } finally q.stop()
+  }
+
+  test("SCALE: 1M samples through the streaming CUSUM — one O(1) state row " +
+      "per key, exact longs replay the closed-form fold", StreamingSpec.Scale) {
+    import graft.streaming.CusumStream
+    import graft.streaming.CusumStream.Sample
+    implicit val sqlCtx = spark.sqlContext
+    val keys = 1000
+    val perKey = 1000
+    val input = MemoryStream[Sample]
+    // commissioned rate 10/1, alarm above 60: odd keys shift +20 for
+    // their last 10 samples → S = 200 alarms; even keys stay on-rate
+    val q = CusumStream.runningCusum(input.toDS(), refNum = 10L, refDen = 1L,
+        threshold = 60L)
+      .writeStream.format("memory").queryName("cusum_1m")
+      .outputMode("update").start()
+    try {
+      val perBatch = 100
+      for (b <- 0 until perKey / perBatch) {
+        input.addData((for (k <- 0 until keys; j <- 0 until perBatch) yield {
+          val seq = (b * perBatch + j).toLong
+          val v = if (k % 2 == 1 && seq >= (perKey - 10).toLong) 30L else 10L
+          Sample(s"k$k", seq, k.toLong * perKey + seq, v)
+        }): _*)
+        q.processAllAvailable()
+      }
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === keys.toLong,
+        "CUSUM state must be one row per key")
+      val finals = spark.table("cusum_1m")
+        .as[(String, Long, Long, Boolean)].collect()
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(finals.size === keys)
+      for (k <- 0 until keys) {
+        val expected =
+          if (k % 2 == 1) (s"k$k", perKey.toLong, 200L, true)
+          else (s"k$k", perKey.toLong, 0L, false)
+        assert(finals(s"k$k") === expected,
+          s"k$k must replay the exact fold over its 1000-sample prefix")
+      }
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
