@@ -24,11 +24,23 @@ object Verify {
     // queries); the driver sets no filter and gets the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // coalesce(1) keeps the driver's one-file-per-query layout, but it is a
+    // NARROW dependency: with no shuffle between a join and the write, the
+    // whole final stage — the join included — fuses into ONE task. Fine at
+    // sf0.01 (driver contract unchanged); at sf10 the 10^8-row ANN outputs
+    // would serialize a billion-cosine join, so scale sweeps set
+    // SPARK_GRAFT_VERIFY_COALESCE=0 and write natural partitioning
+    // (tools/check.py globs part files either way).
+    val coalesceOut =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val out = if (coalesceOut > 0) df.coalesce(coalesceOut) else df
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -967,6 +967,11 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_skipgram_topk", "q_supplier_volatility"))
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q top-k should be a bounded heap")
+    // r16: skipgram pairs are per-row zipped array slices — the plan must
+    // stay JOIN-FREE (the old (doc,position) self-join sorted 3N rows and
+    // went 240x superlinear at sf10)
+    assert(!plan("q_skipgram_topk").contains("Join"),
+      "q_skipgram_topk must be join-free")
     for (q <- Seq("q_key_gap_audit", "q_and_search", "q_casefold_dedup"))
       assert(!plan(q).contains("Window"), s"$q grew a window")
   }

@@ -3,6 +3,19 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
+Scale-sweep knobs (both off by default; the default path stays a faithful
+driver mirror):
+- ORACLE_TIMEOUT_S=<n>: per-oracle wall cap (timer thread + con.interrupt,
+  same mechanism as time_oracle.py). A 10x/100x sweep must not hang on one
+  intentionally-naive oracle formulation; the timeout is reported as
+  ORACLE_TIMEOUT, counted as neither pass nor fail in the summary.
+- CHECK_SQL_ROWS=<n>: outputs larger than n rows are compared inside
+  DuckDB (count + two order-insensitive folds of a per-row hash over the
+  name-sorted columns) instead of rendered-pandas — the sf10 ANN outputs
+  run 120-210M rows, far past what a python row-render can hold. Reported
+  as OK_SQLHASH; type equality is still checked strictly first, so the
+  driver's type-tagged render semantics are preserved by the type gate.
+
 Faithfully reproduces the driver's compare pipeline (this matters — r3
 shipped believing 51/52 green while the driver saw 42/52):
 - the Spark result parquet is read through pandas/pyarrow, which keeps
@@ -16,9 +29,30 @@ shipped believing 51/52 green while the driver saw 42/52):
 Developer tooling only (driver-side python libs); ships no code into the
 Spark library.
 """
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
+
+
+def timed_execute(con, sql, timeout_s):
+    """Run sql on con; interrupt after timeout_s seconds (0 = no cap).
+    Returns (cursor, timed_out)."""
+    if not timeout_s:
+        return con.execute(sql), False
+    fired = []
+    t = threading.Timer(timeout_s, lambda: (fired.append(1), con.interrupt()))
+    t.start()
+    try:
+        cur = con.execute(sql)
+        return cur, False
+    except duckdb.InterruptException:
+        return None, True
+    except Exception:
+        if fired:
+            return None, True
+        raise
+    finally:
+        t.cancel()
 
 
 def render(x):
@@ -50,6 +84,8 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0"))
+    sql_rows = int(os.environ.get("CHECK_SQL_ROWS", "0"))
     results = {}
     spark_dirs = [d for d in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, d))]
@@ -62,14 +98,61 @@ def main():
         if not parts:
             results[name] = "EMPTY_SPARK_OUTPUT_DIR"
             continue
+        s_cnt = con.execute(
+            f"SELECT count(*) FROM '{spath}/*.parquet'").fetchone()[0]
+        if name not in oracle:
+            results[name] = f"NO_ORACLE rows={s_cnt}"
+            continue
+        if sql_rows and s_cnt > sql_rows:
+            # SQL-side compare for outputs too big for a python row-render:
+            # strict type gate first (driver semantics), then count + two
+            # order-insensitive folds of a per-row hash over name-sorted
+            # columns, computed by the SAME DuckDB on both sides.
+            s_t = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE (SELECT * FROM '{spath}/*.parquet')").fetchall()}
+            try:
+                d_t = {r[0]: r[1] for r in con.execute(
+                    f"DESCRIBE ({oracle[name]})").fetchall()}
+            except Exception as e:
+                results[name] = f"ORACLE_SQL_ERROR: {str(e).splitlines()[0][:160]}"
+                continue
+            if sorted(s_t) != sorted(d_t):
+                results[name] = (f"SCHEMA_MISMATCH spark={sorted(s_t)} "
+                                 f"duck={sorted(d_t)}")
+                continue
+            t_diff = {c: (s_t[c], d_t[c]) for c in s_t if s_t[c] != d_t[c]}
+            if t_diff:
+                results[name] = f"TYPE_MISMATCH {t_diff}"
+                continue
+            cols = ", ".join(f'"{c}"' for c in sorted(s_t))
+            fold = (f"count(*) AS n, bit_xor(hash({cols})) AS hx, "
+                    f"sum(hash({cols}) >> 33) AS hs")
+            s_res = con.execute(
+                f"SELECT {fold} FROM '{spath}/*.parquet'").fetchone()
+            try:
+                cur, timed_out = timed_execute(
+                    con, f"SELECT {fold} FROM ({oracle[name]})", timeout_s)
+            except Exception as e:
+                results[name] = f"ORACLE_SQL_ERROR: {str(e).splitlines()[0][:160]}"
+                continue
+            if timed_out:
+                results[name] = f"ORACLE_TIMEOUT >{timeout_s}s (spark rows={s_cnt})"
+                continue
+            d_res = cur.fetchone()
+            if s_res == d_res:
+                results[name] = f"OK_SQLHASH rows={s_cnt}"
+            else:
+                results[name] = (f"SQLHASH_MISMATCH spark={s_res} duck={d_res}")
+            continue
         # pandas/pyarrow read — the driver's path (keeps Decimal objects)
         s_df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
-        if name not in oracle:
-            results[name] = f"NO_ORACLE rows={len(s_df)}"
-            continue
         try:
             # .df() — the driver's path (DECIMAL -> float64)
-            d_df = con.execute(oracle[name]).df()
+            cur, timed_out = timed_execute(con, oracle[name], timeout_s)
+            if timed_out:
+                results[name] = f"ORACLE_TIMEOUT >{timeout_s}s (spark rows={s_cnt})"
+                continue
+            d_df = cur.df()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e).splitlines()[0][:160]}"
             continue
@@ -111,12 +194,15 @@ def main():
             results[name] = f"OK rows={len(s_n)}"
 
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
-    n_weak = sum(1 for v in results.values() if v.startswith("NO_ORACLE"))
+    n_weak = sum(1 for v in results.values()
+                 if v.startswith("NO_ORACLE") or v.startswith("ORACLE_TIMEOUT"))
     for k in sorted(results):
-        status = ('PASS' if results[k].startswith('OK')
-                  else ('WEAK' if results[k].startswith('NO_ORACLE') else 'FAIL'))
+        v = results[k]
+        status = ('PASS' if v.startswith('OK')
+                  else ('WEAK' if v.startswith('NO_ORACLE')
+                        or v.startswith('ORACLE_TIMEOUT') else 'FAIL'))
         print(f"{status:4} {k}: {results[k]}")
-    print(f"\n{n_ok} ok / {n_weak} rows-only / "
+    print(f"\n{n_ok} ok / {n_weak} rows-only-or-timeout / "
           f"{len(results) - n_ok - n_weak} failing / {len(results)} total")
     sys.exit(0 if n_ok + n_weak == len(results) else 1)
 
