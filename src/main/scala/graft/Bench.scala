@@ -98,9 +98,18 @@ object Bench {
     // real deployment does per target SF.
     val shuffleParts =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Scan-side twin of the shuffle knob: maxPartitionBytes decides how
+    // many FILES share one scan task (each file also pays openCostInBytes,
+    // 4 MB, toward the bin). The sf10 layout is many ~2-8 MB part files;
+    // at the 128 MB default Spark bins ~20 of them per task and a CPU-bound
+    // shingle scan runs 2/32 cores. Scale runs set this to ~8m so one file
+    // is one task; unset keeps Spark's default (the driver-contract path).
+    val maxPartBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.files.maxPartitionBytes", maxPartBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", graft.util.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")

@@ -11,9 +11,14 @@ object Verify {
     // set must shrink with the data, so the shuffle width is overridable.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Scan-side twin (see Bench): many-small-file scale layouts need a
+    // smaller file-bin so CPU-bound scans get one task per file.
+    val maxPartBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", graft.util.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")
@@ -37,9 +42,12 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val out = if (coalesceOut > 0) df.coalesce(coalesceOut) else df
         out.write.mode("overwrite").parquet(s"$outDir/$name")
+        System.err.println(
+          f"VERIFYQ $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -126,8 +126,12 @@ object Dedup {
                            minJw: Double = 0.5, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     require(numHashes % bandSize == 0)
+    // codegen'd multiset shingles: the Column-algebra HOF form re-split
+    // the whole document once per array element (interpreted lambdas do
+    // no common-subexpression reuse) — O(tokens²) string work per doc
     val sh = docs.select(col(idCol).as("doc_id"),
-      explode(Portable.wordShingles(col(textCol), 2)).as("e"))
+      explode(TextHash.wordShinglesAll(docs.sparkSession, col(textCol), 2))
+        .as("e"))
     val tf = sh.groupBy(col("doc_id"), col("e"))
       .agg(least(count(lit(1)), lit(maxW.toLong)).as("w"))
     val rep = tf.select(col("doc_id"), col("e"),
@@ -868,23 +872,18 @@ object Dedup {
   def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4, maxDf: Long = 20,
                   minShared: Long = 2, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val toks = Portable.tokens(col(textCol))
-    val hs = transform(sequence(lit(1), size(toks) - (k - 1)), i =>
-      Portable.hash32(concat_ws(" ", slice(toks, i, lit(k)))))
-    // the gram-hash array MUST be materialized as its own projection
-    // before the window pass: a lambda referencing the raw `hs` expression
-    // re-evaluates it per window element — O(grams²) md5 calls per doc
-    // (measured 209 s vs 9 s at sf0.1)
-    val h = col("h")
-    // a doc with fewer than w grams gets one whole-doc window (the paper's
-    // boundary condition); `when` keeps the sequence() bounds positive
-    val fps = when(size(h) >= w,
-        array_distinct(transform(sequence(lit(1), size(h) - (w - 1)), j =>
-          array_min(slice(h, j, lit(w))))))
-      .otherwise(array(array_min(h)))
-    val fp = docs.filter(size(toks) >= k)
-      .select(col(idCol), hs.as("h"))
-      .select(col(idCol), explode(fps).as("f"))
+    // Fused codegen'd text→fingerprints expression (null for <k-token
+    // docs): gram hashing + deque window minima + distinct in one O(grams)
+    // pass. The previous Column-algebra form paid twice — the gram lambda
+    // re-evaluated the full-document split per element (interpreted
+    // lambdas do no common-subexpression reuse: O(tokens²) string work per
+    // doc), and the window lambda cost O(grams·w) interpreted evals even
+    // over a materialized array (the r16 skipgram law: a HOF lambda in a
+    // hot path runs ~10× over the equivalent whole-array expression).
+    val fp = docs
+      .select(col(idCol),
+        explode(TextHash.winnowFingerprints(
+          docs.sparkSession, col(textCol), k, w)).as("f"))
     val keep = fp.join(
       fp.groupBy(col("f")).agg(count(lit(1)).as("d"))
         .filter(col("d") <= maxDf).select(col("f")), "f")

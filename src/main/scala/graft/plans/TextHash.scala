@@ -205,6 +205,81 @@ object TextHashUtil {
     while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL word-k-shingles in position order, duplicates kept — the multiset
+    * twin of [[wordShingles]] for occurrence-weighted operators (weighted
+    * MinHash tf tables). Empty array when the doc has fewer than k tokens.
+    * Value-equal to the Column-algebra
+    * `transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(toks,i,k)))`
+    * it replaces — that HOF form re-evaluated the full-document `split`
+    * once PER ELEMENT (interpreted lambdas do no common-subexpression
+    * reuse), i.e. O(tokens²) string work per doc.
+    */
+  def wordShinglesAll(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003) fused text→longs:
+    * hash32 of every positional word-k-gram, then the DISTINCT minima of
+    * every w-gram sliding window (whole-array min when fewer than w grams).
+    * Null when the doc has fewer than k tokens (callers filter those).
+    * Bit-equal to the Column algebra it replaces
+    * (hash32(concat_ws(' ', slice(toks,i,k))) → array_min over slices →
+    * array_distinct); the window pass uses a monotone deque so the whole
+    * fingerprint set is O(grams) per doc instead of O(grams·w) interpreted
+    * lambda evals.
+    */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int,
+                         fast: Boolean): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < k) return null
+    val n = toks.length - k + 1
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      hs(i) = if (fast) hash32Fast(sb.toString) else hash32(sb.toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (n < w) {
+      var m = Long.MaxValue
+      var x = 0
+      while (x < n) { if (hs(x) < m) m = hs(x); x += 1 }
+      seen.add(m)
+    } else {
+      // monotone deque of indices; front = min of the current window
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail)
+      var x = 0
+      while (x < n) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(x)) tail -= 1
+        dq(tail) = x; tail += 1
+        if (dq(head) <= x - w) head += 1
+        if (x >= w - 1) seen.add(hs(dq(head)))
+        x += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var m = 0
+    while (it.hasNext) { out(m) = it.next().longValue(); m += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Base for the string→X expressions below: null-safe, codegen delegates to
@@ -250,6 +325,34 @@ case class WordShinglesExpr(child: Expression, k: Int) extends TextHashExpr {
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+case class WordShinglesAllExpr(child: Expression, k: Int) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.wordShinglesAll(input.asInstanceOf[UTF8String], k)
+  override protected def staticCall(input: String): String =
+    s"graft.plans.TextHashUtil.wordShinglesAll($input, $k)"
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAllExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles_all"
+}
+
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int,
+                                  fast: Boolean = false) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.winnowFingerprints(input.asInstanceOf[UTF8String], k, w, fast)
+  override protected def staticCall(input: String): String =
+    s"graft.plans.TextHashUtil.winnowFingerprints($input, $k, $w, $fast)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = ${staticCall(a)};
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
 }
 
 case class SimHash64Expr(child: Expression, fast: Boolean = false)
@@ -324,6 +427,18 @@ object TextHash {
   def wordShingles(spark: SparkSession, text: Column, k: Int): Column = {
     val n = s"graft_word_shingles_$k"
     reg(spark, n, es => WordShinglesExpr(es.head, k))
+    call_function(n, text)
+  }
+  def wordShinglesAll(spark: SparkSession, text: Column, k: Int): Column = {
+    val n = s"graft_word_shingles_all_$k"
+    reg(spark, n, es => WordShinglesAllExpr(es.head, k))
+    call_function(n, text)
+  }
+  def winnowFingerprints(spark: SparkSession, text: Column, k: Int,
+                         w: Int): Column = {
+    val fast = graft.functions.Portable.fastHash
+    val n = s"graft_winnow_fp_${k}_${w}_${if (fast) "xx" else "md5"}"
+    reg(spark, n, es => WinnowFingerprintsExpr(es.head, k, w, fast))
     call_function(n, text)
   }
   def simhash64(spark: SparkSession, text: Column): Column = {

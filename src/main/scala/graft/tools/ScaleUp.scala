@@ -54,9 +54,31 @@ object ScaleUp {
     def offE(c: String) = col(c) + col("rep") * Stride
     def off(c: String) = offE(c).as(c)
 
+    // Write each table as MANY part files sized ~64 MB: a real 100 TB
+    // corpus arrives as thousands of files, and parquet splits at ROW-GROUP
+    // granularity — the r15 sf10 layout wrote `documents` as ONE 78 MB
+    // file/row group, so every scan-bound query ran its whole scan stage in
+    // ONE task regardless of spark.sql.files.maxPartitionBytes (measured
+    // 2/32 cores busy in the r16 verify slice). Part count is derived from
+    // source bytes × replication so the layout stays honest at any reps.
     def write(df: DataFrame, name: String): Unit = {
-      df.drop("rep").write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"SCALEUP $name rows=${spark.read.parquet(s"$dst/$name.parquet").count()}")
+      val srcBytes = {
+        val p = java.nio.file.Paths.get(s"$src/$name.parquet")
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).mapToLong(java.nio.file.Files.size).sum()
+        else java.nio.file.Files.size(p)
+      }
+      // CPU-bound scans (shingling, hashing) need ≥1 task per core even
+      // when the bytes are small, so any table whose replicated size
+      // clears 8 MB gets at least 32 parts; beyond that, ~32 MB per part.
+      val est = srcBytes * reps
+      val parts =
+        if (est < (8L << 20)) 1
+        else math.max(32, math.min(512, (est / (32L << 20)).toInt))
+      df.drop("rep").repartition(parts)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"SCALEUP $name parts=$parts rows=" +
+        spark.read.parquet(s"$dst/$name.parquet").count())
     }
 
     // pure dimensions: copy as-is

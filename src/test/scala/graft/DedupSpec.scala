@@ -407,6 +407,40 @@ class DedupSpec extends SparkSpec {
     assert(again === pairs)
   }
 
+  test("fused winnow/shingle expressions equal the Column-algebra forms") {
+    // random-ish docs incl. boundary shapes: <k tokens, exactly k, <w grams
+    val d = (Seq((100L, "x y z"), (101L, "p q r s"), (102L, "a a a a a a")) ++
+      (1L to 40L).map(i => (i,
+        (0 until (3 + (i % 17)).toInt).map(j => s"t${(i * 7 + j * j) % 23}")
+          .mkString(" ")))).toDF("doc_id", "text")
+    val (k, w) = (4, 4)
+    val toks = Portable.tokens(col("text"))
+    val hs = transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+      Portable.hash32(concat_ws(" ", slice(toks, i, lit(k)))))
+    val h = col("h")
+    val oldFps = d.filter(size(toks) >= k).select(col("doc_id"), hs.as("h"))
+      .select(col("doc_id"), explode(when(size(h) >= w,
+          array_distinct(transform(sequence(lit(1), size(h) - (w - 1)), j =>
+            array_min(slice(h, j, lit(w))))))
+        .otherwise(array(array_min(h)))).as("f"))
+      .as[(Long, Long)].collect().toSet
+    val newFps = d.select(col("doc_id"),
+        explode(graft.plans.TextHash.winnowFingerprints(
+          spark, col("text"), k, w)).as("f"))
+      .as[(Long, Long)].collect().toSet
+    assert(newFps === oldFps,
+      "fused winnowFingerprints must emit the identical (doc, fp) set")
+    val oldSh = d.select(col("doc_id"),
+        explode(Portable.wordShingles(col("text"), 2)).as("s"))
+      .as[(Long, String)].collect().sorted.toSeq
+    val newSh = d.select(col("doc_id"),
+        explode(graft.plans.TextHash.wordShinglesAll(spark, col("text"), 2))
+          .as("s"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(newSh === oldSh,
+      "wordShinglesAll must emit the identical shingle MULTISET")
+  }
+
   test("weighted minhash sees repetition that plain set-Jaccard hides") {
     // docs 1 and 2 have the SAME bigram set {«x y», «y x»} ∪ {«x y»}:
     // plain set Jaccard(1,2) = 0.5, but the capped tf vectors are
