@@ -134,11 +134,19 @@ object Sketch {
                   d: Int = 4, w: Int = 512): DataFrame = {
     val g = groupCols.map(col)
     val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
-    tokens.select(g :+ col("token") :+ seeds: _*)
+    // Cells from the term-frequency table, not the raw occurrence stream:
+    // cell_cnt = Σ_{token→bucket} tf(token) is EXACTLY count over
+    // occurrences, but the d md5 hashes run once per DISTINCT
+    // (group, token) instead of once per occurrence — at sf10 that is
+    // 4×vocab ≈ 200k hashes instead of 4×50M, and the tf groupBy ships
+    // vocab-sized map-side partials instead of the d×-replicated stream.
+    tokens.groupBy(g :+ col("token"): _*).agg(count(lit(1)).as("_tf"))
+      .select(g :+ col("token") :+ col("_tf") :+ seeds: _*)
       .select(g :+ col("seed") :+
-        (Portable.hash32(col("token"), col("seed")) % w).as("bucket"): _*)
+        (Portable.hash32(col("token"), col("seed")) % w).as("bucket") :+
+        col("_tf"): _*)
       .groupBy(g ++ Seq(col("seed"), col("bucket")): _*)
-      .agg(count(lit(1)).as("cell_cnt"))
+      .agg(sum(col("_tf")).as("cell_cnt"))
   }
 
   /** Cell-wise SUM-merge of per-slice count-min sketches: counters are
@@ -227,9 +235,16 @@ object Sketch {
                       minFracDenom: Long = 200L): DataFrame = {
     val seeds = explode(array((0 until d).map(lit): _*)).as("seed")
     val occ = tokens.select(col("token"))
-    val sketch = cmsSketch(occ, d, w)
-    val exact = occ.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
-    val total = occ.agg(count(lit(1)).as("_n"))
+    // One corpus scan total: the exact tf table (checkpointed — it is
+    // vocab-sized) feeds the sketch cells (Σ tf per hashed bucket ≡ the
+    // occurrence count), the estimates, and the stream total.
+    val exact = graft.util.Checkpoints.truncate(
+      occ.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt")))
+    val sketch = exact.select(col("token"), col("exact_cnt"), seeds)
+      .groupBy(col("seed"),
+        (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
+      .agg(sum(col("exact_cnt")).as("cell_cnt"))
+    val total = exact.agg(sum(col("exact_cnt")).as("_n"))
     exact.select(col("token"), col("exact_cnt"), seeds)
       .select(col("token"), col("exact_cnt"), col("seed"),
         (Portable.hash32(col("token"), col("seed")) % w).as("bucket"))
