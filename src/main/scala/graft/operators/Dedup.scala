@@ -200,48 +200,70 @@ object Dedup {
     // rare-self-join shape (df count, join-back, self-join = three
     // shuffles over the shingle table). The pair list per rare shingle is
     // ≤ C(maxDf,2), bounded by construction.
-    val docsPerShingle = sh.groupBy(col("shingle"))
+    // df first (always-skinny counts), THEN collect doc lists for rare
+    // shingles only: a single collect_set pass would materialize one
+    // array row per shingle INCLUDING boilerplate — a df=10M stop shingle
+    // is an 80 MB aggregation row, the exact unbounded-state shape a
+    // 100 TB corpus breaks on. Rare arrays are ≤ maxDf by construction.
+    val dfCnt = graft.util.Checkpoints.truncate(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 2))
+    val docsPerShingle = sh
+      .join(dfCnt.filter(col("_df") <= maxDf).select(col("shingle")), "shingle")
+      .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(idCol))).as("_ds"))
-      .filter(size(col("_ds")).between(2, maxDf.toInt))
     val pairsCol = flatten(transform(
       sequence(lit(0), size(col("_ds")) - 2),
       i => transform(slice(col("_ds"), i + 2, size(col("_ds"))),
         b => struct(element_at(col("_ds"), i + 1).as("a_id"), b.as("b_id")))))
-    val candidates = docsPerShingle
+    // EXACT intersection with NO per-pair arrays, decomposed by shingle
+    // document frequency. Every shared shingle has df ≥ 2 and is either
+    // RARE (df ≤ maxDf) — counted for free as the MULTIPLICITY of the
+    // pair expansion above, which emits (a,b) once per rare shingle
+    // containing both — or a STOP shingle (df > maxDf), counted by a
+    // count-join restricted to surviving candidates. The r15 array shape
+    // (per-doc shingle arrays + array_intersect per pair) shipped ~5 KB
+    // of array payload per candidate through the b_id shuffle: at sf10
+    // that is 45.8M expansion rows (measured Σ C(df,2) over rare
+    // shingles) × ~5 KB ≈ 200+ GB of shuffle — it filled the disk in the
+    // r16 verify slice. Here nothing wider than (a_id, b_id, shingle)
+    // ever crosses a shuffle.
+    val rare = docsPerShingle
       .select(explode(pairsCol).as("_p"))
-      .select(col("_p.a_id"), col("_p.b_id")).distinct()
-    // Verification by per-doc sorted shingle ARRAYS + codegen'd
-    // array_intersect, not by re-exploding rows: the exploded probe shape
-    // (candidates ⨝ sh(a) ⨝ sh(b,shingle)) materializes
-    // |candidates|×|shingles(a)| intermediate rows (~4M at sf0.1, measured
-    // the dominant cost); one array row per doc is ~|doc| bytes and the
-    // candidate set is rare-shingle-bounded, so arrays crossing this join
-    // are strictly cheaper than the expansion at any corpus scale. Exact:
-    // arrays carry the shingle strings themselves, no hashing.
-    val docSets = graft.util.Checkpoints.truncate(
-      sh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("shingle"))).as("_sa")))
-    inter_from_sets(candidates, docSets, minContainment)
-  }
-
-  /** Array-verification tail of [[containmentPairs]]: join candidate pairs
-    * to both docs' shingle-set arrays, count the intersection natively. */
-  private def inter_from_sets(candidates: DataFrame, docSets: DataFrame,
-                              minContainment: Double): DataFrame = {
-    // shuffle_hash with the ARRAY side as build: the default sort-merge
-    // join sorts |candidates| rows already carrying a doc's full shingle
-    // array — at sf10 that is ~45M rows × ~5 KB of array payload through
-    // a sort, all spill (measured 532 s; 26× sf1 at 10× the rows). Hash-
-    // building the doc-keyed array side costs one in-memory table of
-    // |docs|/partitions rows and the candidate stream never sorts.
-    candidates
-      .join(docSets.select(col("doc_id").as("a_id"), col("_sa").as("_a"))
+      .select(col("_p.a_id"), col("_p.b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_rare"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val stopSh = sh
+      .join(dfCnt.filter(col("_df") > maxDf).select(col("shingle")), "shingle")
+      .select(col("shingle"), col(idCol).as("doc_id"))
+    val stopCnt = stopSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_stop_doc"))
+    // Upper-bound prune BEFORE the stop count-join: shared stop shingles
+    // ≤ min(|stop(a)|, |stop(b)|), so best-case containment is
+    // (n_rare + that bound) / min(sz_a, sz_b); a pair below the threshold
+    // on the bound can never pass. Most candidates share one rare shingle
+    // and die here, so the stop expansion runs only on plausible pairs.
+    val bounded = rare
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+      .join(stopCnt.select(col("doc_id").as("a_id"), col("n_stop_doc").as("_sca")),
+        Seq("a_id"), "left")
+      .join(stopCnt.select(col("doc_id").as("b_id"), col("n_stop_doc").as("_scb")),
+        Seq("b_id"), "left")
+      .na.fill(0L, Seq("_sca", "_scb"))
+      .filter((col("n_rare") + least(col("_sca"), col("_scb"))).cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double") >= minContainment)
+      .drop("_sca", "_scb")
+    val nStop = bounded.select(col("a_id"), col("b_id"))
+      .join(stopSh.select(col("doc_id").as("a_id"), col("shingle"))
         .hint("shuffle_hash"), "a_id")
-      .join(docSets.select(col("doc_id").as("b_id"), col("_sa").as("_b"))
-        .hint("shuffle_hash"), "b_id")
-      .withColumn("n_inter", size(array_intersect(col("_a"), col("_b"))).cast("long"))
-      .withColumn("sz_a", size(col("_a")).cast("long"))
-      .withColumn("sz_b", size(col("_b")).cast("long"))
+      .join(stopSh.select(col("doc_id").as("b_id"), col("shingle"))
+        .hint("shuffle_hash"), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_stop"))
+    bounded
+      .join(nStop, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("n_stop"))
+      .withColumn("n_inter", col("n_rare") + col("n_stop"))
       .withColumn("c_a", col("n_inter").cast("double") / col("sz_a").cast("double"))
       .withColumn("c_b", col("n_inter").cast("double") / col("sz_b").cast("double"))
       .filter(col("c_a") >= minContainment || col("c_b") >= minContainment)
