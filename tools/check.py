@@ -75,6 +75,12 @@ def canon(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # CHECK_MEM_LIMIT (e.g. "48GB"): cap DuckDB so a 10x-scale oracle
+    # spills to disk instead of drawing the OOM killer — an unbounded
+    # sf10 containment oracle was SIGKILLed at 125 GB in r16.
+    mem = os.environ.get("CHECK_MEM_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         # driver testdata ships single files; Spark-written tables
@@ -89,7 +95,18 @@ def main():
     results = {}
     spark_dirs = [d for d in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, d))]
+    # incremental stderr progress (flushed per query) so a killed sweep
+    # still leaves every completed verdict on disk
+    _last = [None]
+
+    def _flush_last():
+        if _last[0] is not None and _last[0] in results:
+            print(f"CHECKQ {_last[0]}: {results[_last[0]]}",
+                  file=sys.stderr, flush=True)
+
     for name in sorted(set(spark_dirs) | set(oracle)):
+        _flush_last()
+        _last[0] = name
         spath = os.path.join(out_dir, name)
         if not os.path.isdir(spath):
             results[name] = "MISSING_SPARK_OUTPUT"
@@ -193,6 +210,7 @@ def main():
         else:
             results[name] = f"OK rows={len(s_n)}"
 
+    _flush_last()
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_weak = sum(1 for v in results.values()
                  if v.startswith("NO_ORACLE") or v.startswith("ORACLE_TIMEOUT"))
