@@ -3694,11 +3694,18 @@ object QueriesExt {
       |SELECT o.digit, o.n_obs,
       |  CAST(CAST(nn AS HUGEINT) * c_scaled AS DOUBLE) / 1099511627776.0
       |    AS expected,
-      |  CAST((CAST(n_obs AS HUGEINT) * 1099511627776 -
+      |  -- HUGEINT -> VARCHAR -> DOUBLE: DuckDB's direct HUGEINT->DOUBLE
+      |  -- cast converts upper*2^64 and lower separately (TWO roundings)
+      |  -- and lands 1 ulp off the correctly-rounded value past ~2^64;
+      |  -- Spark's Decimal->double (BigDecimal.doubleValue) rounds
+      |  -- correctly, as does DuckDB's strtod. Bit-divergence measured at
+      |  -- sf1 (diff^2 ~ 2*10^36): 169839.35966837595 vs ...98.
+      |  CAST(CAST((CAST(n_obs AS HUGEINT) * 1099511627776 -
       |        CAST(nn AS HUGEINT) * c_scaled) *
       |       (CAST(n_obs AS HUGEINT) * 1099511627776 -
-      |        CAST(nn AS HUGEINT) * c_scaled) AS DOUBLE) /
-      |  CAST(CAST(1099511627776 AS HUGEINT) * nn * c_scaled AS DOUBLE)
+      |        CAST(nn AS HUGEINT) * c_scaled) AS VARCHAR) AS DOUBLE) /
+      |  CAST(CAST(CAST(1099511627776 AS HUGEINT) * nn * c_scaled
+      |    AS VARCHAR) AS DOUBLE)
       |    AS contrib
       |FROM o CROSS JOIN tot""".stripMargin
 
