@@ -226,13 +226,19 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
   def qBfsDepth(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // edge set truncated once (it feeds all three frontier joins), each
+    // frontier persisted (it feeds the next join AND the final union —
+    // uncached, the final job recomputed the whole chain per consumer,
+    // O(rounds²) replays of the edge distinct; localCheckpoint would
+    // trip the Union constraint-rewrite bug, see Graph.bipartiteCheck) (r16)
+    val edges = graft.util.Checkpoints.truncate(
+      li.union(li.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val init = s.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
     var reached = init
     var frontier = init
     for (i <- 1 to 3) {
       frontier = frontier.as("f").join(edges.as("e"), col("f.node") === col("e.src"))
-        .select(col("e.dst").as("node"), lit(i.toLong).as("d")).distinct()
+        .select(col("e.dst").as("node"), lit(i.toLong).as("d")).distinct().persist()
       reached = reached.union(frontier)
     }
     reached.groupBy("node").agg(min("d").as("d"))

@@ -76,12 +76,19 @@ object Graph {
     // node-keyed join per round, and the dangling variant reads sinks off
     // the same table instead of an anti-join per round (r8; the oracle's
     // unrolled update is arithmetically identical, so hashes don't move)
-    var ranks = nodes
+    val ranks0 = nodes
       .join(outdeg, col("node") === col("src"), "left").drop("src")
       .crossJoin(broadcast(nTotal))
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("rank"),
         col("n_nodes"), col("outdeg"))
+    // Truncate the INITIAL rank table too (node-sized, one extra tiny job):
+    // round 1's plan otherwise embeds the nodes∪distinct + outdeg + count
+    // derivation tree TWICE (contrib branch + withIn branch), and every
+    // broadcast-exchange subquery Catalyst plants in the round re-runs that
+    // tree as its own job — profiled at 17 jobs for iters=2 on q_pagerank,
+    // with the derivation stages re-reading the edge blocks 10-20× (r16).
+    var ranks = if (checkpoint) Checkpoints.truncate(ranks0) else ranks0
     val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
       if (checkpoint) rot.begin()
@@ -157,7 +164,7 @@ object Graph {
     val seeds = teleport.select(col("node")).distinct()
       .join(nodes, "node", "left_semi")
     val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
-    var ranks = nodes
+    val ranks0 = nodes
       .join(outdeg, col("node") === col("src"), "left").drop("src")
       .join(seeds.withColumn("_is_seed", lit(1)), Seq("node"), "left")
       .crossJoin(broadcast(nSeeds))
@@ -165,6 +172,9 @@ object Graph {
         when(col("_is_seed").isNotNull,
           lit(1.0) / col("n_seeds").cast("double")).otherwise(lit(0.0)).as("tp"))
       .withColumn("rank", col("tp"))
+    // initial table truncated for the same reason as pageRank's (the
+    // teleport/outdeg derivation tree otherwise re-runs per broadcast job)
+    var ranks = if (checkpoint) Checkpoints.truncate(ranks0) else ranks0
     val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
       if (checkpoint) rot.begin()
@@ -214,8 +224,12 @@ object Graph {
       sum(floor(c * S + 0.5).cast(Dec38)).cast("double") / S
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // nodes feeds BOTH zero-fill joins of EVERY round (plus the initial
+    // scores): truncate it once (node-sized) so the union∪distinct over the
+    // edge table never re-runs inside a round's join/broadcast jobs (r16)
+    val nodes = if (checkpoint) Checkpoints.truncate(nodes0) else nodes0
     // L1 normalizer as an exact driver SCALAR off the (checkpointed) raw
     // aggregate: zero-filled nodes contribute floor(0·S + 0.5) = 0 to the
     // snapped long sum, so summing the raw table alone equals the oracle's
@@ -391,8 +405,11 @@ object Graph {
     val nbr0 = und.select(col("u").as("node"), col("v").as("peer"))
       .union(und.select(col("v").as("node"), col("u").as("peer")))
     val nbr = if (checkpoint) Checkpoints.truncate(nbr0) else nbr0
-    var lbl = nbr.select(col("node")).distinct()
+    val lbl0 = nbr.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    // initial label table truncated like pageRank's initial ranks: round 1
+    // otherwise re-runs the node distinct inside each of its jobs (r16)
+    var lbl = if (checkpoint) Checkpoints.truncate(lbl0) else lbl0
     val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
       if (checkpoint) rot.begin()
@@ -443,8 +460,14 @@ object Graph {
     val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to rounds) {
       if (checkpoint) rot.begin()
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+      // lazy truncate (zero extra jobs): keep feeds BOTH semi-joins, and
+      // Catalyst typically broadcasts it — each broadcast job would re-run
+      // the degree aggregation; the persisted blocks compute once and are
+      // shared across the round's jobs (r16)
+      val keep0 = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
         .filter(col("_d") >= k).select(col("src").as("_k"))
+      val keep = if (checkpoint) Checkpoints.truncate(keep0, eager = false)
+                 else keep0
       val e2 = e.join(keep, col("src") === col("_k"), "left_semi")
         .join(keep, col("dst") === col("_k"), "left_semi")
       // eager + rotate: each peel's survivor set replaces the last — the
@@ -495,8 +518,26 @@ object Graph {
         .join(e.as("g"), col("f.node") === col("g.src"))
         .select(col("f.lm"), col("g.dst").as("node"), lit(i.toLong).as("d"))
       // dedup bounds the NEXT round's join fan-out; the last round feeds
-      // only the min-d aggregate, which dedups anyway — skip the shuffle
-      frontier = if (i < rounds) step.distinct() else step
+      // only the min-d aggregate, which dedups anyway — skip the shuffle.
+      // Each deduped frontier is lazily truncated: it feeds BOTH the next
+      // round's join and the final reached-union, which otherwise recompute
+      // the whole frontier chain once per consumer (O(rounds²) recompute in
+      // the single final job; the persisted blocks compute once) (r16)
+      // persist, NOT localCheckpoint: each deduped frontier feeds the next
+      // round's join AND the final reached-union, so uncached the final job
+      // recomputes the whole frontier chain once per consumer (O(rounds²)
+      // replays). localCheckpoint is unusable here — its LogicalRDD keeps
+      // the pre-checkpoint constraints and the reached-union's constraint
+      // rewrite dies on the stale attribute ids (NoSuchElementException in
+      // Union.rewriteConstraints, Spark 4.1, hit in r16). persist() keeps
+      // the (bounded, ≤12-round) lineage for analysis but computes each
+      // frontier once; Bench/Verify release all persisted blocks at query
+      // boundaries.
+      frontier =
+        if (i < rounds) {
+          val d = step.distinct()
+          if (checkpoint) d.persist() else d
+        } else step
       reached = reached.union(frontier)
     }
     reached.groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
@@ -579,7 +620,9 @@ object Graph {
       val step = frontier.as("f")
         .join(e.as("g"), col("f.node") === col("g.src"))
         .select(col("g.dst").as("node"), lit(i.toLong).as("d"))
-      frontier = if (i < rounds) step.distinct() else step
+      // persist, not localCheckpoint: same dual-consumer recompute (and the
+      // same Union constraint-rewrite landmine) as landmarkCloseness
+      frontier = if (i < rounds) step.distinct().persist() else step
       reached = reached.union(frontier)
     }
     val depth = Checkpoints.truncate(
