@@ -364,10 +364,13 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
   def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
       .select(col("l_orderkey").as("k"), col("l_partkey"))
-    val pairs = li.select(col("k"), col("l_partkey").as("a"))
-      .join(li.select(col("k"), col("l_partkey").as("b")), "k")
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
+    // truncate the co-purchase pair expansion once: it feeds this query's
+    // own und/deg AND triangleCounts' internal canonicalize (r16)
+    val pairs = graft.util.Checkpoints.truncate(
+      li.select(col("k"), col("l_partkey").as("a"))
+        .join(li.select(col("k"), col("l_partkey").as("b")), "k")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")))
     val und = pairs.distinct()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
@@ -1656,6 +1659,11 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
       .join(li.select(col("k"), col("l_partkey").as("b")), "k")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
+    // NOT truncated (unlike triangleCounts): this is a single-action plan
+    // whose repeated subtrees Catalyst already dedupes via ReusedExchange —
+    // a truncate experiment here measured 2.39 s -> 3.00 s, the three extra
+    // materialization jobs costing more than the (already-reused) recompute
+    // they removed (r16)
     val und = pairs.distinct()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))

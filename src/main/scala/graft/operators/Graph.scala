@@ -295,21 +295,27 @@ object Graph {
     * n_triangles) for every node in ≥ 1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(
-      least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // und feeds deg + the orient joins, deg feeds two joins, oriented
+    // feeds both wedge legs AND the closing semi-join — truncate each once
+    // (transitivity's discipline; untruncated, the canonicalize+distinct
+    // and the two degree joins re-ran once per consumer, r16 profile)
+    val und = Checkpoints.truncate(
+      edges.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val deg = Checkpoints.truncate(
+      und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     // oriented edge carries its dst's degree so wedge legs can be ordered
     // by the same (degree, id) total order without another join
-    val oriented = und
+    val oriented = Checkpoints.truncate(und
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst")))
     val wedges = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
       .join(oriented.select(col("src"), col("dst").as("z"), col("ddst").as("dz")), "src")
       .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
@@ -563,10 +569,14 @@ object Graph {
     */
   def assortativity(edges: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    // und feeds the degree agg + the moment join, deg feeds both endpoint
+    // joins — truncate once each (r16; richClub's discipline)
+    val und = Checkpoints.truncate(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val deg = Checkpoints.truncate(
+      und.groupBy(col("src")).agg(count(lit(1)).as("_deg")))
     val m = und
       .join(deg.select(col("src"), col("_deg").as("dx")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("_deg").as("dy")), Seq("dst"))
@@ -715,12 +725,19 @@ object Graph {
     */
   def linkPredictJaccard(edges: DataFrame, maxCenterDegree: Long,
                          minCommon: Long): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
-    val centers = und.join(deg.filter(col("degree") <= maxCenterDegree)
-      .select(col("node").as("a")), Seq("a"), "left_semi")
+    // und feeds deg + the center semi-join + the existing-edge anti-join,
+    // deg feeds three joins, centers feeds both wedge legs — truncate each
+    // once (untruncated, the symmetrize+distinct re-ran from the source
+    // scan once per consumer: three full scans in the r16 profile)
+    val und = Checkpoints.truncate(
+      edges.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = Checkpoints.truncate(
+      und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree")))
+    val centers = Checkpoints.truncate(
+      und.join(deg.filter(col("degree") <= maxCenterDegree)
+        .select(col("node").as("a")), Seq("a"), "left_semi"))
     val wedges = centers.select(col("a").as("v"), col("b").as("u"))
       .join(centers.select(col("a").as("v"), col("b").as("w")), Seq("v"))
       .filter(col("u") < col("w"))
