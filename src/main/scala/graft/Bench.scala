@@ -106,9 +106,20 @@ object Bench {
     // is one task; unset keeps Spark's default (the driver-contract path).
     val maxPartBytes =
       sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
+    // AQE's coalescing floor assumes work ∝ partition BYTES. The dedup/
+    // similarity stages break that: 16 md5-min-hashes per replicated
+    // occurrence run ~100× the compute per byte of a scan, so the default
+    // 1 MB floor coalesced a 4 MB tf table to 4 tasks and the signature
+    // stage ran 4/32 cores (q_dedup_minhash_weighted 2.7→1.7 s warm with
+    // the floor at 64k). Partition COUNT still right-sizes with data via
+    // parallelismFirst + SPARK_GRAFT_SHUFFLE_PARTITIONS; this floor only
+    // stops over-merging when bytes are small and work is not.
+    val aqeMinPart =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", aqeMinPart)
       .config("spark.sql.files.maxPartitionBytes", maxPartBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", graft.util.Scratch.warehouseDir)
