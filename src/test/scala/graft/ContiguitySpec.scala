@@ -88,6 +88,23 @@ class ContiguitySpec extends SparkSpec {
     assert(nGeoms === nCc)
   }
 
+  test("local union-find path and star-contraction path label identically") {
+    // the size-adaptive small-graph path (single-task union-find, r16) must
+    // produce byte-identical (keys, node, comp) labels to the distributed
+    // star fixpoint — compare both on the serpentine that needs multi-round
+    // star convergence, plus isolated nodes and two key groups
+    val cells = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+    (0 to 12 by 2).foreach(r => (0 to 6).foreach(c => cells += (("g", r, c))))
+    (1 to 11 by 2).foreach(r => cells += (("g", r, if (r % 4 == 1) 6 else 0)))
+    cells += (("g", 40, 40)); cells += (("h", 0, 0)); cells += (("h", 0, 1))
+    val runs = Contiguity.rowRuns(cells.toSeq.toDF("g", "r", "c"), Seq("g"), "r", "c")
+    val edges = Contiguity.runEdges(runs, Seq("g"), "r")
+    def labels(cutoff: Long) =
+      Contiguity.connectedComponents(edges, runs, Seq("g"), localCutoff = cutoff)
+        .select("g", "node", "comp").as[(String, Long, Long)].collect().toSet
+    assert(labels(Long.MaxValue) === labels(0L)) // local vs star, same rows
+  }
+
   test("two parallel bars joined by a bridge merge into one component") {
     val bars = (0 to 5).flatMap(c => Seq(("g", 0, c), ("g", 2, c)))
     val bridge = Seq(("g", 1, 3))
