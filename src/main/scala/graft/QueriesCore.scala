@@ -359,11 +359,19 @@ object QueriesCore {
   //      write time, amortized over every subsequent join) ----
   def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val bdir = "/root/repo/.bucketed"
+    // repartition by the bucket column BEFORE the bucketed write: the
+    // writer hashes rows to buckets with the same Murmur3 the exchange
+    // uses, so each task then holds exactly one bucket — 16 parallel
+    // write tasks and ONE file per bucket, where the unpartitioned write
+    // ran at scan parallelism with every task opening all 16 bucket
+    // files (16× the file count for the join to read back) (r16)
     t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(16, col("o_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$bdir/orders").saveAsTable("graft_bucketed_orders")
     t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .repartition(16, col("l_orderkey"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$bdir/lineitem").saveAsTable("graft_bucketed_lineitem")

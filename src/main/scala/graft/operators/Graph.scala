@@ -250,16 +250,20 @@ object Graph {
       val aRaw0 = e.join(scores.select(col("node").as("_s"), col("hub")),
           col("src") === col("_s"))
         .groupBy(col("dst")).agg(snapSum(col("hub")).as("a_raw"))
-      // eager: the raw table is read 3× (scalar, zero-fill join, next
-      // half-iteration) — materialize once, node-sized
-      val aRaw = if (checkpoint) Checkpoints.truncate(aRaw0) else aRaw0
+      // LAZY truncate: the raw table is read 3× (scalar, zero-fill join,
+      // next half-iteration) — the l1Scalar collect right below is the
+      // materializing action, so the eager form's separate job per
+      // half-iteration disappears (CC's sig pattern; 4 jobs per q_hits)
+      val aRaw = if (checkpoint) Checkpoints.truncate(aRaw0, eager = false)
+                 else aRaw0
       val aSum = l1Scalar(aRaw, "a_raw")
       val auth = nodes.join(aRaw, col("node") === col("dst"), "left")
         .select(col("node"), (coalesce(col("a_raw"), lit(0.0)) / lit(aSum)).as("auth"))
       val hRaw0 = e.join(auth.select(col("node").as("_d"), col("auth")),
           col("dst") === col("_d"))
         .groupBy(col("src")).agg(snapSum(col("auth")).as("h_raw"))
-      val hRaw = if (checkpoint) Checkpoints.truncate(hRaw0) else hRaw0
+      val hRaw = if (checkpoint) Checkpoints.truncate(hRaw0, eager = false)
+                 else hRaw0
       val hSum = l1Scalar(hRaw, "h_raw")
       val hub = nodes.join(hRaw, col("node") === col("src"), "left")
         .select(col("node"), (coalesce(col("h_raw"), lit(0.0)) / lit(hSum)).as("hub"))

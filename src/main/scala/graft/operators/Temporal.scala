@@ -335,18 +335,31 @@ object Temporal {
     val risk = hist.withColumn("n", sum(col("leaving")).over(wSuf))
       .filter(col("d") > 0)
       .select(col("t"), col("d"), col("n"))
-    val wRank = Window.orderBy(col("t"))
-    val ranked = risk.withColumn("k", row_number().over(wRank))
-    val arr = ranked
+    // Survival products in ONE linear fold over the (histogram-sized,
+    // time-sorted) array: the accumulator carries (running product,
+    // emitted array), so s_k = s_{k-1} · (1 − d_k/n_k) multiplies in the
+    // identical left-fold order as the previous per-row prefix folds —
+    // bit-equal doubles — without their O(k) re-fold per output row
+    // (3.6k rows × 3.6k-element prefixes = 6.6M interpreted lambda steps,
+    // 0.85 s of the query, r16 profile). The per-rank crossJoin and the
+    // global row_number window disappear with it.
+    val arr = risk
       .agg(array_sort(collect_list(struct(col("t"), col("d"), col("n"))))
         .as("_arr"))
-    ranked.crossJoin(broadcast(arr))
-      .withColumn("survival",
-        aggregate(slice(col("_arr"), lit(1), col("k")), lit(1.0),
-          (acc, x) => acc * (lit(1.0) -
-            x.getField("d").cast("double") / x.getField("n").cast("double"))))
-      .select(col("t"), col("n").as("n_at_risk"), col("d").as("d_events"),
-        col("survival"))
+    val surv = arr.select(col("_arr"),
+      aggregate(col("_arr"),
+        struct(lit(1.0).as("s"), array().cast("array<double>").as("out")),
+        (acc, x) => {
+          val s2 = acc.getField("s") * (lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n").cast("double"))
+          struct(s2.as("s"), concat(acc.getField("out"), array(s2)).as("out"))
+        },
+        acc => acc.getField("out")).as("_sv"))
+    surv.select(posexplode(arrays_zip(col("_arr"), col("_sv"))))
+      .select(col("col._arr.t").as("t"),
+        col("col._arr.n").as("n_at_risk"),
+        col("col._arr.d").as("d_events"),
+        col("col._sv").as("survival"))
   }
 
   /** Log-rank test (Mantel 1966) — "are these two survival curves
