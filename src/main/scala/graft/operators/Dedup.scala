@@ -193,6 +193,12 @@ object Dedup {
     // without truncation Spark re-runs the shingle explosion per consumer
     // (r12→r13 bisect: the recomputation was most of q_containment's warm
     // cost). One materialization, key-domain-sized, lineage-safe.
+    // NOT repartitioned before the checkpoint: the blocks do inherit scan
+    // parallelism (one row-group locally, so consumers read one block in
+    // one task), but an r16 experiment inserting an explicit repartition
+    // measured 2.96 s -> 3.82 s — every consumer re-shuffles sh anyway,
+    // so the extra exchange buys nothing the consumers' own exchanges
+    // don't already provide.
     val sh = graft.util.Checkpoints.truncate(
       shingleRows(docs, k, idCol, textCol))
     // Candidate pairs straight from a per-shingle doc-id array: ONE
