@@ -160,6 +160,34 @@ object Bench {
         Seq("r_regionkey")))
       materialize(spark.range(1000).selectExpr("id % 7 AS k", "id")
         .groupBy("k").count())
+      // Codegen/JIT warmup at FULL task-thread count (r16 driver run: the
+      // first ~75 alphabetical queries of the 32-core run measured 4-14×
+      // slow — q_corr 0.84→11.7 s on untouched code — with the in-window
+      // stall retry also slow; all 16 flagged queries sat in the first
+      // 2-3 minutes, i.e. run-start JIT/C2 compilation contention across
+      // 32 task threads). The two tiny queries above warm the parquet
+      // reader and broadcast machinery but leave every task thread's hot
+      // framework paths (hash agg, sort, window, shuffle write/fetch,
+      // sort-merge join, string hashing) cold. Run each long enough on
+      // ALL threads that C2 kicks in before the first timed query
+      // (~2-3 s untimed, once per session).
+      val nWarm = 1L << 21
+      val w = spark.range(0, nWarm, 1, cpus.toInt)
+        .selectExpr("id", "id % 1024 AS k",
+          "cast(id % 7919 as double) AS x", "md5(cast(id as string)) AS s")
+      materialize(w.groupBy("k")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"),
+          org.apache.spark.sql.functions.max(col("s")).as("mx")))
+      materialize(w.select(col("id"), col("k"), col("x"))
+        .join(w.selectExpr("id + 1 AS id", "s"), "id"))
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val byK = Window.partitionBy(col("k")).orderBy(col("id"))
+        materialize(w
+          .select(col("k"), col("id"),
+            org.apache.spark.sql.functions.row_number().over(byK).as("rn"))
+          .filter(col("rn") <= 2))
+      }
     }
     val warm = warmRef()
     // one timed pass: (sec, rows, checksum, err, gcMsDelta, taskRetryDelta)
@@ -185,40 +213,53 @@ object Bench {
     // the full driver contract, unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def onePass(fn: (SparkSession, String) => DataFrame): Pass = {
+      val g0 = gcMillis(); val r0 = taskRetries.get()
+      val t0 = System.nanoTime()
+      // a failed query must be VISIBLE in the JSON (rows=-1 + errors entry),
+      // never a normal-looking timing (r2: q_speciesdata failed silently)
+      val (rows, sum, err) =
+        try { val (r, h) = materialize(fn(spark, sfDir)); (r, h, None) }
+        catch { case e: Throwable =>
+          (-1L, 0L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
+        }
+      val p = Pass((System.nanoTime() - t0) / 1e9, rows, sum, err,
+        gcMillis() - g0, taskRetries.get() - r0)
+      // query boundary: free this pass's truncated-lineage blocks now
+      // instead of waiting for the ContextCleaner — the session-long
+      // accumulation OOM'd the 24 GiB sf10 probe JVM (r14). Outside the
+      // timed window; retries rebuild their plan from scratch anyway.
+      graft.util.Checkpoints.releaseAll(spark)
+      p
+    }
     // deterministic execution order (sorted by name) for reproducible timings
-    val results = SparkEntry.queries.toSeq
+    val firstSweep = SparkEntry.queries.toSeq
       .filter(q => only.forall(_.contains(q._1))).sortBy(_._1).map { case (name, fn) =>
-      def onePass(): Pass = {
-        val g0 = gcMillis(); val r0 = taskRetries.get()
-        val t0 = System.nanoTime()
-        // a failed query must be VISIBLE in the JSON (rows=-1 + errors entry),
-        // never a normal-looking timing (r2: q_speciesdata failed silently)
-        val (rows, sum, err) =
-          try { val (r, h) = materialize(fn(spark, sfDir)); (r, h, None) }
-          catch { case e: Throwable =>
-            (-1L, 0L, Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"))
-          }
-        val p = Pass((System.nanoTime() - t0) / 1e9, rows, sum, err,
-          gcMillis() - g0, taskRetries.get() - r0)
-        // query boundary: free this pass's truncated-lineage blocks now
-        // instead of waiting for the ContextCleaner — the session-long
-        // accumulation OOM'd the 24 GiB sf10 probe JVM (r14). Outside the
-        // timed window; retries rebuild their plan from scratch anyway.
-        graft.util.Checkpoints.releaseAll(spark)
-        p
-      }
-      val runs = (1 to reps).map(_ => onePass())
+      val runs = (1 to reps).map(_ => onePass(fn))
       val med = runs.map(_.sec).sorted.apply(reps / 2)
-      // re-time-on-outlier (r11 verdict): a successful query measuring
-      // >3× its committed warm time AND >2 s absolute gets ONE warm
-      // re-run; the re-run is the reported number (the same plan seconds
-      // later is the honest cost of the plan — a genuine regression
-      // stays slow on the retry) and the stalled first measurement is
-      // reported beside it, so a box stall is diagnosable from the
-      // artifact instead of reading as a code regression.
+      // per-query progress on STDERR (the graded stdout contract is the
+      // two JSON lines at the end): hour-scale runs at sf10 are otherwise
+      // a black box — a hung query is indistinguishable from a slow one.
+      System.err.println(f"BENCHQ $name sec=$med%.1f" +
+        f" rows=${runs.head.rows}${runs.flatMap(_.err).headOption.map(e => s" ERR=$e").getOrElse("")}")
+      (name, fn, runs, med)
+    }
+    // re-time-on-outlier (r11 verdict): a successful query measuring
+    // >3× its committed warm time AND >2 s absolute gets ONE warm
+    // re-run; the re-run is the reported number (the same plan seconds
+    // later is the honest cost of the plan — a genuine regression
+    // stays slow on the retry) and the stalled first measurement is
+    // reported beside it, so a box stall is diagnosable from the
+    // artifact instead of reading as a code regression. The retry pass
+    // runs AFTER the full sweep (r16 driver run: 16 early-alphabet
+    // stalls whose in-place retries fired inside the same run-start slow
+    // window and were also slow — a post-sweep retry measures against a
+    // fully warmed JVM, which is the point of the rule).
+    val results = firstSweep.map { case (name, fn, runs, med) =>
       val stallThreshold = warm.get(name).map(w => math.max(3.0 * w, 2.0))
-      val qr = if (runs.head.err.isEmpty && stallThreshold.exists(med > _)) {
-        val retry = onePass()
+      if (runs.head.err.isEmpty && stallThreshold.exists(med > _)) {
+        val retry = onePass(fn)
+        System.err.println(f"BENCHQ-RETRY $name sec=${retry.sec}%.1f (was $med%.1f)")
         // report the FASTER of the two passes (the best in-run evidence of
         // the plan's true cost — a genuine regression is slow on both), the
         // slower one beside it as the stall annotation
@@ -234,12 +275,6 @@ object Bench {
         QR(name, med, runs.head.rows, runs.head.sum,
           runs.flatMap(_.err).headOption,
           runs.map(_.gcMs).max, runs.map(_.retries).max, None)
-      // per-query progress on STDERR (the graded stdout contract is the
-      // two JSON lines at the end): hour-scale runs at sf10 are otherwise
-      // a black box — a hung query is indistinguishable from a slow one.
-      System.err.println(f"BENCHQ ${qr.name} sec=${qr.sec}%.1f" +
-        f" rows=${qr.rows}${qr.err.map(e => s" ERR=$e").getOrElse("")}")
-      qr
     }
     // The graded line must be SHORT and LAST: the driver keeps only the
     // final ~2000 chars of output, and r4-r6's single fat line (timings +

@@ -40,11 +40,13 @@ object Contiguity {
   private val NodeBase = 4294967296L // 2^32
 
   /** Edge-count cutoff below which [[connectedComponents]] labels in one
-    * union-find task instead of iterating star rounds. 2M edges ≈ 64 MB
-    * in a single task — well inside one executor's memory, and far past
-    * the point where union-find (O(E α(E)) in one stage) beats ~O(log²n)
-    * rounds of full-table exchanges. `SPARK_GRAFT_CC_LOCAL_EDGES`
-    * overrides (0 forces the distributed path everywhere).
+    * union-find task instead of iterating star rounds. With the
+    * primitive-keyed union-find below (~40 B per node entry), 2M edges ≈
+    * up to 4M node entries ≈ 160 MB in a single task — well inside one
+    * executor's memory, and far past the point where union-find
+    * (O(E α(E)) in one stage) beats ~O(log²n) rounds of full-table
+    * exchanges. `SPARK_GRAFT_CC_LOCAL_EDGES` overrides (0 disables the
+    * local path, forcing the distributed star fixpoint everywhere).
     */
   private[operators] val ConnectedComponentsLocalCutoff: Long =
     sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").map(_.toLong).getOrElse(2000000L)
@@ -130,32 +132,61 @@ object Contiguity {
     val outSchema = e.schema
     val nKeys = keys.length
     val labeled = e.coalesce(1).mapPartitions { it =>
-      val parent = mutable.HashMap.empty[(Seq[Any], Long), (Seq[Any], Long)]
-      def find(x: (Seq[Any], Long)): (Seq[Any], Long) = {
+      // Primitive-keyed union-find (r16 ADVICE): boxed (Seq[Any], Long)
+      // HashMap keys cost ~200-300 B/entry, so a cutoff-sized graph needed
+      // GBs in one task. Instead intern each (key-tuple, node) to a dense
+      // Int id — one HashMap over the (few) distinct key tuples, one
+      // primitive LongMap per tuple over node ids — and run find/union on
+      // flat int/long arrays: ~40 B per node entry.
+      val groupIdx = mutable.HashMap.empty[Seq[Any], Int]
+      val groupKeys = new mutable.ArrayBuffer[Seq[Any]]()
+      val groupNodes = new mutable.ArrayBuffer[mutable.LongMap[Int]]()
+      var n = 0
+      var parent = new Array[Int](1024)
+      var nodeOf = new Array[Long](1024)
+      var groupOf = new Array[Int](1024)
+      def intern(k: Seq[Any], node: Long): Int = {
+        val gi = groupIdx.getOrElseUpdate(k, {
+          groupKeys += k
+          groupNodes += mutable.LongMap.empty[Int]
+          groupKeys.length - 1
+        })
+        groupNodes(gi).getOrElseUpdate(node, {
+          if (n == parent.length) {
+            parent = java.util.Arrays.copyOf(parent, n * 2)
+            nodeOf = java.util.Arrays.copyOf(nodeOf, n * 2)
+            groupOf = java.util.Arrays.copyOf(groupOf, n * 2)
+          }
+          parent(n) = n; nodeOf(n) = node; groupOf(n) = gi
+          n += 1
+          n - 1
+        })
+      }
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent(r) != r) r = parent(r)
         var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
       it.foreach { row =>
         val k = (0 until nKeys).map(row.get)
-        val a = (k, row.getLong(nKeys))
-        val b = (k, row.getLong(nKeys + 1))
-        if (!parent.contains(a)) parent(a) = a
-        if (!parent.contains(b)) parent(b) = b
+        val a = intern(k, row.getLong(nKeys))
+        val b = intern(k, row.getLong(nKeys + 1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(rb) = ra
       }
-      val minOf = mutable.HashMap.empty[(Seq[Any], Long), Long]
-      val members = parent.keys.toArray
-      members.foreach { m =>
-        val r = find(m)
-        val cur = minOf.getOrElse(r, Long.MaxValue)
-        if (m._2 < cur) minOf(r) = m._2
+      val minOf = new Array[Long](n)
+      java.util.Arrays.fill(minOf, Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val r = find(i)
+        if (nodeOf(i) < minOf(r)) minOf(r) = nodeOf(i)
+        i += 1
       }
-      members.iterator.map { m =>
-        org.apache.spark.sql.Row.fromSeq(m._1 :+ m._2 :+ minOf(find(m)))
+      (0 until n).iterator.map { m =>
+        org.apache.spark.sql.Row.fromSeq(
+          groupKeys(groupOf(m)) :+ nodeOf(m) :+ minOf(find(m)))
       }
     }(org.apache.spark.sql.Encoders.row(
       StructType(outSchema.fields.take(nKeys) ++ Seq(
@@ -201,7 +232,7 @@ object Contiguity {
     // per-round machinery at every scale factor (r16). Above the cutoff
     // (≈64 MB of edges in one task) the distributed star path runs
     // unchanged.
-    if (eCount <= localCutoff) {
+    if (localCutoff > 0 && eCount <= localCutoff) {
       val lbl = localLabel(e, keys)
       return nodes.select(keys.map(col) :+ col("node"): _*)
         .join(lbl, keys :+ "node", "left")

@@ -777,6 +777,14 @@ object Dedup {
     * quadratic term. Oversized (hub-shingle) blocks drop LOUDLY (WARN +
     * accounting); pairs sharing only dropped shingles are lost, the
     * visible-degradation contract shared with [[fuzzyStringJoin]].
+    * Interaction with the positional filter (r16 ADVICE): the filter's
+    * bound assumes the joined token is the pair's FIRST common prefix
+    * token (it drops the overlap-so-far term). When a cap drops that
+    * token's block, a borderline pair can also fail the positional bound
+    * on every LATER shared prefix token and be lost — i.e. under a cap
+    * the candidate set may shrink slightly beyond PairBudget's
+    * dropped-pairs accounting. Acceptable under the same
+    * visible-degradation contract; uncapped behavior is exact.
     */
   def setSimJoin(docs: DataFrame, k: Int, num: Int, den: Int,
                  idCol: String = "doc_id", textCol: String = "text",

@@ -18,7 +18,7 @@ object PlanAudit {
       .config("spark.sql.warehouse.dir", graft.util.Scratch.warehouseDir)
       .config("spark.ui.enabled", "false")
     sys.env.get("GRAFT_EXTRA_CONF").foreach { kvs =>
-      kvs.split(";").foreach { kv => val Array(k, v) = kv.split("="); b.config(k, v) }
+      kvs.split(";").foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) }
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
