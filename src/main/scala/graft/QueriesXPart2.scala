@@ -364,18 +364,21 @@ private[graft] trait QueriesXPart2 extends QueriesXShared {
   def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 26)
       .select(col("l_orderkey").as("k"), col("l_partkey"))
-    // truncate the co-purchase pair expansion once: it feeds this query's
-    // own und/deg AND triangleCounts' internal canonicalize (r16)
-    val pairs = graft.util.Checkpoints.truncate(
-      li.select(col("k"), col("l_partkey").as("a"))
-        .join(li.select(col("k"), col("l_partkey").as("b")), "k")
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")))
-    val und = pairs.distinct()
+    // truncate the co-purchase edge set once, AFTER the distinct (r17;
+    // the r16 form truncated the raw pair expansion — a strictly larger
+    // table — and still paid the distinct in each consumer; the driver
+    // bench measured it slower than the untruncated r15 shape). Both
+    // consumers want the distinct set: deg directly, and triangleCounts'
+    // internal canonicalize is a no-op re-distinct over it.
+    val pairs = li.select(col("k"), col("l_partkey").as("a"))
+      .join(li.select(col("k"), col("l_partkey").as("b")), "k")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val und = graft.util.Checkpoints.truncate(pairs.distinct())
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    deg.join(graft.operators.Graph.triangleCounts(pairs), Seq("node"), "left")
+    deg.join(graft.operators.Graph.triangleCounts(und), Seq("node"), "left")
       .select(col("d"), coalesce(col("n_triangles"), lit(0L)).as("tri"))
       .filter(col("d") >= 2L)
       .groupBy(col("d"))

@@ -21,6 +21,23 @@ object Graph {
     */
   private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
+  /** Node table with out-degrees in ONE exchange: explode each edge into
+    * an (src, 1) and a (dst, 0) marker and hash-aggregate by node —
+    * replaces the separate nodes union∪distinct exchange, out-degree
+    * aggregation and node-keyed left join of the old PageRank setup
+    * (2 exchanges + 1 join fewer, r17). `outdeg` is null for sinks,
+    * matching the left-join encoding the iteration reads.
+    */
+  private def nodeStats(e: DataFrame): DataFrame =
+    e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("_o")),
+        struct(col("dst").as("node"), lit(0L).as("_o")))).as("_x"))
+      .select(col("_x.node").as("node"), col("_x._o").as("_o"))
+      .groupBy(col("node")).agg(sum(col("_o")).as("_od"))
+      .select(col("node"),
+        when(col("_od") > 0L, col("_od")).otherwise(lit(null).cast("long"))
+          .as("outdeg"))
+
   /** PageRank as pure DataFrame algebra, deterministic BY CONSTRUCTION
     * like [[Similarity.kmeans]]:
     * - damping d = 7/8 (0.875 and 0.125 are EXACT binary fractions, so
@@ -67,17 +84,18 @@ object Graph {
     // sf0.1 bench time for this operator)
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
-    // outdeg is STATIC per node — fold it into the rank table once (null
-    // for sinks) instead of re-joining it every iteration: saves one
+    // nodes + out-degrees in ONE exchange (r17, [[nodeStats]]); truncated
+    // so the n_nodes count below reads persisted blocks, not the plan.
+    // outdeg is STATIC per node — folded into the rank table once (null
+    // for sinks) instead of re-joined every iteration: saves one
     // node-keyed join per round, and the dangling variant reads sinks off
     // the same table instead of an anti-join per round (r8; the oracle's
     // unrolled update is arithmetically identical, so hashes don't move)
-    val ranks0 = nodes
-      .join(outdeg, col("node") === col("src"), "left").drop("src")
+    val stats0 = nodeStats(e)
+    val stats = if (checkpoint) Checkpoints.truncate(stats0, eager = false)
+                else stats0
+    val nTotal = stats.agg(count(lit(1)).as("n_nodes"))
+    val ranks0 = stats
       .crossJoin(broadcast(nTotal))
       .select(col("node"),
         (lit(1.0) / col("n_nodes").cast("double")).as("rank"),
@@ -158,14 +176,16 @@ object Graph {
     val S = 1099511627776.0
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // nodes + out-degrees in ONE exchange (r17, [[nodeStats]]) — see
+    // pageRank's setup note; the old union∪distinct + outdeg agg + left
+    // join shape is gone, the seed join is unchanged.
+    val stats0 = nodeStats(e)
+    val stats = if (checkpoint) Checkpoints.truncate(stats0, eager = false)
+                else stats0
     val seeds = teleport.select(col("node")).distinct()
-      .join(nodes, "node", "left_semi")
+      .join(stats.select(col("node")), "node", "left_semi")
     val nSeeds = seeds.agg(count(lit(1)).as("n_seeds"))
-    val ranks0 = nodes
-      .join(outdeg, col("node") === col("src"), "left").drop("src")
+    val ranks0 = stats
       .join(seeds.withColumn("_is_seed", lit(1)), Seq("node"), "left")
       .crossJoin(broadcast(nSeeds))
       .select(col("node"), col("outdeg"),
@@ -215,8 +235,10 @@ object Graph {
     * bit-identical across partitionings. Per iteration: one src-keyed
     * join + dst agg (authorities), one dst-keyed join + src agg (hubs),
     * each raw aggregate checkpointed once (node-sized) with its L1
-    * normalizer collected as an exact fixed-point driver scalar. Nodes
-    * without in-edges get authority 0, without out-edges hub 0.
+    * normalizer attached as an in-plan broadcast scalar (no driver
+    * collects in the loop, r17). Scores stay sparse through the loop;
+    * one final zero-fill gives nodes without in-edges authority 0 and
+    * without out-edges hub 0.
     */
   def hits(edges: DataFrame, iters: Int, checkpoint: Boolean = true): DataFrame = {
     val S = 1099511627776.0
@@ -224,60 +246,59 @@ object Graph {
       sum(floor(c * S + 0.5).cast(Dec38)).cast("double") / S
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val e = if (checkpoint) Checkpoints.truncate(e0) else e0
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // nodes feeds BOTH zero-fill joins of EVERY round (plus the initial
-    // scores): truncate it once (node-sized) so the union∪distinct over the
-    // edge table never re-runs inside a round's join/broadcast jobs (r16)
+    // one-pass node set (explode instead of union: reads the persisted
+    // edge blocks once, r17); feeds the initial hubs and the FINAL
+    // zero-fill only — the per-round zero-fill joins are gone (below)
+    val nodes0 = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
     val nodes = if (checkpoint) Checkpoints.truncate(nodes0) else nodes0
-    // L1 normalizer as an exact driver SCALAR off the (checkpointed) raw
-    // aggregate: zero-filled nodes contribute floor(0·S + 0.5) = 0 to the
-    // snapped long sum, so summing the raw table alone equals the oracle's
-    // sum over the zero-filled table bit-for-bit — and the fixed-point
-    // grid makes the scalar partition-independent, same license as
-    // Contiguity's convergence checksum. Folding the scalar back as a
-    // lit() removes the per-iteration broadcast-crossjoin normalizer pass
-    // whose subtree (join + agg + left join) re-ran per broadcast job —
-    // the r11 official bench's q_hits stall concentrated exactly there.
-    def l1Scalar(raw: DataFrame, c: String): Double = {
-      val r = raw.agg(snapSum(col(c))).collect()(0)
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    }
-    var scores = nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    // Loop WITHOUT zero-fill (r17): every e.src has an out-edge and every
+    // e.dst an in-edge, so the nodes the old per-round `nodes ⟕ raw` left
+    // joins added back carried score 0 and contributed floor(0·S+0.5) = 0
+    // to every downstream snapped sum — two node-keyed joins per
+    // iteration of pure zero traffic. Keep hub/auth SPARSE (only nodes
+    // with out-/in-edges) through the loop and zero-fill ONCE at the end.
+    // The L1 normalizer is an IN-PLAN broadcast scalar over the persisted
+    // raw aggregate (the r16 shape collected it to the driver — one extra
+    // job + a blocking sync per half-iteration, 4 per query): summing the
+    // raw table alone equals the oracle's sum over the zero-filled table
+    // bit-for-bit, and the 2^40 snap keeps it partition-independent.
+    if (iters < 1)
+      return nodes.select(col("node"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
     val rot = new Checkpoints.Rotation(edges.sparkSession)
     for (_ <- 1 to iters) {
       if (checkpoint) rot.begin()
-      val aRaw0 = e.join(scores.select(col("node").as("_s"), col("hub")),
+      val aRaw0 = e.join(hub.select(col("node").as("_s"), col("hub")),
           col("src") === col("_s"))
         .groupBy(col("dst")).agg(snapSum(col("hub")).as("a_raw"))
-      // LAZY truncate: the raw table is read 3× (scalar, zero-fill join,
-      // next half-iteration) — the l1Scalar collect right below is the
-      // materializing action, so the eager form's separate job per
-      // half-iteration disappears (CC's sig pattern; 4 jobs per q_hits)
+      // LAZY truncate: the next half-iteration's checkpoint (whose AQE
+      // planning materializes the upstream exchanges) is the action
       val aRaw = if (checkpoint) Checkpoints.truncate(aRaw0, eager = false)
                  else aRaw0
-      val aSum = l1Scalar(aRaw, "a_raw")
-      val auth = nodes.join(aRaw, col("node") === col("dst"), "left")
-        .select(col("node"), (coalesce(col("a_raw"), lit(0.0)) / lit(aSum)).as("auth"))
+      val aSum = aRaw.agg(coalesce(snapSum(col("a_raw")), lit(0.0)).as("_l1"))
+      auth = aRaw.crossJoin(broadcast(aSum))
+        .select(col("dst").as("node"), (col("a_raw") / col("_l1")).as("auth"))
       val hRaw0 = e.join(auth.select(col("node").as("_d"), col("auth")),
           col("dst") === col("_d"))
         .groupBy(col("src")).agg(snapSum(col("auth")).as("h_raw"))
       val hRaw = if (checkpoint) Checkpoints.truncate(hRaw0, eager = false)
                  else hRaw0
-      val hSum = l1Scalar(hRaw, "h_raw")
-      val hub = nodes.join(hRaw, col("node") === col("src"), "left")
-        .select(col("node"), (coalesce(col("h_raw"), lit(0.0)) / lit(hSum)).as("hub"))
-      scores = hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
-      // scores stays LAZY (it materializes inside next round's l1Scalar
-      // action, whose lineage needs only this round's persisted aRaw/hRaw
-      // + the edge table), so rotate() here releases round i−1's
-      // aRaw/hRaw/scores — all fully materialized and dead (r14)
-      if (checkpoint) {
-        scores = Checkpoints.truncate(scores, eager = false)
-        rot.rotate()
-      }
+      val hSum = hRaw.agg(coalesce(snapSum(col("h_raw")), lit(0.0)).as("_l1"))
+      hub = hRaw.crossJoin(broadcast(hSum))
+        .select(col("src").as("node"), (col("h_raw") / col("_l1")).as("hub"))
+      // round i−1's aRaw/hRaw blocks were materialized by this round's
+      // checkpoint planning; release them (r14 rotation discipline)
+      if (checkpoint) rot.rotate()
     }
-    scores
+    // single zero-fill: nodes without out-/in-edges score hub/auth 0.0,
+    // exactly the value the old per-round fill carried through
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation
@@ -463,6 +484,11 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
             checkpoint: Boolean = true): DataFrame = {
+    // union symmetrize kept deliberately: an r17 explode-based one-scan
+    // variant (read the source once, emit both directions) measured flat-
+    // to-slower at sf0.1 — the union's two scan branches run as twice the
+    // parallel tasks on the 3-split input, which beats halving the IO on
+    // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -516,6 +542,11 @@ object Graph {
     require(rounds >= 1 && rounds <= 12, "rounds in [1,12]")
     val lcm = (1 to rounds).foldLeft(1L)((a, b) =>
       a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    // union symmetrize kept deliberately: an r17 explode-based one-scan
+    // variant (read the source once, emit both directions) measured flat-
+    // to-slower at sf0.1 — the union's two scan branches run as twice the
+    // parallel tasks on the 3-split input, which beats halving the IO on
+    // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -575,6 +606,11 @@ object Graph {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // und feeds the degree agg + the moment join, deg feeds both endpoint
     // joins — truncate once each (r16; richClub's discipline)
+    // union symmetrize kept deliberately: an r17 explode-based one-scan
+    // variant (read the source once, emit both directions) measured flat-
+    // to-slower at sf0.1 — the union's two scan branches run as twice the
+    // parallel tasks on the 3-split input, which beats halving the IO on
+    // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = Checkpoints.truncate(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -623,6 +659,11 @@ object Graph {
   def bipartiteCheck(edges: DataFrame, sourceNode: Long, rounds: Int)
       : DataFrame = {
     require(rounds >= 1 && rounds <= 12, "rounds in [1,12]")
+    // union symmetrize kept deliberately: an r17 explode-based one-scan
+    // variant (read the source once, emit both directions) measured flat-
+    // to-slower at sf0.1 — the union's two scan branches run as twice the
+    // parallel tasks on the 3-split input, which beats halving the IO on
+    // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -677,6 +718,11 @@ object Graph {
     // und feeds the degree agg AND the min-degree projection, deg feeds
     // the histogram AND both endpoint joins — truncate once each or the
     // whole edge derivation replans (and rescans) per reference
+    // union symmetrize kept deliberately: an r17 explode-based one-scan
+    // variant (read the source once, emit both directions) measured flat-
+    // to-slower at sf0.1 — the union's two scan branches run as twice the
+    // parallel tasks on the 3-split input, which beats halving the IO on
+    // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = graft.util.Checkpoints.truncate(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -739,12 +739,18 @@ object Similarity {
                             queryPred: Column): (DataFrame, DataFrame) = {
     DotFold.register(vecs.sparkSession)
     val S = 1099511627776.0 // 2^40 fixed-point grid (shared with kmeans)
-    val sv = vecs
+    // sv feeds FOUR consumers (codebook seed, codebook update join, final
+    // code assignment, query LUT) — untruncated, each one re-ran the
+    // scan+explode+slice subtree, and the duplicated subtrees quadrupled
+    // the plan Catalyst analyzes per job (the ivfpq family's cold cost is
+    // dominated by driver planning, r17 profile: 5.2 s of an 11.3 s cold
+    // run). Lazy truncate: the cb1 checkpoint below materializes it.
+    val sv = graft.util.Checkpoints.truncate(vecs
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"),
         explode(array((0 until m).map(lit): _*)).as("sub"))
       .select(col("vec_id"), col("sub"),
         slice(col("emb"), col("sub") * subDim + 1, lit(subDim)).as("svec"))
-      .withColumn("s2", DotFold.dot(col("svec"), col("svec")))
+      .withColumn("s2", DotFold.dot(col("svec"), col("svec"))), eager = false)
     val cb0 = sv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
         col("svec").as("cvec"), col("s2").as("c2"))
@@ -823,6 +829,11 @@ object Similarity {
     val coarse = base.filter(col("vec_id") < numCoarse)
       .select(col("vec_id").cast("int").as("ccid"), col("emb").as("cemb"),
         col("x2").as("cc2"))
+    // cells is re-derived per consumer on purpose: an r17 experiment
+    // truncating it measured +0.3-0.4 s (the extra materialization
+    // barrier costs more than the duplicated index-metadata-sized
+    // subtree it saves; the sv truncate in pqCodesAndLut is where the
+    // plan-size win was)
     val cells = base.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("ccid"),
         ((col("x2") + col("cc2")) -
@@ -897,6 +908,7 @@ object Similarity {
       .select(col("vec_id"), col("ccid"),
         ((col("x2") + col("cc2")) -
           lit(2.0) * DotFold.dot(col("emb"), col("cemb"))).as("dist2"))
+    // not truncated — single consumer here; see ivfPqTopK's cells note (r17)
     val cells = scored.groupBy(col("vec_id"))
       .agg(min_by(col("ccid"), struct(col("dist2"), col("ccid"))).as("cell"))
     // query-side top-2 cells: same hash-agg collect/sort/slice as
