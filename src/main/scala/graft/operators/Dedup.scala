@@ -238,25 +238,31 @@ object Dedup {
       .select(explode(pairsCol).as("_p"))
       .select(col("_p.a_id"), col("_p.b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_rare"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Per-doc shingle count AND stop-shingle count in ONE pass (r17; the
+    // r16 shape ran two separate aggs over sh — sizes, and a count over
+    // the stop join — then attached them with FOUR candidate joins): tag
+    // each shingle row with its df (left join — df<2 rows have no dfCnt
+    // entry and are never stop) and fold both counts map-side. Halves the
+    // candidate-side joins to one per side.
+    val docStats = sh
+      .join(dfCnt, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("_df") > maxDf, 1L).otherwise(0L)).as("n_stop_doc"))
+      .select(col(idCol).as("doc_id"), col("sz"), col("n_stop_doc"))
     val stopSh = sh
       .join(dfCnt.filter(col("_df") > maxDf).select(col("shingle")), "shingle")
       .select(col("shingle"), col(idCol).as("doc_id"))
-    val stopCnt = stopSh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_stop_doc"))
     // Upper-bound prune BEFORE the stop count-join: shared stop shingles
     // ≤ min(|stop(a)|, |stop(b)|), so best-case containment is
     // (n_rare + that bound) / min(sz_a, sz_b); a pair below the threshold
     // on the bound can never pass. Most candidates share one rare shingle
     // and die here, so the stop expansion runs only on plausible pairs.
     val bounded = rare
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
-      .join(stopCnt.select(col("doc_id").as("a_id"), col("n_stop_doc").as("_sca")),
-        Seq("a_id"), "left")
-      .join(stopCnt.select(col("doc_id").as("b_id"), col("n_stop_doc").as("_scb")),
-        Seq("b_id"), "left")
-      .na.fill(0L, Seq("_sca", "_scb"))
+      .join(docStats.select(col("doc_id").as("a_id"), col("sz").as("sz_a"),
+        col("n_stop_doc").as("_sca")), "a_id")
+      .join(docStats.select(col("doc_id").as("b_id"), col("sz").as("sz_b"),
+        col("n_stop_doc").as("_scb")), "b_id")
       .filter((col("n_rare") + least(col("_sca"), col("_scb"))).cast("double") /
         least(col("sz_a"), col("sz_b")).cast("double") >= minContainment)
       .drop("_sca", "_scb")
