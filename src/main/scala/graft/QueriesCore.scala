@@ -26,7 +26,7 @@ import graft.sources.EsriAsciiGrid
 object QueriesCore {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.util.Tables.parquet(s, s"$dir/$name.parquet") // cached RELATION (plan), not data — see Tables
 
   // ---- O-1/O-6: catalog scan + projection (species_range_etl.py:36-45) ----
   def qCatalogProject(s: SparkSession, dir: String): DataFrame =

@@ -13,7 +13,7 @@ import graft.functions.Portable
 object QueriesExt {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.util.Tables.parquet(s, s"$dir/$name.parquet") // cached RELATION (plan), not data — see Tables
 
   /** events.ts normalized to epoch-nanos longs regardless of storage type
     * (legacy nanos-INT64 or the regenerated TIMESTAMP_NTZ micros testdata);

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 private[graft] trait QueriesXShared {
 
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.util.Tables.parquet(s, s"$dir/$name.parquet") // cached RELATION (plan), not data — see Tables
 
   /** events.ts normalized to epoch-nanos longs regardless of storage type
     * (legacy nanos-INT64 or TIMESTAMP_NTZ micros); see [[graft.util.EventTime]].

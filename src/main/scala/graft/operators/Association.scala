@@ -30,10 +30,16 @@ object Association {
     */
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
                 minItemSupport: Long, minPairSupport: Long): DataFrame = {
-    val b = baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
-      .distinct()
-    val supp = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-      .filter(col("n_item") >= minItemSupport)
+    // b feeds the support agg, both sides of the pair self-join (via
+    // freq) and the basket total; supp feeds the semi-join and two
+    // broadcasts — untruncated, every broadcast job re-ran the whole
+    // distinct/agg derivation tree (r17). One materialization each.
+    val b = graft.util.Checkpoints.truncate(
+      baskets.select(col(basketCol).as("bid"), col(itemCol).as("item"))
+        .distinct(), eager = false)
+    val supp = graft.util.Checkpoints.truncate(
+      b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+        .filter(col("n_item") >= minItemSupport), eager = false)
     val freq = b.join(supp.select(col("item")), Seq("item"), "left_semi")
     val pairs = freq.select(col("bid"), col("item").as("a"))
       .join(freq.select(col("bid"), col("item").as("b")), Seq("bid"))
