@@ -542,10 +542,15 @@ object Similarity {
         col("cid"),
         (DotFold.dot(col("embedding"), col("cemb")) /
           (col("norm") * col("cnorm"))).as("cscore"))
-    val topP = cellScores.groupBy(col("_blk"), col("vec_id"))
-      .agg(slice(array_sort(collect_list(
-          struct((-col("cscore")).as("ns"), col("cid")))), 1, nprobe).as("tp"),
-        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+    // topP feeds BOTH the assignment projection and the probe explode —
+    // untruncated, the broadcast(cents) scoring + collect_list agg
+    // subtree re-planned and re-ran once per consumer (r17)
+    val topP = graft.util.Checkpoints.truncate(
+      cellScores.groupBy(col("_blk"), col("vec_id"))
+        .agg(slice(array_sort(collect_list(
+            struct((-col("cscore")).as("ns"), col("cid")))), 1, nprobe).as("tp"),
+          first(col("embedding")).as("embedding"), first(col("norm")).as("norm")),
+      eager = false)
     val assigned = topP.select(col("_blk"),
       element_at(col("tp"), 1).getField("cid").as("cell"),
       col("vec_id").as("b_id"), col("embedding").as("emb_b"),
