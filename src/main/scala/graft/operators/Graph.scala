@@ -115,7 +115,13 @@ object Graph {
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
       val incoming = e.join(contrib, col("src") === col("c_src"))
         .groupBy(col("dst"))
-        .agg((sum(floor(col("contrib") * S + 0.5).cast(Dec38)).cast("double") / S)
+        // LONG sum, not Dec38 (r17): per-destination snapped sums are
+        // mass-conservation-bounded — Σ contributions to any dst ≤ Σ all
+        // ranks ≤ 1, so the sum is ≤ ~2^41 at EVERY scale and cannot wrap
+        // (unlike hits' unnormalized raw sums, which genuinely need the
+        // decimal). Same exact integers, primitive hash-agg buffers
+        // instead of decimal ops on the per-edge hot path (guide §2.3).
+        .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
           .as("in_sum"))
       val withIn = ranks.select(col("node"), col("n_nodes"), col("outdeg"))
         .join(incoming, col("node") === col("dst"), "left")
@@ -126,7 +132,8 @@ object Graph {
           // empty sink set → null sum → 0.0
           val dang = ranks.filter(col("outdeg").isNull)
             .agg(coalesce(
-              sum(floor(col("rank") * S + 0.5).cast(Dec38)).cast("double") / S,
+              // long-safe like in_sum: Σ sink ranks ≤ Σ all ranks ≤ 1
+              sum(floor(col("rank") * S + 0.5).cast("long")).cast("double") / S,
               lit(0.0)).as("dangling"))
           withIn.crossJoin(broadcast(dang))
             .select(col("node"),
@@ -203,7 +210,13 @@ object Graph {
           (col("rank") / col("outdeg").cast("double")).as("contrib"))
       val incoming = e.join(contrib, col("src") === col("c_src"))
         .groupBy(col("dst"))
-        .agg((sum(floor(col("contrib") * S + 0.5).cast(Dec38)).cast("double") / S)
+        // LONG sum, not Dec38 (r17): per-destination snapped sums are
+        // mass-conservation-bounded — Σ contributions to any dst ≤ Σ all
+        // ranks ≤ 1, so the sum is ≤ ~2^41 at EVERY scale and cannot wrap
+        // (unlike hits' unnormalized raw sums, which genuinely need the
+        // decimal). Same exact integers, primitive hash-agg buffers
+        // instead of decimal ops on the per-edge hot path (guide §2.3).
+        .agg((sum(floor(col("contrib") * S + 0.5).cast("long")).cast("double") / S)
           .as("in_sum"))
       ranks = ranks.select(col("node"), col("outdeg"), col("tp"))
         .join(incoming, col("node") === col("dst"), "left")
