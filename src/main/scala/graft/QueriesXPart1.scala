@@ -231,8 +231,11 @@ private[graft] trait QueriesXPart1 extends QueriesXShared {
     // uncached, the final job recomputed the whole chain per consumer,
     // O(rounds²) replays of the edge distinct; localCheckpoint would
     // trip the Union constraint-rewrite bug, see Graph.bipartiteCheck) (r16)
-    val edges = graft.util.Checkpoints.truncate(
-      li.union(li.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    // persist + src layout instead of localCheckpoint (r17): the cached
+    // plan keeps hashpartitioning(src), so each round's frontier join
+    // exchanges only the frontier (see Graph.pageRank's note)
+    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).distinct().persist()
     val init = s.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
     var reached = init
     var frontier = init

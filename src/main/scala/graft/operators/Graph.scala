@@ -82,8 +82,20 @@ object Graph {
     // (the standard persist-the-edge-table shape of iterative graph
     // algorithms; recomputing the distinct per round cost ~40% of the
     // sf0.1 bench time for this operator)
-    val e0 = edges.select(col("src"), col("dst")).distinct()
-    val e = if (checkpoint) Checkpoints.truncate(e0) else e0
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
+    // persist with a src-hash layout instead of localCheckpoint (r17):
+    // a cached plan KEEPS its outputPartitioning, while localCheckpoint's
+    // LogicalRDD drops it (the r16 experiment that stalled the
+    // co-partitioned-round idea). Repartitioning by src BEFORE the
+    // distinct costs nothing — hashpartitioning(src) already satisfies
+    // the (src,dst) dedup's clustering requirement, so the plan has ONE
+    // exchange either way — and every round's edge⋈frontier/contrib join
+    // then finds the edge side pre-distributed by its join key and
+    // exchanges only the node-sized side: the per-round re-shuffle of
+    // the edge table disappears. persist keeps the (short) lineage, so
+    // an evicted block recomputes instead of failing the job.
+    val e = if (checkpoint) e0.persist() else e0
     // nodes + out-degrees in ONE exchange (r17, [[nodeStats]]); truncated
     // so the n_nodes count below reads persisted blocks, not the plan.
     // outdeg is STATIC per node — folded into the rank table once (null
@@ -181,8 +193,10 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, teleport: DataFrame, iters: Int,
                            checkpoint: Boolean = true): DataFrame = {
     val S = 1099511627776.0
-    val e0 = edges.select(col("src"), col("dst")).distinct()
-    val e = if (checkpoint) Checkpoints.truncate(e0) else e0
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
+    // persist + src layout: see pageRank's note (r17)
+    val e = if (checkpoint) e0.persist() else e0
     // nodes + out-degrees in ONE exchange (r17, [[nodeStats]]) — see
     // pageRank's setup note; the old union∪distinct + outdeg agg + left
     // join shape is gone, the seed join is unchanged.
@@ -257,8 +271,12 @@ object Graph {
     val S = 1099511627776.0
     def snapSum(c: org.apache.spark.sql.Column) =
       sum(floor(c * S + 0.5).cast(Dec38)).cast("double") / S
-    val e0 = edges.select(col("src"), col("dst")).distinct()
-    val e = if (checkpoint) Checkpoints.truncate(e0) else e0
+    val e0 = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
+    // persist + src layout: see pageRank's note (r17) — the authority
+    // half-round joins by src and reuses it; the hub half-round joins by
+    // dst and exchanges as before (no loss)
+    val e = if (checkpoint) e0.persist() else e0
     // one-pass node set (explode instead of union: reads the persisted
     // edge blocks once, r17); feeds the initial hubs and the FINAL
     // zero-fill only — the per-round zero-fill joins are gone (below)
@@ -448,7 +466,10 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
     val nbr0 = und.select(col("u").as("node"), col("v").as("peer"))
       .union(und.select(col("v").as("node"), col("u").as("peer")))
-    val nbr = if (checkpoint) Checkpoints.truncate(nbr0) else nbr0
+      .repartition(col("peer"))
+    // persist + peer layout: see pageRank's note (r17) — every round's
+    // nbr⋈labels join reuses it and exchanges only the node-sized side
+    val nbr = if (checkpoint) nbr0.persist() else nbr0
     val lbl0 = nbr.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     // initial label table truncated like pageRank's initial ranks: round 1
@@ -562,8 +583,12 @@ object Graph {
     // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val e = if (checkpoint) Checkpoints.truncate(und) else und
+      .repartition(col("src")).distinct()
+    // persist + src layout (see pageRank's note, r17): every BFS round's
+    // frontier⋈edges join reuses the layout and exchanges only the
+    // frontier; repartition-before-distinct keeps the exchange count at
+    // one (hashpartitioning(src) satisfies the dedup's clustering)
+    val e = if (checkpoint) und.persist() else und
     var frontier = landmarks.select(col("lm"), col("lm").as("node"),
       lit(0L).as("d"))
     var reached = frontier
@@ -679,8 +704,9 @@ object Graph {
     // an otherwise idle 32-core box. At cluster scale both forms saturate.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val e = Checkpoints.truncate(und)
+      .repartition(col("src")).distinct()
+    // persist + src layout: see landmarkCloseness's note (r17)
+    val e = und.persist()
     var frontier: DataFrame = edges.sparkSession.range(1)
       .select(lit(sourceNode).as("node"), lit(0L).as("d"))
     var reached = frontier
